@@ -1,13 +1,739 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.{HashFunctions, VectorFunctions}
+import graft.multimodal.Media
+import graft.ops.{Aggs, Relational, Reshape}
+import graft.similarity.Ann
+import graft.streaming.Events
+import graft.text.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (the key names cite the §2 row ids they cover), plus the
+  * training-data-pipeline operator suite (dedup / similarity / text /
+  * multimodal / streaming-batch-twin queries) over the `documents`,
+  * `embeddings` and `events` tables.
+  *
+  * Determinism contract (needed for hash-exact DuckDB oracle parity):
+  *   - money sums use the exact-cents idiom (Aggs.sumExact) — integer
+  *     sums are accumulation-order independent;
+  *   - float outputs are rounded to 6 decimals with identical formula
+  *     shape on both sides;
+  *   - every ranking has a total order (unique-id tiebreaker), and
+  *     similarity ranks on the ROUNDED score.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** round(x*10^s) as bigint — exact fixed-point per-row scaling. */
+  private def cents(c: Column, scale: Int): Column =
+    round(c * math.pow(10, scale)).cast("long")
+
+  private val extDisc: Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregations (§2.4 A1-A3) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"), 2)) / 100.0).as("sum_base_price"),
+          (sum(cents(extDisc, 4)) / 10000.0).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- multi-way dimension join (§2.3 J1/J2/J9) ----
+    "q02_region_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          (sum(cents(extDisc, 4)) / 10000.0).as("revenue"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // ---- top-n after aggregation (§2.4 A12) ----
+    "q03_top_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg((sum(cents(extDisc, 4)) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- left join with unmatched rows (§2.3 J1, §2.2 P6) ----
+    "q04_part_line_stats" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      part.join(li, part("p_partkey") === li("l_partkey"), "left")
+        .groupBy("p_partkey")
+        .agg(
+          count(col("l_orderkey")).as("n_lines"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).as("total_qty"))
+    }),
+
+    // ---- semi join (§2.3 J6) ----
+    "q05_big_order_customers" -> ((s, dir) => {
+      val big = t(s, dir, "orders").where(col("o_totalprice") > 300000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // ---- anti join (§2.3 J7) ----
+    "q06_never_bulk_ordered" -> ((s, dir) => {
+      val bulk = t(s, dir, "lineitem").where(col("l_quantity") >= 48)
+      t(s, dir, "part")
+        .join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    }),
+
+    // ---- full outer join (§2.3 J5, §2.2 P15) ----
+    "q07_nation_coverage" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+    }),
+
+    // ---- membership flag / semi-join as boolean (§2.3 J10) ----
+    "q08_membership_flag" -> ((s, dir) => {
+      Relational.withMembershipFlag(
+          t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders").where(col("o_totalprice") > 300000).select("o_custkey"),
+          "o_custkey", "has_big_order")
+        .select("c_custkey", "has_big_order")
+    }),
+
+    // ---- latest record per key (§2.5 W2) ----
+    "q09_latest_order" -> ((s, dir) => {
+      Relational.latestPerKey(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("latest_date"))
+    }),
+
+    // ---- duplicate-key probe rows (§2.5 W1) ----
+    "q10_dup_order_days" -> ((s, dir) => {
+      val withDay = t(s, dir, "orders")
+        .withColumn("order_day", col("o_orderdate").cast("date"))
+      Relational.withGroupCount(withDay, Seq("o_custkey", "order_day"), "n")
+        .where(col("n") > 1)
+        .select("o_orderkey", "o_custkey", "n")
+    }),
+
+    // ---- slice_min with ties (§2.5 W3) ----
+    "q11_first_shipment" -> ((s, dir) => {
+      Relational.slicePerKeyWithTies(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_shipdate").asc))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_day"))
+    }),
+
+    // ---- group sum kept on rows (§2.5 W5) ----
+    "q12_line_share" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .withColumn("line_cents", cents(extDisc, 4))
+        .withColumn("share", round(
+          col("line_cents") / sum(col("line_cents")).over(Window.partitionBy("l_orderkey")), 6))
+        .select("l_orderkey", "l_linenumber", "share")
+    }),
+
+    // ---- group-max fill of nulls (§2.5 W6, §2.2 P15) ----
+    "q13_fill_group_max" -> ((s, dir) => {
+      val nulled = t(s, dir, "events")
+        .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      Relational.fillWithGroupMax(nulled, Seq("user_id"), "v")
+        .select(col("event_id"), col("user_id"), col("v").as("value_filled"))
+    }),
+
+    // ---- distinct count per group as filter (§2.5 W7) ----
+    "q14_multi_status_custs" -> ((s, dir) => {
+      Relational.withGroupDistinctCount(t(s, dir, "orders"), Seq("o_custkey"),
+          col("o_orderstatus"), "n_status")
+        .where(col("n_status") > 1)
+        .select("o_custkey", "n_status")
+        .distinct()
+    }),
+
+    // ---- pivot_wider (§2.6 R2) ----
+    "q15_status_pivot" -> ((s, dir) => {
+      Reshape.pivotWide(t(s, dir, "orders"), Seq("o_custkey"), "o_orderstatus",
+          Seq("F", "O", "P"), count(lit(1)), fill = Some(lit(0L)), prefix = "n_")
+        .withColumnRenamed("n_F", "n_f")
+        .withColumnRenamed("n_O", "n_o")
+        .withColumnRenamed("n_P", "n_p")
+    }),
+
+    // ---- pivot_longer / melt (§2.6 R1/R5) ----
+    "q16_part_melt" -> ((s, dir) => {
+      Reshape.melt(
+        t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size_d")),
+        ids = Seq("p_partkey"), values = Seq("p_retailprice", "p_size_d"))
+    }),
+
+    // ---- separate (§2.6 R4) ----
+    "q17_separate_name" -> ((s, dir) => {
+      Reshape.separate(t(s, dir, "part"), "p_name", Seq("color", "object"), " ")
+        .select("p_partkey", "color", "object")
+    }),
+
+    // ---- union by name with tag (§2.8 U1, E1 step 3) ----
+    "q18_union_cycles" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val early = orders.where(year(col("o_orderdate")) < 1998)
+        .select("o_orderkey", "o_totalprice")
+      val late = orders.where(year(col("o_orderdate")) >= 1998)
+        .select("o_orderkey")
+      Relational.unionCycles(Seq(1 -> early, 2 -> late))
+    }),
+
+    // ---- case_when recode (§2.2 P12/P13) ----
+    "q19_priority_recode" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("priority_class",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+            .when(col("o_orderpriority") === "3-MEDIUM", "medium")
+            .otherwise("low"))
+        .groupBy("priority_class")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- string scalar functions (§2.7) ----
+    "q20_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("cust_num"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"))
+    }),
+
+    // ---- date scalar functions (§2.7) ----
+    "q21_year_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"), 2)) / 100.0).as("sum_total"))
+    }),
+
+    // ---- coalesce / nullif / least (§2.2 P14/P15, §2.7) ----
+    "q22_discount_rules" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(0.05)).as("discount_imputed"),
+        round(least(col("l_discount") + col("l_tax"), lit(0.15)), 6).as("charge_rate"),
+        greatest(col("l_quantity"), lit(10.0)).as("qty_floor"))
+    }),
+
+    // ---- complement-product cover union (§2.4 A7 / §2.10 K3-adjacent) ----
+    "q23_discount_union" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(Aggs.complementProduct(col("l_discount")), 6).as("effective_discount"))
+    }),
+
+    // ---- ordered group string concat (§2.4 A10) ----
+    "q24_status_concat" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(Aggs.stringAggSorted(col("o_orderstatus"), ";").as("statuses"))
+    }),
+
+    // ---- boolean any/all aggregation (§2.4 A5) ----
+    "q25_bool_flags" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+          Aggs.boolAny(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+          Aggs.boolAll(col("o_orderstatus") === "F").as("all_finished"))
+    }),
+
+    // ---- assert-single-value collapse (§2.4 A9) ----
+    "q26_nation_region" -> ((s, dir) => {
+      val cols = Aggs.singleValue(col("n_regionkey"), "regionkey_first")
+      t(s, dir, "nation").groupBy("n_nationkey").agg(cols.head, cols.tail: _*)
+    }),
+
+    // ---- stddev / avg (§2.4 A8, A11) ----
+    "q27_qty_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+    }),
+
+    // ---- grouped ratio summaries (§2.4 A11, A4) ----
+    "q28_acctbal_ratio" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(lit(100.0) * count(when(col("c_acctbal") > 0, 1)) / count(lit(1)), 6)
+            .as("pct_positive"))
+    }),
+
+    // ---- event-time tumbling window, batch twin of streaming (§2.9) ----
+    "q29_events_hourly" -> ((s, dir) => {
+      Events.hourlyStats(t(s, dir, "events"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
+    // ---- sessionization, batch twin of mapGroupsWithState (§2.9) ----
+    "q30_user_sessions" -> ((s, dir) =>
+      Events.sessionCounts(t(s, dir, "events"), gapMinutes = 30)),
+
+    // ---- regex field extraction from semi-structured props (§2.7) ----
+    "q31_events_props" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+        .groupBy("event_type")
+        .agg(
+          round(sum(col("k")) / count(lit(1)), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+    }),
+
+    // ---- exact dedup: canonical id per content fingerprint ----
+    "q40_docs_exact_dedup" -> ((s, dir) =>
+      Dedup.exactCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),
+
+    // ---- token counting ----
+    "q41_docs_tokens" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"),
+        round(length(translate(col("text"), " ", "")).cast("double") /
+          Text.tokenCount(col("text")), 6).as("avg_token_len"))
+    }),
+
+    // ---- quality scoring ----
+    "q42_docs_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.stopwordRatio(col("text"), Text.EnglishStop), 6).as("stop_ratio"),
+        Text.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---- language-ID heuristic ----
+    "q43_docs_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.langId(col("text")).as("lang_pred"),
+        (Text.langId(col("text")) === col("lang")).as("is_match"))
+    }),
+
+    // ---- document signatures (SimHash + MinHash; no SQL oracle) ----
+    "q44_docs_signatures" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        HashFunctions.simhash64(toks).as("simhash"),
+        HashFunctions.minhashSignature(toks, 32).as("minhash_sig"))
+    }),
+
+    // ---- MinHash-LSH near-dup detection (no SQL oracle: LSH banding).
+    // 2 bands x 12 rows: this synthetic corpus is degenerate (median
+    // token-set jaccard ~0.6), so banding must be highly selective or
+    // the candidate set goes quadratic — the scale lesson encoded here.
+    "q45_minhash_neardups" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.95, shingleSize = 1, bands = 2, rowsPerBand = 12)),
+
+    // ---- blocked exact n-gram Jaccard pairs ----
+    "q46_blocked_jaccard" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        Seq("lang", "source"), threshold = 0.5)),
+
+    // ---- SimHash near-dup pairs (no SQL oracle) ----
+    "q47_simhash_neardups" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
+
+    // ---- brute-force cosine top-k (ANN baseline) ----
+    "q50_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; no SQL oracle) ----
+    "q51_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- embedding near-dup via hyperplane LSH (no SQL oracle) ----
+    "q52_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3)),
+
+    // ---- exact within-label cosine pairs (IVF-style coarse partition) ----
+    "q53_label_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("vec_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vec_b"))
+      a.join(b, Seq("label"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VectorFunctions.cosineSim(col("vec_a"), col("vec_b")), 6))
+        .where(col("cosine") >= 0.3)
+        .select("id_a", "id_b", "cosine")
+    }),
+
+    // ---- multimodal binary plumbing: metadata + content hash ----
+    "q60_media_meta" -> ((s, dir) => {
+      val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
+      Media.extractFeatures(s, media).toDF()
+        .select("media_id", "kind", "byte_len", "content_hash")
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
+    * for LSH/signature queries whose bucketing is xxhash-based (rows-only
+    * check there; their EXACT verifiers q46/q53 are oracle-checked). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_region_revenue" ->
+      """SELECT r_name,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_part_line_stats" ->
+      """SELECT p_partkey, count(l_orderkey) AS n_lines,
+        | coalesce(sum(l_quantity), 0.0) AS total_qty
+        |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+        |GROUP BY p_partkey""".stripMargin,
+
+    "q05_big_order_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+
+    "q06_never_bulk_ordered" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 48)""".stripMargin,
+
+    "q07_nation_coverage" ->
+      """SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+        | coalesce(n_customers, CAST(0 AS BIGINT)) AS n_customers,
+        | coalesce(n_suppliers, CAST(0 AS BIGINT)) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |      FROM customer GROUP BY 1) cn
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1) sn USING (nationkey)""".stripMargin,
+
+    "q08_membership_flag" ->
+      """SELECT c_custkey,
+        | EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 300000) AS has_big_order
+        |FROM customer""".stripMargin,
+
+    "q09_latest_order" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS latest_date
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+
+    "q10_dup_order_days" ->
+      """SELECT o_orderkey, o_custkey, n
+        |FROM (SELECT o_orderkey, o_custkey,
+        |        count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)) AS n
+        |      FROM orders)
+        |WHERE n > 1""".stripMargin,
+
+    "q11_first_shipment" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_day
+        |FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |        rank() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate) AS rk
+        |      FROM lineitem)
+        |WHERE rk = 1""".stripMargin,
+
+    "q12_line_share" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(line_cents / CAST(sum(line_cents) OVER (PARTITION BY l_orderkey) AS BIGINT), 6) AS share
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT) AS line_cents
+        |      FROM lineitem)""".stripMargin,
+
+    "q13_fill_group_max" ->
+      """SELECT event_id, user_id,
+        | coalesce(v, max(v) OVER (PARTITION BY user_id)) AS value_filled
+        |FROM (SELECT event_id, user_id,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events)""".stripMargin,
+
+    "q14_multi_status_custs" ->
+      """SELECT o_custkey, CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_status
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(DISTINCT o_orderstatus) > 1""".stripMargin,
+
+    "q15_status_pivot" ->
+      """SELECT o_custkey,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q16_part_melt" ->
+      """SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size_d' AS variable, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin,
+
+    "q17_separate_name" ->
+      """SELECT p_partkey,
+        | string_split(p_name, ' ')[1] AS color,
+        | string_split(p_name, ' ')[2] AS object
+        |FROM part""".stripMargin,
+
+    "q18_union_cycles" ->
+      """SELECT o_orderkey, o_totalprice, 1 AS mon_cycle FROM orders
+        | WHERE year(o_orderdate) < 1998
+        |UNION ALL
+        |SELECT o_orderkey, NULL AS o_totalprice, 2 AS mon_cycle FROM orders
+        | WHERE year(o_orderdate) >= 1998""".stripMargin,
+
+    "q19_priority_recode" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high'
+        |            WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+        |            ELSE 'low' END AS priority_class,
+        | count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q20_string_funcs" ->
+      """SELECT c_custkey,
+        | lower(c_name) AS name_lower,
+        | substring(c_name, 1, 8) AS name_prefix,
+        | CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | concat_ws('-', c_mktsegment, c_name) AS seg_name
+        |FROM customer""".stripMargin,
+
+    "q21_year_stats" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q22_discount_rules" ->
+      """SELECT l_orderkey, l_linenumber,
+        | coalesce(nullif(l_discount, 0.0), 0.05) AS discount_imputed,
+        | round(least(l_discount + l_tax, 0.15), 6) AS charge_rate,
+        | greatest(l_quantity, 10.0) AS qty_floor
+        |FROM lineitem""".stripMargin,
+
+    "q23_discount_union" ->
+      """SELECT l_orderkey,
+        | round(1 - product(1 - l_discount), 6) AS effective_discount
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q24_status_concat" ->
+      """SELECT o_custkey,
+        | string_agg(DISTINCT o_orderstatus, ';' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q25_bool_flags" ->
+      """SELECT o_custkey,
+        | bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        | bool_and(o_orderstatus = 'F') AS all_finished
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    "q26_nation_region" ->
+      """SELECT n_nationkey,
+        | min(n_regionkey) AS regionkey_first,
+        | count(DISTINCT n_regionkey) <= 1 AS regionkey_first_ok
+        |FROM nation GROUP BY n_nationkey""".stripMargin,
+
+    "q27_qty_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity) / count(*), 6) AS avg_qty,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q28_acctbal_ratio" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | round(100.0 * count(CASE WHEN c_acctbal > 0 THEN 1 END) / count(*), 6) AS pct_positive
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q29_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q30_user_sessions" ->
+      """SELECT user_id,
+        | CAST(max(session_seq) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
+
+    "q31_events_props" ->
+      """SELECT event_type,
+        | round(sum(k) / count(*), 6) AS avg_k,
+        | max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q40_docs_exact_dedup" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) OVER (
+        |   PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canonical_id
+        |FROM documents""".stripMargin,
+
+    "q41_docs_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        | CAST(length(text) AS INTEGER) AS n_chars_measured,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q42_docs_quality" ->
+      """SELECT doc_id,
+        | CAST(n_tokens AS INTEGER) AS n_tokens,
+        | round(punct_ratio, 6) AS punct_ratio,
+        | round(stop_ratio, 6) AS stop_ratio,
+        | round(0.4 * least(1.0, n_tokens / 100.0)
+        |     + 0.4 * (1.0 - punct_ratio)
+        |     + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))""".stripMargin,
+
+    "q43_docs_langid" ->
+      """SELECT doc_id, lang_pred, lang_pred = lang AS is_match
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN c_de = best THEN 'de'
+        |         WHEN c_en = best THEN 'en'
+        |         WHEN c_es = best THEN 'es'
+        |         WHEN c_fr = best THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      greatest(c_de, c_en, c_es, c_fr, c_zh) AS best,
+        |      c_de, c_en, c_es, c_fr, c_zh
+        |    FROM (
+        |      SELECT doc_id, lang,
+        |        len(list_filter(toks, x -> x IN ('der','und','die','das','batch','hash'))) AS c_de,
+        |        len(list_filter(toks, x -> x IN ('the','a','of','and','fast','slow'))) AS c_en,
+        |        len(list_filter(toks, x -> x IN ('el','la','de','que','table','row'))) AS c_es,
+        |        len(list_filter(toks, x -> x IN ('le','la','les','et','query','window'))) AS c_fr,
+        |        len(list_filter(toks, x -> x IN ('的','了','是','我','spark','stream'))) AS c_zh
+        |      FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+        |            FROM documents))))""".stripMargin,
+
+    "q46_blocked_jaccard" ->
+      """SELECT id_a, id_b, jaccard FROM (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |   round(
+        |     CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS BIGINT)
+        |     / len(list_distinct(a.ts || b.ts)), 6) AS jaccard
+        | FROM (SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |       FROM documents) a
+        | JOIN (SELECT doc_id, lang, source,
+        |         list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+        |       FROM documents) b
+        |   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q50_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        | c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        | s AS (SELECT query_id, neighbor_id,
+        |   round(
+        |     list_sum(list_transform(list_zip(qv, cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |     / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |   FROM q, c WHERE query_id <> neighbor_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |      FROM s)
+        |WHERE rk <= 5""".stripMargin,
+
+    "q53_label_cosine_pairs" ->
+      """SELECT id_a, id_b, cosine FROM (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |   round(
+        |     list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        | FROM embeddings a JOIN embeddings b
+        |   ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3""".stripMargin,
+
+    "q60_media_meta" ->
+      """SELECT doc_id AS media_id, 'text_blob' AS kind,
+        | CAST(strlen(text) AS BIGINT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Executable assertion framework — ports the reference's inline invariant
+  * probes (SURVEY.md §5.1): duplicate-key detection
+  * (`query_fieldmap.Rmd:1370-1374`), missing-plot probes (`:1387-1388`),
+  * overlap checks on incremental update
+  * (`query_fieldmap_update_fieldwork2022.Rmd:948-953`).
+  *
+  * All checks are single-pass distributed aggregations (no collect of the
+  * full table); only the tiny violation sample is brought to the driver.
+  */
+object Checks {
+
+  final case class CheckFailed(msg: String) extends RuntimeException(msg)
+
+  /** Rows whose key occurs more than once (W1 probe). */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+
+  /** Fail if `keys` is not a unique key of `df`. */
+  def assertUniqueKey(df: DataFrame, keys: Seq[String]): Unit = {
+    val dupes = duplicateKeys(df, keys).limit(5).collect()
+    if (dupes.nonEmpty)
+      throw CheckFailed(
+        s"duplicate keys on (${keys.mkString(",")}): sample ${dupes.mkString("; ")}")
+  }
+
+  /** Fail if any row of `df` matches `predicate` (generic invariant probe). */
+  def assertNone(df: DataFrame, predicate: org.apache.spark.sql.Column, what: String): Unit = {
+    val bad = df.where(predicate).limit(5).collect()
+    if (bad.nonEmpty)
+      throw CheckFailed(s"$what: sample ${bad.mkString("; ")}")
+  }
+
+  /** Count removed rows between two pipeline stages (per-rule "removed
+    * records" reporting, `check_observed_habitat_type.Rmd:186-295`). */
+  def reportRemoved(before: DataFrame, after: DataFrame, rule: String): (String, Long) =
+    rule -> (before.count() - after.count())
+
+  /** Overlap between an existing table and an incoming batch on `keys` —
+    * the incremental-update precondition (S10). Empty means safe to append. */
+  def overlap(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_semi")
+}

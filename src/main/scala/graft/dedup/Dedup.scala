@@ -1,0 +1,159 @@
+package graft.dedup
+
+import graft.functions.{HashFunctions, VectorFunctions}
+import graft.text.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (the point of every method here): the text/vector
+  * payload is hashed map-side into a small signature, and only
+  * (bucket_key, id, signature) tuples are shuffled — never the payload.
+  * Candidate generation is a self-join on bucket keys (band join), so
+  * the quadratic blow-up is confined to same-bucket groups; the final
+  * verify joins payloads back by id for the tiny candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min(id) among rows sharing an MD5
+    * fingerprint of the normalized text. One hash-shuffle on a 16-byte
+    * key; text never shuffles twice. */
+  def exactCanonicalIds(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+    fp.withColumn("canonical_id",
+      min(col(idCol)).over(Window.partitionBy("fingerprint")))
+  }
+
+  /** Candidate pairs from MinHash banding (LSH): signature of `bands*rowsPerBand`
+    * hashes over word `shingleSize`-grams, split into bands; docs sharing
+    * any band bucket become a candidate pair (id_a < id_b). */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val toks = Text.tokens(col(textCol))
+    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+    val sigs = docs.select(
+      col(idCol).as("id"),
+      HashFunctions.minhashSignature(units, k).as("sig"))
+    // band bucket = hash of the band's slice of the signature
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
+    val banded = sigs.select(
+      col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  private def shingleSets(docs: DataFrame, textCol: String, idCol: String,
+                          shingleSize: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+    docs.select(col(idCol).as("id"), array_distinct(units).as("tokset"))
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs (id_a, id_b). */
+  def verifyJaccard(candidates: DataFrame, docs: DataFrame, textCol: String,
+                    idCol: String, threshold: Double, shingleSize: Int = 1): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, shingleSize)
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("tokset", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("tokset", "set_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("set_a"), col("set_b"))) /
+          size(array_union(col("set_a"), col("set_b"))), 6))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-dup pairs, LSH candidates verified by true Jaccard
+    * over the same shingle sets the signatures were built from. */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, shingleSize: Int = 1,
+                      bands: Int = 4, rowsPerBand: Int = 8): DataFrame =
+    verifyJaccard(
+      minhashCandidates(docs, textCol, idCol, shingleSize, bands, rowsPerBand),
+      docs, textCol, idCol, threshold, shingleSize)
+
+  /** SimHash near-dup pairs: 64-bit signature, candidates share one of
+    * four 16-bit bands (guarantees recall for Hamming distance <= 3),
+    * verified by exact Hamming <= maxHamming. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(Text.tokens(col(textCol))).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram (token-set) Jaccard over blocked pairs: candidate pairs
+    * share `blockCols` values (e.g. source + length band) — the classic
+    * blocking join that keeps the O(n^2) confined to blocks. */
+  def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                          blockCols: Seq[String], threshold: Double): DataFrame = {
+    val sets = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        array_distinct(Text.tokens(col(textCol))).as("tokset"): _*)
+    val l = sets.as("l")
+    val r = sets.as("r")
+    val blockCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    l.join(r, blockCond && col("l.id") < col("r.id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("l.tokset"), col("r.tokset"))) /
+          size(array_union(col("l.tokset"), col("r.tokset"))), 6))
+      .where(col("jaccard") >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
+  }
+
+  /** Embedding near-dup: hyperplane-LSH banded bucket join (bands of
+    * `bandBits` bits — multi-band probing trades candidate volume for
+    * recall exactly like MinHash banding), verified with exact cosine
+    * >= threshold. */
+  def embeddingNearDups(embeddings: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, bits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket")))
+    val banded = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        VectorFunctions.hyperplaneLsh(col(vecCol), bits).as("sig"))
+      .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+      .distinct()
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("vec_a"), col("vec_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

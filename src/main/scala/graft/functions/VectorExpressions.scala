@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Cosine similarity over two `array<float>` embedding columns.
+  *
+  * Native Catalyst expression with whole-stage codegen: one fused loop
+  * accumulating dot product and both norms in double precision,
+  * left-to-right (deterministic — required for oracle-exact similarity
+  * scores). This replaces the `zip_with + aggregate` higher-order-
+  * function formulation, which Catalyst evaluates interpreted per
+  * element (lambda variables block codegen) — at 100 TB the fused loop
+  * is the difference between a scan-bound and a CPU-bound ANN pass.
+  *
+  * Semantics: NULL if either side is NULL, lengths differ, or a norm is
+  * zero. Float elements are widened to double before multiplication.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = (double) $a.getFloat($i);
+         |    final double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  final double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature of an `array<float>` vector: bit p is
+  * the sign of the dot product with a deterministic Rademacher (+-1)
+  * hyperplane derived from xxhash64 — no stored plane matrix, so the
+  * signature is reproducible on any cluster with zero broadcast state.
+  * Cosine-similar vectors collide with probability 1 - theta/pi per bit
+  * (Charikar 2002 SimHash for angles).
+  */
+case class HyperplaneLsh(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits > 0 && bits <= 64, "bits must be in (0, 64]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    java.lang.Long.valueOf(HyperplaneLsh.signature(x, bits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneLsh.signature($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh = copy(child = c)
+}
+
+object HyperplaneLsh {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** +-1 pseudo-random plane component for (plane p, dim i). */
+  @inline private def rademacher(p: Int, i: Int): Double =
+    if ((XXH64.hashLong(p.toLong * 1000003L + i, 7L) & 1L) == 1L) 1.0 else -1.0
+
+  def signature(x: ArrayData, bits: Int): Long = {
+    val n = x.numElements()
+    var out = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * rademacher(p, i); i += 1 }
+      if (dot > 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+}
+
+object VectorFunctions {
+  /** Column API: cosine similarity of two array<float> columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: `bits`-bit hyperplane LSH signature of an array<float>. */
+  def hyperplaneLsh(v: Column, bits: Int): Column =
+    GraftBridge.column(HyperplaneLsh(GraftBridge.expression(v), bits))
+}

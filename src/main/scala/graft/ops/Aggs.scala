@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Aggregation kernels — SURVEY.md §2.4 (A5-A10).
+  *
+  * Money-typed sums use the exact-cents idiom: per-row scale to an
+  * integral BIGINT, sum exactly, unscale once at the end. This makes
+  * large distributed sums bit-reproducible (no float accumulation-order
+  * drift between runs, partitionings, or engines) — required for the
+  * reference's golden-hash output contract (SURVEY.md §5.2) and cheap:
+  * integer sums codegen tighter than doubles.
+  */
+object Aggs {
+
+  /** Exact fixed-point sum: round(x * 10^scale) summed as BIGINT. */
+  def sumScaled(x: Column, scale: Int): Column =
+    sum(round(x * pow(lit(10.0), lit(scale))).cast("long"))
+
+  /** Exact money sum returned as a double (single final division —
+    * deterministic given the exact integer numerator). */
+  def sumExact(x: Column, scale: Int, as: String): Column =
+    (sumScaled(x, scale) / pow(lit(10.0), lit(scale))).as(as)
+
+  /** A7 complement-product cover union `1 - prod(1 - cover/100)`
+    * (`export_from_vbidwh.Rmd:88-92`): probabilistic union of layer
+    * covers. Needs a true product aggregate — Spark has none, and the
+    * `exp(sum(log))` rewrite breaks on zeros — so this is a typed
+    * `Aggregator` (partial-aggregating, map-side combinable). */
+  val productAgg: Aggregator[java.lang.Double, Double, Double] =
+    new Aggregator[java.lang.Double, Double, Double] {
+      def zero: Double = 1.0
+      def reduce(b: Double, a: java.lang.Double): Double =
+        if (a == null) b else b * a.doubleValue()
+      def merge(b1: Double, b2: Double): Double = b1 * b2
+      def finish(r: Double): Double = r
+      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** Column form of the product aggregate. */
+  def product(x: Column): Column = udaf(productAgg).apply(x)
+
+  /** A7: union of fractional covers in [0,1]. */
+  def complementProduct(coverFraction: Column): Column =
+    lit(1.0) - product(lit(1.0) - coverFraction)
+
+  /** A10 deterministic group-wise string concat
+    * (`query_fieldmap.Rmd:1571`): distinct values, sorted, joined —
+    * `str_c(sort(unique(x)), collapse = sep)`. */
+  def stringAggSorted(x: Column, sep: String): Column =
+    array_join(sort_array(collect_set(x)), sep)
+
+  /** A5 boolean any/all over a group. */
+  def boolAny(cond: Column): Column = max(cond.cast("int")) === 1
+  def boolAll(cond: Column): Column = min(cond.cast("int")) === 1
+
+  /** A9 assert-single-value collapse `summarise(v = unique(v))`
+    * (`query_inboveg.Rmd:121-123`): first value + a guard column the
+    * caller can assert on (`Checks.assertNone(_, col(as+"_ok") === false)`). */
+  def singleValue(x: Column, as: String): Seq[Column] =
+    Seq(min(x).as(as), (count_distinct(x) <= 1).as(s"${as}_ok"))
+}

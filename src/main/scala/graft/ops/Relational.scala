@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-level / windowed operator library covering SURVEY.md §2.2, §2.3
+  * (J10), §2.5 (W1-W8) and §2.8 (U1-U3).
+  *
+  * All helpers stay fully declarative (Catalyst windows / joins), so the
+  * physical plan is a single shuffle on the partition keys — no
+  * driver-side loops, safe at 100 TB provided the window keys are not
+  * pathologically skewed (whole-group windows shuffle once on the key).
+  */
+object Relational {
+
+  /** W2/W3 "keep latest record per key" — reference filters
+    * `date_status == max(date_status)` per group
+    * (`query_fieldmap.Rmd:1376-1379`) and `slice_min/slice_max`
+    * (`check_observed_habitat_type.Rmd:89-90`).
+    *
+    * One row per key, deterministic: `orderCols` must be a total order
+    * within each key (add a unique id as the last tiebreaker).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** W3 with ties kept (dplyr `slice_min` default `with_ties = TRUE`):
+    * uses rank() so equal order-values all survive. */
+  def slicePerKeyWithTies(df: DataFrame, keys: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rk", rank().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** W1: annotate each row with its group size (duplicate detection keeps
+    * the offending rows, not just the keys). */
+  def withGroupCount(df: DataFrame, keys: Seq[String], as: String = "n"): DataFrame =
+    df.withColumn(as, count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** W5: group sum kept on rows (plot weights,
+    * `calc_plot_segment_area.Rmd:100-105`). */
+  def withGroupSum(df: DataFrame, keys: Seq[String], value: Column, as: String): DataFrame =
+    df.withColumn(as, sum(value).over(Window.partitionBy(keys.map(col): _*)))
+
+  /** W6: fill nulls with the group max
+    * (`export_from_vbidwh.Rmd:147-148`). */
+  def fillWithGroupMax(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.withColumn(
+      valueCol,
+      coalesce(col(valueCol), max(col(valueCol)).over(Window.partitionBy(keys.map(col): _*))))
+
+  /** W7: per-group distinct count kept on rows. Spark has no
+    * countDistinct-over-window; `size(collect_set)` is the standard
+    * rewrite (set stays tiny per group — it is a distinct-values set,
+    * not the row set). */
+  def withGroupDistinctCount(df: DataFrame, keys: Seq[String], value: Column, as: String): DataFrame =
+    df.withColumn(as, size(collect_set(value).over(Window.partitionBy(keys.map(col): _*))))
+
+  /** W4/W8: group-wise boolean flag kept on rows (`any(cond)` per group). */
+  def withGroupAny(df: DataFrame, keys: Seq[String], cond: Column, as: String): DataFrame =
+    df.withColumn(as, max(cond.cast("int")).over(Window.partitionBy(keys.map(col): _*)) === 1)
+
+  /** J10 membership flag ("semi-join as boolean",
+    * `query_fieldmap.Rmd:1350-1351,1655-1661`). Implemented as a left
+    * join against the distinct key set — broadcastable when `lookup` is
+    * a dimension; never a driver-side collect. */
+  def withMembershipFlag(df: DataFrame, dfKey: String, lookup: DataFrame,
+                         lookupKey: String, as: String): DataFrame = {
+    val marks = lookup.select(col(lookupKey).as(dfKey)).distinct()
+      .withColumn("__hit", lit(1))
+    df.join(marks, Seq(dfKey), "left")
+      .withColumn(as, col("__hit").isNotNull)
+      .drop("__hit")
+  }
+
+  /** U1 `bind_rows`: n-ary union by name, schema-tolerant (missing
+    * columns become NULL) — `query_fieldmap.Rmd:351,429-430,1485-1501`. */
+  def unionByNameTolerant(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Union of per-cycle extracts with a tag column (E1 step 3:
+    * `query_fieldmap.Rmd:1314-1366`). */
+  def unionCycles(tagged: Seq[(Int, DataFrame)], tagCol: String = "mon_cycle"): DataFrame =
+    unionByNameTolerant(tagged.map { case (cycle, df) => df.withColumn(tagCol, lit(cycle)) })
+
+  /** P9 record-level hand patches, kept as a reviewable patch table
+    * (SURVEY.md §7.4 risk 6): rows in `patches` replace rows in `df`
+    * that share the key; patch rows with no match are appended. */
+  def applyPatches(df: DataFrame, patches: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(patches.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(patches, allowMissingColumns = true)
+}

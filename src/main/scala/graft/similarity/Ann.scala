@@ -1,0 +1,71 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: broadcast the (small) query set against
+  *     the corpus — one map-only pass over the corpus, per-partition
+  *     top-k via window. The baseline and the recall oracle.
+  *   - LSH-bucketed: hyperplane signatures on both sides; only bucket-
+  *     colliding pairs are scored. At 100 TB the corpus is bucketed
+  *     once (write-time partitioning by signature band) and queries
+  *     probe just their buckets.
+  *
+  * Similarity is rounded to 6 decimals BEFORE ranking so the ranking is
+  * reproducible across accumulation orders (ties then break on id).
+  */
+object Ann {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .where(col("rank") <= k)
+
+  /** Exact cosine top-k of each query vector against the corpus.
+    * `queries` and `corpus` need (idCol, vecCol); self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    ranked(scored, k)
+  }
+
+  /** LSH-bucketed top-k: candidates limited to signature-band collisions
+    * (bands of `bandBits` bits from a `bits`-bit hyperplane signature —
+    * multi-band probing recovers recall lost to single-bucket LSH). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              bits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandStructs = (0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket")))
+    def banded(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"),
+          VectorFunctions.hyperplaneLsh(col(vecCol), bits).as("sig"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          explode(array(bandStructs: _*)).as("bb"))
+        .select(col(s"${side}_id"), col(s"${side}_vec"), col("bb.band"), col("bb.bucket"))
+    val q = banded(queries, "query")
+    val c = banded(corpus, "neighbor")
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "query_vec", "neighbor_vec")
+      .distinct()
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("query_vec"), col("neighbor_vec")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    ranked(scored, k)
+  }
+}

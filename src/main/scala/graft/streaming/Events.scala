@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream operators, batch and Structured Streaming forms.
+  *
+  * The reference is batch-only (SURVEY.md §2.9) — its one temporal
+  * pattern is append-new-batch with overlap checks. Here both forms are
+  * first-class: every streaming op has a batch twin with identical
+  * semantics (the batch twin is what the DuckDB oracle checks), so
+  * pipelines can run `Trigger.AvailableNow` incrementally or as plain
+  * batch over the same code.
+  */
+object Events {
+
+  /** Tumbling-window counts/sums per event type (batch form). Exact
+    * cents-scaled sum -> deterministic across partitionings. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+
+  /** Streaming twin of [[hourlyStats]]: watermarked tumbling window. */
+  def hourlyStatsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Session id = running count of gap-breaks per user —
+    * one window over (user_id, ts) and no state store needed in batch. */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new_session",
+        when(col("prev_ts").isNull, 1)
+          .when(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) >
+            gapMinutes * 60000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_ts", "is_new_session")
+  }
+
+  /** Per-user session count (batch; oracle-checkable). */
+  def sessionCounts(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy("user_id")
+      .agg(max(col("session_seq")).cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+
+  // ---- streaming sessionization with explicit state ----
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionCount: Long, lastTs: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long)
+
+  /** Streaming twin of [[sessionCounts]] via mapGroupsWithState: state is
+    * one (count, lastTs) pair per user — O(users) state, not O(events). */
+  def sessionCountsStream(spark: SparkSession, events: DataFrame,
+                          gapMinutes: Int): Dataset[UserSessions] = {
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMinutes * 60000L)
+              st = SessionState(st.sessionCount + 1, t)
+            else st = st.copy(lastTs = t)
+          }
+          state.update(st)
+          UserSessions(user, st.sessionCount)
+      }
+  }
+
+  /** Run a streaming query over a bounded parquet dir and return the
+    * final result via the memory sink (test/driver harness helper). */
+  def runAvailableNow(spark: SparkSession, dir: String, schema: StructType,
+                      transform: DataFrame => DataFrame, queryName: String,
+                      outputMode: OutputMode = OutputMode.Append()): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = transform(stream).writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

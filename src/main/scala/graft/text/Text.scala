@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting, shingling.
+  *
+  * Everything here is a narrow (map-only) column expression — no
+  * shuffles, no UDFs, no driver round-trips — so a 100 TB documents
+  * scan stays whole-stage-codegen'd end to end. Each function has a
+  * deliberately SQL-expressible definition so results are oracle-
+  * verifiable bit-for-bit against DuckDB.
+  */
+object Text {
+
+  /** Whitespace tokens of trimmed text (empty text -> empty array). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Ratio of characters outside [a-z0-9 ] (punctuation/other). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) / length(text))
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isInCollection(stopwords))) / size(toks))
+  }
+
+  val EnglishStop: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Composite document-quality score in [0,1]: length saturation,
+    * cleanliness (1 - punct ratio), stopword-band closeness. Weights are
+    * a documented heuristic (CCNet-style aggregate of cheap signals). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthScore = least(lit(1.0), nTok / lit(100.0))
+    val cleanScore = lit(1.0) - punctRatio(text)
+    val stopScore = lit(1.0) - abs(stopwordRatio(text, EnglishStop) - lit(0.4))
+    round(lit(0.4) * lengthScore + lit(0.4) * cleanScore + lit(0.2) * stopScore, 6)
+  }
+
+  /** Per-language marker-token lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design; a production list
+    * would ship the fastText/CLD3 tables the same way (broadcast
+    * literals, no shuffle). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "das", "batch", "hash"),
+    "en" -> Seq("the", "a", "of", "and", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "que", "table", "row"),
+    "fr" -> Seq("le", "la", "les", "et", "query", "window"),
+    "zh" -> Seq("的", "了", "是", "我", "spark", "stream"))
+
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Predicted language: argmax of marker counts, ties broken by
+    * alphabetical language code (first list wins). */
+  def langId(text: Column): Column = {
+    val counts = LangMarkers.map { case (lang, m) => lang -> markerCount(text, m) }
+    val best = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit(LangMarkers.head._1)) { case ((lang, c), acc) =>
+      when(c === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical whitespace-normalized lowercase form. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Content fingerprint: MD5 of the normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"); fewer than n
+    * tokens -> single shingle of the whole text. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) <= n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+}

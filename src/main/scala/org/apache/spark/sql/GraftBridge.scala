@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Catalyst Expression bridge. `classic.ExpressionUtils` is
+  * `private[sql]`, so this one-file shim (same package, our jar) is the
+  * supported-API-shaped way to expose custom expressions as Columns.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

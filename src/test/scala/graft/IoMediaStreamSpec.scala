@@ -1,0 +1,118 @@
+package graft
+
+import graft.io.{Csv2, Vc}
+import graft.multimodal.Media
+import graft.streaming.Events
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class IoMediaStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Vc write/read roundtrip preserves data, schema and verifies hash") {
+    val dir = Files.createTempDirectory("vc").toString
+    val df = Seq((2, "b", Some(2.5)), (1, "a", None)).toDF("id", "name", "x")
+    Vc.write(df, s"$dir/tbl", sortKeys = Seq("id"))
+    val back = Vc.read(spark, s"$dir/tbl")
+    val nullable = StructType(df.schema.fields.map(_.copy(nullable = true)))
+    assert(back.schema === nullable)
+    assert(back.orderBy("id").as[(Int, String, Option[Double])].collect().toSeq ===
+      Seq((1, "a", None), (2, "b", Some(2.5))))
+    // tamper -> hash check must fail
+    val tsv = java.nio.file.Paths.get(s"$dir/tbl.tsv")
+    Files.writeString(tsv, Files.readString(tsv) + "9\tz\t1.0\n")
+    intercept[IllegalStateException] { Vc.read(spark, s"$dir/tbl") }
+  }
+
+  test("Vc.write is byte-stable across input partitioning (golden-hash contract)") {
+    val dir = Files.createTempDirectory("vc2").toString
+    val data = (1 to 500).map(i => (i % 97, s"n$i", i * 0.5))
+    def hashOf(parts: Int): String = {
+      Vc.write(data.toDF("k", "name", "v").repartition(parts),
+        s"$dir/t$parts", Seq("k", "name"))
+      val meta = Files.readString(java.nio.file.Paths.get(s"$dir/t$parts.schema.json"))
+      "\"data_hash\":\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(meta).get.group(1)
+    }
+    assert(hashOf(1) === hashOf(11))
+  }
+
+  test("Csv2 reads semicolon-separated decimal-comma files with schema") {
+    val dir = Files.createTempDirectory("csv2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f.csv"),
+      "name;klasse;bedekking\nLondo;1;2,5\nLondo;2;\n")
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("klasse", IntegerType),
+      StructField("bedekking", DoubleType)))
+    val got = Csv2.read(spark, s"$dir/f.csv", schema)
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(got === Set(("Londo", 1, Some(2.5)), ("Londo", 2, None)))
+  }
+
+  test("Media.extractFeatures: batched decode plumbing with stable hash") {
+    val docs = Seq((1L, "hello"), (2L, "")).toDF("doc_id", "text")
+    val feats = Media.extractFeatures(spark, Media.fromText(docs, "doc_id", "text", "blob"))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).byte_len === 5L)
+    assert(feats(1L).content_hash === "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(feats(1L).feature.length === 8)
+    assert(feats(2L).byte_len === 0L)
+  }
+
+  test("Media.sampleSegments produces stride-aligned byte windows") {
+    val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val segs = Media.sampleSegments(Media.fromText(docs, "doc_id", "text", "blob"), 4, 4)
+      .orderBy("segment_idx")
+      .select(col("segment_idx"), decode(col("segment"), "UTF-8"))
+      .as[(Long, String)].collect().toSeq
+    assert(segs === Seq((0L, "abcd"), (1L, "efgh"), (2L, "ij")))
+  }
+
+  test("sessionize splits on gap and streaming twin matches batch counts") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val evs = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(10)), (3L, 100L, ts(50)),
+      (4L, 200L, ts(5))).toDF("event_id", "user_id", "ts")
+    val batch = Events.sessionCounts(evs, gapMinutes = 30)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(batch === Map(100L -> 2L, 200L -> 1L))
+
+    val dir = Files.createTempDirectory("events").toString
+    evs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val streamed = Events.sessionCountsStream(spark, stream, 30)
+    val q = streamed.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess").as[Events.UserSessions].collect()
+      .map(u => u.user_id -> u.n_sessions).toMap
+    assert(got === Map(100L -> 2L, 200L -> 1L))
+  }
+
+  test("hourlyStats streaming twin matches batch on bounded input") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val evs = Seq(
+      (1L, ts(0), "click", 1.25), (2L, ts(30), "click", 2.25), (3L, ts(70), "view", 4.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = Files.createTempDirectory("events2").toString
+    evs.write.mode("overwrite").parquet(dir)
+    val batch = Events.hourlyStats(evs)
+      .select(col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+
+    val schema = spark.read.parquet(dir).schema
+    val got = Events.runAvailableNow(spark, dir, schema,
+        df => Events.hourlyStatsStream(df), "hourly",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    // watermark append-mode emits only closed windows; compare on complete
+    val q2 = Events.hourlyStatsStream(spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("hourly_c").outputMode("complete").start()
+    q2.processAllAvailable(); q2.stop()
+    val streamed = spark.table("hourly_c")
+      .select(col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+  }
+}

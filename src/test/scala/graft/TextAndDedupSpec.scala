@@ -1,0 +1,135 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{HashFunctions, HashKernels, VectorFunctions}
+import graft.similarity.Ann
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+class TextAndDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens / tokenCount handle empty and multi-space text") {
+    val df = Seq("a b  c", "", "  ", "one").toDF("t")
+    val got = df.select(Text.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(got === Seq(3, 0, 0, 1))
+  }
+
+  test("shingles produce n-grams; short docs collapse to one shingle") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(Text.shingles(Text.tokens(col("t")), 3)).as[Seq[String]]
+      .collect().head
+    assert(got === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Text.shingles(Text.tokens(col("t")), 3)).as[Seq[String]].collect().head
+    assert(short === Seq("a b"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive canonical MD5") {
+    val df = Seq(("A  b", "a b")).toDF("x", "y")
+    val r = df.select(Text.fingerprint(col("x")).as("fx"),
+      Text.fingerprint(col("y")).as("fy")).as[(String, String)].collect().head
+    assert(r._1 === r._2)
+  }
+
+  test("langId is deterministic and prefers alphabetical on ties") {
+    val df = Seq("nothingmatches here").toDF("t")
+    assert(df.select(Text.langId(col("t"))).as[String].collect().head === "de")
+    val en = Seq("the fast fox and the slow dog").toDF("t")
+    assert(en.select(Text.langId(col("t"))).as[String].collect().head === "en")
+  }
+
+  test("exact dedup groups identical normalized text (canonical = min id)") {
+    val docs = Seq((10L, "hello  world"), (3L, "hello world"), (7L, "different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactCanonicalIds(docs, "text", "doc_id")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 3L, 3L -> 3L, 7L -> 7L))
+  }
+
+  test("minhash LSH finds identical docs as candidates and verifies jaccard=1") {
+    val docs = Seq(
+      (1L, "spark makes big data small again for everyone today"),
+      (2L, "spark makes big data small again for everyone today"),
+      (3L, "an entirely unrelated document about cooking pasta")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical token sets -> identical signature; near sets -> small hamming") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i k")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      HashFunctions.simhash64(Text.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(HashKernels.hamming64(sigs(1L), sigs(3L)) < 20)
+  }
+
+  test("blockedJaccardPairs computes exact set jaccard within blocks") {
+    val docs = Seq(
+      (1L, "en", "s", "a b c d"),
+      (2L, "en", "s", "a b c e"),
+      (3L, "fr", "s", "a b c d")).toDF("doc_id", "lang", "source", "text")
+    val got = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "source"), 0.0).as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head._3 === 0.6) // |{a,b,c}| / |{a,b,c,d,e}|
+  }
+
+  test("cosineSim expression matches an independent formulation") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, -1.0f)),
+      (Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).as[Double].collect()
+    def ref(a: Array[Float], b: Array[Float]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    assert(math.abs(got(0) - ref(Array(1f, 0f, 2f), Array(0.5f, 1f, -1f))) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("cosineSim: null on length mismatch or zero norm") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(got.forall(_.isNullAt(0)))
+  }
+
+  test("bruteForceTopK ranks by rounded cosine with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("id", "v")
+    val got = Ann.bruteForceTopK(vecs.where(col("id") === 0), vecs, "id", "v", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got === Seq(3L, 1L)) // exact match first, then near
+  }
+
+  test("lshTopK returns correctly-scored subset of brute-force candidates") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat))).toDF("id", "v")
+    val brute = Ann.bruteForceTopK(vecs.where(col("id") < 3), vecs, "id", "v", 40)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Ann.lshTopK(vecs.where(col("id") < 3), vecs, "id", "v", 5)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (q, n, c) => assert(brute((q, n)) === c) }
+  }
+
+  test("hyperplane LSH signature is deterministic across evaluations") {
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(16)(d => math.cos(i + d * 0.31).toFloat))).toDF("id", "v")
+    val a = vecs.select(VectorFunctions.hyperplaneLsh(col("v"), 16)).as[Long].collect()
+    val b = vecs.repartition(7).select(VectorFunctions.hyperplaneLsh(col("v"), 16))
+      .as[Long].collect()
+    assert(a.sorted.toSeq === b.sorted.toSeq)
+  }
+}
