@@ -409,6 +409,69 @@ object SparkEntry {
         .select("id_a", "id_b", "cosine")
     }),
 
+    // ---- spatial point-in-polygon join (J11) via grid-index prefilter.
+    // Deterministic synthetic geometry derived from the driver tables:
+    // rectangle rings, so DuckDB can oracle the join with interval
+    // predicates while Spark runs the generic ray-casting path. ----
+    "q61_pip_join" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("pid"),
+        ((col("c_custkey") * 7) % 97).cast("double").as("x"),
+        ((col("c_custkey") * 13) % 89).cast("double").as("y"))
+      val rect = t(s, dir, "nation").select(
+        col("n_nationkey").as("poly_id"),
+        (((col("n_nationkey") * 11) % 80).cast("double") - 0.5).as("x0"),
+        (((col("n_nationkey") * 17) % 70).cast("double") - 0.5).as("y0"))
+        .withColumn("x1", col("x0") + 15.0)
+        .withColumn("y1", col("y0") + 20.0)
+      val polys = rect.select(col("poly_id"), array(
+        struct(col("x0").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y1").as("y")),
+        struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      graft.geo.GeoJoin.pointInPolygonJoin(pts, polys, "x", "y", "ring", cellSize = 16.0)
+        .select("pid", "poly_id")
+    }),
+
+    // ---- K1 plot-segment geometry: exact circle-clip areas + weights
+    // (rows-only check: circle-polygon intersection is not SQL-oracle-
+    // expressible; kernel is unit-tested against analytic + Monte Carlo) ----
+    "q62_plot_segment_areas" -> ((s, dir) => {
+      val segs = t(s, dir, "part").select(
+        (col("p_partkey") % 500).as("plot_id"),
+        (col("p_partkey") / 500).cast("int").as("segment_id"),
+        (col("p_size") % 12 - 6).cast("double").as("x0"),
+        (col("p_partkey") % 9 - 4).cast("double").as("y0"))
+        .withColumn("x1", col("x0") + 8.0)
+        .withColumn("y1", col("y0") + 7.0)
+        .select(col("plot_id"), col("segment_id"), array(
+          struct(col("x0").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y1").as("y")),
+          struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      graft.pipelines.PlotSegments.withAreas(segs)
+        .select(col("plot_id"), col("segment_id"),
+          round(col("area_a3_m2"), 6).as("area_a3_m2"),
+          round(col("area_a4_m2"), 6).as("area_a4_m2"),
+          round(col("segment_weight_a3"), 6).as("segment_weight_a3"))
+    }),
+
+    // ---- CRS transform 31370 <-> 4326 (rows-only; validated by
+    // roundtrip columns and unit tests against EPSG parameters) ----
+    "q63_crs_roundtrip" -> ((s, dir) => {
+      val pts = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        (lit(140000.0) + col("s_suppkey") * 100).as("x"),
+        (lit(160000.0) + col("s_suppkey") * 80).as("y"))
+      pts.withColumn("wgs", graft.geo.GeoFunctions.toWgs84(col("x"), col("y")))
+        .withColumn("back", graft.geo.GeoFunctions.toLambert72(
+          col("wgs.lon"), col("wgs.lat")))
+        .select(col("s_suppkey"),
+          round(col("wgs.lon"), 9).as("lon"), round(col("wgs.lat"), 9).as("lat"),
+          round(abs(col("back.x") - col("x")) + abs(col("back.y") - col("y")), 6)
+            .as("roundtrip_err_m"))
+    }),
+
     // ---- multimodal binary plumbing: metadata + content hash ----
     "q60_media_meta" -> ((s, dir) => {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
@@ -729,6 +792,14 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b
         |   ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+
+    "q61_pip_join" ->
+      """SELECT c_custkey AS pid, n_nationkey AS poly_id
+        |FROM customer, nation
+        |WHERE CAST((c_custkey * 7) % 97 AS DOUBLE) > CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5
+        |  AND CAST((c_custkey * 7) % 97 AS DOUBLE) < CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 + 15.0
+        |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) > CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5
+        |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) < CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 + 20.0""".stripMargin,
 
     "q60_media_meta" ->
       """SELECT doc_id AS media_id, 'text_blob' AS kind,

@@ -1,0 +1,125 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over the Spark-native ring encoding
+  * `array<struct<x: double, y: double>>` (SURVEY.md §1.2: WKB or x/y
+  * columns; a typed vertex array keeps the data columnar and prunable
+  * instead of an opaque blob).
+  *
+  * CodegenFallback is acceptable here: each eval is O(ring vertices)
+  * of pure arithmetic on primitive arrays; the ring extraction is the
+  * cost, not the dispatch.
+  */
+private[geo] object Rings {
+  def unpack(a: Any): (Array[Double], Array[Double]) = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      xs(i) = row.getDouble(0)
+      ys(i) = row.getDouble(1)
+      i += 1
+    }
+    (xs, ys)
+  }
+}
+
+/** st_contains(ring, point): ray-casting point-in-polygon (J11). */
+case class PointInRing(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_ring"
+
+  override def nullSafeEval(ring: Any, px: Any, py: Any): Any = {
+    val (xs, ys) = Rings.unpack(ring)
+    GeoKernels.pointInRing(xs, ys, px.asInstanceOf[Double], py.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}
+
+/** st_area(ring): shoelace polygon area. */
+case class RingArea(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ring_area"
+
+  override def nullSafeEval(ring: Any): Any = {
+    val (xs, ys) = Rings.unpack(ring)
+    GeoKernels.area(xs, ys)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** st_area(st_intersection(ring, st_buffer(point, r))) fused into one
+  * exact kernel (K1's a3-circle x segment overlay). Radius is a plan
+  * constant (the reference's 9 m and 18 m plot circles). */
+case class CircleClipArea(first: Expression, second: Expression, third: Expression,
+                          radius: Double)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "circle_clip_area"
+
+  override def nullSafeEval(ring: Any, cx: Any, cy: Any): Any = {
+    val (xs, ys) = Rings.unpack(ring)
+    GeoKernels.circleIntersectionArea(xs, ys,
+      cx.asInstanceOf[Double], cy.asInstanceOf[Double], radius)
+  }
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}
+
+/** st_transform between EPSG:31370 and EPSG:4326; returns
+  * struct<lon double, lat double> or struct<x double, y double>. */
+case class CrsTransform(left: Expression, right: Expression, toWgs84: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    if (toWgs84) StructType(Seq(StructField("lon", DoubleType), StructField("lat", DoubleType)))
+    else StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
+  override def prettyName: String = if (toWgs84) "lambert72_to_wgs84" else "wgs84_to_lambert72"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (u, v) =
+      if (toWgs84) GeoKernels.lambert72ToWgs84(a.asInstanceOf[Double], b.asInstanceOf[Double])
+      else GeoKernels.wgs84ToLambert72(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    InternalRow(u, v)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object GeoFunctions {
+  def pointInRing(ring: Column, px: Column, py: Column): Column =
+    GraftBridge.column(PointInRing(
+      GraftBridge.expression(ring), GraftBridge.expression(px), GraftBridge.expression(py)))
+
+  def ringArea(ring: Column): Column =
+    GraftBridge.column(RingArea(GraftBridge.expression(ring)))
+
+  def circleClipArea(ring: Column, cx: Column, cy: Column, radius: Double): Column =
+    GraftBridge.column(CircleClipArea(
+      GraftBridge.expression(ring), GraftBridge.expression(cx),
+      GraftBridge.expression(cy), radius))
+
+  /** (x, y) EPSG:31370 -> struct(lon, lat) EPSG:4326. */
+  def toWgs84(x: Column, y: Column): Column =
+    GraftBridge.column(CrsTransform(
+      GraftBridge.expression(x), GraftBridge.expression(y), toWgs84 = true))
+
+  /** (lon, lat) EPSG:4326 -> struct(x, y) EPSG:31370. */
+  def toLambert72(lon: Column, lat: Column): Column =
+    GraftBridge.column(CrsTransform(
+      GraftBridge.expression(lon), GraftBridge.expression(lat), toWgs84 = false))
+}

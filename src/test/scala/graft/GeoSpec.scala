@@ -1,0 +1,114 @@
+package graft
+
+import graft.geo.{GeoFunctions, GeoJoin, GeoKernels}
+import graft.pipelines.PlotSegments
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ring(pts: (Double, Double)*) = pts.map { case (x, y) => (x, y) }
+
+  test("pointInRing: unit square") {
+    val xs = Array(0.0, 1.0, 1.0, 0.0)
+    val ys = Array(0.0, 0.0, 1.0, 1.0)
+    assert(GeoKernels.pointInRing(xs, ys, 0.5, 0.5))
+    assert(!GeoKernels.pointInRing(xs, ys, 1.5, 0.5))
+    assert(!GeoKernels.pointInRing(xs, ys, -0.1, 0.5))
+  }
+
+  test("area: shoelace on square and triangle, either orientation") {
+    assert(GeoKernels.area(Array(0, 4, 4, 0.0), Array(0, 0, 4, 4.0)) === 16.0)
+    assert(GeoKernels.area(Array(0, 0, 4, 4.0), Array(0, 4, 4, 0.0)) === 16.0)
+    assert(GeoKernels.area(Array(0, 2, 0.0), Array(0, 0, 3.0)) === 3.0)
+  }
+
+  test("circleIntersectionArea: analytic cases") {
+    val bigSq = (Array(-20.0, 20, 20, -20), Array(-20.0, -20, 20, 20))
+    // circle fully inside polygon -> pi r^2
+    val full = GeoKernels.circleIntersectionArea(bigSq._1, bigSq._2, 0, 0, 9)
+    assert(math.abs(full - math.Pi * 81) < 1e-9)
+    // polygon fully inside circle -> polygon area
+    val small = GeoKernels.circleIntersectionArea(
+      Array(-1.0, 1, 1, -1), Array(-1.0, -1, 1, 1), 0, 0, 9)
+    assert(math.abs(small - 4.0) < 1e-9)
+    // half plane: square [0,20]x[-20,20], circle at origin -> half disc
+    val half = GeoKernels.circleIntersectionArea(
+      Array(0.0, 20, 20, 0), Array(-20.0, -20, 20, 20), 0, 0, 9)
+    assert(math.abs(half - math.Pi * 81 / 2) < 1e-9)
+    // disjoint -> 0
+    val none = GeoKernels.circleIntersectionArea(
+      Array(100.0, 101, 101, 100), Array(0.0, 0, 1, 1), 0, 0, 9)
+    assert(math.abs(none) < 1e-9)
+  }
+
+  test("circleIntersectionArea matches Monte Carlo on an L-shaped ring") {
+    val xs = Array(0.0, 12, 12, 6, 6, 0)
+    val ys = Array(0.0, 0, 5, 5, 12, 12)
+    val exact = GeoKernels.circleIntersectionArea(xs, ys, 3, 3, 7)
+    val rng = new scala.util.Random(42)
+    var hit = 0
+    val n = 400000
+    for (_ <- 0 until n) {
+      val a = rng.nextDouble() * 2 * math.Pi
+      val r = 7 * math.sqrt(rng.nextDouble())
+      if (GeoKernels.pointInRing(xs, ys, 3 + r * math.cos(a), 3 + r * math.sin(a))) hit += 1
+    }
+    val mc = math.Pi * 49 * hit.toDouble / n
+    assert(math.abs(exact - mc) < 0.5, s"exact=$exact mc=$mc")
+  }
+
+  test("Lambert-72 <-> WGS84: roundtrip and plausibility (Brussels)") {
+    // Brussels-ish point in EPSG:31370
+    val (lon, lat) = GeoKernels.lambert72ToWgs84(150000.0, 170000.0)
+    assert(lon > 4.2 && lon < 4.5, s"lon=$lon")
+    assert(lat > 50.7 && lat < 50.9, s"lat=$lat")
+    val (x2, y2) = GeoKernels.wgs84ToLambert72(lon, lat)
+    assert(math.abs(x2 - 150000.0) < 0.001 && math.abs(y2 - 170000.0) < 0.001,
+      s"roundtrip -> ($x2, $y2)")
+    // known bearing sanity: Ostend (west coast) is west of Arlon (southeast)
+    val (lonO, latO) = GeoKernels.lambert72ToWgs84(50000.0, 210000.0)
+    val (lonA, latA) = GeoKernels.lambert72ToWgs84(250000.0, 30000.0)
+    assert(lonO < lonA && latO > latA)
+  }
+
+  test("grid point-in-polygon join equals brute force") {
+    val rng = new scala.util.Random(7)
+    val polys = Seq(
+      (1L, ring((0, 0), (10, 0), (10, 10), (0, 10))),
+      (2L, ring((5, 5), (25, 5), (25, 25), (5, 25))),
+      (3L, ring((30, 30), (40, 30), (35, 42)))
+    ).toDF("poly_id", "ring_raw")
+      .select(col("poly_id"),
+        transform(col("ring_raw"), p =>
+          struct(p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"))
+    val points = (0 until 500).map(i =>
+      (i.toLong, rng.nextDouble() * 50, rng.nextDouble() * 50)).toDF("pid", "x", "y")
+
+    val grid = GeoJoin.pointInPolygonJoin(points, polys, "x", "y", "ring", cellSize = 8.0)
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    val brute = points.crossJoin(polys)
+      .where(GeoFunctions.pointInRing(col("ring"), col("x"), col("y")))
+      .select("pid", "poly_id").as[(Long, Long)].collect().toSet
+    assert(grid === brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("PlotSegments.withAreas: K1 areas and weights") {
+    // plot 1: two half-plane segments splitting the 9m circle
+    val segs = Seq(
+      (1, 1, ring((-20, -20), (0, -20), (0, 20), (-20, 20))),
+      (1, 2, ring((0, -20), (20, -20), (20, 20), (0, 20)))
+    ).toDF("plot_id", "segment_id", "ring_raw")
+      .select(col("plot_id"), col("segment_id"),
+        transform(col("ring_raw"), p =>
+          struct(p.getField("_1").as("x"), p.getField("_2").as("y"))).as("ring"))
+    val got = PlotSegments.withAreas(segs)
+      .select("segment_id", "area_a3_m2", "area_a4_m2", "segment_weight_a3")
+      .as[(Int, Double, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(got(0)._2 - math.Pi * 81 / 2) < 1e-9)
+    assert(math.abs(got(0)._3 - 800.0) < 1e-9)
+    assert(math.abs(got(0)._4 - 0.5) < 1e-12)
+    assert(math.abs(got(1)._4 - 0.5) < 1e-12)
+  }
+}
