@@ -3,6 +3,7 @@ package graft
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.{HashFunctions, VectorFunctions}
+import graft.lsvi.Lsvi
 import graft.multimodal.Media
 import graft.ops.{Aggs, Relational, Reshape}
 import graft.similarity.Ann
@@ -472,6 +473,15 @@ object SparkEntry {
             .as("roundtrip_err_m"))
     }),
 
+    // ---- K2 LSVI rules engine: data-driven verdicts (detail table) ----
+    "q70_lsvi_detail" -> ((s, dir) =>
+      Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))
+        .withColumn("value_numeric", round(col("value_numeric"), 6))),
+
+    // ---- K2 LSVI rules engine: RapportageHR global aggregation ----
+    "q71_lsvi_globaal" -> ((s, dir) =>
+      Lsvi.globaal(Lsvi.indicator(Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))),
+
     // ---- multimodal binary plumbing: metadata + content hash ----
     "q60_media_meta" -> ((s, dir) => {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
@@ -479,6 +489,87 @@ object SparkEntry {
         .select("media_id", "kind", "byte_len", "content_hash")
     })
   )
+
+  /** LSVI demo inputs derived from the harness tables: scale-free
+    * per-supplier metrics as "measurements", plus a categorical region
+    * condition — the same contract shapes as the reference's
+    * data_voorwaarden / data_soortenkenmerken (`HT31xx_LSVI.Rmd:84-185`). */
+  private def lsviMeasurements(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val base = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey").as("id"))
+      .agg(
+        (sum(cents(col("l_discount"), 2)) / count(lit(1)) / 100.0).as("avg_discount"),
+        (count(when(col("l_returnflag") === "R", 1)) / count(lit(1))).as("return_rate"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(cents(col("l_extendedprice"), 2)) / count(lit(1)) / 100.0).as("avg_price"))
+    val numeric = Reshape.melt(base, ids = Seq("id"),
+        values = Seq("avg_discount", "return_rate", "avg_qty", "avg_price"),
+        varName = "voorwaarde", valName = "value_numeric")
+      .withColumn("value_category", lit(null).cast("string"))
+    val categorical = sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("id"), lit("regio").as("voorwaarde"),
+        lit(null).cast("double").as("value_numeric"), col("n_name").as("value_category"))
+    numeric.unionByName(categorical)
+  }
+
+  private val lsviRegions: Seq[String] = (0 to 12).map(i => s"NATION_$i")
+
+  /** Shared CTE prefix for the LSVI oracle SQL (measurements + rules +
+    * detail verdicts) — mirrors lsviMeasurements/lsviRules/Lsvi.detail. */
+  private def lsviOracleCtes: String = {
+    val regions = lsviRegions.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT s_suppkey AS id,
+       |    CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT)/count(*)/100.0 AS avg_discount,
+       |    count(CASE WHEN l_returnflag = 'R' THEN 1 END)/count(*) AS return_rate,
+       |    sum(l_quantity)/count(*) AS avg_qty,
+       |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/count(*)/100.0 AS avg_price
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1),
+       |m AS (
+       |  SELECT id, 'avg_discount' AS voorwaarde, avg_discount AS value_numeric,
+       |         CAST(NULL AS VARCHAR) AS value_category FROM base
+       |  UNION ALL SELECT id, 'return_rate', return_rate, NULL FROM base
+       |  UNION ALL SELECT id, 'avg_qty', avg_qty, NULL FROM base
+       |  UNION ALL SELECT id, 'avg_price', avg_price, NULL FROM base
+       |  UNION ALL SELECT s_suppkey, 'regio', CAST(NULL AS DOUBLE), n_name
+       |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+       |r(criterium, indicator, voorwaarde, belang, op, ref_numeric, ref_categories) AS (
+       |  VALUES
+       |   ('verstoring', 'prijsdruk', 'avg_discount', 'b', '<=', 0.05, CAST(NULL AS VARCHAR[])),
+       |   ('verstoring', 'retour', 'return_rate', 'zb', '<', 0.336, CAST(NULL AS VARCHAR[])),
+       |   ('structuur', 'kwantiteit', 'avg_qty', 'b', '>=', 25.3, CAST(NULL AS VARCHAR[])),
+       |   ('structuur', 'waarde', 'avg_price', 'b', '>=', 53000.0, CAST(NULL AS VARCHAR[])),
+       |   ('context', 'herkomst', 'regio', 'b', 'in', CAST(NULL AS DOUBLE), $regions)),
+       |d AS (
+       |  SELECT id, criterium, indicator, voorwaarde, belang, value_numeric,
+       |    value_category, op, ref_numeric,
+       |    CASE WHEN op = '>=' THEN value_numeric >= ref_numeric
+       |         WHEN op = '<=' THEN value_numeric <= ref_numeric
+       |         WHEN op = '>'  THEN value_numeric > ref_numeric
+       |         WHEN op = '<'  THEN value_numeric < ref_numeric
+       |         WHEN op = '='  THEN value_numeric = ref_numeric
+       |         WHEN op = '!=' THEN value_numeric <> ref_numeric
+       |         WHEN op = 'in' THEN list_contains(ref_categories, value_category)
+       |         WHEN op = 'not_in' THEN NOT list_contains(ref_categories, value_category)
+       |    END AS voldoet
+       |  FROM m JOIN r USING (voorwaarde))
+       |""".stripMargin
+  }
+
+  private def lsviRules(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("verstoring", "prijsdruk", "avg_discount", "b", "<=", Option(0.05), Option.empty[Seq[String]]),
+      ("verstoring", "retour", "return_rate", "zb", "<", Option(0.336), Option.empty[Seq[String]]),
+      ("structuur", "kwantiteit", "avg_qty", "b", ">=", Option(25.3), Option.empty[Seq[String]]),
+      ("structuur", "waarde", "avg_price", "b", ">=", Option(53000.0), Option.empty[Seq[String]]),
+      ("context", "herkomst", "regio", "b", "in", Option.empty[Double], Option(lsviRegions)))
+      .toDF("criterium", "indicator", "voorwaarde", "belang", "op",
+        "ref_numeric", "ref_categories")
+  }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
@@ -792,6 +883,29 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b
         |   ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+
+    "q70_lsvi_detail" -> (lsviOracleCtes +
+      """SELECT id, criterium, indicator, voorwaarde, belang,
+        | round(value_numeric, 6) AS value_numeric, value_category, op,
+        | ref_numeric, voldoet
+        |FROM d""".stripMargin),
+
+    "q71_lsvi_globaal" -> (lsviOracleCtes.stripSuffix("\n") +
+      """, i AS (
+        |  SELECT id, criterium, indicator, belang,
+        |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND
+        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig
+        |  FROM d GROUP BY 1, 2, 3, 4)
+        |SELECT id, count(*) AS n_ind,
+        | count(CASE WHEN gunstig THEN 1 END) AS n_gunstig,
+        | count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) AS n_zb_ongunstig,
+        | round(100.0 * count(CASE WHEN gunstig THEN 1 END) / count(*), 6) AS aandeel_gunstig,
+        | (count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
+        |  count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)) AS status,
+        | CASE WHEN count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
+        |           count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)
+        |      THEN 'gunstig' ELSE 'ongunstig' END AS lsvi
+        |FROM i GROUP BY id""".stripMargin),
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id
