@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{CosineSimilarity, HyperplaneLsh, MinHashSignature, SimHash64}
+import graft.geo.{CrsTransform, PointInRing, RingArea}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SQL surface for the engine's custom expressions: registered through
+  * `SparkSessionExtensions` (spark.sql.extensions=graft.GraftExtensions)
+  * or onto a live session via `GraftExtensions.register(spark)`, so
+  * `spark.sql("SELECT cosine_similarity(a, b) ...")` works exactly like
+  * the Column API. All functions plan to the same native expressions —
+  * no UDF wrapping, full codegen where the expression provides it.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "k"))),
+    "hyperplane_lsh" -> (es => HyperplaneLsh(es(0), intArg(es(1), "bits"))),
+    "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
+    "ring_area" -> (es => RingArea(es(0))),
+    "lambert72_to_wgs84" -> (es => CrsTransform(es(0), es(1), toWgs84 = true)),
+    "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)))
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -321,6 +321,26 @@ object SparkEntry {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- Structured Streaming twin of q29: the same tumbling-window
+    // aggregation executed as a streaming query over the events parquet
+    // (memory sink, complete mode) — checked against the SAME DuckDB
+    // oracle as the batch form, proving batch/stream parity ----
+    "q32_events_hourly_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = "graft_q32_sink"
+      val q = Events.hourlyStats(stream)
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n_events"), col("sum_value"))
+    }),
+
     // ---- exact dedup: canonical id per content fingerprint ----
     "q40_docs_exact_dedup" -> ((s, dir) =>
       Dedup.exactCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),
@@ -331,6 +351,7 @@ object SparkEntry {
       d.select(
         col("doc_id"),
         Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeishTokenCount(col("text")).as("n_tokens_bpe"),
         length(col("text")).as("n_chars_measured"),
         round(length(translate(col("text"), " ", "")).cast("double") /
           Text.tokenCount(col("text")), 6).as("avg_token_len"))
@@ -791,6 +812,13 @@ object SparkEntry {
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
 
+    "q32_events_hourly_stream" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        | event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
     "q40_docs_exact_dedup" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
@@ -801,6 +829,7 @@ object SparkEntry {
     "q41_docs_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_tokens_bpe,
         | CAST(length(text) AS INTEGER) AS n_chars_measured,
         | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
         |   / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len

@@ -21,6 +21,12 @@ object Text {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword-boundary token count: alnum runs and individual
+    * punctuation marks each count as one token (the classic pre-BPE
+    * word/punct split regex). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
   /** Ratio of characters outside [a-z0-9 ] (punctuation/other). */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))," +
+        " array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c")
+      .as[Double].collect().head
+    assert(math.abs(cos - 1.0) < 1e-12)
+
+    val sim = spark.sql("SELECT simhash64(array('a','b','c')) AS s").as[Long].collect().head
+    val simCol = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.HashFunctions.simhash64(col("t"))).as[Long].collect().head
+    assert(sim === simCol)
+
+    val area = spark.sql(
+      "SELECT ring_area(array(struct(0.0D AS x, 0.0D AS y), struct(4.0D AS x, 0.0D AS y)," +
+        " struct(4.0D AS x, 4.0D AS y), struct(0.0D AS x, 4.0D AS y))) AS a")
+      .as[Double].collect().head
+    assert(area === 16.0)
+
+    val mh = spark.sql("SELECT minhash_signature(array('a','b'), 4) AS m")
+      .as[Seq[Long]].collect().head
+    assert(mh.length === 4)
+
+    val wgs = spark.sql("SELECT lambert72_to_wgs84(150000.0D, 170000.0D) AS p")
+      .selectExpr("p.lon", "p.lat").as[(Double, Double)].collect().head
+    assert(wgs._1 > 4.2 && wgs._1 < 4.5 && wgs._2 > 50.7 && wgs._2 < 50.9)
+  }
+
+  test("non-literal k for minhash_signature is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(array('a'), CAST(rand()*4 AS INT))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+}
