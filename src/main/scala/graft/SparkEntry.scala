@@ -391,7 +391,7 @@ object SparkEntry {
     // the candidate set goes quadratic — the scale lesson encoded here.
     "q45_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.95, shingleSize = 1, bands = 2, rowsPerBand = 12)),
+        threshold = 0.95, shingleSize = 1, bands = 2, rowsPerBand = 16)),
 
     // ---- blocked exact n-gram Jaccard pairs ----
     "q46_blocked_jaccard" -> ((s, dir) =>

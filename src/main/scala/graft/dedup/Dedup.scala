@@ -75,14 +75,46 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash-LSH near-dup pairs, LSH candidates verified by true Jaccard
-    * over the same shingle sets the signatures were built from. */
+  /** MinHash-LSH near-dup pairs: band join for candidates, a cheap
+    * signature-agreement prefilter (the MinHash Jaccard ESTIMATE —
+    * fraction of equal signature components — with a slack margin), and
+    * exact Jaccard verification of the survivors only.
+    *
+    * The prefilter matters on degenerate corpora: band collisions can
+    * overshoot the true near-dup set several-fold, and comparing k
+    * longs is far cheaper than intersecting token sets. Slack of 0.1
+    * keeps the estimator's variance (~1/sqrt(k)) from dropping true
+    * pairs at the boundary. */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleSize: Int = 1,
-                      bands: Int = 4, rowsPerBand: Int = 8): DataFrame =
-    verifyJaccard(
-      minhashCandidates(docs, textCol, idCol, shingleSize, bands, rowsPerBand),
-      docs, textCol, idCol, threshold, shingleSize)
+                      bands: Int = 2, rowsPerBand: Int = 16): DataFrame = {
+    val k = bands * rowsPerBand
+    val toks = Text.tokens(col(textCol))
+    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.minhashSignature(units, k).as("sig"))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val estimate = HashFunctions.signatureAgreement(col("sig_a"), col("sig_b"))
+    // prefilter BEFORE distinct: the estimate runs on the (slightly
+    // duplicated) join output so the dedup shuffle carries only id
+    // pairs, never the signature arrays
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .where(estimate >= threshold - 0.1)
+      .select("id_a", "id_b")
+      .distinct()
+    verifyJaccard(candidates, docs, textCol, idCol, threshold, shingleSize)
+  }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates share one of
     * four 16-bit bands (guarantees recall for Hamming distance <= 3),

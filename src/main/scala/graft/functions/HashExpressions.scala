@@ -95,10 +95,48 @@ case class MinHashSignature(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** Fraction of positions where two bigint signature arrays agree — the
+  * MinHash Jaccard estimator. Fused native loop (the `zip_with` +
+  * `aggregate` HOF formulation evaluates interpreted per element, which
+  * dominates candidate-pair filtering cost). */
+case class SignatureAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "signature_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SignatureAgreement.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SignatureAgreement.agreement($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object SignatureAgreement {
+  def agreement(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}
+
 object HashFunctions {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 
   def minhashSignature(tokens: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), k))
+
+  def signatureAgreement(a: Column, b: Column): Column =
+    GraftBridge.column(SignatureAgreement(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }
