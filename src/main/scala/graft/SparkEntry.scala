@@ -503,6 +503,21 @@ object SparkEntry {
     "q71_lsvi_globaal" -> ((s, dir) =>
       Lsvi.globaal(Lsvi.indicator(Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))),
 
+    // ---- K4 volume tariff polynomials (data-driven per formule_type) ----
+    "q72_tree_volume" -> ((s, dir) => {
+      import s.implicits._
+      val trees = t(s, dir, "part").select(
+        col("p_partkey").as("tree_id"),
+        (col("p_partkey") % 20).as("tree_species_id"),
+        (lit(50) + col("p_size") * 10).cast("double").as("perimeter_cm"),
+        (lit(8) + col("p_partkey") % 15).cast("double").as("height_m"))
+      val params = tariffParams.toDF(
+        "tree_species_id", "a", "b", "c", "d", "e", "f", "formule_type")
+      graft.pipelines.Vbi.treeVolume(trees, params)
+        .select(col("tree_id"), col("tree_species_id"), col("formule_type"),
+          round(col("vol_m3"), 6).as("vol_m3"))
+    }),
+
     // ---- multimodal binary plumbing: metadata + content hash ----
     "q60_media_meta" -> ((s, dir) => {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
@@ -537,6 +552,20 @@ object SparkEntry {
   }
 
   private val lsviRegions: Seq[String] = (0 to 12).map(i => s"NATION_$i")
+
+  /** K4 tariff parameters: power-of-two-scaled values so the Scala
+    * doubles and the SQL literals parse to identical bits (exact float
+    * parity between Spark and the oracle). */
+  private val tariffParams: Seq[(Long, Double, Double, Double, Double, Double, Double, Int)] =
+    (0L to 19L).map { sp =>
+      (sp, (sp + 1) * 0.015625, (sp + 1) * 0.0078125, 0.00390625,
+        0.001953125, 0.0009765625, 0.00048828125, (sp % 3 + 1).toInt)
+    }
+
+  private def tariffValuesSql: String =
+    tariffParams.map { case (sp, a, b, c, d, e, f, ft) =>
+      s"($sp, $a, $b, $c, $d, $e, $f, $ft)"
+    }.mkString(",\n   ")
 
   /** Shared CTE prefix for the LSVI oracle SQL (measurements + rules +
     * detail verdicts) — mirrors lsviMeasurements/lsviRules/Lsvi.detail. */
@@ -943,6 +972,29 @@ object SparkEntry {
         |  AND CAST((c_custkey * 7) % 97 AS DOUBLE) < CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 + 15.0
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) > CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) < CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 + 20.0""".stripMargin,
+
+    "q72_tree_volume" ->
+      s"""WITH trees AS (
+        |  SELECT p_partkey AS tree_id, p_partkey % 20 AS tree_species_id,
+        |    CAST(50 + p_size * 10 AS DOUBLE) AS perimeter_cm,
+        |    CAST(8 + p_partkey % 15 AS DOUBLE) AS height_m
+        |  FROM part),
+        |params(tree_species_id, a, b, c, d, e, f, formule_type) AS (
+        |  VALUES
+        |   $tariffValuesSql),
+        |j AS (
+        |  SELECT tree_id, t.tree_species_id, formule_type,
+        |    CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b, CAST(c AS DOUBLE) AS c,
+        |    CAST(d AS DOUBLE) AS d, CAST(e AS DOUBLE) AS e, CAST(f AS DOUBLE) AS f,
+        |    perimeter_cm / 100.0 AS c150, height_m AS h
+        |  FROM trees t LEFT JOIN params p ON t.tree_species_id = p.tree_species_id)
+        |SELECT tree_id, tree_species_id, CAST(formule_type AS INTEGER) AS formule_type,
+        |  round(CASE
+        |    WHEN formule_type = 1 THEN a + b*c150 + c*c150*c150 + d*c150*c150*c150
+        |    WHEN formule_type = 2 THEN a + b*c150 + c*c150*c150 + d*h + e*c150*h + f*c150*c150*h
+        |    WHEN formule_type = 3 THEN a + b*c150*c150 + c*c150*c150*h + d*h
+        |  END, 6) AS vol_m3
+        |FROM j""".stripMargin,
 
     "q60_media_meta" ->
       """SELECT doc_id AS media_id, 'text_blob' AS kind,

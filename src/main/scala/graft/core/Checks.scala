@@ -47,3 +47,27 @@ object Checks {
   def overlap(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_semi")
 }
+
+/** Factor-level registry (SURVEY.md §1.2): the reference's factor
+  * columns become strings plus a declared level dictionary, validated
+  * as a CHECK constraint instead of an encoded type. Level lists ride
+  * in table metadata (git2rdata keeps them in the .yml sidecar).
+  */
+final case class FactorDomain(name: String, levels: Seq[String]) {
+  /** Rows whose value is neither NULL nor a declared level. */
+  def violations(df: DataFrame, colName: String): DataFrame =
+    df.where(col(colName).isNotNull && !col(colName).isin(levels: _*))
+
+  def assertValid(df: DataFrame, colName: String): Unit =
+    Checks.assertNone(df, col(colName).isNotNull && !col(colName).isin(levels: _*),
+      s"values outside factor domain '$name' in column $colName")
+}
+
+object FactorDomain {
+  /** Domains observed in the reference's .yml schemas (e.g.
+    * type_observed, `processed/inboveg_mhq_aq/HT31xx_header.yml`). */
+  val TypeObserved: FactorDomain = FactorDomain("type_observed",
+    Seq("gh", "2190", "2190_a", "3110", "3130_aom", "3130_na", "3140", "3150", "3160"))
+  val TargetHabitat: FactorDomain = FactorDomain("targethabitat",
+    Seq("ja", "nee", "onbekend"))
+}
