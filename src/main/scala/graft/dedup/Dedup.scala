@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.{HashFunctions, VectorFunctions}
+import graft.functions.{HashFunctions, JaccardFunctions, VectorFunctions}
 import graft.text.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -69,8 +69,7 @@ object Dedup {
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("tokset", "set_a"), Seq("id_a"))
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("tokset", "set_b"), Seq("id_b"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("set_a"), col("set_b"))) /
-          size(array_union(col("set_a"), col("set_b"))), 6))
+        round(JaccardFunctions.jaccardSim(col("set_a"), col("set_b")), 6))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -155,8 +154,7 @@ object Dedup {
     val blockCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
     l.join(r, blockCond && col("l.id") < col("r.id"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("l.tokset"), col("r.tokset"))) /
-          size(array_union(col("l.tokset"), col("r.tokset"))), 6))
+        round(JaccardFunctions.jaccardSim(col("l.tokset"), col("r.tokset")), 6))
       .where(col("jaccard") >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
   }
