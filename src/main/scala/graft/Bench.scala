@@ -22,9 +22,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JVM + codegen + parquet footer caches
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => }
+    // warmup: JVM + codegen + parquet footer caches across the three
+    // main code-path families (relational aggs, text/jaccard, vectors)
+    Seq("q01_pricing_summary", "q46_blocked_jaccard", "q50_ann_bruteforce")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => }
+      }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
