@@ -321,6 +321,12 @@ object SparkEntry {
           max(col("k")).as("max_k"))
     }),
 
+    // ---- salted two-phase aggregation (hot-key mitigation): must be
+    // plan-equivalent to a plain groupBy count — the oracle IS the
+    // plain form, so the rewrite's correctness is hash-checked ----
+    "q33_salted_hot_count" -> ((s, dir) =>
+      graft.ops.Skew.saltedCount(t(s, dir, "orders"), Seq("o_orderpriority"))),
+
     // ---- Structured Streaming twin of q29: the same tumbling-window
     // aggregation executed as a streaming query over the events parquet
     // (memory sink, complete mode) — checked against the SAME DuckDB
@@ -840,6 +846,9 @@ object SparkEntry {
         |        CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+
+    "q33_salted_hot_count" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1""",
 
     "q32_events_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
