@@ -420,6 +420,15 @@ object SparkEntry {
       Ann.lshTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5)
     }),
 
+    // ---- IVF ANN: deterministic k-means coarse quantizer + nprobe
+    // cell search (no SQL oracle: quantizer is iterative; per-pair
+    // scores are exact-verified against brute force in the specs) ----
+    "q54_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfTopK(e.where(col("vec_id") < 10), e, "vec_id", "embedding", k = 5,
+        nCells = 16, nProbe = 4, iters = 2)
+    }),
+
     // ---- embedding near-dup via hyperplane LSH (no SQL oracle) ----
     "q52_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",

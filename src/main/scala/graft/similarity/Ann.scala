@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,6 +38,80 @@ object Ann {
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
       .select("query_id", "neighbor_id", "cosine")
     ranked(scored, k)
+  }
+
+  /** IVF (inverted-file) top-k: a deterministic k-means coarse
+    * quantizer partitions the corpus into `nCells` cells; each query
+    * probes only its `nProbe` nearest cells and exact-ranks inside
+    * them. The 100 TB shape: centroids are driver-state (kB), the
+    * corpus is assigned map-side and can be WRITTEN partitioned by
+    * cell, so a query touches nProbe/nCells of the data.
+    *
+    * Determinism: centroids init from the lowest vector ids and train
+    * a fixed number of Lloyd iterations — same data, same index.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+
+    def simToCentroids(vec: Column): Column =
+      array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("cell"),
+          coalesce(VectorFunctions.cosineSim(vec, typedLit(c.toSeq)), lit(-2.0)).as("sim"))
+      }: _*)
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      element_at(array_sort(simToCentroids(col(vecCol)),
+        (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
+          .otherwise(a("cell") - b("cell"))), 1)("cell").as("cell"))
+
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+        explode(slice(array_sort(simToCentroids(col(vecCol)),
+          (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
+            .otherwise(a("cell") - b("cell"))), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qvec"), col("pc.cell").as("cell"))
+
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
+      .select("query_id", "neighbor_id", "cosine") // one cell per neighbor -> pairs already unique
+    ranked(scored, k)
+  }
+
+  /** Deterministic Lloyd iterations; returns nCells centroid vectors. */
+  private[similarity] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                         nCells: Int, iters: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col(idCol).asc).limit(nCells)
+      .select(col(vecCol)).as[Array[Float]].collect()
+
+    var it = 0
+    while (it < iters) {
+      def simArray(vec: Column): Column =
+        array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("cell"),
+            coalesce(VectorFunctions.cosineSim(vec, typedLit(c.toSeq)), lit(-2.0)).as("sim"))
+        }: _*)
+      val assigned = corpus.select(col(vecCol).as("v"),
+        element_at(array_sort(simArray(col(vecCol)),
+          (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
+            .otherwise(a("cell") - b("cell"))), 1)("cell").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cell"), transform(col("ms"), s => s("m").cast("float")).as("centroid"))
+        .as[(Int, Array[Float])].collect().toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      it += 1
+    }
+    centroids
   }
 
   /** LSH-bucketed top-k: candidates limited to signature-band collisions

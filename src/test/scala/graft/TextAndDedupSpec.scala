@@ -124,6 +124,30 @@ class TextAndDedupSpec extends SparkSuite {
     lsh.foreach { case (q, n, c) => assert(brute((q, n)) === c) }
   }
 
+  test("ivfTopK: clustered vectors resolve to correct exact-scored neighbors") {
+    // four tight clusters; IVF with nProbe=2 must find same-cluster neighbors
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 48L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.tabulate(8)(d => if (d == c * 2) 1.0f else 0.0f)
+      (i, base.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f))
+    }.toDF("id", "v")
+    val brute = Ann.bruteForceTopK(vecs.where(col("id") < 4), vecs, "id", "v", 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Ann.ivfTopK(vecs.where(col("id") < 4), vecs, "id", "v", 3,
+      nCells = 8, nProbe = 3, iters = 3)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit carries the exact brute-force score
+    ivf.foreach { case (q, n, c) => assert(brute.get((q, n)).forall(_ === c)) }
+    // and same-cluster structure: top-1 neighbor shares the query's cluster
+    val top1 = Ann.ivfTopK(vecs.where(col("id") < 4), vecs, "id", "v", 1,
+      nCells = 8, nProbe = 3, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    top1.foreach { case (q, n) => assert(q % 4 === n % 4, s"query $q got $n") }
+  }
+
   test("hyperplane LSH signature is deterministic across evaluations") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i + d * 0.31).toFloat))).toDF("id", "v")
