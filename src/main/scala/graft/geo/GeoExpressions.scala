@@ -2,7 +2,7 @@ package graft.geo
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   * columns; a typed vertex array keeps the data columnar and prunable
   * instead of an opaque blob).
   *
-  * CodegenFallback is acceptable here: each eval is O(ring vertices)
-  * of pure arithmetic on primitive arrays; the ring extraction is the
-  * cost, not the dispatch.
+  * Ring-taking expressions codegen to static kernel calls (the loop is
+  * in compiled Scala; generated code just dispatches) — keeps the whole
+  * stage inside WholeStageCodegen instead of a fallback boundary. Only
+  * the CRS transform stays CodegenFallback (struct result, negligible
+  * per-row cost).
   */
-private[geo] object Rings {
+object Rings {
   def unpack(a: Any): (Array[Double], Array[Double]) = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -31,32 +33,49 @@ private[geo] object Rings {
     }
     (xs, ys)
   }
+
+  // static entry points for generated code
+  def pointInRing(ring: ArrayData, px: Double, py: Double): Boolean = {
+    val (xs, ys) = unpack(ring)
+    GeoKernels.pointInRing(xs, ys, px, py)
+  }
+  def ringArea(ring: ArrayData): Double = {
+    val (xs, ys) = unpack(ring)
+    GeoKernels.area(xs, ys)
+  }
+  def circleClipArea(ring: ArrayData, cx: Double, cy: Double, r: Double): Double = {
+    val (xs, ys) = unpack(ring)
+    GeoKernels.circleIntersectionArea(xs, ys, cx, cy, r)
+  }
 }
 
 /** st_contains(ring, point): ray-casting point-in-polygon (J11). */
 case class PointInRing(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_ring"
 
-  override def nullSafeEval(ring: Any, px: Any, py: Any): Any = {
-    val (xs, ys) = Rings.unpack(ring)
-    GeoKernels.pointInRing(xs, ys, px.asInstanceOf[Double], py.asInstanceOf[Double])
-  }
+  override def nullSafeEval(ring: Any, px: Any, py: Any): Any =
+    Rings.pointInRing(ring.asInstanceOf[ArrayData],
+      px.asInstanceOf[Double], py.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x, y) => s"graft.geo.Rings.pointInRing($r, $x, $y)")
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
 }
 
 /** st_area(ring): shoelace polygon area. */
-case class RingArea(child: Expression) extends UnaryExpression with CodegenFallback {
+case class RingArea(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "ring_area"
 
-  override def nullSafeEval(ring: Any): Any = {
-    val (xs, ys) = Rings.unpack(ring)
-    GeoKernels.area(xs, ys)
-  }
+  override def nullSafeEval(ring: Any): Any =
+    Rings.ringArea(ring.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.geo.Rings.ringArea($r)")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -66,15 +85,17 @@ case class RingArea(child: Expression) extends UnaryExpression with CodegenFallb
   * constant (the reference's 9 m and 18 m plot circles). */
 case class CircleClipArea(first: Expression, second: Expression, third: Expression,
                           radius: Double)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "circle_clip_area"
 
-  override def nullSafeEval(ring: Any, cx: Any, cy: Any): Any = {
-    val (xs, ys) = Rings.unpack(ring)
-    GeoKernels.circleIntersectionArea(xs, ys,
+  override def nullSafeEval(ring: Any, cx: Any, cy: Any): Any =
+    Rings.circleClipArea(ring.asInstanceOf[ArrayData],
       cx.asInstanceOf[Double], cy.asInstanceOf[Double], radius)
-  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (r, x, y) => s"graft.geo.Rings.circleClipArea($r, $x, $y, $radius)")
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
