@@ -19,6 +19,7 @@ object FieldmapDemo {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", s"$dir/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -59,6 +60,33 @@ object FieldmapDemo {
     } catch {
       case e: Throwable => println(s"=== overlap rejected as expected: ${e.getMessage.take(90)}")
     }
+
+    // full E1 job composition on the same fixture shapes
+    val out = graft.pipelines.FieldmapExportJob.run(graft.pipelines.FieldmapExportJob.Inputs(
+      gridPointsByCycle = Seq(
+        1 -> Seq((101, "2020-01-01", "gedaan"), (102, "2020-02-01", "gepland"))
+          .toDF("plot_id", "date_status", "status_fieldwork")),
+      squareObs = Seq((101, "2130")).toDF("plot_id", "type_observed_square"),
+      circleObs = Seq((102, 1, "6510")).toDF("plot_id", "segment_id", "type_observed_circle"),
+      coverLong = long.select("plot_id", "layer", "coverscale_name", "class_id"),
+      coverScales = dict,
+      observerDates = Seq((101, "2020-01-02")).toDF("plot_id", "date_assessment")))
+    graft.pipelines.FieldmapExportJob.write(out, s"$dir/e1")
+    println(s"=== E1 job: sample_status=${out.sampleStatus.count()} rows, " +
+      s"missing-data QA=${out.checkMissingData.count()} rows, " +
+      s"checks=${out.checks.keys.toSeq.sorted.mkString(",")} ===")
+
+    // co-located storage: bucketed write + shuffle-free join
+    graft.io.Bucketed.write(joined.where(col("class_id").isNotNull)
+      .select("plot_id", "layer", "cover_mean"), "demo_covers", 4, Seq("plot_id"))
+    graft.io.Bucketed.write(out.sampleStatus.select("plot_id", "status_fieldwork"),
+      "demo_status", 4, Seq("plot_id"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val coloc = graft.io.Bucketed.table(spark, "demo_covers")
+      .join(graft.io.Bucketed.table(spark, "demo_status"), Seq("plot_id"))
+    println(s"=== bucketed join shuffle-free=${graft.io.Bucketed.isShuffleFree(coloc)}, " +
+      s"rows=${coloc.count()} ===")
     spark.stop()
   }
 }
