@@ -1,0 +1,65 @@
+package graft.core
+
+import graft.io.{Csv2, Vc}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source registry (SURVEY.md §2.1 S1-S7): the reference dispatches an
+  * ODBC driver per database file extension
+  * (`/root/reference/src/export_from_fieldmap/query_fieldmap.Rmd:139-154`);
+  * here every input is a declared [[Source]] and pipelines resolve
+  * tables by name — swapping a CSV fixture for the production JDBC
+  * database is a registry entry, not a code change.
+  *
+  * JDBC sources push the query down to the engine (S1's hand-written
+  * SQL stays server-side; Catalyst adds filter/projection pushdown on
+  * top). Schemas are always declared for file sources — never
+  * `inferSchema` (§1.3).
+  */
+sealed trait Source {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** S1: JDBC with a pushed-down query (`sqlQuery` equivalent). */
+final case class JdbcQuerySource(url: String, query: String,
+                                 properties: Map[String, String] = Map.empty) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+}
+
+/** S2: whole-table JDBC fetch (`sqlFetch` equivalent). */
+final case class JdbcTableSource(url: String, table: String,
+                                 properties: Map[String, String] = Map.empty) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    properties.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+}
+
+/** S4: semicolon-CSV with decimal commas, declared schema. */
+final case class Csv2Source(path: String, schema: StructType) extends Source {
+  def load(spark: SparkSession): DataFrame = Csv2.read(spark, path, schema)
+}
+
+/** S5: versioned table (schema + hash verified sidecar). */
+final case class VcSource(base: String) extends Source {
+  def load(spark: SparkSession): DataFrame = Vc.read(spark, base)
+}
+
+final case class ParquetSource(path: String) extends Source {
+  def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+/** Named lookup, immutable — build one per pipeline run. */
+final case class SourceRegistry(sources: Map[String, Source]) {
+  def load(spark: SparkSession, name: String): DataFrame =
+    sources.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown source '$name'; registered: ${sources.keys.toSeq.sorted.mkString(", ")}"))
+      .load(spark)
+
+  def withSource(name: String, s: Source): SourceRegistry =
+    copy(sources = sources + (name -> s))
+}

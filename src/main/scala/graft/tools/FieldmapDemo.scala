@@ -87,6 +87,17 @@ object FieldmapDemo {
       .join(graft.io.Bucketed.table(spark, "demo_status"), Seq("plot_id"))
     println(s"=== bucketed join shuffle-free=${graft.io.Bucketed.isShuffleFree(coloc)}, " +
       s"rows=${coloc.count()} ===")
+
+    // S1/S2: source registry with a real JDBC database (embedded Derby)
+    val derbyUrl = s"jdbc:derby:$dir/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(derbyUrl)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE grid_points (plot_id INT, status_fieldwork VARCHAR(20))")
+    st.execute("INSERT INTO grid_points VALUES (201, 'done'), (202, 'planned')")
+    st.close(); conn.close()
+    val registry = graft.core.SourceRegistry(Map(
+      "grid_points" -> graft.core.JdbcTableSource(s"jdbc:derby:$dir/db", "grid_points")))
+    println(s"=== registry jdbc read: ${registry.load(spark, "grid_points").count()} rows ===")
     spark.stop()
   }
 }
