@@ -347,6 +347,23 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
     }),
 
+    // ---- stateful streaming: mapGroupsWithState sessionization run as
+    // a real streaming query, oracle-checked against the batch window
+    // formulation (state = one (count, lastTs) pair per user) ----
+    "q34_sessions_stateful_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = "graft_q34_sink"
+      val q = Events.sessionCountsStream(s, stream, gapMinutes = 30)
+        .writeStream.format("memory").queryName(sink).outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink).select(col("user_id"), col("n_sessions"))
+    }),
+
     // ---- exact dedup: canonical id per content fingerprint ----
     "q40_docs_exact_dedup" -> ((s, dir) =>
       Dedup.exactCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),
@@ -865,6 +882,20 @@ object SparkEntry {
         | count(*) AS n_events,
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q34_sessions_stateful_stream" ->
+      """SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions
+        |FROM (
+        |  SELECT user_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id""".stripMargin,
 
     "q40_docs_exact_dedup" ->
       """SELECT doc_id,

@@ -63,27 +63,31 @@ object Events {
 
   // ---- streaming sessionization with explicit state ----
 
-  case class Ev(user_id: Long, ts: java.sql.Timestamp)
-  case class SessionState(sessionCount: Long, lastTs: Long)
+  case class Ev(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessionState(sessionCount: Long, lastTsUs: Long)
   case class UserSessions(user_id: Long, n_sessions: Long)
 
   /** Streaming twin of [[sessionCounts]] via mapGroupsWithState: state is
-    * one (count, lastTs) pair per user — O(users) state, not O(events). */
+    * one (count, lastTs) pair per user — O(users) state, not O(events).
+    * Gap arithmetic in microseconds, matching the batch form exactly
+    * (events carry sub-millisecond timestamps). */
   def sessionCountsStream(spark: SparkSession, events: DataFrame,
                           gapMinutes: Int): Dataset[UserSessions] = {
     import spark.implicits._
-    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"))
+    events.select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
       .as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
           sorted.foreach { e =>
-            val t = e.ts.getTime
-            if (st.lastTs == Long.MinValue || t - st.lastTs > gapMinutes * 60000L)
-              st = SessionState(st.sessionCount + 1, t)
-            else st = st.copy(lastTs = t)
+            if (st.lastTsUs == Long.MinValue ||
+                e.ts_us - st.lastTsUs > gapMinutes * 60000000L)
+              st = SessionState(st.sessionCount + 1, e.ts_us)
+            else st = st.copy(lastTsUs = e.ts_us)
           }
           state.update(st)
           UserSessions(user, st.sessionCount)
