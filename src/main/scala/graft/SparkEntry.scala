@@ -535,6 +535,16 @@ object SparkEntry {
     "q71_lsvi_globaal" -> ((s, dir) =>
       Lsvi.globaal(Lsvi.indicator(Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))),
 
+    // ---- multimodal segment sampling: stride-aligned byte windows
+    // over the binary media column (frame-sampling plumbing; ASCII
+    // text payloads make it DuckDB-oracle-checkable) ----
+    "q64_media_segments" -> ((s, dir) => {
+      val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
+      Media.sampleSegments(media, segmentBytes = 64, strideBytes = 64)
+        .select(col("media_id"), col("segment_idx"),
+          decode(col("segment"), "UTF-8").as("segment_text"))
+    }),
+
     // ---- K4 volume tariff polynomials (data-driven per formule_type) ----
     "q72_tree_volume" -> ((s, dir) => {
       import s.implicits._
@@ -1021,6 +1031,13 @@ object SparkEntry {
         |  AND CAST((c_custkey * 7) % 97 AS DOUBLE) < CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 + 15.0
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) > CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) < CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 + 20.0""".stripMargin,
+
+    "q64_media_segments" ->
+      """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS segment_idx,
+        | substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS segment_text
+        |FROM documents CROSS JOIN range(0, 4096) t(i)
+        |WHERE i < greatest(CAST(1 AS BIGINT), CAST(ceil(strlen(text) / 64.0) AS BIGINT))
+        |  AND length(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) > 0""".stripMargin,
 
     "q72_tree_volume" ->
       s"""WITH trees AS (

@@ -28,7 +28,13 @@ object Ann {
       .where(col("rank") <= k)
 
   /** Exact cosine top-k of each query vector against the corpus.
-    * `queries` and `corpus` need (idCol, vecCol); self-matches excluded. */
+    * `queries` and `corpus` need (idCol, vecCol); self-matches excluded.
+    *
+    * Two-phase: each scan partition keeps only its local top-k per
+    * query (sorted-truncate aggregate, map-side combinable), then the
+    * global rank runs over partitions x k survivors. The scored
+    * cross-product itself never shuffles — the property that keeps
+    * this plan alive when the corpus is 1e12 vectors. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -37,7 +43,18 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
       .select("query_id", "neighbor_id", "cosine")
-    ranked(scored, k)
+    // local top-k: struct sorts by (-cosine, neighbor_id) ascending ==
+    // (cosine desc, id asc) — identical total order to the final rank
+    val partial = scored
+      .withColumn("__part", spark_partition_id())
+      .groupBy("query_id", "__part")
+      .agg(slice(array_sort(collect_list(
+        struct((col("cosine") * -1).as("neg"), col("neighbor_id"), col("cosine")))),
+        1, k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.cosine").as("cosine"))
+    ranked(partial, k)
   }
 
   /** IVF (inverted-file) top-k: a deterministic k-means coarse
