@@ -425,6 +425,50 @@ object SparkEntry {
     "q47_simhash_neardups" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
 
+    // ---- exact quantiles per group (corpus length statistics) ----
+    "q48_length_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", Text.tokenCount(col("text")).cast("double"))
+        .groupBy("lang")
+        .agg(
+          round(expr("percentile(n_tokens, 0.5)"), 6).as("median_tokens"),
+          round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // ---- top-fraction quality selection (keep best 30% per lang) ----
+    "q49_quality_topfrac" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .withColumn("quality", Text.qualityScore(col("text")))
+      scored.withColumn("pr", percent_rank().over(
+          Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id").asc)))
+        .where(col("pr") <= 0.3)
+        .select("doc_id", "lang", "quality")
+    }),
+
+    // ---- deterministic stratified sampling (N docs per source, keyed
+    // by content hash so the sample is stable across runs/engines) ----
+    "q65_stratified_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)))
+        .where(col("rn") <= 5)
+        .select("source", "doc_id", "h")
+    }),
+
+    // ---- vocabulary top-k: token frequencies per language ----
+    "q66_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("token").asc)))
+        .where(col("rk") <= 10)
+        .select(col("lang"), col("token"), col("n"), col("rk"))
+    }),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     "q50_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -974,6 +1018,49 @@ object SparkEntry {
         |       FROM documents) b
         |   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q48_length_quantiles" ->
+      """SELECT lang,
+        | round(quantile_cont(n_tokens, 0.5), 6) AS median_tokens,
+        | round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+        | count(*) AS n_docs
+        |FROM (SELECT lang,
+        |        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens
+        |      FROM documents)
+        |GROUP BY lang""".stripMargin,
+
+    "q49_quality_topfrac" ->
+      """SELECT doc_id, lang, quality FROM (
+        | SELECT doc_id, lang, quality,
+        |   percent_rank() OVER (PARTITION BY lang
+        |     ORDER BY quality DESC, doc_id ASC) AS pr
+        | FROM (
+        |  SELECT doc_id, lang,
+        |    round(0.4 * least(1.0, len(toks) / 100.0)
+        |        + 0.4 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text))
+        |        + 0.2 * (1.0 - abs(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) - 0.4)), 6) AS quality
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(text), '\s+') AS toks FROM documents)))
+        |WHERE pr <= 0.3""".stripMargin,
+
+    "q65_stratified_sample" ->
+      """SELECT source, doc_id, h FROM (
+        | SELECT source, doc_id, md5(text) AS h,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(text) ASC, doc_id ASC) AS rn
+        | FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+
+    "q66_vocab_topk" ->
+      """SELECT lang, token, n, rk FROM (
+        | SELECT lang, token, n,
+        |   CAST(row_number() OVER (PARTITION BY lang
+        |     ORDER BY n DESC, token ASC) AS INTEGER) AS rk
+        | FROM (SELECT lang, token, count(*) AS n
+        |       FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |             FROM documents)
+        |       GROUP BY lang, token))
+        |WHERE rk <= 10""".stripMargin,
 
     "q50_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
