@@ -469,6 +469,11 @@ object SparkEntry {
         .select(col("lang"), col("token"), col("n"), col("rk"))
     }),
 
+    // ---- full corpus curation as one declarative plan: exact-dedup
+    // survivors + length gate + per-language quality selection ----
+    "q67_corpus_curation" -> ((s, dir) =>
+      graft.pipelines.Curation.curatedIds(t(s, dir, "documents"))),
+
     // ---- brute-force cosine top-k (ANN baseline) ----
     "q50_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1018,6 +1023,23 @@ object SparkEntry {
         |       FROM documents) b
         |   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q67_corpus_curation" ->
+      """SELECT doc_id, lang, n_tokens, quality FROM (
+        | SELECT doc_id, lang, n_tokens, quality,
+        |   min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+        |   percent_rank() OVER (PARTITION BY lang
+        |     ORDER BY quality DESC, doc_id ASC) AS pr
+        | FROM (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    round(0.4 * least(1.0, len(toks) / 100.0)
+        |        + 0.4 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text))
+        |        + 0.2 * (1.0 - abs(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) - 0.4)), 6) AS quality
+        |  FROM (SELECT doc_id, lang, text,
+        |          string_split_regex(trim(text), '\s+') AS toks FROM documents)))
+        |WHERE doc_id = canonical_id AND n_tokens >= 20 AND pr <= 0.7""".stripMargin,
 
     "q48_length_quantiles" ->
       """SELECT lang,

@@ -1,0 +1,47 @@
+package graft
+
+import graft.pipelines.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val many = (1 to 30).map(i => s"tok$i").mkString(" ")
+
+  test("curate: dedup survivor + length gate + quality fraction") {
+    val docs = Seq(
+      (1L, "en", many + " the a of and extra body content here"),   // canonical, long
+      (2L, "en", many + " the a of and extra body content here"),   // exact dup of 1
+      (3L, "en", "too short"),                                      // fails length gate
+      (4L, "en", many + " different but also long the a of and"),   // canonical, long
+      (5L, "fr", many + " le la query window corpus francais the")) // other lang
+      .toDF("doc_id", "lang", "text")
+    val verdicts = Curation.curate(docs, keepFraction = 1.0)
+      .select("doc_id", "is_canonical", "long_enough", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(verdicts(1L) === ((1L, true, true, true)))
+    assert(verdicts(2L)._2 === false) // duplicate loses canonicality
+    assert(verdicts(2L)._4 === false)
+    assert(verdicts(3L)._3 === false) // too short
+    assert(verdicts(4L)._4 === true)
+    assert(verdicts(5L)._4 === true)
+
+    val kept = Curation.curatedIds(docs, keepFraction = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
+  test("near-dup pruning drops the higher id of a detected pair") {
+    val docs = Seq(
+      (1L, "en", many + " a b c d e f g h i j"),
+      (2L, "en", many + " a b c d e f g h i j"),
+      (9L, "en", many + " completely other tail k l m n o p"))
+      .toDF("doc_id", "lang", "text")
+    // ids 1/2 are exact dups -> stage 1 already keeps only 1; simulate a
+    // curated set that still contains both to exercise stage 4 directly
+    val curated = docs.select(col("doc_id"), col("lang"))
+    val pruned = Curation.withNearDupPruning(docs, curated, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pruned === Set(1L, 9L))
+  }
+}
