@@ -575,6 +575,25 @@ object SparkEntry {
             .as("roundtrip_err_m"))
     }),
 
+    // ---- E2 LOQ/numeric/class parsing of raw qualifier strings:
+    // decimal-comma numerics, "<"/">"-marked LOQ values, class codes —
+    // value strings synthesized deterministically from lineitem ----
+    "q68_loq_parsing" -> ((s, dir) => {
+      val raw = t(s, dir, "lineitem")
+        .where(col("l_linenumber") === 1)
+        .select(col("l_orderkey"),
+          when(col("l_quantity") < 10, concat(lit("<"), translate(col("l_quantity").cast("string"), ".", ",")))
+            .when(col("l_quantity") > 45, concat(lit("> "), translate(col("l_quantity").cast("string"), ".", ",")))
+            .when(col("l_quantity") % 2 === 0, concat(lit("K"), (col("l_quantity") % 5).cast("int").cast("string")))
+            .otherwise(translate(col("l_quantity").cast("string"), ".", ","))
+            .as("value"))
+      graft.pipelines.Inboveg.loqAdjusted(
+          graft.pipelines.Inboveg.parseStructureValues(raw))
+        .select(col("l_orderkey"), col("value"), col("is_below_LOQ"),
+          col("is_above_LOQ"), col("is_numeric"), col("value_numeric"),
+          col("value_adjusted"))
+    }),
+
     // ---- K2 LSVI rules engine: data-driven verdicts (detail table) ----
     "q70_lsvi_detail" -> ((s, dir) =>
       Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))
@@ -1109,6 +1128,30 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b
         |   ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3""".stripMargin,
+
+    "q68_loq_parsing" ->
+      """WITH raw AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_quantity < 10 THEN '<' || replace(CAST(l_quantity AS VARCHAR), '.', ',')
+        |         WHEN l_quantity > 45 THEN '> ' || replace(CAST(l_quantity AS VARCHAR), '.', ',')
+        |         WHEN l_quantity % 2 = 0 THEN 'K' || CAST(CAST(l_quantity % 5 AS INTEGER) AS VARCHAR)
+        |         ELSE replace(CAST(l_quantity AS VARCHAR), '.', ',') END AS value
+        |  FROM lineitem WHERE l_linenumber = 1),
+        |parsed AS (
+        |  SELECT l_orderkey, value,
+        |    starts_with(trim(value), '<') AS is_below_LOQ,
+        |    starts_with(trim(value), '>') AS is_above_LOQ,
+        |    replace(regexp_replace(trim(value), '^[<>]\s*', ''), ',', '.') AS stripped
+        |  FROM raw)
+        |SELECT l_orderkey, value, is_below_LOQ, is_above_LOQ,
+        |  regexp_matches(stripped, '^[0-9]+(\.[0-9]+)?$') AS is_numeric,
+        |  CASE WHEN regexp_matches(stripped, '^[0-9]+(\.[0-9]+)?$')
+        |       THEN CAST(stripped AS DOUBLE) END AS value_numeric,
+        |  CASE WHEN is_below_LOQ AND regexp_matches(stripped, '^[0-9]+(\.[0-9]+)?$')
+        |       THEN CAST(stripped AS DOUBLE) / 2
+        |       WHEN regexp_matches(stripped, '^[0-9]+(\.[0-9]+)?$')
+        |       THEN CAST(stripped AS DOUBLE) END AS value_adjusted
+        |FROM parsed""".stripMargin,
 
     "q70_lsvi_detail" -> (lsviOracleCtes +
       """SELECT id, criterium, indicator, voorwaarde, belang,
