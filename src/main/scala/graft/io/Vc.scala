@@ -99,4 +99,20 @@ object Vc {
     df.repartitionByRange(shards, sortKeys.map(col): _*)
       .sortWithinPartitions(sortKeys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Scale path: hive-style partitioned parquet (SURVEY.md §4
+    * "partition pruning — adopt: partition processed tables by
+    * source/mon_cycle"). Readers filtering on `partitionCols` scan only
+    * matching directories — verify with `prunesPartitions`. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+
+  /** True iff `df`'s scan carries a partition filter (pruning active). */
+  def prunesPartitions(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    val m = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+    m.exists(_.group(1).trim.nonEmpty)
+  }
 }

@@ -42,4 +42,16 @@ class BucketedSpec extends SparkSuite {
       assert(agg.count() === 50)
     } finally spark.sql("DROP TABLE IF EXISTS b_agg")
   }
+
+  test("partitioned write enables partition pruning on filtered reads") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/t"
+    val df = (1 to 2000).map(i => (i, s"type${i % 5}", i * 1.0)).toDF("id", "event_type", "v")
+    graft.io.Vc.writePartitioned(df, dir, Seq("event_type"))
+    val filtered = spark.read.parquet(dir).where(col("event_type") === "type3")
+    assert(graft.io.Vc.prunesPartitions(filtered),
+      filtered.queryExecution.executedPlan.toString)
+    assert(filtered.count() === 400)
+    val unfiltered = spark.read.parquet(dir)
+    assert(!graft.io.Vc.prunesPartitions(unfiltered))
+  }
 }
