@@ -14,11 +14,13 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * no UDF wrapping, full codegen where the expression provides it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       e.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectOptimizerRule(_ => graft.rules.JaccardLengthPruning)
+  }
 }
 
 object GraftExtensions {
