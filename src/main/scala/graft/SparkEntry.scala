@@ -1163,12 +1163,15 @@ object SparkEntry {
       """, i AS (
         |  SELECT id, criterium, indicator, belang,
         |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND
-        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig
+        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig,
+        |    count(CASE WHEN voldoet = true THEN 1 END)
+        |      / greatest(count(CASE WHEN voldoet IS NOT NULL THEN 1 END), 1) AS score
         |  FROM d GROUP BY 1, 2, 3, 4)
         |SELECT id, count(*) AS n_ind,
         | count(CASE WHEN gunstig THEN 1 END) AS n_gunstig,
         | count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) AS n_zb_ongunstig,
         | round(100.0 * count(CASE WHEN gunstig THEN 1 END) / count(*), 6) AS aandeel_gunstig,
+        | round(sum(score) / count(*), 6) AS index_mean_ind,
         | (count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
         |  count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)) AS status,
         | CASE WHEN count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND

@@ -60,13 +60,18 @@ object Lsvi {
         "value_numeric", "value_category", "op", "ref_numeric", "voldoet")
 
   /** Indicator table: favorable iff ALL conditions hold (missing
-    * verdicts make the indicator NULL-unknown, reported not dropped). */
+    * verdicts make the indicator NULL-unknown, reported not dropped);
+    * `score` = fraction of evaluable conditions met (the per-indicator
+    * index feeding index_mean_ind in the result schema,
+    * `processed/lsvi_mhq/forests/result/lsvi_plot_fs.yml`). */
   def indicator(detail: DataFrame): DataFrame =
     detail.groupBy("id", "criterium", "indicator", "belang")
       .agg(
         (count(when(col("voldoet") === false, 1)) === 0 &&
           count(when(col("voldoet").isNull, 1)) === 0).as("gunstig"),
-        count(when(col("voldoet").isNull, 1)).as("n_onbekend"))
+        count(when(col("voldoet").isNull, 1)).as("n_onbekend"),
+        (count(when(col("voldoet") === true, 1)) /
+          greatest(count(when(col("voldoet").isNotNull, 1)), lit(1L))).as("score"))
 
   /** Criterium table: favorable iff all its indicators are. */
   def criterium(indicator: DataFrame): DataFrame =
@@ -76,20 +81,22 @@ object Lsvi {
         count(lit(1)).as("n_indicatoren"))
 
   /** Global table (RapportageHR): share-of-favorable-indicators rule
-    * with a very-important-indicator veto. */
+    * with a very-important-indicator veto, plus the mean indicator
+    * index (`index_mean_ind`). */
   def globaal(indicator: DataFrame): DataFrame =
     indicator.groupBy("id")
       .agg(
         count(lit(1)).as("n_ind"),
         count(when(col("gunstig"), 1)).as("n_gunstig"),
-        count(when(col("belang") === "zb" && !col("gunstig"), 1)).as("n_zb_ongunstig"))
+        count(when(col("belang") === "zb" && !col("gunstig"), 1)).as("n_zb_ongunstig"),
+        round(sum(col("score")) / count(lit(1)), 6).as("index_mean_ind"))
       .withColumn("aandeel_gunstig",
         round(lit(100.0) * col("n_gunstig") / col("n_ind"), 6))
       .withColumn("status",
         col("n_zb_ongunstig") === 0 && col("n_gunstig") * 2 > col("n_ind"))
       .withColumn("lsvi", when(col("status"), "gunstig").otherwise("ongunstig"))
       .select("id", "n_ind", "n_gunstig", "n_zb_ongunstig",
-        "aandeel_gunstig", "status", "lsvi")
+        "aandeel_gunstig", "index_mean_ind", "status", "lsvi")
 
   /** Convenience: run the full engine, returning all four tables. */
   def score(measurements: DataFrame, rules: DataFrame):
