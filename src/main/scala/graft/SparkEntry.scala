@@ -575,6 +575,18 @@ object SparkEntry {
             .as("roundtrip_err_m"))
     }),
 
+    // ---- session boundaries: per (user, session) start/end/size —
+    // the session-window shape (timestamps as exact epoch micros) ----
+    "q35_session_bounds" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+          min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("session_seq", col("session_seq").cast("long"))
+    }),
+
     // ---- E2 LOQ/numeric/class parsing of raw qualifier strings:
     // decimal-comma numerics, "<"/">"-marked LOQ values, class codes —
     // value strings synthesized deterministically from lineitem ----
@@ -974,6 +986,23 @@ object SparkEntry {
         |           ELSE 0 END AS is_new
         |    FROM events))
         |GROUP BY user_id""".stripMargin,
+
+    "q35_session_bounds" ->
+      """SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | min(epoch_us(ts)) AS start_us,
+        | max(epoch_us(ts)) AS end_us,
+        | count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events))
+        |GROUP BY user_id, session_seq""".stripMargin,
 
     "q40_docs_exact_dedup" ->
       """SELECT doc_id,
