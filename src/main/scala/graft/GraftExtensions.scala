@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CosineSimilarity, HyperplaneLsh, MinHashSignature, SimHash64}
-import graft.geo.{CrsTransform, PointInRing, RingArea}
+import graft.geo.{CrsTransform, PointInRing, RingArea, WkbToRing}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -37,6 +37,7 @@ object GraftExtensions {
     "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "k"))),
     "hyperplane_lsh" -> (es => HyperplaneLsh(es(0), intArg(es(1), "bits"))),
     "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
+    "wkb_to_ring" -> (es => WkbToRing(es(0))),
     "ring_area" -> (es => RingArea(es(0))),
     "lambert72_to_wgs84" -> (es => CrsTransform(es(0), es(1), toWgs84 = true)),
     "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)))

@@ -111,4 +111,30 @@ class GeoSpec extends SparkSuite {
     assert(math.abs(got(0)._4 - 0.5) < 1e-12)
     assert(math.abs(got(1)._4 - 0.5) < 1e-12)
   }
+
+  test("WKB decode: polygon exterior ring, point, both byte orders, garbage") {
+    import graft.geo.{Wkb, WkbFunctions}
+    val xs = Array(0.0, 4.0, 4.0, 0.0)
+    val ys = Array(0.0, 0.0, 4.0, 4.0)
+    val wkb = Wkb.encodePolygon(xs, ys)
+    val df = Seq(
+      (1L, wkb),
+      (2L, Wkb.encodePoint(2.5, -1.5)),
+      (3L, Array[Byte](9, 9, 9))).toDF("id", "g")
+    val rings = df.select(col("id"), WkbFunctions.wkbToRing(col("g")).as("ring"))
+    val area = rings.where(col("id") === 1)
+      .select(GeoFunctions.ringArea(col("ring"))).as[Double].collect().head
+    assert(area === 16.0)
+    val pt = rings.where(col("id") === 2)
+      .select(col("ring")(0)("x"), col("ring")(0)("y")).as[(Double, Double)].collect().head
+    assert(pt === ((2.5, -1.5)))
+    assert(rings.where(col("id") === 3).where(col("ring").isNull).count() === 1)
+
+    // big-endian variant decodes identically
+    val be = java.nio.ByteBuffer.allocate(wkb.length)
+    be.put(0.toByte).putInt(3).putInt(1).putInt(4)
+    for (i <- 0 until 4) { be.putDouble(xs(i)); be.putDouble(ys(i)) }
+    val (bx, by) = graft.geo.Wkb.decode(be.array())
+    assert(bx.toSeq === xs.toSeq && by.toSeq === ys.toSeq)
+  }
 }
