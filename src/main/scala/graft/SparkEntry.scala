@@ -195,6 +195,17 @@ object SparkEntry {
         ids = Seq("p_partkey"), values = Seq("p_retailprice", "p_size_d"))
     }),
 
+    // ---- multi-value pivot_wider (§2.6 R3) ----
+    "q36_pivot_multi" -> ((s, dir) => {
+      Reshape.pivotWideMulti(t(s, dir, "orders"),
+          keys = Seq("o_custkey"), pivotCol = "o_orderstatus",
+          levels = Seq("F", "O", "P"),
+          aggs = Seq(
+            count(lit(1)) -> "n",
+            (sum(cents(col("o_totalprice"), 2)) / 100.0) -> "total"))
+        .na.fill(0L, Seq("f_n", "o_n", "p_n"))
+    }),
+
     // ---- separate (§2.6 R4) ----
     "q17_separate_name" -> ((s, dir) => {
       Reshape.separate(t(s, dir, "part"), "p_name", Seq("color", "object"), " ")
@@ -855,6 +866,19 @@ object SparkEntry {
       """SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
         |UNION ALL
         |SELECT p_partkey, 'p_size_d' AS variable, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin,
+
+    "q36_pivot_multi" ->
+      """SELECT o_custkey,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        | CASE WHEN count(CASE WHEN o_orderstatus = 'F' THEN 1 END) > 0
+        |   THEN CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)/100.0 END AS f_total,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        | CASE WHEN count(CASE WHEN o_orderstatus = 'O' THEN 1 END) > 0
+        |   THEN CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)/100.0 END AS o_total,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+        | CASE WHEN count(CASE WHEN o_orderstatus = 'P' THEN 1 END) > 0
+        |   THEN CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice*100) AS BIGINT) END) AS BIGINT)/100.0 END AS p_total
+        |FROM orders GROUP BY o_custkey""".stripMargin,
 
     "q17_separate_name" ->
       """SELECT p_partkey,

@@ -34,6 +34,19 @@ object Reshape {
     }
   }
 
+  /** R3 `pivot_wider` with multiple value columns (`values_from =
+    * c(x, y, type)`, `process_external_data.Rmd:105`): one pivot pass,
+    * flattened column names `<level>_<valueName>` like tidyr. */
+  def pivotWideMulti(df: DataFrame, keys: Seq[String], pivotCol: String,
+                     levels: Seq[String], aggs: Seq[(Column, String)]): DataFrame = {
+    val wide = df.groupBy(keys.map(col): _*)
+      .pivot(pivotCol, levels)
+      .agg(aggs.head._1.as(aggs.head._2), aggs.tail.map { case (c, n) => c.as(n) }: _*)
+    // spark names multi-agg pivot columns "<level>_<aggName>" already;
+    // normalize to lowercase for a stable contract
+    wide.columns.foldLeft(wide)((d, c) => d.withColumnRenamed(c, c.toLowerCase))
+  }
+
   /** R4 `separate(col, into, sep)`: split one string column into fixed
     * parts (`query_fieldmap.Rmd:410`). Overflow parts are dropped,
     * missing parts become NULL — dplyr's default. */
