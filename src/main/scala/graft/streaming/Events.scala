@@ -94,6 +94,42 @@ object Events {
       }
   }
 
+  case class SessionWindow(user_id: Long, session_seq: Long,
+                           start_us: Long, end_us: Long, n_events: Long)
+  case class OpenSession(seq: Long, startUs: Long, lastUs: Long, n: Long)
+
+  /** Session-window emission via flatMapGroupsWithState: a session is
+    * EMITTED when a gap closes it (append semantics); the open session
+    * per user stays in the state store across micro-batches. The batch
+    * twin of the emitted set is `sessionize(...)` grouped to bounds,
+    * minus each user's final (still-open) session. */
+  def sessionWindowsStream(spark: SparkSession, events: DataFrame,
+                           gapMinutes: Int): Dataset[SessionWindow] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) => {
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionWindow]
+          sorted.foreach { e =>
+            if (open == null)
+              open = OpenSession(1L, e.ts_us, e.ts_us, 1L)
+            else if (e.ts_us - open.lastUs > gapUs) {
+              closed += SessionWindow(user, open.seq, open.startUs, open.lastUs, open.n)
+              open = OpenSession(open.seq + 1, e.ts_us, e.ts_us, 1L)
+            } else open = open.copy(lastUs = e.ts_us, n = open.n + 1)
+          }
+          if (open != null) state.update(open)
+          closed.iterator
+        })
+  }
+
   /** Run a streaming query over a bounded parquet dir and return the
     * final result via the memory sink (test/driver harness helper). */
   def runAvailableNow(spark: SparkSession, dir: String, schema: StructType,

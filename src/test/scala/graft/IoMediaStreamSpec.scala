@@ -115,4 +115,29 @@ class IoMediaStreamSpec extends SparkSuite {
       .as[(String, Long, Double)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("flatMapGroupsWithState emits closed session windows across micro-batches") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val dir = Files.createTempDirectory("sessw").toString
+    // batch 1: user 100 has one closed session (0-10) once minute 50 arrives
+    Seq((1L, 100L, ts(0)), (2L, 100L, ts(10)), (3L, 100L, ts(50)))
+      .toDF("event_id", "user_id", "ts").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = Events.sessionWindowsStream(spark, stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessw").outputMode("append").start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("sessw").as[Events.SessionWindow].collect()
+    assert(afterB1.map(w => (w.user_id, w.session_seq, w.n_events)).toSet ===
+      Set((100L, 1L, 2L))) // minutes 0+10 closed by minute 50
+
+    // batch 2: minute 55 continues the open session; minute 120 closes it
+    Seq((4L, 100L, ts(55)), (5L, 100L, ts(120)))
+      .toDF("event_id", "user_id", "ts").write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessw").as[Events.SessionWindow].collect()
+    assert(all.map(w => (w.user_id, w.session_seq, w.n_events)).toSet ===
+      Set((100L, 1L, 2L), (100L, 2L, 2L))) // 50+55 closed by 120; 120 still open
+  }
 }
