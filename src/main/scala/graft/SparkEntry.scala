@@ -651,6 +651,20 @@ object SparkEntry {
           round(col("vol_m3"), 6).as("vol_m3"))
     }),
 
+    // ---- dendrometry: per-tree basal area + per-plot stand totals ----
+    "q73_tree_metrics" -> ((s, dir) => {
+      val trees = t(s, dir, "part").select(
+        (col("p_partkey") % 500).as("plot_id"),
+        col("p_partkey").as("tree_id"),
+        (lit(100) + (col("p_size") * 17) % 500).as("dbh_mm"))
+      graft.pipelines.Vbi.withTreeMetrics(trees)
+        .groupBy("plot_id")
+        .agg(
+          count(lit(1)).as("n_trees"),
+          round(sum(col("basalarea_m2")), 6).as("basal_area_m2"),
+          round(max(col("basalarea_m2")), 6).as("max_tree_basal_m2"))
+    }),
+
     // ---- multimodal binary plumbing: metadata + content hash ----
     "q60_media_meta" -> ((s, dir) => {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
@@ -1269,6 +1283,14 @@ object SparkEntry {
         |    WHEN formule_type = 3 THEN a + b*c150*c150 + c*c150*c150*h + d*h
         |  END, 6) AS vol_m3
         |FROM j""".stripMargin,
+
+    "q73_tree_metrics" ->
+      """SELECT plot_id, count(*) AS n_trees,
+        | round(sum(pi() * (dbh_mm/2000.0) * (dbh_mm/2000.0)), 6) AS basal_area_m2,
+        | round(max(pi() * (dbh_mm/2000.0) * (dbh_mm/2000.0)), 6) AS max_tree_basal_m2
+        |FROM (SELECT p_partkey % 500 AS plot_id, p_partkey AS tree_id,
+        |        100 + (p_size * 17) % 500 AS dbh_mm FROM part)
+        |GROUP BY plot_id""".stripMargin,
 
     "q60_media_meta" ->
       """SELECT doc_id AS media_id, 'text_blob' AS kind,

@@ -44,6 +44,14 @@ object Vbi {
         .when(col("formule_type") === 3, poly3))
   }
 
+  /** Dendrometry metrics per tree (the reference's exported
+    * `basalarea_m2` column, `processed/fieldmap_mhq/trees_a3a4.yml`):
+    * basal area from diameter at breast height, and stem density when
+    * expanded by plot weight. Pure column math. */
+  def withTreeMetrics(trees: DataFrame, dbhMmCol: String = "dbh_mm"): DataFrame =
+    trees.withColumn("basalarea_m2",
+      lit(math.Pi) * (col(dbhMmCol) / 2000.0) * (col(dbhMmCol) / 2000.0))
+
   /** E3 step 2: latest-cycle selection per plot
     * (`check_observed_habitat_type.Rmd:87-91,133-139`). */
   def latestCycle(strata: DataFrame): DataFrame =
