@@ -665,6 +665,16 @@ object SparkEntry {
           round(max(col("basalarea_m2")), 6).as("max_tree_basal_m2"))
     }),
 
+    // ---- deadwood line-intersect volume (Van Wagner) ----
+    "q74_deadwood_volume" -> ((s, dir) => {
+      val lim = t(s, dir, "lineitem").select(
+        col("l_suppkey").as("plot_id"),
+        col("l_quantity").as("diameter_cm"),
+        ((col("l_partkey") % 30)).cast("double").as("angle_degrees"))
+      graft.pipelines.Vbi.deadwoodVolume(lim, "plot_id", lineLengthM = 100.0)
+        .withColumn("vol_m3_ha", round(col("vol_m3_ha"), 6))
+    }),
+
     // ---- multimodal binary plumbing: metadata + content hash ----
     "q60_media_meta" -> ((s, dir) => {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
@@ -1283,6 +1293,14 @@ object SparkEntry {
         |    WHEN formule_type = 3 THEN a + b*c150*c150 + c*c150*c150*h + d*h
         |  END, 6) AS vol_m3
         |FROM j""".stripMargin,
+
+    "q74_deadwood_volume" ->
+      """SELECT plot_id, count(*) AS n_pieces,
+        | round(pi() * pi() / (8 * 100.0) * 10000 *
+        |   sum(pow(diameter_cm / 100.0, 2) / cos(radians(angle_degrees))), 6) AS vol_m3_ha
+        |FROM (SELECT l_suppkey AS plot_id, l_quantity AS diameter_cm,
+        |        CAST(l_partkey % 30 AS DOUBLE) AS angle_degrees FROM lineitem)
+        |GROUP BY plot_id""".stripMargin,
 
     "q73_tree_metrics" ->
       """SELECT plot_id, count(*) AS n_trees,

@@ -52,6 +52,19 @@ object Vbi {
     trees.withColumn("basalarea_m2",
       lit(math.Pi) * (col(dbhMmCol) / 2000.0) * (col(dbhMmCol) / 2000.0))
 
+  /** Deadwood volume from line-intersect sampling (the downstream
+    * evaluation of the reference's `lim_data` export —
+    * `query_fieldmap.Rmd:911-917` ships (diameter_cm, angle_degrees)):
+    * Van Wagner (1968) with the tilt correction,
+    * V [m3/ha] = pi^2/(8 L) * sum(d_m^2 / cos(angle)) * 10000. */
+  def deadwoodVolume(lim: DataFrame, plotCol: String, lineLengthM: Double): DataFrame =
+    lim.groupBy(plotCol)
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        (lit(math.Pi * math.Pi / (8 * lineLengthM) * 10000) *
+          sum(pow(col("diameter_cm") / 100.0, 2) /
+            cos(radians(col("angle_degrees"))))).as("vol_m3_ha"))
+
   /** E3 step 2: latest-cycle selection per plot
     * (`check_observed_habitat_type.Rmd:87-91,133-139`). */
   def latestCycle(strata: DataFrame): DataFrame =
