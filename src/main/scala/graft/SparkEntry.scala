@@ -206,6 +206,25 @@ object SparkEntry {
         .na.fill(0L, Seq("f_n", "o_n", "p_n"))
     }),
 
+    // ---- J13: paired compare via self-pivot on periode — the plot
+    // coordinate-displacement pattern (multi-value pivot + Euclidean
+    // distance, process_external_data.Rmd:103-106) ----
+    "q75_coord_displacement" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val p1 = sup.select(col("s_suppkey").as("plot_id"), lit("1").as("periode"),
+        ((col("s_suppkey") * 7) % 1000).cast("double").as("x"),
+        ((col("s_suppkey") * 13) % 1000).cast("double").as("y"))
+      val p2 = sup.select(col("s_suppkey").as("plot_id"), lit("2").as("periode"),
+        (((col("s_suppkey") * 7) % 1000) + (col("s_suppkey") % 9) - 4).cast("double").as("x"),
+        (((col("s_suppkey") * 13) % 1000) + (col("s_suppkey") % 7) - 3).cast("double").as("y"))
+      val wide = Reshape.pivotWideMulti(p1.unionByName(p2),
+        keys = Seq("plot_id"), pivotCol = "periode", levels = Seq("1", "2"),
+        aggs = Seq(min(col("x")) -> "x", min(col("y")) -> "y"))
+      wide.withColumn("displacement_m", round(
+          sqrt(pow(col("1_x") - col("2_x"), 2) + pow(col("1_y") - col("2_y"), 2)), 6))
+        .select("plot_id", "1_x", "1_y", "2_x", "2_y", "displacement_m")
+    }),
+
     // ---- separate (§2.6 R4) ----
     "q17_separate_name" -> ((s, dir) => {
       Reshape.separate(t(s, dir, "part"), "p_name", Seq("color", "object"), " ")
@@ -890,6 +909,17 @@ object SparkEntry {
       """SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part
         |UNION ALL
         |SELECT p_partkey, 'p_size_d' AS variable, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin,
+
+    "q75_coord_displacement" ->
+      """SELECT plot_id,
+        | CAST((s_suppkey * 7) % 1000 AS DOUBLE) AS "1_x",
+        | CAST((s_suppkey * 13) % 1000 AS DOUBLE) AS "1_y",
+        | CAST((s_suppkey * 7) % 1000 + (s_suppkey % 9) - 4 AS DOUBLE) AS "2_x",
+        | CAST((s_suppkey * 13) % 1000 + (s_suppkey % 7) - 3 AS DOUBLE) AS "2_y",
+        | round(sqrt(
+        |   pow(CAST((s_suppkey * 7) % 1000 AS DOUBLE) - CAST((s_suppkey * 7) % 1000 + (s_suppkey % 9) - 4 AS DOUBLE), 2)
+        | + pow(CAST((s_suppkey * 13) % 1000 AS DOUBLE) - CAST((s_suppkey * 13) % 1000 + (s_suppkey % 7) - 3 AS DOUBLE), 2)), 6) AS displacement_m
+        |FROM (SELECT s_suppkey, s_suppkey AS plot_id FROM supplier)""".stripMargin,
 
     "q36_pivot_multi" ->
       """SELECT o_custkey,
