@@ -429,13 +429,23 @@ object SparkEntry {
         (Text.langId(col("text")) === col("lang")).as("is_match"))
     }),
 
-    // ---- document signatures (SimHash + MinHash; no SQL oracle) ----
+    // ---- document signatures (SimHash + MinHash; no SQL oracle).
+    // Scalar projections of the MinHash signature (first/last component
+    // + a 32-bit fold) rather than the raw array<bigint>: the driver's
+    // compare sorts every output column, which arrays break. ----
     "q44_docs_signatures" -> ((s, dir) => {
       val toks = Text.tokens(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        HashFunctions.simhash64(toks).as("simhash"),
-        HashFunctions.minhashSignature(toks, 32).as("minhash_sig"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          HashFunctions.simhash64(toks).as("simhash"),
+          HashFunctions.minhashSignature(toks, 32).as("minhash_sig"))
+        .select(
+          col("doc_id"),
+          col("simhash"),
+          element_at(col("minhash_sig"), 1).as("minhash_first"),
+          element_at(col("minhash_sig"), 32).as("minhash_last"),
+          hash(col("minhash_sig")).as("minhash_fold"))
     }),
 
     // ---- MinHash-LSH near-dup detection (no SQL oracle: LSH banding).

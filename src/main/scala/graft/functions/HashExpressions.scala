@@ -105,14 +105,23 @@ case class SignatureAgreement(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "signature_agreement"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SignatureAgreement.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (l, r) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    // signatures built with different k are incomparable -> NULL,
+    // never a silent prefix-based estimate
+    if (l.numElements() != r.numElements()) null
+    else SignatureAgreement.agreement(l, r)
+  }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SignatureAgreement.agreement($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.SignatureAgreement.agreement($a, $b);
+      }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)

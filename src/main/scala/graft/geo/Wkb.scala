@@ -26,7 +26,14 @@ object Wkb {
       if (bytes == null || bytes.length < 5) return null
       val buf = ByteBuffer.wrap(bytes)
       buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      buf.getInt() & 0xFF match { // mask out SRID/Z flags of EWKB variants
+      val rawType = buf.getInt()
+      // EWKB flag bits: Z (0x80000000) / M (0x40000000) geometries carry
+      // extra coordinates we do not model -> NULL, never misparse. The
+      // SRID flag (0x20000000) prefixes a 4-byte SRID we skip. ISO WKB
+      // encodes Z/M as type+1000/2000/3000 -> falls through to NULL below.
+      if ((rawType & 0xC0000000) != 0) return null
+      if ((rawType & 0x20000000) != 0) buf.getInt() // skip SRID
+      rawType & 0x1FFFFFFF match {
         case 1 => // point
           val x = buf.getDouble(); val y = buf.getDouble()
           (Array(x), Array(y))
@@ -34,7 +41,7 @@ object Wkb {
           val nRings = buf.getInt()
           if (nRings < 1) return null
           val n = buf.getInt()
-          if (n < 0 || n > (bytes.length - 13) / 16 + 1) return null
+          if (n < 0 || n > buf.remaining() / 16) return null
           val xs = new Array[Double](n)
           val ys = new Array[Double](n)
           var i = 0

@@ -137,4 +137,28 @@ class GeoSpec extends SparkSuite {
     val (bx, by) = graft.geo.Wkb.decode(be.array())
     assert(bx.toSeq === xs.toSeq && by.toSeq === ys.toSeq)
   }
+
+  test("EWKB: SRID prefix is skipped, Z/M-flagged geometries decode to null") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.geo.Wkb
+    // EWKB point, SRID flag set (0x20000000), SRID 31370
+    val srid = ByteBuffer.allocate(25).order(ByteOrder.LITTLE_ENDIAN)
+    srid.put(1.toByte).putInt(1 | 0x20000000).putInt(31370)
+      .putDouble(150000.5).putDouble(200000.25)
+    val (px, py) = Wkb.decode(srid.array())
+    assert(px.toSeq === Seq(150000.5) && py.toSeq === Seq(200000.25))
+
+    // Z-flagged EWKB point -> null (extra coordinate not modeled)
+    val z = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte).putInt(1 | 0x80000000).putDouble(1.0).putDouble(2.0).putDouble(3.0)
+    assert(Wkb.decode(z.array()) === null)
+
+    // M-flagged -> null; ISO WKB Z point (type 1001) -> null
+    val m = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    m.put(1.toByte).putInt(1 | 0x40000000).putDouble(1.0).putDouble(2.0).putDouble(3.0)
+    assert(Wkb.decode(m.array()) === null)
+    val iso = ByteBuffer.allocate(29).order(ByteOrder.LITTLE_ENDIAN)
+    iso.put(1.toByte).putInt(1001).putDouble(1.0).putDouble(2.0).putDouble(3.0)
+    assert(Wkb.decode(iso.array()) === null)
+  }
 }

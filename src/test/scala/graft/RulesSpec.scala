@@ -13,34 +13,97 @@ class RulesSpec extends SparkSuite {
     Seq(
       (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h"), Seq("a", "b")), // ratio 0.25 -> prunable
       (2L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "e")),           // J = 0.6
-      (3L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d"))            // J = 1.0
+      (3L, Seq("a", "b", "c", "d"), Seq("a", "b", "c", "d")),           // J = 1.0
+      (4L, Seq("x", "x", "x", "x"), Seq("x"))                           // dup-heavy: J = 1.0
     ).toDF("id", "set_a", "set_b").write.parquet(dir)
     dir
   }
   private def pairs = spark.read.parquet(pairsPath)
 
-  private def query = pairs
+  // inputs provably distinct (array_distinct in the filter's lineage)
+  private def distinctQuery = pairs
+    .select(col("id"),
+      array_distinct(col("set_a")).as("da"),
+      array_distinct(col("set_b")).as("db"))
+    .withColumn("jaccard", round(JaccardFunctions.jaccardSim(col("da"), col("db")), 6))
+    .where(col("jaccard") >= 0.5)
+    .select("id", "jaccard")
+
+  // opaque raw columns: arrays may hold duplicates -> rule must NOT fire
+  private def rawQuery = pairs
     .withColumn("jaccard", round(JaccardFunctions.jaccardSim(col("set_a"), col("set_b")), 6))
     .where(col("jaccard") >= 0.5)
     .select("id", "jaccard")
 
-  test("rule injects size prefilters, is idempotent, and is sound") {
-    val optimized = JaccardLengthPruning(query.queryExecution.optimizedPlan)
+  test("rule injects size prefilters on distinct inputs, is idempotent, and is sound") {
+    val optimized = JaccardLengthPruning(distinctQuery.queryExecution.optimizedPlan)
     val txt = optimized.toString
     assert(txt.contains("size("), s"prefilter missing in:\n$txt")
     assert(JaccardLengthPruning(optimized).toString === txt) // idempotent
-    assert(query.as[(Long, Double)].collect().toSet === Set((2L, 0.6), (3L, 1.0)))
+    assert(distinctQuery.as[(Long, Double)].collect().toSet ===
+      Set((2L, 0.6), (3L, 1.0), (4L, 1.0)))
+  }
+
+  test("rule does not fire on opaque (possibly duplicated) array columns") {
+    val optimized = JaccardLengthPruning(rawQuery.queryExecution.optimizedPlan)
+    assert(!optimized.toString.contains("size("),
+      s"unsound prefilter on raw arrays:\n$optimized")
   }
 
   test("rule active on a live session preserves results end-to-end") {
-    val before = query.as[(Long, Double)].collect().toSet
+    val beforeD = distinctQuery.as[(Long, Double)].collect().toSet
+    val beforeR = rawQuery.as[(Long, Double)].collect().toSet
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ JaccardLengthPruning
     try {
-      val q2 = query // fresh plan under the extended optimizer
+      val q2 = distinctQuery // fresh plan under the extended optimizer
       val planTxt = q2.queryExecution.optimizedPlan.toString
       assert(planTxt.contains("size("), s"rule inactive:\n$planTxt")
-      assert(q2.as[(Long, Double)].collect().toSet === before)
+      assert(q2.as[(Long, Double)].collect().toSet === beforeD)
+      // dup-heavy row 4 (J=1.0 after kernel dedup) must survive
+      assert(rawQuery.as[(Long, Double)].collect().toSet === beforeR)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == JaccardLengthPruning)
+    }
+  }
+
+  test("rule fires in the Dedup verify path (renames + self-join lineage)") {
+    val dir = java.nio.file.Files.createTempDirectory("rules").toString + "/docs"
+    Seq(
+      (1L, "the quick brown fox", "en", "web"),
+      (2L, "the quick brown fox", "en", "web"),
+      (3L, "something else entirely", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source").write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val q = graft.dedup.Dedup.blockedJaccardPairs(
+      docs, "text", "doc_id", Seq("lang", "source"), threshold = 0.5)
+    val optimized = JaccardLengthPruning(q.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("size("),
+      s"prefilter no longer firing in Dedup path:\n$optimized")
+    assert(q.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+  }
+
+  test("coarse round scale backs off by half an ulp of the scale") {
+    // |A| = 250, B ⊂ A with |B| = 199: J = 0.796, round(J, 2) = 0.8.
+    // A fixed 1e-6 backoff would demand size(B) >= 199.99975 and wrongly
+    // prune; the 0.5*10^-2 backoff keeps the row.
+    val a = (0 until 250).map(i => f"t$i%03d")
+    val b = a.take(199)
+    val dir = java.nio.file.Files.createTempDirectory("rules").toString + "/coarse"
+    Seq((1L, a, b)).toDF("id", "set_a", "set_b").write.parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(col("id"),
+        array_distinct(col("set_a")).as("da"),
+        array_distinct(col("set_b")).as("db"))
+      .where(round(JaccardFunctions.jaccardSim(col("da"), col("db")), 2) >= 0.8)
+      .select("id")
+    val optimized = JaccardLengthPruning(q.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("size("), s"prefilter missing:\n$optimized")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ JaccardLengthPruning
+    try {
+      assert(q.as[Long].collect().toSeq === Seq(1L))
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == JaccardLengthPruning)

@@ -69,6 +69,18 @@ class TextAndDedupSpec extends SparkSuite {
     assert(HashKernels.hamming64(sigs(1L), sigs(3L)) < 20)
   }
 
+  test("signatureAgreement: fraction of equal components; null on length mismatch") {
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)), // 3/4 agree
+      (2L, Seq(1L, 2L), Seq(1L, 2L, 3L))              // different k -> null
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        HashFunctions.signatureAgreement(col("a"), col("b")).as("agree"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(got(1L) === Some(0.75))
+    assert(got(2L) === None)
+  }
+
   test("blockedJaccardPairs computes exact set jaccard within blocks") {
     val docs = Seq(
       (1L, "en", "s", "a b c d"),
