@@ -115,6 +115,65 @@ object Dedup {
     verifyJaccard(candidates, docs, textCol, idCol, threshold, shingleSize)
   }
 
+  /** MinHash-LSH near-dup clustering with O(n) output: every document is
+    * mapped to a canonical id instead of emitting the pair list (which is
+    * O(n^2) inside a degenerate bucket — a bucket of m near-identical docs
+    * yields m(m-1)/2 pairs but only m mapping rows here).
+    *
+    * Semantics: within each LSH bucket the candidate representative is the
+    * bucket's min id; each doc is exact-Jaccard-verified against that
+    * representative only (m verifications per bucket, not m^2), and its
+    * canonical id is the smallest verified representative across its
+    * bands, followed by one hop of path compression (the representative's
+    * own canonical), so A->B->C chains discovered via different buckets
+    * collapse. This is single-pass min-id propagation, not full
+    * transitive closure over the pair graph — the contract callers
+    * actually need for "keep one copy per near-dup cluster".
+    *
+    * Output: (idCol, canonical_id) for EVERY input doc; untouched docs map
+    * to themselves. */
+  def minhashCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
+                          threshold: Double, shingleSize: Int = 1,
+                          bands: Int = 2, rowsPerBand: Int = 16): DataFrame = {
+    val k = bands * rowsPerBand
+    val toks = Text.tokens(col(textCol))
+    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.minhashSignature(units, k).as("sig"))
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
+    val banded = sigs.select(col("id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // candidate (doc, bucket representative) edges: <= bands per doc
+    val byBucket = Window.partitionBy("band", "bucket")
+    val edges = banded
+      .withColumn("rep", min(col("id")).over(byBucket))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    // signature-agreement prefilter (slack 0.1, same contract as
+    // minhashNearDups) before the exact token-set verification
+    val estimate = HashFunctions.signatureAgreement(col("sig_a"), col("sig_b"))
+    val prefiltered = edges
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .where(estimate >= threshold - 0.1)
+      .select("id_a", "id_b")
+    val verified = verifyJaccard(prefiltered, docs, textCol, idCol, threshold, shingleSize)
+    val mapped = verified.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("canon0"))
+    val all = docs.select(col(idCol).as("id"))
+      .join(mapped, Seq("id"), "left")
+      .withColumn("canon0", coalesce(col("canon0"), col("id")))
+    // one hop of path compression: follow the representative's own mapping
+    val repMap = mapped.select(col("id").as("canon0"), col("canon0").as("canon1"))
+    all.join(repMap, Seq("canon0"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("canon1"), col("canon0")).as("canonical_id"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, candidates share one of
     * four 16-bit bands (guarantees recall for Hamming distance <= 3),
     * verified by exact Hamming <= maxHamming. */
@@ -142,21 +201,54 @@ object Dedup {
   }
 
   /** Exact n-gram (token-set) Jaccard over blocked pairs: candidate pairs
-    * share `blockCols` values (e.g. source + length band) — the classic
-    * blocking join that keeps the O(n^2) confined to blocks. */
+    * share `blockCols` values (e.g. lang + source) AND a log2 length band —
+    * the classic blocking join that keeps the O(n^2) confined to blocks.
+    *
+    * The length band is lossless: J(A,B) >= t forces
+    * min(|A|,|B|) >= t * max(|A|,|B|), so the floor(log2 |set|) bands of a
+    * qualifying pair differ by at most `spread = ceil(log2(1/t))` (1 for
+    * t >= 0.5). The right side emits its band +/- spread so every
+    * qualifying pair matches exactly one emitted band; blocks shrink from
+    * O(n) per (blockCols) group to O(n / #bands), which is what keeps the
+    * candidate count near-linear when one source dominates the corpus.
+    *
+    * Scale shape mirrors [[minhashNearDups]]: the banded self-join runs on
+    * a slim (id, blockCols, n, band) projection — token sets never enter
+    * the candidate shuffle — and survivors join their sets back by id for
+    * exact verification. */
   def blockedJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                           blockCols: Seq[String], threshold: Double): DataFrame = {
     val sets = docs.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         array_distinct(Text.tokens(col(textCol))).as("tokset"): _*)
-    val l = sets.as("l")
-    val r = sets.as("r")
-    val blockCond = blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
-    l.join(r, blockCond && col("l.id") < col("r.id"))
+    // threshold <= 0 gives no size bound -> plain (blockCols) blocking
+    val banding = threshold > 0.0
+    val spread =
+      if (banding) math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt else 0
+    val slim = sets.select(
+      (col("id") +: blockCols.map(col)) :+ size(col("tokset")).as("n"): _*)
+      .withColumn("band",
+        if (banding) floor(log(2.0, greatest(col("n"), lit(1)))) else lit(0L))
+    val lSlim = slim.as("l")
+    val rSlim = slim
+      .withColumn("band", explode(array(
+        (-spread to spread).map(d => col("band") + d): _*)))
+      .as("r")
+    val blockCond = (blockCols :+ "band")
+      .map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _)
+    val sizeCond =
+      if (banding)
+        least(col("l.n"), col("r.n")) >= lit(threshold) * greatest(col("l.n"), col("r.n"))
+      else lit(true)
+    val candidates = lSlim.join(rSlim, blockCond && sizeCond && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("tokset").as("set_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tokset").as("set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        round(JaccardFunctions.jaccardSim(col("l.tokset"), col("r.tokset")), 6))
+        round(JaccardFunctions.jaccardSim(col("set_a"), col("set_b")), 6))
       .where(col("jaccard") >= threshold)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"), col("jaccard"))
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** Embedding near-dup: hyperplane-LSH banded bucket join (bands of

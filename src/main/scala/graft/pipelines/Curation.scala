@@ -54,13 +54,19 @@ object Curation {
       .where(col("keep"))
       .select(col(idCol), col(langCol), col("n_tokens"), col("quality"))
 
-  /** Stage 4: additionally drop near-duplicates (higher id of each
-    * detected pair). Not SQL-oracle-expressible (LSH banding); the
-    * exact verify inside minhashNearDups keeps it deterministic. */
+  /** Stage 4: additionally drop near-duplicates — every doc whose
+    * canonical id differs from its own (i.e. the non-representative
+    * members of each near-dup cluster). Uses the O(n) canonical-id
+    * output of the MinHash-LSH path, NOT the O(n^2) pair list: on a
+    * degenerate corpus a single cluster of m near-identical docs would
+    * otherwise shuffle m(m-1)/2 pairs just to learn "drop m-1 ids".
+    * Not SQL-oracle-expressible (LSH banding); the exact verify inside
+    * minhashCanonicalIds keeps it deterministic. */
   def withNearDupPruning(docs: DataFrame, curated: DataFrame,
                          textCol: String = "text", idCol: String = "doc_id",
                          threshold: Double = 0.95): DataFrame = {
-    val pairs = Dedup.minhashNearDups(docs, textCol, idCol, threshold)
-    curated.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val canon = Dedup.minhashCanonicalIds(docs, textCol, idCol, threshold)
+    val drops = canon.where(col("canonical_id") =!= col(idCol)).select(col(idCol))
+    curated.join(drops, Seq(idCol), "left_anti")
   }
 }

@@ -57,6 +57,35 @@ class TextAndDedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("minhashCanonicalIds groups a 3-doc dup cluster identically to the pair list") {
+    val docs = Seq(
+      (1L, "spark makes big data small again for everyone today"),
+      (2L, "spark makes big data small again for everyone today"),
+      (5L, "spark makes big data small again for everyone today"),
+      (3L, "an entirely unrelated document about cooking pasta")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    // canonical grouping must be the same partition: {1,2,5} -> 1, {3} -> 3
+    val canon = Dedup.minhashCanonicalIds(docs, "text", "doc_id", threshold = 0.9)
+      .as[(Long, Long)].collect().toMap
+    assert(canon === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L))
+    // and the mapping is one row per doc — O(n), never the O(n^2) pair list
+    assert(canon.size === 4)
+  }
+
+  test("blockedJaccardPairs length banding is lossless across a band boundary") {
+    // sizes 3 and 5: floor(log2) bands 1 vs 2 (adjacent), jaccard 3/5 = 0.6
+    // >= 0.5 — the +/-1 band spread must keep this pair
+    val docs = Seq(
+      (1L, "en", "s", "a b c"),
+      (2L, "en", "s", "a b c d e"),
+      (3L, "en", "s", "x " * 40)).toDF("doc_id", "lang", "source", "text")
+    val got = Dedup.blockedJaccardPairs(docs, "text", "doc_id",
+      Seq("lang", "source"), 0.5).as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((2L, 1L, 0.6)) || got.toSeq === Seq((1L, 2L, 0.6)))
+  }
+
   test("simhash: identical token sets -> identical signature; near sets -> small hamming") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
