@@ -580,6 +580,36 @@ object SparkEntry {
         .select("pid", "poly_id")
     }),
 
+    // ---- spatial PIP join against MULTIPOLYGONS WITH HOLES (J11 on the
+    // habitat-map shape, check_observed_habitat_type.Rmd:99,148): part A
+    // is a rectangle with a rectangular hole, part B a disjoint
+    // rectangle; even-odd containment over all three rings. Rectangles
+    // keep it DuckDB-oracle-expressible with interval predicates while
+    // Spark runs the generic even-odd ray-casting path. ----
+    "q76_pip_multipolygon" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("pid"),
+        ((col("c_custkey") * 7) % 97).cast("double").as("x"),
+        ((col("c_custkey") * 13) % 89).cast("double").as("y"))
+      val rect = t(s, dir, "nation").select(
+        col("n_nationkey").as("poly_id"),
+        (((col("n_nationkey") * 11) % 80).cast("double") - 0.5).as("x0"),
+        (((col("n_nationkey") * 17) % 70).cast("double") - 0.5).as("y0"))
+      def p(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        struct(x.as("x"), y.as("y"))
+      def rectRing(ax: org.apache.spark.sql.Column, ay: org.apache.spark.sql.Column,
+                   bx: org.apache.spark.sql.Column, by: org.apache.spark.sql.Column) =
+        array(p(ax, ay), p(bx, ay), p(bx, by), p(ax, by))
+      val polys = rect.select(col("poly_id"), array(
+        rectRing(col("x0"), col("y0"), col("x0") + 15.0, col("y0") + 20.0),
+        rectRing(col("x0") + 4.0, col("y0") + 5.0, col("x0") + 8.0, col("y0") + 12.0),
+        rectRing(col("x0") + 18.0, col("y0"), col("x0") + 24.0, col("y0") + 8.0)
+      ).as("rings"))
+      graft.geo.GeoJoin.pointInMultiPolygonJoin(pts, polys, "x", "y", "rings",
+          cellSize = 16.0)
+        .select("pid", "poly_id")
+    }),
+
     // ---- K1 plot-segment geometry: exact circle-clip areas + weights
     // (rows-only check: circle-polygon intersection is not SQL-oracle-
     // expressible; kernel is unit-tested against analytic + Monte Carlo) ----
@@ -1307,6 +1337,23 @@ object SparkEntry {
         |  AND CAST((c_custkey * 7) % 97 AS DOUBLE) < CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 + 15.0
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) > CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5
         |  AND CAST((c_custkey * 13) % 89 AS DOUBLE) < CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 + 20.0""".stripMargin,
+
+    "q76_pip_multipolygon" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS pid,
+        |    CAST((c_custkey * 7) % 97 AS DOUBLE) AS x,
+        |    CAST((c_custkey * 13) % 89 AS DOUBLE) AS y
+        |  FROM customer),
+        |rects AS (
+        |  SELECT n_nationkey AS poly_id,
+        |    CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 AS x0,
+        |    CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 AS y0
+        |  FROM nation)
+        |SELECT pid, poly_id
+        |FROM pts, rects
+        |WHERE (x > x0 AND x < x0 + 15.0 AND y > y0 AND y < y0 + 20.0
+        |       AND NOT (x > x0 + 4.0 AND x < x0 + 8.0 AND y > y0 + 5.0 AND y < y0 + 12.0))
+        |   OR (x > x0 + 18.0 AND x < x0 + 24.0 AND y > y0 AND y < y0 + 8.0)""".stripMargin,
 
     "q64_media_segments" ->
       """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS segment_idx,

@@ -128,8 +128,14 @@ case class SignatureAgreement(left: Expression, right: Expression)
 }
 
 object SignatureAgreement {
+  /** Fraction of equal components. Signatures built with different k are
+    * incomparable — the expression wrapper returns NULL for them before
+    * reaching here; direct callers get the same contract loudly instead
+    * of a silent prefix-based estimate. */
   def agreement(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    require(a.numElements() == b.numElements(),
+      s"incomparable signatures: k=${a.numElements()} vs k=${b.numElements()}")
+    val n = a.numElements()
     if (n == 0) return 0.0
     var eq = 0
     var i = 0

@@ -34,14 +34,37 @@ object Rings {
     (xs, ys)
   }
 
+  def unpackRings(a: Any): (Array[Array[Double]], Array[Array[Double]]) = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xss = new Array[Array[Double]](n)
+    val yss = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val (xs, ys) = unpack(arr.getArray(i))
+      xss(i) = xs
+      yss(i) = ys
+      i += 1
+    }
+    (xss, yss)
+  }
+
   // static entry points for generated code
   def pointInRing(ring: ArrayData, px: Double, py: Double): Boolean = {
     val (xs, ys) = unpack(ring)
     GeoKernels.pointInRing(xs, ys, px, py)
   }
+  def pointInRings(rings: ArrayData, px: Double, py: Double): Boolean = {
+    val (xss, yss) = unpackRings(rings)
+    GeoKernels.pointInRings(xss, yss, px, py)
+  }
   def ringArea(ring: ArrayData): Double = {
     val (xs, ys) = unpack(ring)
     GeoKernels.area(xs, ys)
+  }
+  def ringsArea(rings: ArrayData): Double = {
+    val (xss, yss) = unpackRings(rings)
+    GeoKernels.ringsArea(xss, yss)
   }
   def circleClipArea(ring: ArrayData, cx: Double, cy: Double, r: Double): Double = {
     val (xs, ys) = unpack(ring)
@@ -64,6 +87,39 @@ case class PointInRing(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
+}
+
+/** st_contains over a ring SET (polygon with holes / multipolygon):
+  * even-odd rule across all rings (J11 against the reference's
+  * multipolygon habitat map, check_observed_habitat_type.Rmd:99,148). */
+case class PointInRings(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_rings"
+
+  override def nullSafeEval(rings: Any, px: Any, py: Any): Any =
+    Rings.pointInRings(rings.asInstanceOf[ArrayData],
+      px.asInstanceOf[Double], py.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, x, y) => s"graft.geo.Rings.pointInRings($r, $x, $y)")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}
+
+/** st_area over a ring SET: exterior areas minus hole areas (depth-signed). */
+case class RingsArea(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rings_area"
+
+  override def nullSafeEval(rings: Any): Any =
+    Rings.ringsArea(rings.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.geo.Rings.ringsArea($r)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** st_area(ring): shoelace polygon area. */
@@ -126,8 +182,15 @@ object GeoFunctions {
     GraftBridge.column(PointInRing(
       GraftBridge.expression(ring), GraftBridge.expression(px), GraftBridge.expression(py)))
 
+  def pointInRings(rings: Column, px: Column, py: Column): Column =
+    GraftBridge.column(PointInRings(
+      GraftBridge.expression(rings), GraftBridge.expression(px), GraftBridge.expression(py)))
+
   def ringArea(ring: Column): Column =
     GraftBridge.column(RingArea(GraftBridge.expression(ring)))
+
+  def ringsArea(rings: Column): Column =
+    GraftBridge.column(RingsArea(GraftBridge.expression(rings)))
 
   def circleClipArea(ring: Column, cx: Column, cy: Column, radius: Double): Column =
     GraftBridge.column(CircleClipArea(

@@ -39,6 +39,48 @@ object GeoKernels {
     inside
   }
 
+  /** Even-odd containment over a ring SET (polygon with holes /
+    * multipolygon): a point is inside iff it crosses an odd number of
+    * ring boundaries — inside the exterior but also inside a hole means
+    * two odd parities that cancel (outside), and disjoint multipolygon
+    * parts contribute even (zero) parity unless the point is in one.
+    * Ring orientation is irrelevant, matching WKB which does not
+    * mandate winding. */
+  def pointInRings(xss: Array[Array[Double]], yss: Array[Array[Double]],
+                   px: Double, py: Double): Boolean = {
+    var inside = false
+    var r = 0
+    while (r < xss.length) {
+      if (pointInRing(xss(r), yss(r), px, py)) inside = !inside
+      r += 1
+    }
+    inside
+  }
+
+  /** Area of the even-odd region of a ring set. Each ring's unsigned
+    * area is added or subtracted by its nesting depth (how many OTHER
+    * rings contain its first vertex): depth 0 = exterior (+), depth 1 =
+    * hole (-), depth 2 = island in a hole (+), ... Orientation-free,
+    * valid for the non-crossing rings WKB (multi)polygons guarantee. */
+  def ringsArea(xss: Array[Array[Double]], yss: Array[Array[Double]]): Double = {
+    var total = 0.0
+    var r = 0
+    while (r < xss.length) {
+      if (xss(r).length >= 3) {
+        var depth = 0
+        var o = 0
+        while (o < xss.length) {
+          if (o != r && pointInRing(xss(o), yss(o), xss(r)(0), yss(r)(0))) depth += 1
+          o += 1
+        }
+        val a = area(xss(r), yss(r))
+        total += (if (depth % 2 == 0) a else -a)
+      }
+      r += 1
+    }
+    math.max(total, 0.0)
+  }
+
   /** Signed shoelace area (positive for counter-clockwise rings). */
   def signedArea(xs: Array[Double], ys: Array[Double]): Double = {
     var s = 0.0

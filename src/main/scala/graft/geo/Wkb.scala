@@ -10,55 +10,136 @@ import org.apache.spark.sql.types._
 
 /** WKB (well-known binary) decoding — SURVEY.md §1.2: geometry rides as
   * a `binary` WKB column (how shapefile/GeoPackage extracts S6/S7 land
-  * in parquet), decoded to the engine's native
-  * `array<struct<x double, y double>>` ring encoding by an expression.
+  * in parquet), decoded to the engine's native ring encodings by an
+  * expression.
   *
-  * Supported: POINT (1) -> single-vertex ring; POLYGON (3) -> exterior
-  * ring (interior holes are not represented in the reference's habitat
-  * map usage; documented limitation). Both byte orders. Malformed or
-  * unsupported input -> NULL (filterable, never a task failure).
+  * Supported: POINT (1), POLYGON (3) with interior rings (holes), and
+  * MULTIPOLYGON (6) — the shape of the reference's habitat map
+  * (`read_habitatmap_terr()`, check_observed_habitat_type.Rmd:99,381),
+  * which is a multipolygon layer with holes. Both byte orders, EWKB SRID
+  * flag. Malformed or unsupported input -> NULL (filterable, never a
+  * task failure); every ring's vertex count is bounds-checked and the
+  * buffer must be consumed exactly, so a corrupted count can never
+  * decode garbage coordinates from a later ring's data.
   */
 object Wkb {
 
-  /** Parse WKB into (xs, ys) of the point / exterior ring, else null. */
-  def decode(bytes: Array[Byte]): (Array[Double], Array[Double]) = {
+  /** Parse WKB into (geometryType, rings); each ring is (xs, ys).
+    * POLYGON rings are ordered exterior-first; MULTIPOLYGON concatenates
+    * each part's rings in order. Null for malformed/unsupported. */
+  def decodeTyped(bytes: Array[Byte]): (Int, Array[(Array[Double], Array[Double])]) = {
     try {
       if (bytes == null || bytes.length < 5) return null
       val buf = ByteBuffer.wrap(bytes)
-      buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
-      val rawType = buf.getInt()
-      // EWKB flag bits: Z (0x80000000) / M (0x40000000) geometries carry
-      // extra coordinates we do not model -> NULL, never misparse. The
-      // SRID flag (0x20000000) prefixes a 4-byte SRID we skip. ISO WKB
-      // encodes Z/M as type+1000/2000/3000 -> falls through to NULL below.
-      if ((rawType & 0xC0000000) != 0) return null
-      if ((rawType & 0x20000000) != 0) buf.getInt() // skip SRID
-      rawType & 0x1FFFFFFF match {
-        case 1 => // point
-          val x = buf.getDouble(); val y = buf.getDouble()
-          (Array(x), Array(y))
-        case 3 => // polygon: first (exterior) ring
-          val nRings = buf.getInt()
-          if (nRings < 1) return null
-          val n = buf.getInt()
-          if (n < 0 || n > buf.remaining() / 16) return null
-          val xs = new Array[Double](n)
-          val ys = new Array[Double](n)
-          var i = 0
-          while (i < n) { xs(i) = buf.getDouble(); ys(i) = buf.getDouble(); i += 1 }
-          (xs, ys)
-        case _ => null
-      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Array[Double])]
+      val tpe = readGeometry(buf, out, allowMulti = true)
+      if (tpe < 0 || buf.remaining() != 0) null else (tpe, out.toArray)
     } catch { case _: Exception => null }
   }
 
-  /** Encode a ring/point back to little-endian WKB (tests, round-trips). */
-  def encodePolygon(xs: Array[Double], ys: Array[Double]): Array[Byte] = {
-    val buf = ByteBuffer.allocate(1 + 4 + 4 + 4 + xs.length * 16)
+  /** All rings of a POINT / POLYGON (incl. holes) / MULTIPOLYGON. */
+  def decodeRings(bytes: Array[Byte]): Array[(Array[Double], Array[Double])] = {
+    val t = decodeTyped(bytes)
+    if (t == null) null else t._2
+  }
+
+  /** Parse WKB into (xs, ys) of the point / exterior ring, else null.
+    * POINT and single-part POLYGON only — the legacy single-ring
+    * contract; multipolygons and holes need [[decodeRings]] (using the
+    * exterior ring alone would compute wrong containment). */
+  def decode(bytes: Array[Byte]): (Array[Double], Array[Double]) = {
+    decodeTyped(bytes) match {
+      case (1, rings)                       => rings.head
+      case (3, rings) if rings.length == 1  => rings.head
+      case _                                => null
+    }
+  }
+
+  /** Reads one geometry (with its own byte-order byte) appending its
+    * rings to `out`; returns the geometry type or -1 on malformed. */
+  private def readGeometry(buf: ByteBuffer,
+                           out: scala.collection.mutable.ArrayBuffer[(Array[Double], Array[Double])],
+                           allowMulti: Boolean): Int = {
+    if (buf.remaining() < 5) return -1
+    buf.order(if (buf.get() == 1) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val rawType = buf.getInt()
+    // EWKB flag bits: Z (0x80000000) / M (0x40000000) geometries carry
+    // extra coordinates we do not model -> NULL, never misparse. The
+    // SRID flag (0x20000000) prefixes a 4-byte SRID we skip. ISO WKB
+    // encodes Z/M as type+1000/2000/3000 -> falls through to -1 below.
+    if ((rawType & 0xC0000000) != 0) return -1
+    if ((rawType & 0x20000000) != 0) {
+      if (buf.remaining() < 4) return -1
+      buf.getInt() // skip SRID
+    }
+    rawType & 0x1FFFFFFF match {
+      case 1 => // point -> single-vertex ring
+        if (buf.remaining() < 16) return -1
+        val x = buf.getDouble(); val y = buf.getDouble()
+        out += ((Array(x), Array(y)))
+        1
+      case 3 => // polygon: exterior + interior rings, all bounds-checked
+        if (readPolygonRings(buf, out)) 3 else -1
+      case 6 if allowMulti => // multipolygon: parts are full WKB polygons
+        if (buf.remaining() < 4) return -1
+        val nParts = buf.getInt()
+        if (nParts < 0 || nParts > buf.remaining() / 9) return -1
+        var p = 0
+        while (p < nParts) {
+          if (readGeometry(buf, out, allowMulti = false) != 3) return -1
+          p += 1
+        }
+        6
+      case _ => -1
+    }
+  }
+
+  private def readPolygonRings(buf: ByteBuffer,
+                               out: scala.collection.mutable.ArrayBuffer[(Array[Double], Array[Double])]): Boolean = {
+    if (buf.remaining() < 4) return false
+    val nRings = buf.getInt()
+    if (nRings < 1 || nRings > buf.remaining() / 4) return false
+    var r = 0
+    while (r < nRings) {
+      if (buf.remaining() < 4) return false
+      val n = buf.getInt()
+      if (n < 0 || n > buf.remaining() / 16) return false
+      val xs = new Array[Double](n)
+      val ys = new Array[Double](n)
+      var i = 0
+      while (i < n) { xs(i) = buf.getDouble(); ys(i) = buf.getDouble(); i += 1 }
+      out += ((xs, ys))
+      r += 1
+    }
+    true
+  }
+
+  /** Encode a polygon (exterior ring + optional holes) to little-endian
+    * WKB (tests, round-trips). */
+  def encodePolygonRings(rings: Seq[(Array[Double], Array[Double])]): Array[Byte] = {
+    val nVerts = rings.map(_._1.length).sum
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + rings.length * 4 + nVerts * 16)
       .order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(1.toByte).putInt(3).putInt(1).putInt(xs.length)
-    var i = 0
-    while (i < xs.length) { buf.putDouble(xs(i)); buf.putDouble(ys(i)); i += 1 }
+    buf.put(1.toByte).putInt(3).putInt(rings.length)
+    rings.foreach { case (xs, ys) =>
+      buf.putInt(xs.length)
+      var i = 0
+      while (i < xs.length) { buf.putDouble(xs(i)); buf.putDouble(ys(i)); i += 1 }
+    }
+    buf.array()
+  }
+
+  /** Encode a single-ring polygon back to little-endian WKB. */
+  def encodePolygon(xs: Array[Double], ys: Array[Double]): Array[Byte] =
+    encodePolygonRings(Seq((xs, ys)))
+
+  /** Encode a multipolygon: each part = exterior ring + holes. */
+  def encodeMultiPolygon(parts: Seq[Seq[(Array[Double], Array[Double])]]): Array[Byte] = {
+    val partBytes = parts.map(encodePolygonRings)
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + partBytes.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(6).putInt(parts.length)
+    partBytes.foreach(buf.put)
     buf.array()
   }
 
@@ -88,7 +169,31 @@ case class WkbToRing(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): WkbToRing = copy(child = c)
 }
 
+/** wkb_to_rings(binary) -> array<array<struct<x double, y double>>> or
+  * NULL. All rings of a POINT / POLYGON-with-holes / MULTIPOLYGON, the
+  * input shape for even-odd containment ([[PointInRings]]) and
+  * hole-aware area ([[RingsArea]]). */
+case class WkbToRings(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(ArrayType(
+    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wkb_to_rings"
+
+  override def nullSafeEval(v: Any): Any = {
+    val rings = Wkb.decodeRings(v.asInstanceOf[Array[Byte]])
+    if (rings == null) null
+    else new GenericArrayData(rings.map { case (xs, ys) =>
+      new GenericArrayData(xs.indices.map(i => InternalRow(xs(i), ys(i))).toArray[Any])
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): WkbToRings = copy(child = c)
+}
+
 object WkbFunctions {
   def wkbToRing(c: Column): Column =
     GraftBridge.column(WkbToRing(GraftBridge.expression(c)))
+
+  def wkbToRings(c: Column): Column =
+    GraftBridge.column(WkbToRings(GraftBridge.expression(c)))
 }

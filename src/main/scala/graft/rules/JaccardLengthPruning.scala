@@ -55,11 +55,15 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(j: JaccardSimilarity, DoubleLit(t)) => Some((j, t - floatGuard))
       case GreaterThan(j: JaccardSimilarity, DoubleLit(t)) => Some((j, t - floatGuard))
       case LessThanOrEqual(DoubleLit(t), j: JaccardSimilarity) => Some((j, t - floatGuard))
+      // strict `lit(t) < j` implies j >= t, so the same prefilter is sound
+      case LessThan(DoubleLit(t), j: JaccardSimilarity) => Some((j, t - floatGuard))
       case GreaterThanOrEqual(RoundedJaccard(j, d), DoubleLit(t)) =>
         Some((j, t - 0.5 * math.pow(10.0, -d) - floatGuard))
       case GreaterThan(RoundedJaccard(j, d), DoubleLit(t)) =>
         Some((j, t - 0.5 * math.pow(10.0, -d) - floatGuard))
       case LessThanOrEqual(DoubleLit(t), RoundedJaccard(j, d)) =>
+        Some((j, t - 0.5 * math.pow(10.0, -d) - floatGuard))
+      case LessThan(DoubleLit(t), RoundedJaccard(j, d)) =>
         Some((j, t - 0.5 * math.pow(10.0, -d) - floatGuard))
       case _ => None
     }
@@ -86,13 +90,19 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
   }
 
   /** exprIds of attributes defined by a provably-distinct array expression
-    * anywhere below, closed transitively over plain renames (Alias(attr)
-    * hops from withColumnRenamed / select-as). */
+    * anywhere below — Project aliases AND Aggregate result aliases (e.g.
+    * collect_set outputs) — closed transitively over plain renames
+    * (Alias(attr) hops from withColumnRenamed / select-as). */
   private def distinctDefinedIds(plan: LogicalPlan): Set[ExprId] = {
     val defs = Seq.newBuilder[(ExprId, Expression)]
     plan.foreach {
       case p: Project =>
         p.projectList.foreach {
+          case a: Alias => defs += ((a.exprId, a.child))
+          case _ => ()
+        }
+      case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        ag.aggregateExpressions.foreach {
           case a: Alias => defs += ((a.exprId, a.child))
           case _ => ()
         }
@@ -117,6 +127,12 @@ object JaccardLengthPruning extends Rule[LogicalPlan] {
     * conditionals), or an attribute defined by one. */
   private def provablyDistinct(e: Expression, ids: Set[ExprId]): Boolean = e match {
     case _: ArrayDistinct => true
+    // collect_set aggregates are duplicate-free (and drop nulls) by
+    // construction; they surface as AggregateExpression(CollectSet) in
+    // Aggregate result aliases
+    case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+      ae.aggregateFunction
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet]
     case ar: AttributeReference => ids.contains(ar.exprId)
     case Alias(inner, _) => provablyDistinct(inner, ids)
     case Literal(v, _: ArrayType) =>

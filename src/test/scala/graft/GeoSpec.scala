@@ -161,4 +161,59 @@ class GeoSpec extends SparkSuite {
     iso.put(1.toByte).putInt(1001).putDouble(1.0).putDouble(2.0).putDouble(3.0)
     assert(Wkb.decode(iso.array()) === null)
   }
+
+  test("WKB multipolygon + holes: decodeRings, even-odd containment, hole-aware area") {
+    import graft.geo.{Wkb, WkbFunctions}
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      (Array(x0, x1, x1, x0), Array(y0, y0, y1, y1))
+    // part A: 10x10 square with a 2x2 hole; part B: disjoint 4x4 square
+    val partA = Seq(rect(0, 0, 10, 10), rect(4, 4, 6, 6))
+    val partB = Seq(rect(20, 0, 24, 4))
+    val wkb = Wkb.encodeMultiPolygon(Seq(partA, partB))
+    val rings = Wkb.decodeRings(wkb)
+    assert(rings.length === 3)
+    // legacy single-ring decode must refuse multipart (not mis-contain)
+    assert(Wkb.decode(wkb) === null)
+    // polygon-with-holes WKB also decodes via decodeRings
+    assert(Wkb.decodeRings(Wkb.encodePolygonRings(partA)).length === 2)
+
+    val (xss, yss) = (rings.map(_._1), rings.map(_._2))
+    assert(GeoKernels.pointInRings(xss, yss, 2.0, 2.0))       // in A, outside hole
+    assert(!GeoKernels.pointInRings(xss, yss, 5.0, 5.0))      // inside the hole
+    assert(GeoKernels.pointInRings(xss, yss, 22.0, 2.0))      // in part B
+    assert(!GeoKernels.pointInRings(xss, yss, 15.0, 5.0))     // between parts
+    assert(GeoKernels.ringsArea(xss, yss) === 100.0 - 4.0 + 16.0)
+
+    // expression path: wkb_to_rings + point_in_rings + rings_area
+    val df = Seq((1L, wkb)).toDF("id", "g")
+      .select(col("id"), WkbFunctions.wkbToRings(col("g")).as("rings"))
+    val got = df.select(
+      GeoFunctions.pointInRings(col("rings"), lit(5.0), lit(5.0)),
+      GeoFunctions.pointInRings(col("rings"), lit(2.0), lit(2.0)),
+      GeoFunctions.ringsArea(col("rings"))).as[(Boolean, Boolean, Double)].collect().head
+    assert(got === ((false, true, 112.0)))
+  }
+
+  test("WKB malformed ring counts decode to null, never garbage") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.geo.Wkb
+    // 2-ring polygon whose exterior-ring count (10) overruns into ring-2
+    // data: must be rejected (total bytes present, but ring 2's header
+    // would be consumed as coordinates)
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + 4 + 4 * 16 + 4 + 4 * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(3).putInt(2).putInt(10)
+    for (i <- 0 until 4) { buf.putDouble(i); buf.putDouble(i) }
+    buf.putInt(4)
+    for (i <- 0 until 4) { buf.putDouble(i); buf.putDouble(i) }
+    assert(Wkb.decodeRings(buf.array()) === null)
+    assert(Wkb.decode(buf.array()) === null)
+
+    // single-ring polygon with trailing bytes -> null (exact consume)
+    val ok = Wkb.encodePolygon(Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0))
+    assert(Wkb.decodeRings(ok ++ Array[Byte](0, 0)) === null)
+    // truncated multipolygon part count -> null
+    val mp = Wkb.encodeMultiPolygon(Seq(Seq((Array(0.0, 1.0, 1.0), Array(0.0, 0.0, 1.0)))))
+    assert(Wkb.decodeRings(mp.dropRight(8)) === null)
+  }
 }

@@ -84,6 +84,36 @@ class RulesSpec extends SparkSuite {
     assert(q.select("id_a", "id_b").as[(Long, Long)].collect().toSet === Set((1L, 2L)))
   }
 
+  test("strict lit(t) < jaccard shape also gets the prefilter") {
+    val q = pairs
+      .select(col("id"),
+        array_distinct(col("set_a")).as("da"),
+        array_distinct(col("set_b")).as("db"))
+      .withColumn("jaccard", round(JaccardFunctions.jaccardSim(col("da"), col("db")), 6))
+      .where(lit(0.5) < col("jaccard"))
+      .select("id", "jaccard")
+    val optimized = JaccardLengthPruning(q.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("size("), s"prefilter missing:\n$optimized")
+    assert(q.as[(Long, Double)].collect().toSet === Set((2L, 0.6), (3L, 1.0), (4L, 1.0)))
+  }
+
+  test("collect_set-defined arrays are recognized as provably distinct") {
+    val dir = java.nio.file.Files.createTempDirectory("rules").toString + "/toks"
+    Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"), (2L, "x"))
+      .toDF("doc_id", "tok").write.parquet(dir)
+    val toks = spark.read.parquet(dir)
+    val sets = toks.groupBy("doc_id").agg(collect_set(col("tok")).as("ts"))
+    val l = sets.select(col("doc_id").as("id_a"), col("ts").as("sa"))
+    val r = sets.select(col("doc_id").as("id_b"), col("ts").as("sb"))
+    val q = l.crossJoin(r).where(col("id_a") < col("id_b"))
+      .where(round(JaccardFunctions.jaccardSim(col("sa"), col("sb")), 6) >= 0.5)
+      .select("id_a", "id_b")
+    val optimized = JaccardLengthPruning(q.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("size("),
+      s"prefilter missing on collect_set lineage:\n$optimized")
+    assert(q.as[(Long, Long)].collect().toSet === Set((1L, 2L))) // J = 2/4 = 0.5
+  }
+
   test("coarse round scale backs off by half an ulp of the scale") {
     // |A| = 250, B ⊂ A with |B| = 199: J = 0.796, round(J, 2) = 0.8.
     // A fixed 1e-6 backoff would demand size(B) >= 199.99975 and wrongly
