@@ -69,11 +69,9 @@ object Ann {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters)
+              nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+              trainSample: Int = 100000): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters, trainSample)
 
     def simToCentroids(vec: Column): Column =
       array(centroids.zipWithIndex.map { case (c, i) =>
@@ -99,33 +97,68 @@ object Ann {
     ranked(scored, k)
   }
 
-  /** Deterministic Lloyd iterations; returns nCells centroid vectors. */
-  private[similarity] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                                         nCells: Int, iters: Int): Array[Array[Float]] = {
+  /** Deterministic Lloyd iterations on a BOUNDED sample; returns nCells
+    * centroid vectors.
+    *
+    * The sample is the `trainSample` lowest-id vectors (the same prefix
+    * that seeds the initial centroids) — one corpus pass (map-side
+    * TakeOrdered), then Lloyd runs entirely on the driver over at most
+    * trainSample x dim floats (~25 MB at 1e5 x 64). The previous
+    * formulation shuffled n x dim rows through posexplode + two groupBys
+    * PER ITERATION — three full-data shuffles to fit 16 centroids at
+    * 1e12 vectors. Now the full corpus is touched exactly once more (the
+    * caller's assignment pass), and the driver loop is also exactly
+    * reproducible (fixed summation order, unlike distributed avg). */
+  private[graft] def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                                    nCells: Int, iters: Int,
+                                    trainSample: Int = 100000): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids: Array[Array[Float]] = corpus
-      .orderBy(col(idCol).asc).limit(nCells)
+    val sample: Array[Array[Float]] = corpus
+      .orderBy(col(idCol).asc).limit(math.max(nCells, trainSample))
       .select(col(vecCol)).as[Array[Float]].collect()
+    var centroids: Array[Array[Float]] = sample.take(nCells).map(_.clone())
+
+    // driver cosine, matching VectorFunctions.cosineSim semantics
+    // (double widening; zero-norm / length-mismatch -> -2 sentinel,
+    // same as the coalesce(-2.0) the assignment pass uses)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      if (a.length != b.length) return -2.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) -2.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
 
     var it = 0
     while (it < iters) {
-      def simArray(vec: Column): Column =
-        array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(lit(i).as("cell"),
-            coalesce(VectorFunctions.cosineSim(vec, typedLit(c.toSeq)), lit(-2.0)).as("sim"))
-        }: _*)
-      val assigned = corpus.select(col(vecCol).as("v"),
-        element_at(array_sort(simArray(col(vecCol)),
-          (a, b) => when(a("sim") > b("sim"), -1).when(a("sim") < b("sim"), 1)
-            .otherwise(a("cell") - b("cell"))), 1)("cell").as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
-        .select(col("cell"), transform(col("ms"), s => s("m").cast("float")).as("centroid"))
-        .as[(Int, Array[Float])].collect().toMap
-      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      val sums = Array.ofDim[Array[Double]](nCells)
+      val counts = new Array[Int](nCells)
+      sample.foreach { v =>
+        // highest sim wins, ties -> lowest cell (same order as the
+        // array_sort comparator in the assignment pass)
+        var best = 0; var bestSim = -3.0
+        var c = 0
+        while (c < nCells) {
+          val s = cos(v, centroids(c))
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        if (sums(best) == null) sums(best) = new Array[Double](v.length)
+        if (sums(best).length == v.length) {
+          var i = 0
+          while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else sums(i).map(x => (x / counts(i)).toFloat)
+      }.toArray
       it += 1
     }
     centroids

@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.Tables
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Recall gates for the LSH/IVF approximate paths (q51/q52/q54), which
+  * have no SQL oracle by nature: each is measured against its exact
+  * twin (brute-force top-k / exhaustive cosine pairs) on the sf0.001
+  * driver corpus (500 x 64-dim near-random unit vectors — a HARD corpus
+  * for LSH, so these bounds are conservative floors, not typical
+  * performance). Bounds are documented in README.md; the approximate
+  * results are also asserted to be SUBSETS of the exact scores
+  * (precision 1.0 — every emitted pair carries an exact-verified score).
+  */
+class RecallSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val e = Tables.load(spark, sfDir, "embeddings")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame, a: String, b: String) =
+    df.select(col(a).cast("long"), col(b).cast("long")).as[(Long, Long)].collect().toSet
+
+  test("q51 LSH ANN recall vs q50 brute force >= 0.60 on the test corpus") {
+    val queries = e.where(col("vec_id") < 10)
+    val exact = pairSet(Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    // q51's configuration: 64-bit signature, 16 x 4-bit bands
+    val lsh = pairSet(Ann.lshTopK(queries, e, "vec_id", "embedding", 5,
+      bits = 64, bandBits = 4), "query_id", "neighbor_id")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"q51 LSH recall@5 = $recall%.3f (${(exact & lsh).size}/${exact.size})")
+    assert(recall >= 0.60, f"LSH recall regressed: $recall%.3f")
+  }
+
+  test("q54 IVF ANN recall vs q50 brute force >= 0.60 on the test corpus") {
+    val queries = e.where(col("vec_id") < 10)
+    val exact = pairSet(Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    val ivf = pairSet(Ann.ivfTopK(queries, e, "vec_id", "embedding", 5,
+      nCells = 16, nProbe = 4, iters = 2), "query_id", "neighbor_id")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"q54 IVF recall@5 (nProbe 4/16) = $recall%.3f (${(exact & ivf).size}/${exact.size})")
+    assert(recall >= 0.60, f"IVF recall regressed: $recall%.3f")
+  }
+
+  test("q52 embedding near-dup: planted-duplicate recall >= 0.70, precision 1.0") {
+    // The raw corpus contains NO true near-duplicates (max cosine ~0.48),
+    // so the honest recall contract is against PLANTED duplicates: for
+    // the 20 lowest ids, add a lightly perturbed copy (cosine ~0.99) and
+    // require the LSH path to recover those pairs at threshold 0.9 —
+    // where its exhaustive exact twin finds exactly the planted pairs.
+    val base = e.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val planted = base.where(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        zip_with(col("embedding"),
+          transform(sequence(lit(0), size(col("embedding")) - 1),
+            i => sin((col("vec_id") * 31 + i).cast("double")) * lit(0.05f)),
+          (x, d) => (x + d).cast("float")).as("embedding"))
+    val corpus = base.unionByName(planted)
+
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = pairSet(
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(VectorFunctions.cosineSim(col("va"), col("vb")), 6))
+        .where(col("cosine") >= 0.9),
+      "id_a", "id_b")
+    assert(exact.size >= 20, s"planting failed: only ${exact.size} exact pairs >= 0.9")
+    val lsh = pairSet(Dedup.embeddingNearDups(corpus, "embedding", "vec_id", threshold = 0.9),
+      "id_a", "id_b")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(f"q52 planted near-dup recall = $recall%.3f (${(exact & lsh).size}/${exact.size})")
+    assert(recall >= 0.70, f"near-dup recall regressed: $recall%.3f")
+    // exact-verify step means every emitted pair is a true pair
+    assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
+  }
+}

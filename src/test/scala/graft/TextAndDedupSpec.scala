@@ -189,6 +189,29 @@ class TextAndDedupSpec extends SparkSuite {
     top1.foreach { case (q, n) => assert(q % 4 === n % 4, s"query $q got $n") }
   }
 
+  test("IVF training is sample-based: Spark job count does not grow with iterations") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/vecs"
+    (0L until 60L).map(i => (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+      .toDF("id", "v").write.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; org.apache.spark.sql.GraftBridge.waitListenerBusEmpty(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(l)
+      n.get()
+    }
+    val j1 = jobsDuring(Ann.trainCentroids(corpus, "id", "v", nCells = 4, iters = 1))
+    val j9 = jobsDuring(Ann.trainCentroids(corpus, "id", "v", nCells = 4, iters = 9))
+    assert(j9 === j1, s"training launched $j9 jobs at 9 iters vs $j1 at 1 — not sample-based")
+    // and the sampled training still produces usable centroids
+    assert(Ann.trainCentroids(corpus, "id", "v", 4, 3).length === 4)
+  }
+
   test("hyperplane LSH signature is deterministic across evaluations") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i + d * 0.31).toFloat))).toDF("id", "v")
