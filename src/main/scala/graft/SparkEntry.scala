@@ -696,6 +696,25 @@ object SparkEntry {
     "q71_lsvi_globaal" -> ((s, dir) =>
       Lsvi.globaal(Lsvi.indicator(Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))),
 
+    // ---- K2 with the REAL Versie-3 rule content (graft.lsvi.Versie3,
+    // HT31xx_LSVI.Rmd:68-185): INBOVEG-shaped synthetic inputs exercise
+    // the full preparation path — LOQ parse + halving, class->value
+    // mapping, the VZuSS/Vzuur 3160 substitution, taxon
+    // canonicalization, TANSLEY sleutelsoorten aggregation — against the
+    // per-habitattype rule table, all mirrored in the DuckDB oracle. ----
+    "q77_lsvi_v3_detail" -> ((s, dir) => {
+      val (hab, sc, veg) = v3Inputs(s, dir)
+      graft.lsvi.Versie3.score(hab, sc, veg)._1
+        .withColumn("value_numeric", round(col("value_numeric"), 6))
+        .select("id", "habitattype", "criterium", "indicator", "voorwaarde",
+          "belang", "value_numeric", "op", "ref_numeric", "voldoet")
+    }),
+
+    "q78_lsvi_v3_globaal" -> ((s, dir) => {
+      val (hab, sc, veg) = v3Inputs(s, dir)
+      graft.lsvi.Versie3.score(hab, sc, veg)._4
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -793,6 +812,167 @@ object SparkEntry {
     tariffParams.map { case (sp, a, b, c, d, e, f, ft) =>
       s"($sp, $a, $b, $c, $d, $e, $f, $ft)"
     }.mkString(",\n   ")
+
+  // ---- Versie-3 LSVI synthetic INBOVEG-shaped inputs (q77/q78) ----
+  private val v3NumVars = Seq("Subm", "Chara", "Helo", "HabVl", "BooOv",
+    "MonoR", "Boom", "Eutro", "Invas", "Vzuur", "VZuSS")
+  private val v3Species = Seq("Chara hispida L.", "Warnstorfia fluitans (Hedw.) Loeske",
+    "Littorella uniflora", "Juncus bulbosus", "Stratiotes aloides",
+    "Sphagnum cuspidatum", "Samolus valerandi", "Elodea canadensis")
+
+  /** (habitat, site_characteristics, vegetation) shaped like the INBOVEG
+    * extracts the Versie-3 pipeline consumes: decimal-comma numerics
+    * with LOQ markers, class-coded horst/7140o/verst/chara values, a
+    * VZuSS twin for the 3160 substitution, and TANSLEY-coded species
+    * covers including the two canonicalization source names. */
+  private def v3Inputs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val hab0 = t(s, dir, "customer").select(
+      concat(lit("REC_"), col("c_custkey")).as("id"),
+      element_at(typedLit(graft.lsvi.Versie3.habitattypes),
+        (col("c_custkey") % 6 + 1).cast("int")).as("habitattype"),
+      col("c_custkey").as("ck"))
+    val numStructs = v3NumVars.zipWithIndex.map { case (v, p) =>
+      struct(lit(v).as("var_code"),
+        concat(
+          when(col("ck") % 13 === 0, "<").when(col("ck") % 29 === 0, ">").otherwise(""),
+          ((col("ck") * (p + 3)) % 100).cast("string"), lit(","),
+          (col("ck") % 10).cast("string")).as("value"))
+    }
+    val clsStructs = Seq(
+      struct(lit("horst").as("var_code"),
+        when((col("ck") % 7) % 3 === 0, "g10m²")
+          .when((col("ck") % 7) % 3 === 1, "10m2").otherwise("1m2").as("value")),
+      struct(lit("7140o").as("var_code"),
+        when(col("ck") % 7 < 4, "ja").otherwise("nee").as("value")),
+      struct(lit("verst").as("var_code"),
+        when(col("ck") % 11 < 6, "gisoe").otherwise("kisoe").as("value")),
+      struct(lit("chara").as("var_code"),
+        when(col("ck") % 9 < 5, "51ss").otherwise("49ss").as("value")))
+    val sc = hab0.select(col("id"),
+        explode(array(numStructs ++ clsStructs: _*)).as("m"))
+      .select(col("id"), col("m.var_code").as("var_code"), col("m.value").as("value"))
+    val veg = hab0.select(col("id"),
+        explode(array((0 to 2).map(i => struct(
+          element_at(typedLit(v3Species),
+            ((col("ck") + i * 5) % 8 + 1).cast("int")).as("name"),
+          element_at(typedLit(graft.lsvi.Versie3.tansleyCover.map(_._1)),
+            ((col("ck") * 3 + i) % 6 + 1).cast("int")).as("cover_code"))): _*)).as("v"))
+      .select(col("id"), col("v.name").as("name"), col("v.cover_code").as("cover_code"))
+    (hab0.select("id", "habitattype"), sc, veg)
+  }
+
+  private def sqlStr(s: String) = "'" + s.replace("'", "''") + "'"
+
+  /** Shared CTE prefix for the Versie-3 oracle SQL: synthesizes the same
+    * inputs as [[v3Inputs]] and replays the preparation + rule join in
+    * DuckDB, with the rule/dictionary VALUES generated from the SAME
+    * [[graft.lsvi.Versie3]] constants (single source of truth). */
+  private def v3OracleCtes: String = {
+    val v3 = graft.lsvi.Versie3
+    val htList = v3.habitattypes.map(sqlStr).mkString("[", ", ", "]")
+    val numVarValues = v3NumVars.zipWithIndex
+      .map { case (v, p) => s"(${sqlStr(v)}, $p)" }.mkString(", ")
+    val vereisten = v3.invoervereistenJoin
+      .map { case (vc, _, _, vw, _) => s"(${sqlStr(vc)}, ${sqlStr(vw)})" }.mkString(",\n   ")
+    val classMap = v3.classValueMap
+      .map { case (vc, cv, _, mn) => s"(${sqlStr(vc)}, ${sqlStr(cv)}, $mn)" }.mkString(",\n   ")
+    val tansley = v3.tansleyCover
+      .map { case (c, p) => s"(${sqlStr(c)}, $p)" }.mkString(", ")
+    val lijst = v3.soortenlijst
+      .map { case (ht, sp) => s"(${sqlStr(ht)}, ${sqlStr(sp)})" }.mkString(",\n   ")
+    val speciesList = v3Species.map(sqlStr).mkString("[", ", ", "]")
+    val rules = v3.rules
+      .map { case (ht, cr, ind, vw, b, op, ref) =>
+        s"(${sqlStr(ht)}, ${sqlStr(cr)}, ${sqlStr(ind)}, ${sqlStr(vw)}, ${sqlStr(b)}, ${sqlStr(op)}, $ref)"
+      }.mkString(",\n   ")
+    s"""WITH hab AS (
+       |  SELECT 'REC_' || c_custkey AS id,
+       |    $htList[CAST(c_custkey % 6 AS INTEGER) + 1] AS habitattype,
+       |    c_custkey AS ck
+       |  FROM customer),
+       |raw_num AS (
+       |  SELECT id, habitattype, ck, v.var_code,
+       |    (CASE WHEN ck % 13 = 0 THEN '<' WHEN ck % 29 = 0 THEN '>' ELSE '' END)
+       |      || CAST((ck * (v.p + 3)) % 100 AS VARCHAR) || ',' || CAST(ck % 10 AS VARCHAR) AS value
+       |  FROM hab CROSS JOIN (VALUES $numVarValues) v(var_code, p)),
+       |raw_cls AS (
+       |  SELECT id, habitattype, ck, 'horst' AS var_code,
+       |    CASE (ck % 7) % 3 WHEN 0 THEN 'g10m²' WHEN 1 THEN '10m2' ELSE '1m2' END AS value FROM hab
+       |  UNION ALL SELECT id, habitattype, ck, '7140o',
+       |    CASE WHEN ck % 7 < 4 THEN 'ja' ELSE 'nee' END FROM hab
+       |  UNION ALL SELECT id, habitattype, ck, 'verst',
+       |    CASE WHEN ck % 11 < 6 THEN 'gisoe' ELSE 'kisoe' END FROM hab
+       |  UNION ALL SELECT id, habitattype, ck, 'chara',
+       |    CASE WHEN ck % 9 < 5 THEN '51ss' ELSE '49ss' END FROM hab),
+       |swapped AS (
+       |  SELECT id, habitattype,
+       |    CASE WHEN var_code = 'VZuSS' AND habitattype = '3160' THEN 'Vzuur'
+       |         ELSE var_code END AS var_code,
+       |    value
+       |  FROM (SELECT id, habitattype, var_code, value FROM raw_num
+       |        UNION ALL SELECT id, habitattype, var_code, value FROM raw_cls)
+       |  WHERE NOT (var_code = 'Vzuur' AND habitattype = '3160')
+       |    AND NOT (var_code = 'VZuSS' AND habitattype <> '3160')),
+       |parsed AS (
+       |  SELECT id, habitattype, var_code, value,
+       |    replace(regexp_replace(trim(value), '^[<>]\\s*', ''), ',', '.') AS stripped,
+       |    starts_with(trim(value), '<') AS below
+       |  FROM swapped),
+       |meas_num AS (
+       |  SELECT p.id, p.habitattype, iv.voorwaarde,
+       |    CASE WHEN below THEN CAST(stripped AS DOUBLE) / 2
+       |         ELSE CAST(stripped AS DOUBLE) END AS value_numeric
+       |  FROM parsed p
+       |  JOIN (VALUES
+       |   $vereisten) iv(var_code, voorwaarde) ON p.var_code = iv.var_code
+       |  WHERE regexp_matches(stripped, '^[0-9]+(\\.[0-9]+)?$$')),
+       |meas_cls AS (
+       |  SELECT p.id, p.habitattype, iv.voorwaarde,
+       |    CAST(cm.mapped_numeric AS DOUBLE) AS value_numeric
+       |  FROM parsed p
+       |  JOIN (VALUES
+       |   $classMap) cm(var_code, class_value, mapped_numeric)
+       |    ON p.var_code = cm.var_code AND trim(p.value) = cm.class_value
+       |  JOIN (VALUES
+       |   $vereisten) iv(var_code, voorwaarde) ON p.var_code = iv.var_code
+       |  WHERE NOT regexp_matches(stripped, '^[0-9]+(\\.[0-9]+)?$$')),
+       |veg AS (
+       |  SELECT id, habitattype,
+       |    $speciesList[CAST((ck + i * 5) % 8 AS INTEGER) + 1] AS name,
+       |    ${v3.tansleyCover.map(_._1).map(sqlStr).mkString("[", ", ", "]")}[CAST((ck * 3 + i) % 6 AS INTEGER) + 1] AS waarde
+       |  FROM hab CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+       |kenm AS (
+       |  SELECT id, habitattype,
+       |    CASE name WHEN 'Chara hispida L.' THEN 'Chara major'
+       |              WHEN 'Warnstorfia fluitans (Hedw.) Loeske' THEN 'Warnstorfia fluitans groep'
+       |              ELSE name END AS kenmerk,
+       |    waarde FROM veg),
+       |sleutel AS (
+       |  SELECT k.id, k.habitattype, 'aandeel sleutelsoorten' AS voorwaarde,
+       |    round(100.0 * sum(CASE WHEN sl.kenmerk IS NOT NULL THEN tc.pct ELSE 0 END)
+       |          / sum(tc.pct), 6) AS value_numeric
+       |  FROM kenm k
+       |  JOIN (VALUES $tansley) tc(waarde, pct) ON k.waarde = tc.waarde
+       |  LEFT JOIN (VALUES
+       |   $lijst) sl(habitattype, kenmerk)
+       |    ON k.habitattype = sl.habitattype AND k.kenmerk = sl.kenmerk
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT * FROM meas_num
+       |  UNION ALL SELECT * FROM meas_cls
+       |  UNION ALL SELECT * FROM sleutel),
+       |r(habitattype, criterium, indicator, voorwaarde, belang, op, ref_numeric) AS (
+       |  VALUES
+       |   $rules),
+       |d AS (
+       |  SELECT m.id, m.habitattype, r.criterium, r.indicator, m.voorwaarde, r.belang,
+       |    m.value_numeric, r.op, CAST(r.ref_numeric AS DOUBLE) AS ref_numeric,
+       |    CASE r.op WHEN '>=' THEN m.value_numeric >= CAST(r.ref_numeric AS DOUBLE)
+       |              WHEN '<=' THEN m.value_numeric <= CAST(r.ref_numeric AS DOUBLE)
+       |              WHEN '=' THEN m.value_numeric = CAST(r.ref_numeric AS DOUBLE) END AS voldoet
+       |  FROM m JOIN r ON m.habitattype = r.habitattype AND m.voorwaarde = r.voorwaarde)
+       |""".stripMargin
+  }
 
   /** Shared CTE prefix for the LSVI oracle SQL (measurements + rules +
     * detail verdicts) — mirrors lsviMeasurements/lsviRules/Lsvi.detail. */
@@ -1318,6 +1498,31 @@ object SparkEntry {
         |FROM d""".stripMargin),
 
     "q71_lsvi_globaal" -> (lsviOracleCtes.stripSuffix("\n") +
+      """, i AS (
+        |  SELECT id, criterium, indicator, belang,
+        |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND
+        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig,
+        |    count(CASE WHEN voldoet = true THEN 1 END)
+        |      / greatest(count(CASE WHEN voldoet IS NOT NULL THEN 1 END), 1) AS score
+        |  FROM d GROUP BY 1, 2, 3, 4)
+        |SELECT id, count(*) AS n_ind,
+        | count(CASE WHEN gunstig THEN 1 END) AS n_gunstig,
+        | count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) AS n_zb_ongunstig,
+        | round(100.0 * count(CASE WHEN gunstig THEN 1 END) / count(*), 6) AS aandeel_gunstig,
+        | round(sum(score) / count(*), 6) AS index_mean_ind,
+        | (count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
+        |  count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)) AS status,
+        | CASE WHEN count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
+        |           count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)
+        |      THEN 'gunstig' ELSE 'ongunstig' END AS lsvi
+        |FROM i GROUP BY id""".stripMargin),
+
+    "q77_lsvi_v3_detail" -> (v3OracleCtes +
+      """SELECT id, habitattype, criterium, indicator, voorwaarde, belang,
+        | round(value_numeric, 6) AS value_numeric, op, ref_numeric, voldoet
+        |FROM d""".stripMargin),
+
+    "q78_lsvi_v3_globaal" -> (v3OracleCtes.stripSuffix("\n") +
       """, i AS (
         |  SELECT id, criterium, indicator, belang,
         |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND

@@ -59,6 +59,18 @@ object Lsvi {
       .select("id", "criterium", "indicator", "voorwaarde", "belang",
         "value_numeric", "value_category", "op", "ref_numeric", "voldoet")
 
+  /** Detail with a habitattype-scoped rule join: rule tables that differ
+    * per habitat type (the Versie-3 content, [[Versie3.rules]]) join on
+    * (habitattype, voorwaarde) so a measurement only meets the rules of
+    * its own type. */
+  def detailByType(measurements: DataFrame, rules: DataFrame): DataFrame =
+    measurements.join(broadcast(rules), Seq("habitattype", "voorwaarde"))
+      .withColumn("voldoet",
+        verdict(col("op"), col("value_numeric"), col("ref_numeric"),
+          col("value_category"), col("ref_categories")))
+      .select("id", "habitattype", "criterium", "indicator", "voorwaarde", "belang",
+        "value_numeric", "value_category", "op", "ref_numeric", "voldoet")
+
   /** Indicator table: favorable iff ALL conditions hold (missing
     * verdicts make the indicator NULL-unknown, reported not dropped);
     * `score` = fraction of evaluable conditions met (the per-indicator

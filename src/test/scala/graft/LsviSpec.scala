@@ -64,4 +64,54 @@ class LsviSpec extends SparkSuite {
       .select("criterium", "gunstig").as[(String, Boolean)].collect().toMap
     assert(c("crit1") === false)
   }
+
+  test("Versie 3: class->value mapping (HT31xx_LSVI.Rmd:140-149) feeds the horst voorwaarde") {
+    import graft.lsvi.Versie3
+    val habitat = Seq(("r1", "3130"), ("r2", "3130"), ("r3", "3130"))
+      .toDF("id", "habitattype")
+    val sc = Seq(
+      ("r1", "horst", "g10m²"), // -> 10.01-20 -> midpoint 15.005 -> >= 10 holds
+      ("r2", "horst", "10m2"),  // -> 1-10 -> 5.5 -> fails
+      ("r3", "horst", "1m2"))   // -> 0-0.99 -> 0.495 -> fails
+      .toDF("id", "var_code", "value")
+    val vw = Versie3.prepareVoorwaarden(habitat, sc)
+    val values = vw.select("id", "value_numeric").as[(String, Double)].collect().toMap
+    assert(values === Map("r1" -> 15.005, "r2" -> 5.5, "r3" -> 0.495))
+    val verdicts = graft.lsvi.Lsvi.detailByType(vw, Versie3.rulesDf(spark))
+      .select("id", "voldoet").as[(String, Boolean)].collect().toMap
+    assert(verdicts === Map("r1" -> true, "r2" -> false, "r3" -> false))
+  }
+
+  test("Versie 3: VZuSS substitutes Vzuur on 3160 sites only; LOQ numerics halve") {
+    import graft.lsvi.Versie3
+    val habitat = Seq(("h1", "3160"), ("h2", "3130")).toDF("id", "habitattype")
+    val sc = Seq(
+      ("h1", "Vzuur", "40,0"),  // 3160: plain Vzuur dropped (not Versie-3 relevant)
+      ("h1", "VZuSS", "<8,0"),  // 3160: becomes Vzuur, halved to 4.0 -> <= 10 holds
+      ("h2", "Vzuur", "12,5"),  // 3130: plain Vzuur kept -> 12.5 -> fails
+      ("h2", "VZuSS", "2,0"))   // non-3160 VZuSS dropped
+      .toDF("id", "var_code", "value")
+    val vw = Versie3.prepareVoorwaarden(habitat, sc)
+      .where(col("voorwaarde") === "bedekking verzuring")
+    val values = vw.select("id", "value_numeric").as[(String, Double)].collect().toMap
+    assert(values === Map("h1" -> 4.0, "h2" -> 12.5))
+    val verdicts = graft.lsvi.Lsvi.detailByType(vw, Versie3.rulesDf(spark))
+      .select("id", "voldoet").as[(String, Boolean)].collect().toMap
+    assert(verdicts === Map("h1" -> true, "h2" -> false))
+  }
+
+  test("Versie 3: taxon canonicalization + TANSLEY sleutelsoorten share") {
+    import graft.lsvi.Versie3
+    val habitat = Seq(("k1", "3140")).toDF("id", "habitattype")
+    // Chara hispida L. canonicalizes to Chara major (a 3140 key species);
+    // Elodea canadensis is not a key species. Share = 100*75/(75+35)
+    val veg = Seq(
+      ("k1", "Chara hispida L.", "d"),    // 75
+      ("k1", "Elodea canadensis", "a"))   // 35
+      .toDF("id", "name", "cover_code")
+    val vw = Versie3.sleutelsoortenVoorwaarden(habitat, Versie3.soortenKenmerken(veg))
+    val row = vw.select("voorwaarde", "value_numeric").as[(String, Double)].collect().head
+    assert(row._1 === "aandeel sleutelsoorten")
+    assert(math.abs(row._2 - 100.0 * 75 / 110) < 1e-6)
+  }
 }
