@@ -715,6 +715,90 @@ object SparkEntry {
       graft.lsvi.Versie3.score(hab, sc, veg)._4
     }),
 
+    // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
+    // melt the BMS-scale class columns to long form (R5 exclusion melt),
+    // separate the "CODE - description" dictionary (R4), patch KW->KB,
+    // join cover_mean (K3 broadcast), and bind the directly-measured
+    // shrub/tree cover rows (U1 schema-tolerant union). ----
+    "q79_heath_structure" -> ((s, dir) => {
+      import s.implicits._
+      val bmsCols = Seq("sphagnumlayer", "campylopus_introflexus", "lowshrublayer",
+        "brushwood", "herbs", "calluna_phase_pioneer")
+      val idCols = Seq(
+        col("p_partkey").as("plot_id"),
+        (col("p_partkey") % 4).as("segment_id"),
+        (col("p_size") * 10).cast("double").as("area_m2"),
+        ((col("p_partkey") * 3) % 101).cast("double").as("shrub_and_treelayer_18m"))
+      val clsCols = bmsCols.zipWithIndex.map { case (c, i) =>
+        ((col("p_partkey") * (i + 2)) % 7 + 1).cast("int").as(c)
+      }
+      val sv = t(s, dir, "part").select(idCols ++ clsCols: _*)
+      val bms = Seq((1, "KB - kaal"), (2, "KW - kwijnend"), (3, "O - open"),
+        (4, "F - frequent"), (5, "T - talrijk"), (6, "CD - codominant"),
+        (7, "D - dominant")).toDF("class_id", "cover_description")
+      val coverscales = Seq(("KB", 0.5), ("O", 5.0), ("F", 15.0), ("T", 35.0),
+        ("CD", 62.5), ("D", 87.5)).toDF("class_code", "cover_mean")
+      val bms2 = Reshape.separate(bms, "cover_description",
+          Seq("class_code", "cover_description"), " - ")
+        .withColumn("class_code",
+          when(col("class_code") === "KW", "KB").otherwise(col("class_code")))
+        .join(broadcast(coverscales), Seq("class_code"), "left")
+        .select("class_id", "cover_description", "cover_mean")
+      val melted = Reshape.melt(sv,
+          Seq("plot_id", "segment_id", "area_m2"), bmsCols, "structure_var", "class_id")
+        .withColumn("coverscale_name", lit("Beheermonitoringsschaal"))
+        .join(broadcast(bms2), Seq("class_id"), "left")
+        .select(col("plot_id"), col("segment_id"), col("area_m2"),
+          lower(col("structure_var")).as("structure_var"), col("coverscale_name"),
+          col("cover_description"), col("cover_mean"))
+      val coverRows = sv.select(col("plot_id"), col("segment_id"), col("area_m2"),
+        lit("shrub_treelayer").as("structure_var"),
+        col("shrub_and_treelayer_18m").as("cover"))
+      melted.unionByName(coverRows, allowMissingColumns = true)
+    }),
+
+    // ---- E1 trees_a3a4: the full dendrometry export shape
+    // (processed/fieldmap_mhq/trees_a3a4.yml) — tariff volumes (K4),
+    // basal area, stem+total volumes, the date_assessment join the
+    // reference applies to every fact table (query_fieldmap.Rmd:
+    // 1855-1938) and the derived mon_cycle. ----
+    "q80_trees_a3a4" -> ((s, dir) => {
+      import s.implicits._
+      val trees = t(s, dir, "part").select(
+          col("p_partkey").as("tree_id"),
+          (col("p_partkey") % 500).as("plot_id"),
+          (col("p_partkey") % 4 + 1).as("segment_id"),
+          (col("p_partkey") % 20).as("tree_species_id"),
+          (lit(50) + col("p_size") * 10).cast("int").as("perimeter_cm"),
+          (lit(8) + col("p_partkey") % 15).cast("double").as("height_m"))
+        .withColumn("dbh_mm", round(col("perimeter_cm") * 10 / lit(math.Pi)).cast("int"))
+        .withColumn("name_nl", concat(lit("soort_"), col("tree_species_id")))
+        .withColumn("name_sc", concat(lit("species_"), col("tree_species_id")))
+        .withColumn("status_tree", when(col("tree_id") % 3 === 0, "alive")
+          .when(col("tree_id") % 3 === 1, "dead standing").otherwise("lying"))
+        .withColumn("coppice_individual",
+          when(col("tree_id") % 5 === 0, "coppice").otherwise("individual"))
+        .withColumn("intact_tree",
+          when(col("tree_id") % 7 < 5, "intact").otherwise("broken"))
+      val params = tariffParams.toDF(
+        "tree_species_id", "a", "b", "c", "d", "e", "f", "formule_type")
+      val dated = t(s, dir, "orders")
+        .groupBy((col("o_custkey") % 500).as("plot_id"))
+        .agg(max(col("o_orderdate")).as("date_assessment"))
+      graft.pipelines.Vbi.treeVolume(graft.pipelines.Vbi.withTreeMetrics(trees), params)
+        .join(dated, Seq("plot_id"), "left")
+        .withColumn("mon_cycle",
+          (floor((year(col("date_assessment")) - 1992) / lit(4.0)) + 1).cast("double"))
+        .select(col("plot_id"), col("segment_id"), col("perimeter_cm"), col("dbh_mm"),
+          col("height_m"), col("name_nl"), col("status_tree"), col("coppice_individual"),
+          col("intact_tree"), col("tree_id"), col("date_assessment"),
+          round(col("basalarea_m2"), 6).as("basalarea_m2"),
+          round(col("vol_m3"), 6).as("vol_stem_m3"),
+          round(col("vol_m3") * (lit(1.0) + lit(1.0) / (col("tree_species_id") + 2)), 6)
+            .as("vol_tot_m3"),
+          col("mon_cycle"), col("name_sc"), col("tree_species_id"))
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1541,6 +1625,86 @@ object SparkEntry {
         |           count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)
         |      THEN 'gunstig' ELSE 'ongunstig' END AS lsvi
         |FROM i GROUP BY id""".stripMargin),
+
+    "q79_heath_structure" ->
+      """WITH sv AS (
+        |  SELECT p_partkey AS plot_id, p_partkey % 4 AS segment_id,
+        |    CAST(p_size * 10 AS DOUBLE) AS area_m2,
+        |    CAST((p_partkey * 3) % 101 AS DOUBLE) AS shrub,
+        |    CAST((p_partkey * 2) % 7 + 1 AS INTEGER) AS sphagnumlayer,
+        |    CAST((p_partkey * 3) % 7 + 1 AS INTEGER) AS campylopus_introflexus,
+        |    CAST((p_partkey * 4) % 7 + 1 AS INTEGER) AS lowshrublayer,
+        |    CAST((p_partkey * 5) % 7 + 1 AS INTEGER) AS brushwood,
+        |    CAST((p_partkey * 6) % 7 + 1 AS INTEGER) AS herbs,
+        |    CAST((p_partkey * 7) % 7 + 1 AS INTEGER) AS calluna_phase_pioneer
+        |  FROM part),
+        |bms2(class_id, cover_description, cover_mean) AS (VALUES
+        |  (1, 'kaal', 0.5), (2, 'kwijnend', 0.5), (3, 'open', 5.0),
+        |  (4, 'frequent', 15.0), (5, 'talrijk', 35.0), (6, 'codominant', 62.5),
+        |  (7, 'dominant', 87.5)),
+        |melted AS (
+        |  SELECT plot_id, segment_id, area_m2, 'sphagnumlayer' AS structure_var,
+        |         sphagnumlayer AS class_id FROM sv
+        |  UNION ALL SELECT plot_id, segment_id, area_m2, 'campylopus_introflexus',
+        |         campylopus_introflexus FROM sv
+        |  UNION ALL SELECT plot_id, segment_id, area_m2, 'lowshrublayer', lowshrublayer FROM sv
+        |  UNION ALL SELECT plot_id, segment_id, area_m2, 'brushwood', brushwood FROM sv
+        |  UNION ALL SELECT plot_id, segment_id, area_m2, 'herbs', herbs FROM sv
+        |  UNION ALL SELECT plot_id, segment_id, area_m2, 'calluna_phase_pioneer',
+        |         calluna_phase_pioneer FROM sv)
+        |SELECT m.plot_id, m.segment_id, m.area_m2, m.structure_var,
+        |  'Beheermonitoringsschaal' AS coverscale_name,
+        |  b.cover_description, CAST(b.cover_mean AS DOUBLE) AS cover_mean,
+        |  CAST(NULL AS DOUBLE) AS cover
+        |FROM melted m LEFT JOIN bms2 b USING (class_id)
+        |UNION ALL
+        |SELECT plot_id, segment_id, area_m2, 'shrub_treelayer',
+        |  NULL, NULL, NULL, shrub
+        |FROM sv""".stripMargin,
+
+    "q80_trees_a3a4" ->
+      s"""WITH trees AS (
+        |  SELECT p_partkey AS tree_id, p_partkey % 500 AS plot_id,
+        |    p_partkey % 4 + 1 AS segment_id, p_partkey % 20 AS tree_species_id,
+        |    CAST(50 + p_size * 10 AS INTEGER) AS perimeter_cm,
+        |    CAST(8 + p_partkey % 15 AS DOUBLE) AS height_m
+        |  FROM part),
+        |t2 AS (
+        |  SELECT *, CAST(round(perimeter_cm * 10 / pi()) AS INTEGER) AS dbh_mm FROM trees),
+        |params(tree_species_id, a, b, c, d, e, f, formule_type) AS (
+        |  VALUES
+        |   $tariffValuesSql),
+        |vols AS (
+        |  SELECT t2.*,
+        |    pi() * (dbh_mm / 2000.0) * (dbh_mm / 2000.0) AS basalarea_m2,
+        |    CASE
+        |      WHEN formule_type = 1 THEN a + b*c150 + c*c150*c150 + d*c150*c150*c150
+        |      WHEN formule_type = 2 THEN a + b*c150 + c*c150*c150 + d*h + e*c150*h + f*c150*c150*h
+        |      WHEN formule_type = 3 THEN a + b*c150*c150 + c*c150*c150*h + d*h
+        |    END AS vol_m3
+        |  FROM (
+        |    SELECT t2.*, CAST(p.formule_type AS INTEGER) AS formule_type,
+        |      CAST(a AS DOUBLE) AS a, CAST(b AS DOUBLE) AS b, CAST(c AS DOUBLE) AS c,
+        |      CAST(d AS DOUBLE) AS d, CAST(e AS DOUBLE) AS e, CAST(f AS DOUBLE) AS f,
+        |      CAST(perimeter_cm AS DOUBLE) / 100.0 AS c150, height_m AS h
+        |    FROM t2 LEFT JOIN params p ON t2.tree_species_id = p.tree_species_id) t2),
+        |dated AS (
+        |  SELECT o_custkey % 500 AS plot_id, max(o_orderdate) AS date_assessment
+        |  FROM orders GROUP BY 1)
+        |SELECT v.plot_id, v.segment_id, v.perimeter_cm, v.dbh_mm, v.height_m,
+        |  'soort_' || v.tree_species_id AS name_nl,
+        |  CASE v.tree_id % 3 WHEN 0 THEN 'alive' WHEN 1 THEN 'dead standing'
+        |       ELSE 'lying' END AS status_tree,
+        |  CASE WHEN v.tree_id % 5 = 0 THEN 'coppice' ELSE 'individual' END AS coppice_individual,
+        |  CASE WHEN v.tree_id % 7 < 5 THEN 'intact' ELSE 'broken' END AS intact_tree,
+        |  v.tree_id, d.date_assessment,
+        |  round(v.basalarea_m2, 6) AS basalarea_m2,
+        |  round(v.vol_m3, 6) AS vol_stem_m3,
+        |  round(v.vol_m3 * (1.0 + 1.0 / (v.tree_species_id + 2)), 6) AS vol_tot_m3,
+        |  CAST(floor((year(d.date_assessment) - 1992) / 4.0) + 1 AS DOUBLE) AS mon_cycle,
+        |  'species_' || v.tree_species_id AS name_sc,
+        |  v.tree_species_id
+        |FROM vols v LEFT JOIN dated d ON v.plot_id = d.plot_id""".stripMargin,
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id
