@@ -52,6 +52,17 @@ final case class ParquetSource(path: String) extends Source {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** S6: ESRI shapefile layer (attributes + WKB `geometry`). */
+final case class ShapefileSource(base: String) extends Source {
+  def load(spark: SparkSession): DataFrame = graft.geo.Shapefile.read(spark, base)
+}
+
+/** S7: GeoPackage feature table (attributes + bare-WKB geometry). */
+final case class GeoPackageSource(path: String, table: String) extends Source {
+  def load(spark: SparkSession): DataFrame =
+    graft.geo.GeoPackage.read(spark, path, table)
+}
+
 /** Named lookup, immutable — build one per pipeline run. */
 final case class SourceRegistry(sources: Map[String, Source]) {
   def load(spark: SparkSession, name: String): DataFrame =

@@ -1,0 +1,64 @@
+package graft
+
+import graft.geo.{GeoKernels, GeoPackage, Wkb}
+import org.apache.spark.sql.functions._
+
+/** S7: GeoPackage ingestion against a committed .gpkg fixture
+  * (habitatmap-shaped feature table; 302 features including a
+  * multi-page b-tree, an overflow-chain row, and a polygon with a
+  * hole). */
+class GeoPackageSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val path = getClass.getResource("/habitatmap.gpkg").getPath
+
+  test("gpkg_contents lists the feature table") {
+    assert(GeoPackage.tables(path) === Seq(("habitatmap", "features")))
+  }
+
+  test("feature table: schema, rowid alias, nulls, scale of rows") {
+    val df = GeoPackage.read(spark, path, "habitatmap")
+    assert(df.columns.toSeq ===
+      Seq("fid", "polygon_id", "eval", "phab", "shape_area", "geom"))
+    assert(df.count() === 302)
+    // fid is INTEGER PRIMARY KEY -> stored as rowid, must be re-filled
+    assert(df.where($"fid" === 1000).select("polygon_id").as[String].head()
+      === "poly_hole")
+    val noGeom = df.where($"polygon_id" === "poly_nogeom").head()
+    assert(noGeom.isNullAt(2) && noGeom.isNullAt(3) && noGeom.isNullAt(5))
+    // overflow-chain payload survives reassembly
+    assert(df.where($"fid" === 1000).select("eval").as[String].head()
+      === "x" * 9000)
+  }
+
+  test("geometry blobs decode to bare WKB through the ring kernels") {
+    val df = GeoPackage.read(spark, path, "habitatmap")
+    // envelope-less and enveloped headers both strip to the same WKB shape
+    val g0 = df.where($"polygon_id" === "poly_0000")
+      .select("geom").as[Array[Byte]].head()
+    val (t0, rings0) = Wkb.decodeTyped(g0)
+    assert(t0 === 3 && rings0.length === 1 && rings0(0)._1.length === 5)
+    val g1 = df.where($"polygon_id" === "poly_0001")
+      .select("geom").as[Array[Byte]].head()
+    assert(Wkb.decodeTyped(g1)._1 === 3)
+
+    val hole = df.where($"polygon_id" === "poly_hole")
+      .select("geom").as[Array[Byte]].head()
+    val (_, rings) = Wkb.decodeTyped(hole)
+    assert(rings.length === 2)
+    val (xss, yss) = (rings.map(_._1), rings.map(_._2))
+    assert(GeoKernels.pointInRings(xss, yss, 5.0, 5.0))
+    assert(!GeoKernels.pointInRings(xss, yss, 15.0, 15.0)) // in the hole
+  }
+
+  test("distributed area over the whole layer matches the fixture") {
+    val df = GeoPackage.read(spark, path, "habitatmap")
+      .where($"geom".isNotNull)
+      .withColumn("rings", graft.geo.WkbFunctions.wkbToRings($"geom"))
+      .withColumn("area", graft.geo.GeoFunctions.ringsArea($"rings"))
+    val areas = df.groupBy($"polygon_id" === "poly_hole")
+      .agg(sum("area").as("a")).as[(Boolean, Double)].collect().toMap
+    assert(math.abs(areas(false) - 300 * 16.0) < 1e-9)
+    assert(math.abs(areas(true) - (2500.0 - 100.0)) < 1e-9)
+  }
+}
