@@ -162,14 +162,21 @@ object Dedup {
       .where(estimate >= threshold - 0.1)
       .select("id_a", "id_b")
     val verified = verifyJaccard(prefiltered, docs, textCol, idCol, threshold, shingleSize)
+    // one row per duplicate doc (tiny vs corpus); persisted because it
+    // is consumed twice below — without this the whole banded pipeline
+    // above re-executes for the path-compression join (visible as a
+    // doubled subtree in the physical plan)
     val mapped = verified.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("canon0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both joins broadcast the dup map so the corpus side never
+    // shuffles (Catalyst can't infer smallness through the aggregation)
     val all = docs.select(col(idCol).as("id"))
-      .join(mapped, Seq("id"), "left")
+      .join(broadcast(mapped), Seq("id"), "left")
       .withColumn("canon0", coalesce(col("canon0"), col("id")))
     // one hop of path compression: follow the representative's own mapping
     val repMap = mapped.select(col("id").as("canon0"), col("canon0").as("canon1"))
-    all.join(repMap, Seq("canon0"), "left")
+    all.join(broadcast(repMap), Seq("canon0"), "left")
       .select(col("id").as(idCol),
         coalesce(col("canon1"), col("canon0")).as("canonical_id"))
   }
