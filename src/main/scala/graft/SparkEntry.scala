@@ -394,6 +394,25 @@ object SparkEntry {
       s.table(sink).select(col("user_id"), col("n_sessions"))
     }),
 
+    // ---- streaming exact-duplicate suppression twin: state bounded by
+    // key-cardinality x watermark horizon (dropDuplicatesWithinWatermark);
+    // emits only the key columns so the result is survivor-independent
+    // and hash-checkable against DISTINCT in the oracle ----
+    "q37_events_dedup_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sink = "graft_q37_sink"
+      val q = graft.streaming.Events
+        .distinctKeysStream(stream, Seq("user_id", "event_type"))
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.table(sink)
+    }),
+
     // ---- exact dedup: canonical id per content fingerprint ----
     "q40_docs_exact_dedup" -> ((s, dir) =>
       Dedup.exactCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),
@@ -1358,6 +1377,9 @@ object SparkEntry {
 
     "q33_salted_hot_count" ->
       """SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1""",
+
+    "q37_events_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "q32_events_hourly_stream" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

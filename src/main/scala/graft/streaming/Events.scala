@@ -132,6 +132,28 @@ object Events {
 
   /** Run a streaming query over a bounded parquet dir and return the
     * final result via the memory sink (test/driver harness helper). */
+  // ---- streaming exact-duplicate suppression ----
+
+  /** Batch form of key-dedup: the distinct key set (what the oracle
+    * checks — emitting only the keys keeps the result independent of
+    * which physical duplicate row survives). */
+  def distinctKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).distinct()
+
+  /** Streaming twin via `dropDuplicatesWithinWatermark`: state is one
+    * entry per key seen within the watermark horizon, so state size is
+    * bounded by key cardinality × horizon — the 100 TB-safe form of
+    * streaming dedup (plain `dropDuplicates` keeps ALL keys forever).
+    * Duplicates arriving later than `delay` after the original can
+    * re-emit; the horizon is the dedup contract, exactly as in an
+    * at-least-once event-delivery pipeline. */
+  def distinctKeysStream(events: DataFrame, keys: Seq[String],
+                         tsCol: String = "ts",
+                         delay: String = "24 hours"): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
   def runAvailableNow(spark: SparkSession, dir: String, schema: StructType,
                       transform: DataFrame => DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Append()): DataFrame = {

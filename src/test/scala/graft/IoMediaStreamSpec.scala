@@ -140,4 +140,31 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(all.map(w => (w.user_id, w.session_seq, w.n_events)).toSet ===
       Set((100L, 1L, 2L), (100L, 2L, 2L))) // 50+55 closed by 120; 120 still open
   }
+
+  test("distinctKeysStream suppresses cross-micro-batch duplicates within the horizon") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val dir = Files.createTempDirectory("dedupst").toString
+    Seq((100L, "click", ts(0)), (100L, "click", ts(1)), (200L, "view", ts(2)))
+      .toDF("user_id", "event_type", "ts").write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/b*/")
+    val q = Events.distinctKeysStream(stream, Seq("user_id", "event_type"),
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("dedupst").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("dedupst").as[(Long, String)].collect().toSet ===
+      Set((100L, "click"), (200L, "view")))
+
+    // batch 2: duplicate within the horizon suppressed, new key emitted;
+    // batch twin agrees on the final distinct set
+    Seq((100L, "click", ts(10)), (300L, "click", ts(12)))
+      .toDF("user_id", "event_type", "ts").write.parquet(s"$dir/b2")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedupst").as[(Long, String)].collect().toSet
+    assert(streamed === Set((100L, "click"), (200L, "view"), (300L, "click")))
+    val batch = Events.distinctKeys(spark.read.parquet(s"$dir/b*/"),
+      Seq("user_id", "event_type")).as[(Long, String)].collect().toSet
+    assert(batch === streamed)
+  }
 }
