@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     e.injectOptimizerRule(_ => graft.rules.JaccardLengthPruning)
+    e.injectOptimizerRule(_ => graft.rules.SpatialJoinRewrite)
   }
 }
 

@@ -70,6 +70,40 @@ object Rings {
     val (xs, ys) = unpack(ring)
     GeoKernels.circleIntersectionArea(xs, ys, cx, cy, r)
   }
+
+  /** All grid cells covered by the bbox of a ring set, packed as
+    * (cellX << 32) | (cellY & 0xFFFFFFFF) — the polygon-side key of the
+    * rewritten spatial equi-join ([[graft.rules.SpatialJoinRewrite]]). */
+  def bboxCells(rings: ArrayData, cellSize: Double): ArrayData = {
+    val (xss, yss) = unpackRings(rings)
+    var minX = Double.PositiveInfinity; var maxX = Double.NegativeInfinity
+    var minY = Double.PositiveInfinity; var maxY = Double.NegativeInfinity
+    var r = 0
+    while (r < xss.length) {
+      val xs = xss(r); val ys = yss(r)
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) < minX) minX = xs(i); if (xs(i) > maxX) maxX = xs(i)
+        if (ys(i) < minY) minY = ys(i); if (ys(i) > maxY) maxY = ys(i)
+        i += 1
+      }
+      r += 1
+    }
+    if (minX > maxX) return ArrayData.toArrayData(Array.empty[Long])
+    val cx0 = math.floor(minX / cellSize).toLong
+    val cx1 = math.floor(maxX / cellSize).toLong
+    val cy0 = math.floor(minY / cellSize).toLong
+    val cy1 = math.floor(maxY / cellSize).toLong
+    val out = new Array[Long](((cx1 - cx0 + 1) * (cy1 - cy0 + 1)).toInt)
+    var k = 0
+    var cx = cx0
+    while (cx <= cx1) {
+      var cy = cy0
+      while (cy <= cy1) { out(k) = (cx << 32) | (cy & 0xFFFFFFFFL); k += 1; cy += 1 }
+      cx += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** st_contains(ring, point): ray-casting point-in-polygon (J11). */
@@ -106,6 +140,22 @@ case class PointInRings(first: Expression, second: Expression, third: Expression
 
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(first = a, second = b, third = c)
+}
+
+/** bbox_cells(rings, cellSize) -> array<long> of packed covered grid
+  * cells; polygon-side generator of the spatial equi-join rewrite. */
+case class RingsBboxCells(child: Expression, cellSize: Double)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bbox_cells"
+
+  override def nullSafeEval(rings: Any): Any =
+    Rings.bboxCells(rings.asInstanceOf[ArrayData], cellSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.geo.Rings.bboxCells($r, ${cellSize}D)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** st_area over a ring SET: exterior areas minus hole areas (depth-signed). */

@@ -139,4 +139,74 @@ class RulesSpec extends SparkSuite {
         spark.experimental.extraOptimizations.filterNot(_ == JaccardLengthPruning)
     }
   }
+
+  // ---- SpatialJoinRewrite ------------------------------------------------
+
+  // 40 points on a line; 3 square polygons (one with a hole) as ring sets
+  private lazy val (pointsPath, polysPath) = {
+    val base = java.nio.file.Files.createTempDirectory("spatial").toString
+    (0 until 40).map(i => (i.toLong, i * 2.5, i * 1.5))
+      .toDF("pid", "x", "y").write.parquet(s"$base/points")
+    def ring(x0: Double, y0: Double, w: Double) =
+      Seq((x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w))
+    Seq(
+      (10L, Seq(ring(0, 0, 20))),                    // plain square
+      (20L, Seq(ring(15, 10, 30), ring(25, 15, 5))), // square with hole
+      (30L, Seq(ring(70, 40, 25))))
+      .toDF("poly_id", "rings").write.parquet(s"$base/polys")
+    (s"$base/points", s"$base/polys")
+  }
+
+  private def spatialQuery = {
+    val pts = spark.read.parquet(pointsPath)
+    val polys = spark.read.parquet(polysPath)
+    pts.crossJoin(polys)
+      .where(graft.geo.GeoFunctions.pointInRings(col("rings"), col("x"), col("y")))
+      .select("pid", "poly_id")
+  }
+
+  test("spatial rewrite turns the PIP cross product into a cell equi-join") {
+    import graft.rules.SpatialJoinRewrite
+    val naive = spatialQuery.as[(Long, Long)].collect().toSet
+    assert(spatialQuery.queryExecution.executedPlan.toString
+      .contains("NestedLoopJoin")) // the shape we are eliminating
+
+    val optimized = SpatialJoinRewrite(spatialQuery.queryExecution.optimizedPlan)
+    assert(optimized.toString.contains("bbox_cells"),
+      s"rewrite did not fire:\n$optimized")
+    // idempotent: the rewritten join now has an equality conjunct
+    assert(SpatialJoinRewrite(optimized).toString === optimized.toString)
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+    try {
+      val plan = spatialQuery.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoopJoin"), s"still a cross product:\n$plan")
+      assert(plan.contains("HashJoin"), s"expected hash join:\n$plan")
+      assert(spatialQuery.as[(Long, Long)].collect().toSet === naive)
+      // hole semantics preserved through the rewrite: a point inside
+      // polygon 20's hole matches only the outer square 10
+      assert(!naive.exists { case (pid, poly) => poly == 20L &&
+        { val p = (pid * 2.5, pid * 1.5); p._1 > 25 && p._1 < 30 && p._2 > 15 && p._2 < 20 } })
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRewrite)
+    }
+  }
+
+  test("spatial rewrite leaves equi-joins and one-sided predicates alone") {
+    import graft.rules.SpatialJoinRewrite
+    val pts = spark.read.parquet(pointsPath)
+    val polys = spark.read.parquet(polysPath)
+    // already an equi-join: no rewrite
+    val equi = pts.join(polys, pts("pid") === polys("poly_id"))
+      .where(graft.geo.GeoFunctions.pointInRings(col("rings"), col("x"), col("y")))
+    assert(!SpatialJoinRewrite(equi.queryExecution.optimizedPlan)
+      .toString.contains("bbox_cells"))
+    // rings and coords from the SAME side: no rewrite
+    val oneSided = polys.crossJoin(pts.select(col("pid").as("p2")))
+      .where(graft.geo.GeoFunctions.pointInRings(col("rings"), lit(1.0), lit(1.0)))
+    assert(!SpatialJoinRewrite(oneSided.queryExecution.optimizedPlan)
+      .toString.contains("bbox_cells"))
+  }
 }
