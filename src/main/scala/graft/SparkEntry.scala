@@ -484,9 +484,11 @@ object SparkEntry {
       Dedup.blockedJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
         Seq("lang", "source"), threshold = 0.5)),
 
-    // ---- SimHash near-dup pairs (no SQL oracle) ----
+    // ---- SimHash near-dup canonical ids (no SQL oracle): O(n) output
+    // rows via bucket-representative edges, like q45 ----
     "q47_simhash_neardups" -> ((s, dir) =>
-      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)),
+      Dedup.simhashCanonicalIds(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 8)),
 
     // ---- exact quantiles per group (corpus length statistics) ----
     "q48_length_quantiles" -> ((s, dir) => {

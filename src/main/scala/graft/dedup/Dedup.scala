@@ -162,19 +162,26 @@ object Dedup {
       .where(estimate >= threshold - 0.1)
       .select("id_a", "id_b")
     val verified = verifyJaccard(prefiltered, docs, textCol, idCol, threshold, shingleSize)
-    // one row per duplicate doc (tiny vs corpus); persisted because it
-    // is consumed twice below — without this the whole banded pipeline
-    // above re-executes for the path-compression join (visible as a
-    // doubled subtree in the physical plan)
-    val mapped = verified.groupBy(col("id_b").as("id"))
+    canonicalFromEdges(docs, idCol, verified)
+  }
+
+  /** Shared canonical-id assembly from verified duplicate edges
+    * (`id_a` = representative, `id_b` = duplicate): one output row per
+    * doc, `canonical_id` = its group representative (one hop of path
+    * compression). The dup map (one row per duplicate, tiny vs corpus)
+    * is persisted because it is consumed twice — without this the whole
+    * candidate pipeline above it re-executes for the path-compression
+    * join (visible as a doubled subtree in the physical plan). Both
+    * consumer joins broadcast it so the corpus side never shuffles
+    * (Catalyst can't infer smallness through the aggregation). */
+  private def canonicalFromEdges(docs: DataFrame, idCol: String,
+                                 edges: DataFrame): DataFrame = {
+    val mapped = edges.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("canon0"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // both joins broadcast the dup map so the corpus side never
-    // shuffles (Catalyst can't infer smallness through the aggregation)
     val all = docs.select(col(idCol).as("id"))
       .join(broadcast(mapped), Seq("id"), "left")
       .withColumn("canon0", coalesce(col("canon0"), col("id")))
-    // one hop of path compression: follow the representative's own mapping
     val repMap = mapped.select(col("id").as("canon0"), col("canon0").as("canon1"))
     all.join(broadcast(repMap), Seq("canon0"), "left")
       .select(col("id").as(idCol),
@@ -184,6 +191,37 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, candidates share one of
     * four 16-bit bands (guarantees recall for Hamming distance <= 3),
     * verified by exact Hamming <= maxHamming. */
+  /** SimHash near-dup canonical ids — the O(n)-output form of
+    * [[simhashNearDups]] (same stance as [[minhashCanonicalIds]]):
+    * candidate edges run doc -> bucket representative (`min(id)` per
+    * 16-bit band bucket), never all-pairs within a bucket, so a
+    * degenerate corpus cannot explode the edge count; the Hamming
+    * verify then keeps edges <= `maxHamming` apart. Output is one row
+    * per doc. Clustering is one-hop representative-based like the
+    * MinHash form: chains longer than rep->dup->dup resolve over
+    * repeated runs, the documented approximation for a single pass. */
+  def simhashCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(Text.tokens(col(textCol))).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    // min(struct(id, sig)) orders lexicographically by field order ->
+    // the bucket representative AND its signature in one window pass
+    val byBucket = Window.partitionBy("band", "bucket")
+    val edges = banded
+      .withColumn("rep", min(struct(col("id"), col("sig"))).over(byBucket))
+      .where(col("id") =!= col("rep.id"))
+      .where(bit_count(col("sig").bitwiseXOR(col("rep.sig"))) <= maxHamming)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    canonicalFromEdges(docs, idCol, edges)
+  }
+
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),

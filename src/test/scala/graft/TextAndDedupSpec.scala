@@ -74,6 +74,25 @@ class TextAndDedupSpec extends SparkSuite {
     assert(canon.size === 4)
   }
 
+  test("simhashCanonicalIds groups near-dups like the pair list, O(n) rows") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),   // identical -> hamming 0
+      (4L, "a b c d e f g h i k"),   // near -> small hamming
+      (9L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    val canon = Dedup.simhashCanonicalIds(docs, "text", "doc_id", maxHamming = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(canon.size === 4)                     // one row per doc
+    assert(canon(1L) === 1L && canon(2L) === 1L) // dup cluster -> min id
+    assert(canon(9L) === 9L)                     // singleton maps to itself
+    // every pair-list edge from the representative is honored
+    assert(pairs.filter(_._1 == 1L).forall { case (_, b) => canon(b) === 1L })
+  }
+
   test("blockedJaccardPairs length banding is lossless across a band boundary") {
     // sizes 3 and 5: floor(log2) bands 1 vs 2 (adjacent), jaccard 3/5 = 0.6
     // >= 0.5 — the +/-1 band spread must keep this pair
