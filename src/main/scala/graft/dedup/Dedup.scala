@@ -302,25 +302,59 @@ object Dedup {
     * >= threshold. */
   def embeddingNearDups(embeddings: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, bits: Int = 16, bandBits: Int = 8): DataFrame = {
+    val banded = hyperplaneBanded(embeddings, vecCol, idCol, bits, bandBits)
+      .select("id", "band", "bucket")
+    val l = banded.as("l")
+    val r = banded.as("r")
+    // candidate ids only through the join + distinct — the vectors are
+    // attached AFTER dedup, so the shuffled rows are bare id pairs, not
+    // dim-sized payloads
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosineSim(col("vec_a"), col("vec_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  private def hyperplaneBanded(embeddings: DataFrame, vecCol: String,
+                               idCol: String, bits: Int, bandBits: Int): DataFrame = {
     val nBands = bits / bandBits
     val mask = (1L << bandBits) - 1
     val bandStructs = (0 until nBands).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("bucket")))
-    val banded = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFunctions.hyperplaneLsh(col(vecCol), bits).as("sig"))
       .select(col("id"), col("vec"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("vec"), col("bb.band"), col("bb.bucket"))
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r,
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+  }
+
+  /** Embedding near-dup canonical ids — the O(n)-output form of
+    * [[embeddingNearDups]], same stance as [[minhashCanonicalIds]] /
+    * [[simhashCanonicalIds]]: edges run doc -> bucket representative
+    * (never all-pairs within a bucket), verified by exact cosine.
+    * The representative's vector rides the bucket window (one payload
+    * shuffle, partitioned by bucket); the corpus itself never
+    * re-shuffles afterwards. */
+  def embeddingCanonicalIds(embeddings: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double, bits: Int = 16,
+                            bandBits: Int = 8): DataFrame = {
+    val banded = hyperplaneBanded(embeddings, vecCol, idCol, bits, bandBits)
+    val byBucket = Window.partitionBy("band", "bucket")
+    val edges = banded
+      .withColumn("rep", min(struct(col("id"), col("vec"))).over(byBucket))
+      .where(col("id") =!= col("rep.id"))
+      .where(round(VectorFunctions.cosineSim(col("vec"), col("rep.vec")), 6)
+        >= threshold)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"))
       .distinct()
-      .withColumn("cosine", round(VectorFunctions.cosineSim(col("vec_a"), col("vec_b")), 6))
-      .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    canonicalFromEdges(embeddings, idCol, edges)
   }
 }

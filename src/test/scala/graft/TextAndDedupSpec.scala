@@ -93,6 +93,20 @@ class TextAndDedupSpec extends SparkSuite {
     assert(pairs.filter(_._1 == 1L).forall { case (_, b) => canon(b) === 1L })
   }
 
+  test("embeddingCanonicalIds groups identical vectors, one row per id") {
+    val dup = Seq(0.6f, 0.8f, 0.0f, 0.0f)
+    val docs = Seq(
+      (1L, dup), (2L, dup), (7L, dup),                  // exact dup cluster
+      (9L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),                // orthogonal
+      (11L, Seq(-0.6f, -0.8f, 0.0f, 0.0f)))             // opposite direction
+      .toDF("vec_id", "embedding")
+    val canon = Dedup.embeddingCanonicalIds(docs, "embedding", "vec_id",
+      threshold = 0.99).as[(Long, Long)].collect().toMap
+    assert(canon.size === 5)
+    assert(canon(1L) === 1L && canon(2L) === 1L && canon(7L) === 1L)
+    assert(canon(9L) === 9L && canon(11L) === 11L)
+  }
+
   test("blockedJaccardPairs length banding is lossless across a band boundary") {
     // sizes 3 and 5: floor(log2) bands 1 vs 2 (adjacent), jaccard 3/5 = 0.6
     // >= 0.5 — the +/-1 band spread must keep this pair
