@@ -36,6 +36,19 @@ object SparkEntry {
   private def cents(c: Column, scale: Int): Column =
     round(c * math.pow(10, scale)).cast("long")
 
+  /** Engine-stable 6-decimal rounding for NON-NEGATIVE values:
+    * `floor(x*1e6 + 0.5)/1e6`, the exact float sequence DuckDB's
+    * `floor(x*1e6 + 0.5)/1e6` runs. Spark's `round()` goes through
+    * BigDecimal (exact decimal view of the double) while DuckDB's
+    * multiplies in floating point — on values that land exactly on a
+    * .5 e-6 boundary the two disagree by 1 ulp (seen at sf0.1). The
+    * matching SQL is [[round6Sql]]. */
+  private def round6(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  private def round6Sql(expr: String): String =
+    s"floor(($expr)*1e6 + 0.5)/1e6"
+
   private val extDisc: Column =
     col("l_extendedprice") * (lit(1) - col("l_discount"))
 
@@ -285,7 +298,8 @@ object SparkEntry {
     "q23_discount_union" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(round(Aggs.complementProduct(col("l_discount")), 6).as("effective_discount"))
+        .agg(round6(Aggs.complementProductSorted(col("l_discount")))
+          .as("effective_discount"))
     }),
 
     // ---- ordered group string concat (§2.4 A10) ----
@@ -813,9 +827,9 @@ object SparkEntry {
         .select(col("plot_id"), col("segment_id"), col("perimeter_cm"), col("dbh_mm"),
           col("height_m"), col("name_nl"), col("status_tree"), col("coppice_individual"),
           col("intact_tree"), col("tree_id"), col("date_assessment"),
-          round(col("basalarea_m2"), 6).as("basalarea_m2"),
-          round(col("vol_m3"), 6).as("vol_stem_m3"),
-          round(col("vol_m3") * (lit(1.0) + lit(1.0) / (col("tree_species_id") + 2)), 6)
+          round6(col("basalarea_m2")).as("basalarea_m2"),
+          round6(col("vol_m3")).as("vol_stem_m3"),
+          round6(col("vol_m3") * (lit(1.0) + lit(1.0) / (col("tree_species_id") + 2)))
             .as("vol_tot_m3"),
           col("mon_cycle"), col("name_sc"), col("tree_species_id"))
     }),
@@ -842,7 +856,7 @@ object SparkEntry {
         "tree_species_id", "a", "b", "c", "d", "e", "f", "formule_type")
       graft.pipelines.Vbi.treeVolume(trees, params)
         .select(col("tree_id"), col("tree_species_id"), col("formule_type"),
-          round(col("vol_m3"), 6).as("vol_m3"))
+          round6(col("vol_m3")).as("vol_m3"))
     }),
 
     // ---- dendrometry: per-tree basal area + per-plot stand totals ----
@@ -1313,8 +1327,8 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "q23_discount_union" ->
-      """SELECT l_orderkey,
-        | round(1 - product(1 - l_discount), 6) AS effective_discount
+      s"""SELECT l_orderkey,
+        | ${round6Sql("1 - product(1 - l_discount ORDER BY 1 - l_discount)")} AS effective_discount
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
 
     "q24_status_concat" ->
@@ -1722,9 +1736,9 @@ object SparkEntry {
         |  CASE WHEN v.tree_id % 5 = 0 THEN 'coppice' ELSE 'individual' END AS coppice_individual,
         |  CASE WHEN v.tree_id % 7 < 5 THEN 'intact' ELSE 'broken' END AS intact_tree,
         |  v.tree_id, d.date_assessment,
-        |  round(v.basalarea_m2, 6) AS basalarea_m2,
-        |  round(v.vol_m3, 6) AS vol_stem_m3,
-        |  round(v.vol_m3 * (1.0 + 1.0 / (v.tree_species_id + 2)), 6) AS vol_tot_m3,
+        |  floor(v.basalarea_m2*1e6 + 0.5)/1e6 AS basalarea_m2,
+        |  floor(v.vol_m3*1e6 + 0.5)/1e6 AS vol_stem_m3,
+        |  floor((v.vol_m3 * (1.0 + 1.0 / (v.tree_species_id + 2)))*1e6 + 0.5)/1e6 AS vol_tot_m3,
         |  CAST(floor((year(d.date_assessment) - 1992) / 4.0) + 1 AS DOUBLE) AS mon_cycle,
         |  'species_' || v.tree_species_id AS name_sc,
         |  v.tree_species_id
@@ -1778,11 +1792,11 @@ object SparkEntry {
         |    perimeter_cm / 100.0 AS c150, height_m AS h
         |  FROM trees t LEFT JOIN params p ON t.tree_species_id = p.tree_species_id)
         |SELECT tree_id, tree_species_id, CAST(formule_type AS INTEGER) AS formule_type,
-        |  round(CASE
+        |  floor((CASE
         |    WHEN formule_type = 1 THEN a + b*c150 + c*c150*c150 + d*c150*c150*c150
         |    WHEN formule_type = 2 THEN a + b*c150 + c*c150*c150 + d*h + e*c150*h + f*c150*c150*h
         |    WHEN formule_type = 3 THEN a + b*c150*c150 + c*c150*c150*h + d*h
-        |  END, 6) AS vol_m3
+        |  END)*1e6 + 0.5)/1e6 AS vol_m3
         |FROM j""".stripMargin,
 
     "q74_deadwood_volume" ->

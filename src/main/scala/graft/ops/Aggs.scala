@@ -47,6 +47,19 @@ object Aggs {
   def complementProduct(coverFraction: Column): Column =
     lit(1.0) - product(lit(1.0) - coverFraction)
 
+  /** A7, bit-reproducible form: canonical ascending-order left fold.
+    * The [[product]] Aggregator multiplies in partition/merge order, so
+    * its last double bit depends on the physical split — fine
+    * numerically, but not byte-stable across engines or cluster
+    * layouts. This form sorts the complements and folds sequentially,
+    * giving the same IEEE sequence everywhere (and matching a SQL
+    * `product(1 - x ORDER BY 1 - x)`). Use when groups are bounded
+    * (collect_list materializes the group); the Aggregator otherwise. */
+  def complementProductSorted(coverFraction: Column): Column =
+    lit(1.0) - aggregate(
+      sort_array(collect_list(lit(1.0) - coverFraction)),
+      lit(1.0), (acc, v) => acc * v)
+
   /** A10 deterministic group-wise string concat
     * (`query_fieldmap.Rmd:1571`): distinct values, sorted, joined —
     * `str_c(sort(unique(x)), collapse = sep)`. */
