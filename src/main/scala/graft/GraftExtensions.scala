@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, HyperplaneLsh, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, HyperplaneLsh, MinHashSignature, SimHash64, WinnowFingerprint}
 import graft.geo.{CrsTransform, PointInRing, RingArea, WkbToRing}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -36,6 +36,8 @@ object GraftExtensions {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
     "minhash_signature" -> (es => MinHashSignature(es(0), intArg(es(1), "k"))),
+    "winnow_fingerprint" -> (es => WinnowFingerprint(es(0),
+      intArg(es(1), "k"), intArg(es(2), "t"))),
     "hyperplane_lsh" -> (es => HyperplaneLsh(es(0), intArg(es(1), "bits"))),
     "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
     "wkb_to_ring" -> (es => WkbToRing(es(0))),

@@ -427,6 +427,17 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ---- winnowing document fingerprint (MOSS; no SQL oracle —
+    // custom rolling hash): per-doc substring-level fingerprints,
+    // k=16-byte grams, window t=8 ----
+    "q38_docs_winnow" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.HashFunctions
+            .winnowFingerprint(col("text"), 16, 8).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+          col("fp").getItem(0).as("first_fp"))),
+
     // ---- exact dedup: canonical id per content fingerprint ----
     "q40_docs_exact_dedup" -> ((s, dir) =>
       Dedup.exactCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),

@@ -93,6 +93,31 @@ class TextAndDedupSpec extends SparkSuite {
     assert(pairs.filter(_._1 == 1L).forall { case (_, b) => canon(b) === 1L })
   }
 
+  test("winnow fingerprint: determinism, the shared-substring guarantee, edge cases") {
+    val k = 8; val t = 4
+    val copied = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docA = s"AAAA unrelated preamble text. $copied"
+    val docB = s"completely different opening words here!! $copied ZZZZ trailing"
+    val df = Seq((1L, docA), (2L, docB), (3L, docA), (4L, "tiny"), (5L, "nothing alike at all qqq"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        HashFunctions.winnowFingerprint(col("text"), k, t).as("fp"))
+    val fp = df.as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) === fp(3L))                    // identical docs, identical prints
+    assert(fp(4L).isEmpty)                       // shorter than k bytes
+    // winnowing guarantee: a shared substring of >= t + k - 1 bytes
+    // (here ~60) must yield at least one shared fingerprint
+    assert((fp(1L).toSet & fp(2L).toSet).nonEmpty)
+    assert((fp(5L).toSet & fp(1L).toSet).isEmpty) // disjoint text, no prints shared
+    // registered SQL surface agrees with the Column API
+    graft.GraftExtensions.register(spark)
+    Seq((1L, docA)).toDF("doc_id", "text").createOrReplaceTempView("winnow_t")
+    val viaSql = spark.sql(
+      s"SELECT winnow_fingerprint(text, $k, $t) AS fp FROM winnow_t")
+      .as[Seq[Long]].head()
+    assert(viaSql === fp(1L))
+  }
+
   test("embeddingCanonicalIds groups identical vectors, one row per id") {
     val dup = Seq(0.6f, 0.8f, 0.0f, 0.0f)
     val docs = Seq(
