@@ -222,6 +222,35 @@ object Dedup {
     canonicalFromEdges(docs, idCol, edges)
   }
 
+  /** Substring-level near-dup pairs via winnowing fingerprints
+    * ([[graft.functions.WinnowFingerprint]]): two documents pair when
+    * they share at least `minShared` fingerprints — i.e. they share
+    * verbatim byte runs, the signal token-set jaccard and simhash both
+    * miss (copied paragraphs inside otherwise-different documents).
+    *
+    * Scale guards: fingerprints occurring in more than `maxDf`
+    * documents are dropped before the self-join (boilerplate headers /
+    * license blocks would otherwise create quadratic buckets — the
+    * standard stop-fingerprint rule), so any bucket joins at most
+    * `maxDf` ids; only (id, fp) pairs ever shuffle, never text. */
+  def winnowNearDups(docs: DataFrame, textCol: String, idCol: String,
+                     k: Int = 16, t: Int = 8, minShared: Int = 2,
+                     maxDf: Int = 50): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+        explode(graft.functions.HashFunctions
+          .winnowFingerprint(col(textCol), k, t)).as("fp"))
+      .distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    val l = pruned.as("l")
+    val r = pruned.as("r")
+    l.join(r, col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),

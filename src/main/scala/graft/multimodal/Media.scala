@@ -82,4 +82,39 @@ object Media {
   /** Size-band repartitioning so a few huge blobs don't skew decode. */
   def balancedBySize(media: DataFrame, partitions: Int): DataFrame =
     media.repartition(partitions, pmod(hash(col("media_id"), length(col("media"))), lit(partitions)))
+
+  case class ResizedMedia(media_id: Long, kind: String, media: Array[Byte],
+                          width: Int, height: Int)
+
+  /** Resize: REAL nearest-neighbor resampling when the blob is a raw
+    * 8-bit grayscale raster (width*height == byte length — the shape a
+    * real decoder would hand over); blobs still in a codec container
+    * pass through unchanged, marked by width/height 0, because the
+    * decode step is the stubbed part. Same mapPartitions batch shape as
+    * [[extractFeatures]]: at scale each partition streams its blobs
+    * through one task, no driver collection, size-balanced upstream by
+    * [[balancedBySize]]. */
+  def resizeRaster(spark: SparkSession, media: DataFrame,
+                   targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    media.select("media_id", "kind", "media", "width", "height", "sample_rate")
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        if (r.width > 0 && r.height > 0 && r.width.toLong * r.height == r.media.length) {
+          val out = new Array[Byte](targetW * targetH)
+          var y = 0
+          while (y < targetH) {
+            val srcRow = (y.toLong * r.height / targetH).toInt * r.width
+            var x = 0
+            while (x < targetW) {
+              out(y * targetW + x) = r.media(srcRow + (x.toLong * r.width / targetW).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(r.media_id, r.kind, out, targetW, targetH)
+        } else ResizedMedia(r.media_id, r.kind, r.media, r.width, r.height)
+      })
+  }
 }

@@ -60,6 +60,22 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(feats(2L).byte_len === 0L)
   }
 
+  test("Media.resizeRaster: exact nearest-neighbor on rasters, pass-through otherwise") {
+    // 4x4 grayscale gradient: pixel(x, y) = 16*y + x
+    val raster = Array.tabulate(16)(i => i.toByte)
+    val rows = Seq(
+      (1L, "image", raster, 4, 4, 0),
+      (2L, "image", Array[Byte](9, 9, 9), 0, 0, 0)) // undecoded blob
+      .toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val out = Media.resizeRaster(spark, rows, 2, 2).collect()
+      .map(r => r.media_id -> r).toMap
+    // nearest-neighbor picks source pixels (0,0) (2,0) (0,2) (2,2)
+    assert(out(1L).media.toSeq === Seq[Byte](0, 2, 8, 10))
+    assert(out(1L).width === 2 && out(1L).height === 2)
+    assert(out(2L).media.toSeq === Seq[Byte](9, 9, 9)) // codec decode stubbed
+    assert(out(2L).width === 0)
+  }
+
   test("Media.sampleSegments produces stride-aligned byte windows") {
     val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val segs = Media.sampleSegments(Media.fromText(docs, "doc_id", "text", "blob"), 4, 4)

@@ -118,6 +118,23 @@ class TextAndDedupSpec extends SparkSuite {
     assert(viaSql === fp(1L))
   }
 
+  test("winnowNearDups finds copied paragraphs; stop-fingerprints bounded") {
+    val para = "it was the best of times it was the worst of times " * 3
+    val boiler = "standard license header all documents carry verbatim. "
+    val docs = Seq(
+      (1L, s"$boiler unique opening alpha. $para"),
+      (2L, s"$boiler totally different content beta gamma delta. $para"),
+      (3L, s"$boiler nothing copied here at all, just original prose qq"),
+      (4L, s"$boiler another fully original document zz ww yy xx vv"))
+      .toDF("doc_id", "text")
+    // maxDf=2: the boilerplate prefix (in all 4 docs) is dropped as a
+    // stop-fingerprint, so only the copied paragraph can pair docs
+    val pairs = Dedup.winnowNearDups(docs, "text", "doc_id",
+        k = 8, t = 4, minShared = 2, maxDf = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("embeddingCanonicalIds groups identical vectors, one row per id") {
     val dup = Seq(0.6f, 0.8f, 0.0f, 0.0f)
     val docs = Seq(
