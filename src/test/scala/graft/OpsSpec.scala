@@ -91,6 +91,22 @@ class OpsSpec extends SparkSuite {
     assert(got(1) === 0.75 && got(2) === 0.0 && got(3) === 1.0)
   }
 
+  test("complementProductSorted agrees with the Aggregator to 1e-12 (A7)") {
+    // 40 groups x up to 9 fractional covers; the sorted canonical fold
+    // and the merge-order Aggregator may differ in the last double bit,
+    // never more
+    val rows = for (g <- 1 to 40; i <- 0 to (g % 9)) yield
+      (g, ((g * 31 + i * 17) % 97) / 100.0)
+    val df = rows.toDF("k", "c")
+    val both = df.groupBy("k").agg(
+        Aggs.complementProduct(col("c")).as("agg"),
+        Aggs.complementProductSorted(col("c")).as("sorted"))
+      .as[(Int, Double, Double)].collect()
+    both.foreach { case (k, a, s) =>
+      assert(math.abs(a - s) < 1e-12, s"group $k: $a vs $s")
+    }
+  }
+
   test("stringAggSorted is deterministic (A10)") {
     val df = Seq((1, "b"), (1, "a"), (1, "b")).toDF("k", "v")
     val got = df.groupBy("k").agg(Aggs.stringAggSorted(col("v"), ";").as("s"))
