@@ -74,7 +74,7 @@ object Ann {
     val centroids = trainCentroids(corpus, idCol, vecCol, nCells, iters, trainSample)
 
     def simToCentroids(vec: Column): Column =
-      array(centroids.zipWithIndex.map { case (c, i) =>
+      array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(lit(i).as("cell"),
           coalesce(VectorFunctions.cosineSim(vec, typedLit(c.toSeq)), lit(-2.0)).as("sim"))
       }: _*)
