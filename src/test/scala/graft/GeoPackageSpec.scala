@@ -12,8 +12,18 @@ class GeoPackageSpec extends SparkSuite {
 
   private val path = getClass.getResource("/habitatmap.gpkg").getPath
 
-  test("gpkg_contents lists the feature table") {
-    assert(GeoPackage.tables(path) === Seq(("habitatmap", "features")))
+  test("gpkg_contents lists feature and attribute tables") {
+    assert(GeoPackage.tables(path).toSet ===
+      Set(("habitatmap", "features"), ("survey_info", "attributes")))
+  }
+
+  test("attribute (geometry-less) table reads with typed nulls") {
+    val df = GeoPackage.read(spark, path, "survey_info")
+    assert(df.columns.toSeq === Seq("id", "survey_name", "plots", "mean_area"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(1).getString(1) === "moerassen" && rows(1).getDouble(3) === 8.25)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
   }
 
   test("feature table: schema, rowid alias, nulls, scale of rows") {

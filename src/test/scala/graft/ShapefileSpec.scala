@@ -132,6 +132,18 @@ class ShapefileSpec extends SparkSuite {
     assert(!GeoKernels.pointInRings(xss, yss, 4.0, 4.0)) // hole still a hole
   }
 
+  test("no winding info (all rings CCW) falls back to one polygon per ring") {
+    val ccw1 = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val ccw2 = Seq((20.0, 0.0), (25.0, 0.0), (25.0, 5.0), (20.0, 5.0), (20.0, 0.0))
+    val base = writeLayer(Seq(polygonRecord(Seq(ccw1, ccw2))), Seq.empty, Seq.empty)
+    val (typ, rings) = Wkb.decodeTyped(
+      Shapefile.read(spark, base).head().getAs[Array[Byte]]("geometry"))
+    assert(typ === 6 && rings.length === 2) // two parts, no hole nesting
+    val (xss, yss) = (rings.map(_._1), rings.map(_._2))
+    assert(GeoKernels.pointInRings(xss, yss, 5.0, 5.0))
+    assert(GeoKernels.pointInRings(xss, yss, 22.0, 2.0))
+  }
+
   test("point, null shape, and dbf typing (N/dec, L, empties)") {
     val base = writeLayer(
       Seq(pointRecord(3.5, -1.25), nullRecord),
