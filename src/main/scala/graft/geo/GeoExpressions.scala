@@ -14,9 +14,8 @@ import org.apache.spark.sql.types._
   *
   * Ring-taking expressions codegen to static kernel calls (the loop is
   * in compiled Scala; generated code just dispatches) — keeps the whole
-  * stage inside WholeStageCodegen instead of a fallback boundary. Only
-  * the CRS transform stays CodegenFallback (struct result, negligible
-  * per-row cost).
+  * stage inside WholeStageCodegen instead of a fallback boundary. The
+  * CRS transform codegens through row-building bridges in [[Rings]].
   */
 object Rings {
   def unpack(a: Any): (Array[Double], Array[Double]) = {
@@ -69,6 +68,17 @@ object Rings {
   def circleClipArea(ring: ArrayData, cx: Double, cy: Double, r: Double): Double = {
     val (xs, ys) = unpack(ring)
     GeoKernels.circleIntersectionArea(xs, ys, cx, cy, r)
+  }
+
+  // static entry points for the CRS transform's generated code (the
+  // struct result needs an InternalRow, which plain kernels don't know)
+  def l72ToWgs84Row(x: Double, y: Double): InternalRow = {
+    val (lon, lat) = GeoKernels.lambert72ToWgs84(x, y)
+    InternalRow(lon, lat)
+  }
+  def wgs84ToL72Row(lon: Double, lat: Double): InternalRow = {
+    val (x, y) = GeoKernels.wgs84ToLambert72(lon, lat)
+    InternalRow(x, y)
   }
 
   /** All grid cells covered by the bbox of a ring set, packed as
@@ -210,18 +220,20 @@ case class CircleClipArea(first: Expression, second: Expression, third: Expressi
 /** st_transform between EPSG:31370 and EPSG:4326; returns
   * struct<lon double, lat double> or struct<x double, y double>. */
 case class CrsTransform(left: Expression, right: Expression, toWgs84: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType =
     if (toWgs84) StructType(Seq(StructField("lon", DoubleType), StructField("lat", DoubleType)))
     else StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))
   override def prettyName: String = if (toWgs84) "lambert72_to_wgs84" else "wgs84_to_lambert72"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val (u, v) =
-      if (toWgs84) GeoKernels.lambert72ToWgs84(a.asInstanceOf[Double], b.asInstanceOf[Double])
-      else GeoKernels.wgs84ToLambert72(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    InternalRow(u, v)
-  }
+  private def bridge = if (toWgs84) "l72ToWgs84Row" else "wgs84ToL72Row"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (toWgs84) Rings.l72ToWgs84Row(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    else Rings.wgs84ToL72Row(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geo.Rings.$bridge($a, $b)")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
