@@ -3,9 +3,9 @@ package graft.geo
 import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** WKB (well-known binary) decoding — SURVEY.md §1.2: geometry rides as
@@ -148,23 +148,40 @@ object Wkb {
     buf.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
     buf.array()
   }
-}
 
-/** wkb_to_ring(binary) -> array<struct<x double, y double>> or NULL. */
-case class WkbToRing(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
-  override def nullable: Boolean = true
-  override def prettyName: String = "wkb_to_ring"
-
-  override def nullSafeEval(v: Any): Any = {
-    val decoded = Wkb.decode(v.asInstanceOf[Array[Byte]])
+  // static entry points for generated code (null = malformed input)
+  def ringData(bytes: Array[Byte]): ArrayData = {
+    val decoded = decode(bytes)
     if (decoded == null) null
     else {
       val (xs, ys) = decoded
       new GenericArrayData(xs.indices.map(i => InternalRow(xs(i), ys(i))).toArray[Any])
     }
   }
+
+  def ringsData(bytes: Array[Byte]): ArrayData = {
+    val rings = decodeRings(bytes)
+    if (rings == null) null
+    else new GenericArrayData(rings.map { case (xs, ys) =>
+      new GenericArrayData(xs.indices.map(i => InternalRow(xs(i), ys(i))).toArray[Any])
+    }.toArray[Any])
+  }
+}
+
+/** wkb_to_ring(binary) -> array<struct<x double, y double>> or NULL. */
+case class WkbToRing(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wkb_to_ring"
+
+  override def nullSafeEval(v: Any): Any =
+    Wkb.ringData(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.geo.Wkb.ringData($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
 
   override protected def withNewChildInternal(c: Expression): WkbToRing = copy(child = c)
 }
@@ -173,19 +190,19 @@ case class WkbToRing(child: Expression) extends UnaryExpression with CodegenFall
   * NULL. All rings of a POINT / POLYGON-with-holes / MULTIPOLYGON, the
   * input shape for even-odd containment ([[PointInRings]]) and
   * hole-aware area ([[RingsArea]]). */
-case class WkbToRings(child: Expression) extends UnaryExpression with CodegenFallback {
+case class WkbToRings(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(ArrayType(
     StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType)))))
   override def nullable: Boolean = true
   override def prettyName: String = "wkb_to_rings"
 
-  override def nullSafeEval(v: Any): Any = {
-    val rings = Wkb.decodeRings(v.asInstanceOf[Array[Byte]])
-    if (rings == null) null
-    else new GenericArrayData(rings.map { case (xs, ys) =>
-      new GenericArrayData(xs.indices.map(i => InternalRow(xs(i), ys(i))).toArray[Any])
-    }.toArray[Any])
-  }
+  override def nullSafeEval(v: Any): Any =
+    Wkb.ringsData(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.geo.Wkb.ringsData($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
 
   override protected def withNewChildInternal(c: Expression): WkbToRings = copy(child = c)
 }
