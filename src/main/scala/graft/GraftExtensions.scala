@@ -32,6 +32,13 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleArg(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
@@ -40,8 +47,12 @@ object GraftExtensions {
       intArg(es(1), "k"), intArg(es(2), "t"))),
     "hyperplane_lsh" -> (es => HyperplaneLsh(es(0), intArg(es(1), "bits"))),
     "point_in_ring" -> (es => PointInRing(es(0), es(1), es(2))),
+    "point_in_rings" -> (es => graft.geo.PointInRings(es(0), es(1), es(2))),
     "wkb_to_ring" -> (es => WkbToRing(es(0))),
+    "wkb_to_rings" -> (es => graft.geo.WkbToRings(es(0))),
     "ring_area" -> (es => RingArea(es(0))),
+    "rings_area" -> (es => graft.geo.RingsArea(es(0))),
+    "bbox_cells" -> (es => graft.geo.RingsBboxCells(es(0), doubleArg(es(1), "cellSize"))),
     "lambert72_to_wgs84" -> (es => CrsTransform(es(0), es(1), toWgs84 = true)),
     "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)))
 

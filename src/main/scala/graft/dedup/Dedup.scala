@@ -176,9 +176,14 @@ object Dedup {
     * (Catalyst can't infer smallness through the aggregation). */
   private def canonicalFromEdges(docs: DataFrame, idCol: String,
                                  edges: DataFrame): DataFrame = {
+    // lazy localCheckpoint, NOT persist(): it computes once, both
+    // consumers read the stored blocks, and the blocks are reclaimed
+    // by the ContextCleaner when the plan is garbage collected — a
+    // CacheManager entry from persist() would pin storage for the
+    // session lifetime on every call (bench runs each query 5x)
     val mapped = edges.groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("canon0"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val all = docs.select(col(idCol).as("id"))
       .join(broadcast(mapped), Seq("id"), "left")
       .withColumn("canon0", coalesce(col("canon0"), col("id")))

@@ -104,7 +104,16 @@ object Rings {
     val cx1 = math.floor(maxX / cellSize).toLong
     val cy0 = math.floor(minY / cellSize).toLong
     val cy1 = math.floor(maxY / cellSize).toLong
-    val out = new Array[Long](((cx1 - cx0 + 1) * (cy1 - cy0 + 1)).toInt)
+    // fail fast with an actionable message instead of Int overflow /
+    // multi-GB allocation when one polygon's bbox dwarfs the cell size
+    // (corrupt coordinates, or spark.graft.geo.cellSize far too small)
+    val nCells = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    if (nCells > (1 << 22))
+      throw new IllegalArgumentException(
+        s"bbox_cells: polygon bbox [$minX..$maxX]x[$minY..$maxY] covers " +
+          s"$nCells cells at cellSize=$cellSize (max ${1 << 22}); raise " +
+          "spark.graft.geo.cellSize or filter corrupt geometries")
+    val out = new Array[Long](nCells.toInt)
     var k = 0
     var cx = cx0
     while (cx <= cx1) {

@@ -74,7 +74,8 @@ object GeoPackage {
   }
 
   /** GPKG geometry blob = "GP" magic, version, flags (byte order +
-    * envelope shape), SRID, optional envelope, then standard WKB. */
+    * envelope shape + empty/extended bits, OGC 12-128 §2.1.3), SRID,
+    * optional envelope, then standard WKB. */
   def stripGpkgHeader(b: Array[Byte]): Array[Byte] = {
     if (b.length < 8 || b(0) != 'G' || b(1) != 'P') return b // already bare WKB
     val flags = b(3)
@@ -85,7 +86,8 @@ object GeoPackage {
       case 4 => 64
       case _ => return null // invalid indicator
     }
-    if ((flags & 0x20) != 0) return null // empty-geometry flag
+    if ((flags & 0x10) != 0) return null // bit 4: empty geometry
+    if ((flags & 0x20) != 0) return null // bit 5: ExtendedGeoPackageBinary (not standard WKB)
     java.util.Arrays.copyOfRange(b, 8 + envelopeBytes, b.length)
   }
 

@@ -57,6 +57,14 @@ object VcSnapshots {
       .sortBy(_.version)
   }
 
+  /** Batch ids are manifest content: constrain them to a JSON-inert
+    * charset up front so a quote or control character can never corrupt
+    * the log (a corrupt entry would vanish from `entries()`, breaking
+    * both idempotency and the write-once version counter). */
+  private def checkBatchId(batchId: String): Unit =
+    require(batchId.matches("[A-Za-z0-9._ :-]{1,100}"),
+      s"batchId must match [A-Za-z0-9._ :-]{1,100}, got '$batchId'")
+
   private def writeManifest(dir: String, es: Seq[Entry]): Unit = {
     val body = es.map(e =>
         s"""{"version": ${e.version}, "batch_id": "${e.batchId}", "data_hash": "${e.dataHash}"}""")
@@ -73,6 +81,7 @@ object VcSnapshots {
   /** Create the table with its first snapshot. */
   def init(df: DataFrame, dir: String, sortKeys: Seq[String],
            batchId: String = "init"): Int = {
+    checkBatchId(batchId)
     require(entries(dir).isEmpty, s"$dir is already a snapshot table")
     Files.createDirectories(Paths.get(dir))
     val base = snapshotBase(dir, 1)
@@ -90,6 +99,7 @@ object VcSnapshots {
   def merge(spark: SparkSession, dir: String, incoming: DataFrame,
             keys: Seq[String], sortKeys: Seq[String], batchId: String,
             replace: Boolean = false): Int = {
+    checkBatchId(batchId)
     val es = entries(dir)
     require(es.nonEmpty, s"$dir is not an initialized snapshot table")
     if (es.exists(_.batchId == batchId)) return es.last.version

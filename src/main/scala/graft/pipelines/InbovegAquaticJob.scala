@@ -43,12 +43,13 @@ object InbovegAquaticJob {
     val ex = InbovegSource(registry, surveys).extracts(spark, "MQ")
 
     // N2k classification -> observed habitat type (`query_inboveg.Rmd:195-199`);
-    // first type per recording if several N2k rows exist
+    // a recording with several N2k rows resolves to min(type) — a
+    // DETERMINISTIC pick (dropDuplicates keeps a partition-order-
+    // dependent row, which would break hash-stable outputs)
     val habitat = ex.classification
       .where(col("classif_type") === "N2k")
-      .select(col("recording_givid").as("id"),
-        col("type_observed").as("habitattype"))
-      .dropDuplicates("id")
+      .groupBy(col("recording_givid").as("id"))
+      .agg(min(col("type_observed")).as("habitattype"))
 
     // MQ qualifiers in the aquatic shape (`query_inboveg.Rmd:214-227`):
     // present/recent measurements only (Q1 in A/B), value = Elucidation,

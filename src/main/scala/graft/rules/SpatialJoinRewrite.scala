@@ -2,7 +2,7 @@ package graft.rules
 
 import graft.geo.{PointInRings, RingsBboxCells}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -59,9 +59,13 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** Rewrite `Join(l, r, cond)` if `conjuncts` holds a point_in_rings
-    * whose rings come from one side and point coords from the other. */
+    * whose rings come from one side and point coords from the other.
+    * The result is wrapped in a Project restoring the ORIGINAL join
+    * output (left ++ right) — the Generate adds the internal cell
+    * attribute mid-plan, and an optimizer rule must never change the
+    * plan's output schema. */
   private def rewrite(left: LogicalPlan, right: LogicalPlan,
-                      conjuncts: Seq[Expression]): Option[Join] = {
+                      conjuncts: Seq[Expression]): Option[Project] = {
     if (hasEquality(conjuncts)) return None
     val cs = cellSize
     conjuncts.collectFirst {
@@ -87,8 +91,10 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           generatorOutput = Seq(cellAttr), child = polys)
         val cellEq = EqualTo(packedPointCell(x, y, cs), cellAttr)
         val cond = (conjuncts :+ cellEq).reduce(And)
-        if (swapped) Join(gen, points, Inner, Some(cond), org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-        else Join(points, gen, Inner, Some(cond), org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        val join =
+          if (swapped) Join(gen, points, Inner, Some(cond), JoinHint.NONE)
+          else Join(points, gen, Inner, Some(cond), JoinHint.NONE)
+        Project(left.output ++ right.output, join)
       }
     }
   }

@@ -67,9 +67,12 @@ class GeoPropertySpec extends SparkSuite {
         })
       }.toArray)
 
+    // cell >= 4.0: ring centers span +-1000, so the combined bbox can
+    // reach ~2100 units; finer cells would trip bboxCells' explicit
+    // 2^22-cell guard (which has its own test below)
     val gen = for {
       rings <- genRings
-      cell <- Gen.oneOf(0.5, 4.0, 16.0, 128.0)
+      cell <- Gen.oneOf(4.0, 16.0, 128.0)
       px <- coord; py <- coord
     } yield (rings, cell, px, py)
     val prop = Prop.forAll(gen) { case (rings, cellSize, px, py) =>
@@ -85,5 +88,13 @@ class GeoPropertySpec extends SparkSuite {
       }
     }
     assert(passes(prop))
+
+    // the cell-count guard: a bbox dwarfing the cell size fails fast
+    // with an actionable message, never an overflow or huge allocation
+    val huge = Seq((Array(0.0, 1e9, 1e9, 0.0), Array(0.0, 0.0, 1e9, 1e9)))
+    val e = intercept[IllegalArgumentException] {
+      graft.geo.Rings.bboxCells(toArrayData(huge), 1.0)
+    }
+    assert(e.getMessage.contains("cellSize"))
   }
 }

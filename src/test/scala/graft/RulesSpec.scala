@@ -194,6 +194,34 @@ class RulesSpec extends SparkSuite {
     }
   }
 
+  test("spatial rewrite preserves the output schema with no trailing select") {
+    import graft.rules.SpatialJoinRewrite
+    val pts = spark.read.parquet(pointsPath)
+    val polys = spark.read.parquet(polysPath)
+    // no projection after the filter: the full join output is the schema,
+    // in both argument orders (cell attr must never leak, in any slot)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialJoinRewrite
+    try {
+      val q1 = pts.crossJoin(polys)
+        .where(graft.geo.GeoFunctions.pointInRings(col("rings"), col("x"), col("y")))
+      assert(q1.columns.toSeq === Seq("pid", "x", "y", "poly_id", "rings"))
+      val r1 = q1.collect()
+      assert(r1.nonEmpty && r1.forall(_.length == 5))
+      assert(r1.forall(r => r.getDouble(1) == r.getLong(0) * 2.5)) // x not shifted
+
+      val q2 = polys.crossJoin(pts) // polygons on the LEFT (swapped branch)
+        .where(graft.geo.GeoFunctions.pointInRings(col("rings"), col("x"), col("y")))
+      assert(q2.columns.toSeq === Seq("poly_id", "rings", "pid", "x", "y"))
+      val r2 = q2.collect()
+      assert(r2.map(r => (r.getLong(2), r.getLong(0))).toSet ===
+        r1.map(r => (r.getLong(0), r.getLong(3))).toSet)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialJoinRewrite)
+    }
+  }
+
   test("spatial rewrite leaves equi-joins and one-sided predicates alone") {
     import graft.rules.SpatialJoinRewrite
     val pts = spark.read.parquet(pointsPath)
