@@ -382,10 +382,12 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = "graft_q32_sink"
-      val q = Events.hourlyStats(stream)
-        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      q.processAllAvailable()
-      q.stop()
+      Events.withStatePartitions(s, 8) {
+        val q = Events.hourlyStats(stream)
+          .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(sink)
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n_events"), col("sum_value"))
@@ -401,10 +403,12 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = "graft_q34_sink"
-      val q = Events.sessionCountsStream(s, stream, gapMinutes = 30)
-        .writeStream.format("memory").queryName(sink).outputMode("update").start()
-      q.processAllAvailable()
-      q.stop()
+      Events.withStatePartitions(s, 8) {
+        val q = Events.sessionCountsStream(s, stream, gapMinutes = 30)
+          .writeStream.format("memory").queryName(sink).outputMode("update").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(sink).select(col("user_id"), col("n_sessions"))
     }),
 
@@ -419,11 +423,13 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sink = "graft_q37_sink"
-      val q = graft.streaming.Events
-        .distinctKeysStream(stream, Seq("user_id", "event_type"))
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.Events
+          .distinctKeysStream(stream, Seq("user_id", "event_type"))
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.table(sink)
     }),
 
@@ -844,6 +850,39 @@ object SparkEntry {
             .as("vol_tot_m3"),
           col("mon_cycle"), col("name_sc"), col("tree_species_id"))
     }),
+
+    // ---- benchmark decontamination: training docs sharing a token
+    // n-gram with the held-out benchmark slice (GPT-3-appendix style;
+    // n=3 here because the synthetic corpus has no longer shared runs;
+    // production uses n=8..13 with the identical plan) ----
+    "q81_decontamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.curation.Curate.contamination(
+        train = docs.where(col("doc_id") % 97 =!= 0),
+        bench = docs.where(col("doc_id") % 97 === 0),
+        n = 3)
+    }),
+
+    // ---- deterministic hash split: stable train/val/test assignment
+    // from md5(doc_id) alone — adding documents never reassigns
+    // existing ones ----
+    "q82_hash_split" -> ((s, dir) =>
+      graft.curation.Curate.hashSplit(t(s, dir, "documents"))
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // ---- mixture/epoch sampling: per-language weights realized as
+    // deterministic per-doc copy counts (floor(w) + hash-Bernoulli
+    // frac(w)); one output row per training copy ----
+    "q83_mixture_sampling" -> ((s, dir) =>
+      graft.curation.Curate.mixtureCopies(
+        t(s, dir, "documents"),
+        weights = Map("en" -> 2.5, "de" -> 1.5, "es" -> 1.0,
+          "fr" -> 0.8, "zh" -> 0.3))),
+
+    // ---- per-domain quality quota: best k docs per source by the
+    // composite quality score, deterministic id tiebreak ----
+    "q84_domain_quota" -> ((s, dir) =>
+      graft.curation.Curate.domainQuota(t(s, dir, "documents"), k = 10)),
 
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
@@ -1754,6 +1793,63 @@ object SparkEntry {
         |  'species_' || v.tree_species_id AS name_sc,
         |  v.tree_species_id
         |FROM vols v LEFT JOIN dated d ON v.plot_id = d.plot_id""".stripMargin,
+
+    "q81_decontamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
+        |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id,
+        |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated_ngrams
+        |FROM train t JOIN bench b USING (shingle)
+        |GROUP BY t.doc_id""".stripMargin,
+
+    "q82_hash_split" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q83_mixture_sampling" ->
+      """WITH weighted AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.5 WHEN 'es' THEN 1.0
+        |         WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 0.3 ELSE 1.0 END AS DOUBLE) AS w,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |      / CAST(4294967296 AS DOUBLE) AS frac
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(w) AS INTEGER) +
+        |      CASE WHEN frac < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+        |  FROM weighted)
+        |SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_no
+        |FROM counted WHERE n_copies >= 1""".stripMargin,
+
+    "q84_domain_quota" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(0.4 * least(1.0, n_tokens / 100.0)
+        |        + 0.4 * (1.0 - punct_ratio)
+        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) AS quality
+        |  FROM (
+        |    SELECT doc_id, source, len(toks) AS n_tokens,
+        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+        |  FROM scored)
+        |SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 10""".stripMargin,
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id

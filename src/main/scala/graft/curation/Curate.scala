@@ -1,0 +1,128 @@
+package graft.curation
+
+import graft.text.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data corpus operations beyond dedup/quality: benchmark
+  * decontamination, deterministic dataset splits, mixture (epoch)
+  * sampling, and per-domain quotas. These are the operators a
+  * large-scale LLM-pretraining pipeline layers on top of the cleaning
+  * flow in [[graft.pipelines.Curation]].
+  *
+  * All of them are defined so results are bit-stable across
+  * partitionings and oracle-verifiable in ANSI SQL: randomness is
+  * replaced by cryptographic-hash arithmetic on ids (the standard
+  * trick for reproducible pipelines — the same document always lands
+  * in the same split/copy-count no matter the cluster layout).
+  */
+object Curate {
+
+  /** Training documents that share at least one token `n`-gram with a
+    * benchmark (evaluation) corpus, with the count of distinct
+    * overlapping n-grams — the GPT-3-appendix-style n-gram
+    * decontamination check (production pipelines use n = 8..13; tests
+    * here use a smaller n because the synthetic corpus has no long
+    * shared runs).
+    *
+    * Scale shape: the benchmark side is tiny relative to the training
+    * corpus (thousands vs billions of docs), so its distinct shingle
+    * set is broadcast; the 100 TB training side explodes shingles
+    * map-side, hits the broadcast hash set, and only the matching
+    * (id, shingle) pairs — a vanishing fraction — reach the one
+    * shuffle (the per-doc count). Text itself never shuffles. If the
+    * benchmark side ever outgrows broadcast range, drop the
+    * `broadcast` hint and Catalyst falls back to a shuffle hash join
+    * on the shingle — the plan stays the same shape.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, n: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    // tokenize in its own projection: `shingles` references the token
+    // array several times, and CollapseProject keeps the (expensive,
+    // multiply-referenced) split() from being inlined into each use
+    def shingled(df: DataFrame) =
+      df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+        .select(col(idCol),
+          explode(Text.shingles(col("toks"), n)).as("shingle"))
+    val benchShingles = broadcast(shingled(bench).select("shingle").distinct())
+    shingled(train)
+      .join(benchShingles, "shingle")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("shingle")).as("n_contaminated_ngrams"))
+  }
+
+  /** Deterministic train/val/test assignment from the id alone:
+    * bucket = first 8 hex digits of md5(id) mod 100, then
+    * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val,
+    * rest -> test. Map-only (no shuffle, no RNG state); adding data
+    * never reassigns existing documents, which is the property that
+    * matters for split stability on a growing corpus. */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percents: train=$trainPct val=$valPct")
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /** Mixture (epoch) sampling: replicate each document
+    * floor(w) times plus one more with probability frac(w), where `w`
+    * is the per-group mixture weight (w > 1 upsamples, w < 1
+    * downsamples) and the "probability" is hash arithmetic on the id —
+    * so the realized copy count is a pure function of (id, weight) and
+    * the realized mixture converges to the target weights exactly as
+    * in the Pile/LLaMA-style epoch tables. Output has one row per
+    * copy. Map-side only: the weight lookup is a literal CASE (or a
+    * broadcast join for big weight tables) and the explode produces at
+    * most ceil(w) rows per input row — no shuffle at any size. */
+  def mixtureCopies(df: DataFrame, weights: Map[String, Double],
+                    groupCol: String = "lang",
+                    idCol: String = "doc_id",
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    // hash fraction in [0,1): first 8 md5 hex digits / 2^32. The ":mix"
+    // salt decorrelates it from hashSplit's bucket for the same id.
+    val frac =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+    df.withColumn("w", w)
+      .withColumn("n_copies",
+        floor(col("w")).cast("int") +
+          when(frac < col("w") - floor(col("w")), 1).otherwise(0))
+      .where(col("n_copies") >= 1)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+  }
+
+  /** Per-domain quota: keep the `k` best documents per domain by the
+    * composite quality score (ties broken by id — fully
+    * deterministic). One shuffle on the domain column; with a skewed
+    * domain the rank window is still O(domain size log k) per
+    * partition, and at real scale the same contract can run as a
+    * map-side top-k + merge (see [[graft.similarity.Ann]] for that
+    * pattern) — the window form is the Catalyst-native default. */
+  def domainQuota(df: DataFrame, k: Int,
+                  domainCol: String = "source",
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val scored = df.select(col(idCol), col(domainCol),
+      Text.qualityScore(col(textCol)).as("quality"))
+    val byDomain = Window.partitionBy(domainCol)
+      .orderBy(col("quality").desc, col(idCol).asc)
+    scored
+      .withColumn("rk", row_number().over(byDomain))
+      .where(col("rk") <= k)
+      .select(col(idCol), col(domainCol), col("quality"),
+        col("rk").cast("int").as("rk"))
+  }
+}

@@ -154,6 +154,25 @@ object Events {
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily lowered.
+    * Stateful streaming operators allocate one state store per shuffle
+    * partition and checkpoint each of them every micro-batch; for a
+    * bounded replay into a memory sink that fixed I/O dominates, so the
+    * streaming twins run with fewer state partitions. Results are
+    * partition-count independent. On a real cluster ingesting an
+    * unbounded stream you would size this to the executor count
+    * instead — the knob is the same. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def runAvailableNow(spark: SparkSession, dir: String, schema: StructType,
                       transform: DataFrame => DataFrame, queryName: String,
                       outputMode: OutputMode = OutputMode.Append()): DataFrame = {

@@ -14,4 +14,15 @@ object GraftBridge {
     * tests is race-free (`listenerBus` is `private[spark]`). */
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Mutate the live SparkContext conf (`sc.conf` is `private[spark]`;
+    * `getConf` only returns a clone). Used by tests to emulate
+    * spark-submit-style static confs — e.g. spark.sql.extensions —
+    * which SparkSession.getOrCreate reads from the CONTEXT conf when
+    * reusing an existing context. */
+  def setContextConf(sc: org.apache.spark.SparkContext,
+                     key: String, value: Option[String]): Unit = value match {
+    case Some(v) => sc.conf.set(key, v)
+    case None    => sc.conf.remove(key)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import graft.curation.Curate
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Reference md5-prefix arithmetic, computed independently of Spark. */
+  private def md5Bucket(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  test("contamination finds train docs sharing an n-gram with the benchmark") {
+    val train = Seq(
+      (1L, "x a b c y"),   // shares "a b c"
+      (2L, "p q r s"),     // clean
+      (3L, "a b c d e")    // shares "a b c", "b c d", "c d e"? bench has 2 shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val got = Curate.contamination(train, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // bench 3-grams: {"a b c", "b c d"}; doc1 shares 1, doc3 shares 2
+    assert(got === Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("contamination short-doc edge: whole text is the single shingle") {
+    val train = Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b")).toDF("doc_id", "text")
+    val got = Curate.contamination(train, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L)) // "a b" matches; "a" does not
+  }
+
+  test("hashSplit matches independent md5 arithmetic and is stable") {
+    val df = (0L until 200L).toDF("doc_id")
+    val got = Curate.hashSplit(df).select("doc_id", "bucket", "split")
+      .as[(Long, Long, String)].collect()
+    got.foreach { case (id, bucket, split) =>
+      val expected = md5Bucket(id.toString) % 100
+      assert(bucket === expected, s"doc $id")
+      val expSplit =
+        if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split === expSplit, s"doc $id bucket $bucket")
+    }
+    // all three splits are populated on 200 ids
+    assert(got.map(_._3).toSet === Set("train", "val", "test"))
+  }
+
+  test("mixtureCopies: integer weights copy exactly, zero weight drops") {
+    val df = Seq((1L, "en"), (2L, "de"), (3L, "xx"))
+      .toDF("doc_id", "lang")
+    val got = Curate.mixtureCopies(df,
+        weights = Map("en" -> 2.0, "de" -> 1.0, "xx" -> 0.0))
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set((1L, "en", 1), (1L, "en", 2), (2L, "de", 1)))
+  }
+
+  test("mixtureCopies: fractional weight realized by the documented hash rule") {
+    val df = (0L until 50L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val got = Curate.mixtureCopies(df, weights = Map("en" -> 1.5))
+      .groupBy("doc_id").agg(max("copy_no").as("n"))
+      .as[(Long, Int)].collect().toMap
+    (0L until 50L).foreach { id =>
+      val frac = md5Bucket(s"$id:mix").toDouble / 4294967296.0
+      val expected = 1 + (if (frac < 0.5) 1 else 0)
+      assert(got(id) === expected, s"doc $id frac $frac")
+    }
+  }
+
+  test("domainQuota keeps the k best per domain, id tiebreak, rank dense-free") {
+    val docs = Seq(
+      (1L, "s1", "the of and to in is it a b c d e f g h i j k l m"),
+      (2L, "s1", "the of and to in is it a b c d e f g h i j k l m"), // same text as 1
+      (3L, "s1", "zzzz !!!! ???? ####"),
+      (4L, "s2", "the a of")
+    ).toDF("doc_id", "source", "text")
+    val got = Curate.domainQuota(docs, k = 2)
+      .select("doc_id", "source", "rk").as[(Long, String, Int)].collect().toSet
+    // s1: docs 1,2 tie on quality -> id order; doc 3 (rank 3) excluded
+    assert(got === Set((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1)))
+  }
+}
