@@ -176,21 +176,22 @@ object Dedup {
     * (Catalyst can't infer smallness through the aggregation). */
   private def canonicalFromEdges(docs: DataFrame, idCol: String,
                                  edges: DataFrame): DataFrame = {
-    // lazy localCheckpoint, NOT persist(): it computes once, both
-    // consumers read the stored blocks, and the blocks are reclaimed
-    // by the ContextCleaner when the plan is garbage collected — a
-    // CacheManager entry from persist() would pin storage for the
-    // session lifetime on every call (bench runs each query 5x)
-    val mapped = edges.groupBy(col("id_b").as("id"))
-      .agg(min(col("id_a")).as("canon0"))
-      .localCheckpoint(false)
-    val all = docs.select(col(idCol).as("id"))
-      .join(broadcast(mapped), Seq("id"), "left")
-      .withColumn("canon0", coalesce(col("canon0"), col("id")))
-    val repMap = mapped.select(col("id").as("canon0"), col("canon0").as("canon1"))
-    all.join(broadcast(repMap), Seq("canon0"), "left")
+    // full transitive closure over the verified-pair graph: a doc's
+    // canonical id is the minimum of its connected component, so
+    // A~B~C~D chains discovered via different buckets collapse to one
+    // cluster no matter how long the chain (the previous one-hop path
+    // compression only guaranteed chains of length <= 2). The CC
+    // iteration runs on the dup-pair subgraph only — docs that appear
+    // in at least one verified pair, a vanishing fraction of the
+    // corpus — and its result broadcasts to the single corpus-wide
+    // mapping join, so the corpus side still never shuffles.
+    val comp = graft.graph.ConnectedComponents.run(edges, "id_a", "id_b")
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("id"), col("component"))
+    docs.select(col(idCol).as("id"))
+      .join(broadcast(comp), Seq("id"), "left")
       .select(col("id").as(idCol),
-        coalesce(col("canon1"), col("canon0")).as("canonical_id"))
+        coalesce(col("component"), col("id")).as("canonical_id"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates share one of
