@@ -884,6 +884,14 @@ object SparkEntry {
     "q84_domain_quota" -> ((s, dir) =>
       graft.curation.Curate.domainQuota(t(s, dir, "documents"), k = 10)),
 
+    // ---- deterministic epoch shuffle with global positions: range
+    // partition + sort on md5(id:seed), then zipWithIndex-style
+    // offsets — the scale form of ORDER BY random() + row_number() ----
+    "q85_epoch_shuffle" -> ((s, dir) =>
+      graft.curation.Curate.epochPositions(
+          t(s, dir, "documents"), seed = 42L, nPartitions = 8)
+        .select(col("doc_id"), col("shuffle_key"), col("pos"))),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1850,6 +1858,11 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, source, quality, CAST(rk AS INTEGER) AS rk
         |FROM ranked WHERE rk <= 10""".stripMargin,
+
+    "q85_epoch_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) - 1 AS pos
+        |FROM documents""".stripMargin,
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id

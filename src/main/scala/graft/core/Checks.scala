@@ -38,9 +38,46 @@ object Checks {
   }
 
   /** Count removed rows between two pipeline stages (per-rule "removed
-    * records" reporting, `check_observed_habitat_type.Rmd:186-295`). */
+    * records" reporting, `check_observed_habitat_type.Rmd:186-295`).
+    * Two independent actions — fine when the frames have unrelated
+    * lineage; when `after` is a FILTER of `before`, use the
+    * single-pass [[reportRemoved(before:DataFrame,keep:Column,rule:String)*]]
+    * overload instead, which never recomputes the shared input. */
   def reportRemoved(before: DataFrame, after: DataFrame, rule: String): (String, Long) =
     rule -> (before.count() - after.count())
+
+  /** One-pass removal count for a filter rule: rows of `before` NOT
+    * matching `keep`. One aggregation over one scan — the shared
+    * lineage is never executed twice. */
+  def reportRemoved(before: DataFrame, keep: org.apache.spark.sql.Column,
+                    rule: String): (String, Long) = {
+    val r = before.agg(
+      count(lit(1)).as("n"),
+      count(when(keep, lit(1))).as("kept")).head()
+    rule -> (r.getLong(0) - r.getLong(1))
+  }
+
+  /** Per-stage removal report for a SEQUENTIAL filter pipeline (each
+    * rule applies to the previous rule's survivors — exactly the
+    * reference's removed-records table,
+    * `check_observed_habitat_type.Rmd:186-295`) computed in ONE pass:
+    * stage i's removals = count(survivors of rules 1..i-1) -
+    * count(survivors of rules 1..i), and every cumulative count is an
+    * aggregate over the same single scan. At 100 TB this replaces
+    * len(rules)+1 full executions of the input lineage with one. */
+  def removalReport(df: DataFrame,
+                    rules: Seq[(String, org.apache.spark.sql.Column)]): Seq[(String, Long)] = {
+    require(rules.nonEmpty, "no rules")
+    val cumulative = rules.scanLeft(lit(true)) { case (acc, (_, keep)) => acc && keep }
+    val counts = df.agg(
+      count(when(cumulative.head, lit(1))).as("c0"),
+      cumulative.tail.zipWithIndex.map { case (c, i) =>
+        count(when(c, lit(1))).as(s"c${i + 1}")
+      }: _*).head()
+    rules.indices.map { i =>
+      rules(i)._1 -> (counts.getLong(i) - counts.getLong(i + 1))
+    }
+  }
 
   /** Overlap between an existing table and an incoming batch on `keys` —
     * the incremental-update precondition (S10). Empty means safe to append. */

@@ -104,6 +104,65 @@ object Curate {
         explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
   }
 
+  /** Deterministic global shuffle for training order: every row gets
+    * the pseudo-random key md5(id ":" seed), and the output is
+    * range-partitioned and sorted on it — so the concatenation of
+    * output files in partition order IS the shuffled epoch, and a
+    * different `seed` gives an independent order for the next epoch.
+    *
+    * This is the 100 TB form of "ORDER BY random()": a global
+    * row_number would funnel everything through one partition, while
+    * repartitionByRange samples range boundaries and sorts each
+    * partition independently — two narrow passes, no global
+    * bottleneck, reproducible because the key is hash arithmetic, not
+    * an RNG. */
+  def shuffled(df: DataFrame, seed: Long, nPartitions: Int,
+               idCol: String = "doc_id"): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .repartitionByRange(nPartitions, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+
+  /** Global 0-based epoch position for every document under the
+    * [[shuffled]] order, WITHOUT a global single-partition sort. The
+    * classic zipWithIndex shape, in DataFrame terms:
+    *
+    *   1. range-partition + sort on the hash key ([[shuffled]]) — the
+    *      concatenation of partitions 0..n-1 is the total order;
+    *   2. count rows per partition (a cheap second action on the same
+    *      deterministic lineage) and cumulative-sum the counts on the
+    *      driver — n partition counts, bytes, never row data;
+    *   3. map pass: position = partition offset + row number within
+    *      the sorted partition (the low 33 bits of
+    *      `monotonically_increasing_id`, which counts rows in
+    *      partition order above the sort).
+    *
+    * `ORDER BY key` + `row_number() OVER ()` computes the same thing
+    * through ONE partition holding all 100 TB; this form never moves
+    * more than one partition's rows through any single task. Output is
+    * bit-stable because the key is hash arithmetic and range boundaries
+    * only affect which partition computes a row, not its global rank.
+    */
+  def epochPositions(df: DataFrame, seed: Long, nPartitions: Int,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sorted = shuffled(df, seed, nPartitions, idCol)
+      .withColumn("mid", monotonically_increasing_id())
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = sorted
+      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("cnt"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2)) // pid -> rows before it
+    val offsetDf = broadcast(offsets.toSeq.toDF("pid", "offset"))
+    sorted
+      .withColumn("pid", spark_partition_id())
+      .join(offsetDf, "pid")
+      .withColumn("pos",
+        col("offset") + col("mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("pid", "mid", "offset")
+  }
+
   /** Per-domain quota: keep the `k` best documents per domain by the
     * composite quality score (ties broken by id — fully
     * deterministic). One shuffle on the domain column; with a skewed

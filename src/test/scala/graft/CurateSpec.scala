@@ -71,6 +71,38 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("shuffled: partition-order concatenation is the global md5-key order") {
+    val df = (0L until 500L).toDF("doc_id")
+    val parts = Curate.shuffled(df, seed = 7L, nPartitions = 6)
+      .select("shuffle_key").as[String]
+      .rdd.glom().collect() // rows per partition, in partition order
+    val concatenated = parts.flatten
+    assert(concatenated.toSeq === concatenated.sorted.toSeq)
+    assert(parts.count(_.nonEmpty) > 1, "expected a multi-partition range")
+    // a different seed is a genuinely different permutation
+    val otherOrder = Curate.shuffled(df, seed = 8L, nPartitions = 6)
+      .select("doc_id").as[Long].rdd.glom().collect().flatten
+    val thisOrder = Curate.shuffled(df, seed = 7L, nPartitions = 6)
+      .select("doc_id").as[Long].rdd.glom().collect().flatten
+    assert(thisOrder.toSeq !== otherOrder.toSeq)
+  }
+
+  test("epochPositions equal the global rank of the hash key, bit-stable") {
+    val df = (0L until 500L).toDF("doc_id")
+    val got = Curate.epochPositions(df, seed = 42L, nPartitions = 6)
+      .select("doc_id", "shuffle_key", "pos")
+      .as[(Long, String, Long)].collect()
+    assert(got.length === 500)
+    // pos is exactly the 0-based rank in shuffle_key order
+    val expected = got.sortBy(_._2).zipWithIndex
+      .map { case ((id, _, _), i) => id -> i.toLong }.toMap
+    got.foreach { case (id, _, pos) => assert(pos === expected(id), s"doc $id") }
+    // re-running yields the identical assignment (deterministic lineage)
+    val again = Curate.epochPositions(df, seed = 42L, nPartitions = 6)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, pos) => assert(again(id) === pos) }
+  }
+
   test("domainQuota keeps the k best per domain, id tiebreak, rank dense-free") {
     val docs = Seq(
       (1L, "s1", "the of and to in is it a b c d e f g h i j k l m"),
