@@ -892,6 +892,75 @@ object SparkEntry {
           t(s, dir, "documents"), seed = 42L, nPartitions = 8)
         .select(col("doc_id"), col("shuffle_key"), col("pos"))),
 
+    // ---- PII scrub: typed-placeholder redaction of emails / IPv4s /
+    // phone runs, with per-kind match counts. The synthetic corpus has
+    // no PII, so the query plants a deterministic specimen of each kind
+    // per document (both engines build the identical string) and the
+    // oracle checks the redaction itself ----
+    "q86_pii_redaction" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("contact user"), col("doc_id").cast("string"),
+          lit("@example."),
+          when(col("doc_id") % 2 === 0, "com").otherwise("org"),
+          lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), (col("doc_id") % 100).cast("string"),
+          lit(" tel +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(" "), col("text")).as("text"))
+      seeded.select(col("doc_id"),
+        regexp_count(col("text"), lit(Text.EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(Text.Ipv4Re)).as("n_ips"),
+        regexp_count(col("text"), lit(Text.PhoneRe)).as("n_phones"),
+        Text.redactPii(col("text")).as("redacted"))
+    }),
+
+    // ---- Gopher-style repetition signals: duplicate-token fraction
+    // and most-frequent-bigram share, all per-row HOFs (the per-doc
+    // mode is a sorted-run scan, never a corpus-wide groupBy) ----
+    "q87_repetition_stats" -> ((s, dir) => {
+      val withToks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      withToks.select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        round6(Text.dupTokenFrac(col("t"))).as("dup_token_frac"),
+        Text.maxElementCount(Text.bigrams(col("t"))).as("top_bigram_count"),
+        round6(Text.maxElementCount(Text.bigrams(col("t"))).cast("double") /
+          (size(col("t")) - 1)).as("top_bigram_frac"))
+    }),
+
+    // ---- context-window sequence packing: fixed char-budget bins over
+    // the deterministic shuffle order, global running sum via the
+    // two-pass offsets pattern (no single-partition window) ----
+    "q88_sequence_packing" -> ((s, dir) =>
+      graft.curation.Curate.packBudget(
+          t(s, dir, "documents"), costCol = "n_chars", budget = 4096L,
+          seed = 42L, nPartitions = 8)
+        .select(col("doc_id"), col("bin"))),
+
+    // ---- TF-IDF: corpus document frequencies joined back to per-doc
+    // term counts; each document's top term by tf*ln(N/df), ranked on
+    // the ROUNDED score with a term tiebreak for bit-stable output ----
+    "q89_tfidf_top_term" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term")
+        .agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf
+        .join(broadcast(dfreq), "term") // vocab is tiny next to the corpus
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round6(col("tf") * log(col("n").cast("double") / col("df"))))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(byDoc))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1863,6 +1932,60 @@ object SparkEntry {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) - 1 AS pos
         |FROM documents""".stripMargin,
+
+    "q86_pii_redaction" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) || '@example.' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END ||
+        |      ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |      ' tel +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' ' || text AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM seeded""".stripMargin,
+
+    "q87_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id, t,
+        |    [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] AS bigrams
+        |  FROM toks)
+        |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |  floor((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t))*1e6 + 0.5)/1e6 AS dup_token_frac,
+        |  CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM unnest(big.bigrams) AS u(bg) GROUP BY bg) m) AS INTEGER) AS top_bigram_count,
+        |  floor((CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM unnest(big.bigrams) AS u(bg) GROUP BY bg) m) AS DOUBLE) / (len(t) - 1))*1e6 + 0.5)/1e6 AS top_bigram_frac
+        |FROM big""".stripMargin,
+
+    "q88_sequence_packing" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    COALESCE(sum(n_chars) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)
+        |SELECT doc_id, CAST(cum_before // 4096 AS BIGINT) AS bin FROM c""".stripMargin,
+
+    "q89_tfidf_top_term" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    floor((tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df))*1e6 + 0.5)/1e6 AS tfidf
+        |  FROM tf, dfreq, n WHERE tf.term = dfreq.term),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rk = 1""".stripMargin,
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id

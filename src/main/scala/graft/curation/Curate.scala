@@ -1,7 +1,7 @@
 package graft.curation
 
 import graft.text.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,44 +123,97 @@ object Curate {
       .repartitionByRange(nPartitions, col("shuffle_key"))
       .sortWithinPartitions("shuffle_key")
 
+  /** [[shuffled]]'s hash key plus a DETERMINISTIC bucket id: the first
+    * 8 hex digits of the key, scaled to [0, nBuckets). Hex strings
+    * order lexicographically exactly as their numeric value, so the
+    * bucket is monotone in the key and bucket boundaries are a pure
+    * function of the data. `spark_partition_id()` after a range
+    * exchange does NOT have that property: `repartitionByRange`
+    * SAMPLES its boundaries with a seed that includes the RDD id, so
+    * two actions on the same lineage can draw different boundaries —
+    * observed in practice as colliding epoch positions at sf0.1. Any
+    * offsets collected in one job and applied in another must key on
+    * this column, never on the physical partition id. */
+  private def keyBucketed(df: DataFrame, seed: Long, nBuckets: Int,
+                          idCol: String): DataFrame =
+    df.withColumn("shuffle_key",
+        md5(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("pid",
+        shiftright(
+          conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") *
+            nBuckets, 32).cast("int"))
+
+  /** Per-bucket exclusive prefix totals of `agg` over [[keyBucketed]]
+    * data, computed once on the driver (nBuckets values — bytes, never
+    * row data) and returned as a broadcastable (pid, colName) frame.
+    * Empty buckets contribute 0, so the cumulative sum stays aligned
+    * even when small data leaves buckets unpopulated. */
+  private def bucketOffsets(keyed: DataFrame, agg: Column, nBuckets: Int,
+                            colName: String): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val byPid = keyed.groupBy("pid").agg(agg.cast("long").as("v"))
+      .as[(Int, Long)].collect().toMap
+    val counts = (0 until nBuckets).map(p => byPid.getOrElse(p, 0L))
+    val offsets = (0 until nBuckets).zip(counts.scanLeft(0L)((a, b) => a + b))
+    broadcast(offsets.toDF("pid", colName))
+  }
+
   /** Global 0-based epoch position for every document under the
     * [[shuffled]] order, WITHOUT a global single-partition sort. The
     * classic zipWithIndex shape, in DataFrame terms:
     *
-    *   1. range-partition + sort on the hash key ([[shuffled]]) — the
-    *      concatenation of partitions 0..n-1 is the total order;
-    *   2. count rows per partition (a cheap second action on the same
-    *      deterministic lineage) and cumulative-sum the counts on the
-    *      driver — n partition counts, bytes, never row data;
-    *   3. map pass: position = partition offset + row number within
-    *      the sorted partition (the low 33 bits of
-    *      `monotonically_increasing_id`, which counts rows in
-    *      partition order above the sort).
+    *   1. every row gets a deterministic equal-width key bucket
+    *      ([[keyBucketed]] — monotone in the key, so the concatenation
+    *      of buckets 0..n-1 is the total order);
+    *   2. count rows per bucket and cumulative-sum the counts on the
+    *      driver — n bucket counts, bytes, never row data;
+    *   3. one bucket-partitioned window: position = bucket offset +
+    *      row_number within the bucket's key order.
     *
     * `ORDER BY key` + `row_number() OVER ()` computes the same thing
     * through ONE partition holding all 100 TB; this form never moves
-    * more than one partition's rows through any single task. Output is
-    * bit-stable because the key is hash arithmetic and range boundaries
-    * only affect which partition computes a row, not its global rank.
-    */
+    * more than one bucket's rows through any single task. Output is
+    * bit-stable because both the key and the bucket boundaries are
+    * hash arithmetic — nothing depends on sampled range boundaries or
+    * physical partition layout. */
   def epochPositions(df: DataFrame, seed: Long, nPartitions: Int,
                      idCol: String = "doc_id"): DataFrame = {
-    val sorted = shuffled(df, seed, nPartitions, idCol)
-      .withColumn("mid", monotonically_increasing_id())
-    val spark = df.sparkSession
-    import spark.implicits._
-    val counts = sorted
-      .groupBy(spark_partition_id().as("pid")).agg(count(lit(1)).as("cnt"))
-      .as[(Int, Long)].collect().sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2)) // pid -> rows before it
-    val offsetDf = broadcast(offsets.toSeq.toDF("pid", "offset"))
-    sorted
-      .withColumn("pid", spark_partition_id())
+    val keyed = keyBucketed(df, seed, nPartitions, idCol)
+    val offsetDf = bucketOffsets(keyed, count(lit(1)), nPartitions, "rows_before")
+    val w = Window.partitionBy("pid").orderBy("shuffle_key")
+    keyed
       .join(offsetDf, "pid")
-      .withColumn("pos",
-        col("offset") + col("mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("pid", "mid", "offset")
+      .withColumn("pos", col("rows_before") + row_number().over(w) - 1)
+      .drop("pid", "rows_before")
+  }
+
+  /** Assign every document to a fixed-cost training bin: documents are
+    * laid out in the [[shuffled]] hash order and bin i holds the rows
+    * whose EXCLUSIVE running cost (sum of `costCol` over all earlier
+    * rows in that order) lands in [i*budget, (i+1)*budget) — greedy
+    * sequence packing of context windows, with the global running sum
+    * computed the same two-pass way as [[epochPositions]]: per-bucket
+    * cost totals -> driver cumulative sum -> broadcast offsets -> one
+    * bucket-partitioned window. The only data-sized shuffle is the
+    * window's re-cluster on the deterministic key bucket; a naive
+    * `sum() OVER (ORDER BY key)` would instead serialize 100 TB
+    * through a single unpartitioned window. Bin ids use integer
+    * division, so they are exact for any budget (no float boundary). */
+  def packBudget(df: DataFrame, costCol: String, budget: Long, seed: Long,
+                 nPartitions: Int, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val keyed = keyBucketed(df, seed, nPartitions, idCol)
+    val offsetDf =
+      bucketOffsets(keyed, sum(col(costCol)), nPartitions, "cost_before")
+    val w = Window.partitionBy("pid").orderBy("shuffle_key")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .join(offsetDf, "pid")
+      .withColumn("cum_before",
+        coalesce(sum(col(costCol)).over(w), lit(0L)) + col("cost_before"))
+      .withColumn("bin", expr(s"cum_before div ${budget}L"))
+      .drop("pid", "cost_before", "cum_before")
   }
 
   /** Per-domain quota: keep the `k` best documents per domain by the

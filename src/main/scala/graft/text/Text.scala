@@ -91,4 +91,53 @@ object Text {
       .otherwise(
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  // --- PII scrubbing -------------------------------------------------
+  // Pattern subset chosen to evaluate identically under Java regex
+  // (Spark) and RE2 (DuckDB oracle): no backreferences, no lookaround.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Redact emails, IPv4 addresses, then phone-like digit runs with
+    * typed placeholder tokens, in that fixed order (the IP rule must
+    * see addresses before the phone rule can eat their digit runs).
+    * Map-only; the three passes fuse into one codegen'd projection. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // --- Repetition signals (Gopher-style quality filters) -------------
+
+  /** Adjacent word pairs ("w1 w2") of a token array; < 2 tokens -> []. */
+  def bigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 - distinct/total. High values flag boilerplate/spam. */
+  def dupTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks))
+
+  /** Occurrence count of the most frequent element — computed per row
+    * as the longest run in the sorted array (one aggregate HOF, no
+    * explode/shuffle: at 100 TB the per-document mode must not become
+    * a corpus-wide groupBy). Empty array -> 0. */
+  def maxElementCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
 }

@@ -103,6 +103,39 @@ class CurateSpec extends SparkSuite {
     got.foreach { case (id, _, pos) => assert(again(id) === pos) }
   }
 
+  test("epochPositions are a 0..n-1 permutation, invariant to nPartitions") {
+    // Regression: offsets keyed on spark_partition_id() after a range
+    // exchange collided at larger scale (sampled boundaries differ
+    // between the count job and the main job). The deterministic key
+    // bucket must make pos a pure function of (data, seed) only.
+    val df = (0L until 1000L).toDF("doc_id")
+    val base = Curate.epochPositions(df, seed = 42L, nPartitions = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect()
+    assert(base.map(_._2).sorted.toSeq === (0L until 1000L).toSeq)
+    val other = Curate.epochPositions(df, seed = 42L, nPartitions = 11)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    base.foreach { case (id, pos) => assert(other(id) === pos, s"doc $id") }
+  }
+
+  test("packBudget bins equal the driver-computed greedy packing") {
+    val df = (0L until 300L).map(i => (i, 10L + i % 7)).toDF("doc_id", "n_chars")
+    val got = Curate.packBudget(df, costCol = "n_chars", budget = 100L,
+        seed = 9L, nPartitions = 5)
+      .select("doc_id", "shuffle_key", "bin")
+      .as[(Long, String, Long)].collect()
+    val costs = (0L until 300L).map(i => i -> (10L + i % 7)).toMap
+    var cum = 0L
+    val expected = got.sortBy(_._2).map { case (id, _, _) =>
+      val bin = cum / 100L; cum += costs(id); id -> bin
+    }.toMap
+    got.foreach { case (id, _, bin) => assert(bin === expected(id), s"doc $id") }
+    // invariant to the bucket count, like epochPositions
+    val other = Curate.packBudget(df, costCol = "n_chars", budget = 100L,
+        seed = 9L, nPartitions = 13)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, bin) => assert(other(id) === bin) }
+  }
+
   test("domainQuota keeps the k best per domain, id tiebreak, rank dense-free") {
     val docs = Seq(
       (1L, "s1", "the of and to in is it a b c d e f g h i j k l m"),
