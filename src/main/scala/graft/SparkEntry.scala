@@ -961,6 +961,87 @@ object SparkEntry {
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
     }),
 
+    // ---- backward as-of join: each click picks up the user's latest
+    // purchase at-or-before it — union + one keyed window, NO join in
+    // the plan (see Temporal.asofJoinBackward's scale notes) ----
+    "q90_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      graft.ops.Temporal.asofJoinBackward(clicks, purchases,
+          keys = Seq("user_id"), timeCol = "ts_us", payload = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_right").as("purchase_ts_us"),
+          col("value_right").as("purchase_value"))
+    }),
+
+    // ---- un-keyed interval join: every event against 240 overlapping
+    // global 2h maintenance windows, via the 1-D grid-cell equi-join
+    // (no cross join, no inequality-only join) ----
+    "q91_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val t0 = ev.agg(unix_micros(date_trunc("day", min(col("ts")))
+        .cast("timestamp")).as("t0_us"))
+      val hourUs = 3600L * 1000000L
+      val windows = t0
+        .select(explode(sequence(lit(0), lit(239))).as("window_id"), col("t0_us"))
+        .select(col("window_id"),
+          (col("t0_us") + col("window_id") * lit(3 * hourUs)).as("start_us"),
+          (col("t0_us") + col("window_id") * lit(3 * hourUs) + lit(2 * hourUs))
+            .as("end_us"))
+      val points = ev.select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      graft.ops.Temporal.intervalJoin(points, "ts_us",
+          windows.select("window_id", "start_us", "end_us"),
+          "start_us", "end_us", cellUs = 2 * hourUs)
+        .select("event_id", "window_id", "ts_us")
+    }),
+
+    // ---- unigram LM scoring: corpus-trained token frequencies ->
+    // per-document log-probability and a per-token perplexity proxy.
+    // The float fold runs in canonical ascending-term order on BOTH
+    // engines, so the sum is bit-stable (see Aggs.complementProductSorted
+    // for the same trick on products) ----
+    "q92_unigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val contrib = tf
+        .join(broadcast(vocab), "term") // vocab is tiny next to the corpus
+        .crossJoin(broadcast(total))
+        .withColumn("contrib",
+          round6(col("tf") * log(col("cnt").cast("double") / col("total"))))
+      contrib.groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          aggregate(
+            array_sort(collect_list(struct(col("term"), col("contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("lp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round6(col("lp")).as("logprob"),
+          round6(col("lp") * -1 / col("n_tokens")).as("ppl_proxy"))
+    }),
+
+    // ---- sketch twins: HLL++ distinct terms and KLL-style quantiles
+    // per source — approximate by nature, so rows-only here; the
+    // RecallSpec-style accuracy bound vs the exact twin lives in
+    // TemporalSketchSpec ----
+    "q93_sketch_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("term"), col("n_chars"))
+      toks.groupBy("source").agg(
+        approx_count_distinct(col("term"), 0.02).as("approx_vocab"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"))
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1986,6 +2067,49 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
         |  FROM scored)
         |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rk = 1""".stripMargin,
+
+    "q90_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts_us,
+        |  r.ts_us AS purchase_ts_us, r.value AS purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+
+    "q91_interval_join" ->
+      """WITH t0 AS (
+        |  SELECT epoch_us(date_trunc('day', min(ts))) AS t0_us FROM events),
+        |w AS (
+        |  SELECT CAST(i AS INTEGER) AS window_id,
+        |    t0_us + i * 10800000000 AS start_us,
+        |    t0_us + i * 10800000000 + 7200000000 AS end_us
+        |  FROM range(240) r(i), t0),
+        |p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.event_id, w.window_id, p.ts_us
+        |FROM p JOIN w ON p.ts_us >= w.start_us AND p.ts_us < w.end_us""".stripMargin,
+
+    "q92_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    floor((tf.tf * ln(CAST(vocab.cnt AS DOUBLE) / tot.total))*1e6 + 0.5)/1e6 AS contrib
+        |  FROM tf, vocab, tot WHERE tf.term = vocab.term),
+        |folded AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    list_reduce(list(contrib ORDER BY term), (x, y) -> x + y) AS lp
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor(lp*1e6 + 0.5)/1e6 AS logprob,
+        |  floor((lp * -1 / n_tokens)*1e6 + 0.5)/1e6 AS ppl_proxy
+        |FROM folded""".stripMargin,
 
     "q61_pip_join" ->
       """SELECT c_custkey AS pid, n_nationkey AS poly_id
