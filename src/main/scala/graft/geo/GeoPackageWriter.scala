@@ -38,11 +38,23 @@ object GeoPackageWriter {
     * [[Wkb.encodePolygonRings]] / read by [[WkbToRings]]); every other
     * column must be integral, floating, string, or binary. Row order
     * is preserved (rowid 1..n in collect order — callers sort first
-    * for deterministic files, mirroring `Vc`'s sorted-write rule). */
+    * for deterministic files, mirroring `Vc`'s sorted-write rule).
+    *
+    * This is a DRIVER-SIDE sink (the file is one SQLite database, built
+    * in memory): the frame is counted first and refused above `maxRows`
+    * so a misdirected fact table fails loudly instead of OOMing the
+    * driver. Dimension-layer exports are well under the default; raise
+    * it deliberately if a bigger deliverable is really intended. */
   def write(path: String, table: String, df: DataFrame, geomCol: String,
-            srid: Int = 31370, geometryType: String = "POLYGON"): Unit = {
+            srid: Int = 31370, geometryType: String = "POLYGON",
+            maxRows: Long = 1000000L): Unit = {
     val fields = df.schema.fields
     require(fields.exists(_.name == geomCol), s"no geometry column '$geomCol'")
+    val n = df.count()
+    require(n <= maxRows,
+      s"GeoPackage export materializes on the driver: $n rows exceeds maxRows=$maxRows. " +
+        s"Raise maxRows explicitly for a deliberate large export, or keep fact-scale " +
+        s"geometry as WKB-in-parquet (the scale path).")
     val rows = df.collect()
 
     val pages = new Pager

@@ -92,4 +92,19 @@ class GeoPackageWriterSpec extends SparkSuite {
     val srs = GeoPackage.read(spark, path, "gpkg_spatial_ref_sys")
     assert(srs.select("srs_id").as[Long].collect().toSet === Set(-1L, 0L, 4326L))
   }
+
+  test("driver-side sink refuses an over-budget frame with a clear error") {
+    val path = tmp("guarded.gpkg")
+    val df = (1 to 50).map(i => (i.toLong, square(i, i, 0.5))).toDF("pid", "geom")
+    val err = intercept[IllegalArgumentException] {
+      GeoPackageWriter.write(path, "toolarge", df, geomCol = "geom", maxRows = 10L)
+    }
+    assert(err.getMessage.contains("50 rows exceeds maxRows=10"))
+    assert(err.getMessage.contains("WKB-in-parquet"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "guard must fire before any bytes are written")
+    // an explicit raise still writes fine
+    GeoPackageWriter.write(path, "toolarge", df, geomCol = "geom", maxRows = 50L)
+    assert(GeoPackage.read(spark, path, "toolarge").count() === 50)
+  }
 }

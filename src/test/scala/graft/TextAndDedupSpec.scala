@@ -25,6 +25,24 @@ class TextAndDedupSpec extends SparkSuite {
     assert(short === Seq("a b"))
   }
 
+  test("signature_agreement: mismatched k is NULL via the expression and loud via the static helper") {
+    // expression path: different-length signatures are incomparable -> NULL
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L)), (Seq(1L, 2L), Seq(1L, 9L)))
+      .toDF("a", "b")
+      .select(HashFunctions.signatureAgreement(col("a"), col("b")).as("agr"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(None, Some(0.5)))
+    // static helper called directly (the non-Catalyst entry point) must
+    // throw, never fall back to a silent prefix-based estimate
+    def arr(xs: Long*) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+    val err = intercept[IllegalArgumentException] {
+      graft.functions.SignatureAgreement.agreement(arr(1L, 2L, 3L), arr(1L, 2L))
+    }
+    assert(err.getMessage.contains("incomparable signatures"))
+    assert(graft.functions.SignatureAgreement.agreement(arr(1L, 2L), arr(1L, 2L)) === 1.0)
+  }
+
   test("fingerprint is whitespace/case-insensitive canonical MD5") {
     val df = Seq(("A  b", "a b")).toDF("x", "y")
     val r = df.select(Text.fingerprint(col("x")).as("fx"),
