@@ -1042,6 +1042,44 @@ object SparkEntry {
         percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"))
     }),
 
+    // ---- S5/S8/S10 versioned-table IO end-to-end: parquet -> Vc.write
+    // (sorted TSV + sidecar) -> Vc.read (hash-verified) -> guarded
+    // incremental append of a disjoint batch -> Vc.read the rewritten
+    // table. The oracle computes the same final frame straight from
+    // parquet, so a green hash proves the TSV round-trip is value-exact
+    // and the merge appended precisely the incoming keys
+    // (`query_fieldmap_update_fieldwork2022.Rmd:945-1076`). ----
+    "q94_vc_incremental_append" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+      val existing = orders.where(col("o_orderkey") % 7 === 0)
+      val incoming = orders.where(col("o_orderkey") % 7 === 1)
+      val base = java.nio.file.Files.createTempDirectory("vc_q94")
+        .resolve("orders_slice").toString
+      graft.io.Vc.write(existing, base, sortKeys = Seq("o_orderkey"))
+      graft.pipelines.IncrementalUpdate.applyToVc(s, base, incoming,
+        keys = Seq("o_orderkey"), sortKeys = Seq("o_orderkey"))
+      graft.io.Vc.read(s, base)
+    }),
+
+    // ---- S8/S10 upsert path: Vc-stored table patched in place
+    // (replace = true -> Relational.applyPatches) and read back.
+    // The patch frame derives from the same parquet, so the oracle is a
+    // CASE WHEN over the source table. ----
+    "q95_vc_upsert_patch" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      val patch = cust.where(col("c_custkey") % 10 === 3)
+        .withColumn("c_acctbal", col("c_acctbal") * lit(1.5))
+      val base = java.nio.file.Files.createTempDirectory("vc_q95")
+        .resolve("customer_patched").toString
+      graft.io.Vc.write(cust, base, sortKeys = Seq("c_custkey"))
+      graft.pipelines.IncrementalUpdate.applyToVc(s, base, patch,
+        keys = Seq("c_custkey"), sortKeys = Seq("c_custkey"), replace = true)
+      graft.io.Vc.read(s, base)
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1359,6 +1397,17 @@ object SparkEntry {
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
+    "q94_vc_incremental_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        | CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1)""".stripMargin,
+
+    "q95_vc_upsert_patch" ->
+      """SELECT c_custkey, c_name,
+        | CASE WHEN c_custkey % 10 = 3 THEN c_acctbal * 1.5 ELSE c_acctbal END AS c_acctbal,
+        | c_mktsegment
+        |FROM customer""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
