@@ -669,9 +669,12 @@ object SparkEntry {
         .select("pid", "poly_id")
     }),
 
-    // ---- K1 plot-segment geometry: exact circle-clip areas + weights
-    // (rows-only check: circle-polygon intersection is not SQL-oracle-
-    // expressible; kernel is unit-tested against analytic + Monte Carlo) ----
+    // ---- K1 plot-segment geometry: exact circle-clip areas + weights.
+    // Oracle-checked: the Green's-theorem edge decomposition
+    // (GeoKernels.circleIntersectionArea) is deterministic arithmetic, so
+    // the DuckDB oracle replays the same per-edge formula and the weights
+    // use exact fixed-point micro-m² so the per-plot sum is
+    // accumulation-order independent on both engines. ----
     "q62_plot_segment_areas" -> ((s, dir) => {
       val segs = t(s, dir, "part").select(
         (col("p_partkey") % 500).as("plot_id"),
@@ -685,15 +688,23 @@ object SparkEntry {
           struct(col("x1").as("x"), col("y0").as("y")),
           struct(col("x1").as("x"), col("y1").as("y")),
           struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      val byPlot = Window.partitionBy("plot_id")
       graft.pipelines.PlotSegments.withAreas(segs)
+        .withColumn("a3_u", floor(col("area_a3_m2") * lit(1e6) + lit(0.5)).cast("long"))
+        .withColumn("plot_u", sum(col("a3_u")).over(byPlot))
         .select(col("plot_id"), col("segment_id"),
-          round(col("area_a3_m2"), 6).as("area_a3_m2"),
-          round(col("area_a4_m2"), 6).as("area_a4_m2"),
-          round(col("segment_weight_a3"), 6).as("segment_weight_a3"))
+          round6(col("area_a3_m2")).as("area_a3_m2"),
+          round6(col("area_a4_m2")).as("area_a4_m2"),
+          when(col("plot_u") > 0,
+            round6(col("a3_u").cast("double") / col("plot_u").cast("double")))
+            .as("segment_weight_a3"))
     }),
 
-    // ---- CRS transform 31370 <-> 4326 (rows-only; validated by
-    // roundtrip columns and unit tests against EPSG parameters) ----
+    // ---- CRS transform 31370 <-> 4326. Oracle-checked: the whole chain
+    // (LCC-2SP inverse with its 16-step fixed iteration, ECEF, 7-param
+    // Helmert, 20-step geodetic iteration, and back) is a fixed formula
+    // sequence over EPSG registry constants, replayed verbatim in the
+    // DuckDB oracle with recursive CTEs for the iterations. ----
     "q63_crs_roundtrip" -> ((s, dir) => {
       val pts = t(s, dir, "supplier").select(
         col("s_suppkey"),
@@ -703,8 +714,9 @@ object SparkEntry {
         .withColumn("back", graft.geo.GeoFunctions.toLambert72(
           col("wgs.lon"), col("wgs.lat")))
         .select(col("s_suppkey"),
-          round(col("wgs.lon"), 9).as("lon"), round(col("wgs.lat"), 9).as("lat"),
-          round(abs(col("back.x") - col("x")) + abs(col("back.y") - col("y")), 6)
+          (floor(col("wgs.lon") * lit(1e7) + lit(0.5)) / lit(1e7)).as("lon"),
+          (floor(col("wgs.lat") * lit(1e7) + lit(0.5)) / lit(1e7)).as("lat"),
+          round6(abs(col("back.x") - col("x")) + abs(col("back.y") - col("y")))
             .as("roundtrip_err_m"))
     }),
 
@@ -1407,6 +1419,206 @@ object SparkEntry {
         | CASE WHEN c_custkey % 10 = 3 THEN c_acctbal * 1.5 ELSE c_acctbal END AS c_acctbal,
         | c_mktsegment
         |FROM customer""".stripMargin,
+
+    // q62: DuckDB replay of the Green's-theorem circle∩polygon edge
+    // decomposition (GeoKernels.circleIntersectionArea, r = 9 at the
+    // origin) over the same 4-edge rectangle rings; weights from exact
+    // micro-m² fixed point so the per-plot sum is order-independent.
+    "q62_plot_segment_areas" ->
+      """WITH seg AS (
+        |  SELECT p_partkey % 500 AS plot_id,
+        |         CAST(p_partkey // 500 AS INTEGER) AS segment_id,
+        |         CAST(p_size % 12 - 6 AS DOUBLE) AS x0,
+        |         CAST(p_partkey % 9 - 4 AS DOUBLE) AS y0
+        |  FROM part),
+        |ring AS (SELECT *, x0 + 8.0 AS x1, y0 + 7.0 AS y1 FROM seg),
+        |edges AS (
+        |  SELECT plot_id, segment_id, x0, y0, x1, y1, x0 AS ax, y0 AS ay, x1 AS bx, y0 AS by FROM ring
+        |  UNION ALL SELECT plot_id, segment_id, x0, y0, x1, y1, x1, y0, x1, y1 FROM ring
+        |  UNION ALL SELECT plot_id, segment_id, x0, y0, x1, y1, x1, y1, x0, y1 FROM ring
+        |  UNION ALL SELECT plot_id, segment_id, x0, y0, x1, y1, x0, y1, x0, y0 FROM ring),
+        |e1 AS (
+        |  SELECT *, 81.0 AS r2, bx - ax AS dx, by - ay AS dy,
+        |    ax*ax + ay*ay AS na, bx*bx + by*by AS nb,
+        |    ax*by - ay*bx AS crossab, ax*bx + ay*by AS dotab
+        |  FROM edges),
+        |e2 AS (
+        |  SELECT *, dx*dx + dy*dy AS a, 2*(ax*dx + ay*dy) AS b, na - r2 AS c,
+        |    (na <= r2 + 1e-12) AS in1, (nb <= r2 + 1e-12) AS in2
+        |  FROM e1),
+        |e3 AS (SELECT *, b*b - 4*a*c AS disc FROM e2),
+        |e4 AS (
+        |  SELECT *,
+        |    CASE WHEN disc > 0 THEN (-b - sqrt(disc))/(2*a) END AS t1,
+        |    CASE WHEN disc > 0 THEN (-b + sqrt(disc))/(2*a) END AS t2
+        |  FROM e3),
+        |e5 AS (
+        |  SELECT *,
+        |    CASE WHEN t1 > 0 AND t1 < 1 THEN t1 ELSE t2 END AS t_exit,
+        |    CASE WHEN t2 > 0 AND t2 < 1 THEN t2 ELSE t1 END AS t_enter
+        |  FROM e4),
+        |e6 AS (
+        |  SELECT *,
+        |    ax + t_exit*dx AS xx, ay + t_exit*dy AS xy,
+        |    ax + t_enter*dx AS ex, ay + t_enter*dy AS ey,
+        |    ax + t1*dx AS p1x, ay + t1*dy AS p1y,
+        |    ax + t2*dx AS p2x, ay + t2*dy AS p2y
+        |  FROM e5),
+        |contrib AS (
+        |  SELECT plot_id, segment_id, x0, y0, x1, y1,
+        |    CASE
+        |      WHEN a < 1e-24 THEN 0.0
+        |      WHEN in1 AND in2 THEN crossab/2.0
+        |      WHEN disc <= 0 THEN 0.5*r2*atan2(crossab, dotab)
+        |      WHEN in1 AND NOT in2 THEN
+        |        (ax*xy - ay*xx)/2.0 + 0.5*r2*atan2(xx*by - xy*bx, xx*bx + xy*by)
+        |      WHEN NOT in1 AND in2 THEN
+        |        0.5*r2*atan2(ax*ey - ay*ex, ax*ex + ay*ey) + (ex*by - ey*bx)/2.0
+        |      WHEN t1 > 0 AND t1 < 1 AND t2 > 0 AND t2 < 1 AND t2 > t1 THEN
+        |        0.5*r2*atan2(ax*p1y - ay*p1x, ax*p1x + ay*p1y)
+        |        + (p1x*p2y - p1y*p2x)/2.0
+        |        + 0.5*r2*atan2(p2x*by - p2y*bx, p2x*bx + p2y*by)
+        |      ELSE 0.5*r2*atan2(crossab, dotab)
+        |    END AS contribution
+        |  FROM e6),
+        |areas AS (
+        |  SELECT plot_id, segment_id,
+        |    abs(sum(contribution)) AS a3,
+        |    abs(((any_value(x0) + any_value(x0))*(any_value(y0) - any_value(y1))
+        |       + (any_value(x1) + any_value(x1))*(any_value(y1) - any_value(y0)))/2.0) AS a4
+        |  FROM contrib GROUP BY plot_id, segment_id),
+        |fixedpt AS (
+        |  SELECT *, CAST(floor(a3*1e6 + 0.5) AS BIGINT) AS a3_u FROM areas),
+        |weighted AS (
+        |  SELECT *, sum(a3_u) OVER (PARTITION BY plot_id) AS plot_u FROM fixedpt)
+        |SELECT plot_id, segment_id,
+        |  floor(a3*1e6 + 0.5)/1e6 AS area_a3_m2,
+        |  floor(a4*1e6 + 0.5)/1e6 AS area_a4_m2,
+        |  CASE WHEN plot_u > 0
+        |       THEN floor((CAST(a3_u AS DOUBLE)/CAST(plot_u AS DOUBLE))*1e6 + 0.5)/1e6
+        |  END AS segment_weight_a3
+        |FROM weighted""".stripMargin,
+
+    // q63: DuckDB replay of the Lambert-72 <-> WGS84 chain
+    // (GeoKernels.lambert72ToWgs84 / wgs84ToLambert72): same EPSG
+    // constants, same fixed iteration counts (16 LCC / 20+20 geodetic)
+    // via recursive CTEs, same Java toRadians/toDegrees multipliers.
+    "q63_crs_roundtrip" ->
+      """WITH RECURSIVE const AS (
+        |  SELECT 6378388.0 AS ai,
+        |    2.0*(1.0/297.0) - (1.0/297.0)*(1.0/297.0) AS e2i,
+        |    sqrt(2.0*(1.0/297.0) - (1.0/297.0)*(1.0/297.0)) AS ei,
+        |    6378137.0 AS aw,
+        |    2.0*(1.0/298.257223563) - (1.0/298.257223563)*(1.0/298.257223563) AS e2w,
+        |    (49.0 + 50.0/60 + 0.00204/3600) * 0.017453292519943295 AS phi1,
+        |    (51.0 + 10.0/60 + 0.00204/3600) * 0.017453292519943295 AS phi2,
+        |    90.0 * 0.017453292519943295 AS phi0,
+        |    (4.0 + 22.0/60 + 2.952/3600) * 0.017453292519943295 AS lam0,
+        |    150000.013 AS xoff, 5400088.438 AS yoff,
+        |    -106.8686 AS htx, 52.2978 AS hty, -103.7239 AS htz,
+        |    (-0.3366/3600) * 0.017453292519943295 AS hrx,
+        |    (0.457/3600) * 0.017453292519943295 AS hry,
+        |    (-1.8422/3600) * 0.017453292519943295 AS hrz,
+        |    1.0 + (-1.2747e-6) AS hs),
+        |const2 AS (
+        |  SELECT *,
+        |    cos(phi1)/sqrt(1 - e2i*sin(phi1)*sin(phi1)) AS m1,
+        |    cos(phi2)/sqrt(1 - e2i*sin(phi2)*sin(phi2)) AS m2,
+        |    tan(pi()/4 - phi1/2) / pow((1 - ei*sin(phi1))/(1 + ei*sin(phi1)), ei/2) AS tf1,
+        |    tan(pi()/4 - phi2/2) / pow((1 - ei*sin(phi2))/(1 + ei*sin(phi2)), ei/2) AS tf2,
+        |    tan(pi()/4 - phi0/2) / pow((1 - ei*sin(phi0))/(1 + ei*sin(phi0)), ei/2) AS tf0
+        |  FROM const),
+        |const3 AS (SELECT *, (ln(m1) - ln(m2))/(ln(tf1) - ln(tf2)) AS n FROM const2),
+        |const4 AS (SELECT *, m1/(n * pow(tf1, n)) AS ff FROM const3),
+        |cc AS (SELECT *, CASE WHEN tf0 <= 0 THEN 0.0 ELSE ai*ff*pow(tf0, n) END AS rho0 FROM const4),
+        |pts AS (
+        |  SELECT s_suppkey, 140000.0 + s_suppkey*100 AS x, 160000.0 + s_suppkey*80 AS y
+        |  FROM supplier),
+        |prep AS (
+        |  SELECT p.s_suppkey, p.x, p.y, c.*,
+        |    p.x - c.xoff AS dx, c.rho0 - (p.y - c.yoff) AS dy
+        |  FROM pts p CROSS JOIN cc c),
+        |prep2 AS (
+        |  SELECT *, sign(n)*sqrt(dx*dx + dy*dy) AS rho, atan2(dx, dy) AS theta FROM prep),
+        |prep3 AS (SELECT *, pow(rho/(ai*ff), 1.0/n) AS tt FROM prep2),
+        |inv(it, s_suppkey, phi) AS (
+        |  SELECT 0, s_suppkey, pi()/2 - 2*atan(tt) FROM prep3
+        |  UNION ALL
+        |  SELECT i.it + 1, i.s_suppkey,
+        |    pi()/2 - 2*atan(p.tt * pow((1 - p.ei*sin(i.phi))/(1 + p.ei*sin(i.phi)), p.ei/2))
+        |  FROM inv i JOIN prep3 p ON i.s_suppkey = p.s_suppkey WHERE i.it < 16),
+        |geo AS (
+        |  SELECT p.*, i.phi AS phib, p.theta/p.n + p.lam0 AS lamb
+        |  FROM prep3 p JOIN inv i ON i.s_suppkey = p.s_suppkey AND i.it = 16),
+        |ecef1 AS (
+        |  SELECT *, ai/sqrt(1 - e2i*sin(phib)*sin(phib)) AS nu1 FROM geo),
+        |ecef2 AS (
+        |  SELECT *,
+        |    nu1*cos(phib)*cos(lamb) AS gx, nu1*cos(phib)*sin(lamb) AS gy,
+        |    nu1*(1 - e2i)*sin(phib) AS gz
+        |  FROM ecef1),
+        |helm AS (
+        |  SELECT *,
+        |    htx + hs*(gx + hrz*gy - hry*gz) AS wx,
+        |    hty + hs*(-hrz*gx + gy + hrx*gz) AS wy,
+        |    htz + hs*(hry*gx - hrx*gy + gz) AS wz
+        |  FROM ecef2),
+        |g2 AS (
+        |  SELECT *, atan2(wy, wx) AS lamw, sqrt(wx*wx + wy*wy) AS pw FROM helm),
+        |wgs(it, s_suppkey, phi) AS (
+        |  SELECT 0, s_suppkey, atan2(wz, pw*(1 - e2w)) FROM g2
+        |  UNION ALL
+        |  SELECT i.it + 1, i.s_suppkey,
+        |    atan2(g.wz + g.e2w*(g.aw/sqrt(1 - g.e2w*sin(i.phi)*sin(i.phi)))*sin(i.phi), g.pw)
+        |  FROM wgs i JOIN g2 g ON i.s_suppkey = g.s_suppkey WHERE i.it < 20),
+        |fwd AS (
+        |  SELECT g.*, w.phi AS phiw,
+        |    g.lamw * 57.29577951308232 AS lon_deg,
+        |    w.phi * 57.29577951308232 AS lat_deg
+        |  FROM g2 g JOIN wgs w ON w.s_suppkey = g.s_suppkey AND w.it = 20),
+        |back0 AS (
+        |  SELECT *,
+        |    lat_deg * 0.017453292519943295 AS phb,
+        |    lon_deg * 0.017453292519943295 AS lmb
+        |  FROM fwd),
+        |back1 AS (
+        |  SELECT *, aw/sqrt(1 - e2w*sin(phb)*sin(phb)) AS nu2 FROM back0),
+        |back2 AS (
+        |  SELECT *,
+        |    nu2*cos(phb)*cos(lmb) AS cx, nu2*cos(phb)*sin(lmb) AS cy,
+        |    nu2*(1 - e2w)*sin(phb) AS cz
+        |  FROM back1),
+        |back3 AS (
+        |  SELECT *, (cx - htx)/hs AS xs, (cy - hty)/hs AS ys, (cz - htz)/hs AS zs FROM back2),
+        |back4 AS (
+        |  SELECT *,
+        |    xs - hrz*ys + hry*zs AS ix, hrz*xs + ys - hrx*zs AS iy,
+        |    -hry*xs + hrx*ys + zs AS iz
+        |  FROM back3),
+        |back5 AS (
+        |  SELECT *, atan2(iy, ix) AS lami, sqrt(ix*ix + iy*iy) AS pi2 FROM back4),
+        |intl(it, s_suppkey, phi) AS (
+        |  SELECT 0, s_suppkey, atan2(iz, pi2*(1 - e2i)) FROM back5
+        |  UNION ALL
+        |  SELECT i.it + 1, i.s_suppkey,
+        |    atan2(b.iz + b.e2i*(b.ai/sqrt(1 - b.e2i*sin(i.phi)*sin(i.phi)))*sin(i.phi), b.pi2)
+        |  FROM intl i JOIN back5 b ON i.s_suppkey = b.s_suppkey WHERE i.it < 20),
+        |back6 AS (
+        |  SELECT b.*, n.phi AS phii
+        |  FROM back5 b JOIN intl n ON n.s_suppkey = b.s_suppkey AND n.it = 20),
+        |back7 AS (
+        |  SELECT *,
+        |    tan(pi()/4 - phii/2) / pow((1 - ei*sin(phii))/(1 + ei*sin(phii)), ei/2) AS tfi
+        |  FROM back6),
+        |back8 AS (
+        |  SELECT *, ai*ff*pow(tfi, n) AS rhof, n*(atan2(iy, ix) - lam0) AS thetaf FROM back7),
+        |back9 AS (
+        |  SELECT *, xoff + rhof*sin(thetaf) AS bx, yoff + rho0 - rhof*cos(thetaf) AS byy FROM back8)
+        |SELECT s_suppkey,
+        |  floor(lon_deg*1e7 + 0.5)/1e7 AS lon,
+        |  floor(lat_deg*1e7 + 0.5)/1e7 AS lat,
+        |  floor((abs(bx - x) + abs(byy - y))*1e6 + 0.5)/1e6 AS roundtrip_err_m
+        |FROM back9 ORDER BY s_suppkey""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
