@@ -760,6 +760,28 @@ object SparkEntry {
     "q71_lsvi_globaal" -> ((s, dir) =>
       Lsvi.globaal(Lsvi.indicator(Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))),
 
+    // ---- K2 forest-detail report shape (`data_lsvi_forests.R:32`,
+    // `lsvi_detail_fs.yml`): verschilscore / theoretischmaximum /
+    // status_voorwaarde per condition, plus the plot_type and
+    // type_observed passthroughs. `waarde` is the measurement's
+    // character form (category, or the 6-decimal fixed-point print of
+    // the numeric value — printf semantics identical on both engines
+    // once the value is floor-rounded). ----
+    "q96_lsvi_detail_report" -> ((s, dir) => {
+      val meas = lsviMeasurements(s, dir)
+        .withColumn("type_observed",
+          when(col("id") % 2 === 0, "9120").otherwise("9130"))
+        .withColumn("plot_type",
+          when(col("voorwaarde").isin("avg_qty", "avg_price"), "square")
+            .otherwise("circle"))
+        .withColumn("waarde", coalesce(col("value_category"),
+          when(col("value_numeric").isNotNull,
+            format_string("%.6f", round6(col("value_numeric"))))))
+      Lsvi.detailReport(meas, lsviRules(s))
+        .withColumn("waarde_numeric", round6(col("waarde_numeric")))
+        .withColumn("verschilscore", round6(col("verschilscore")))
+    }),
+
     // ---- K2 with the REAL Versie-3 rule content (graft.lsvi.Versie3,
     // HT31xx_LSVI.Rmd:68-185): INBOVEG-shaped synthetic inputs exercise
     // the full preparation path — LOQ parse + halving, class->value
@@ -1396,13 +1418,18 @@ object SparkEntry {
   private def lsviRules(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
-      ("verstoring", "prijsdruk", "avg_discount", "b", "<=", Option(0.05), Option.empty[Seq[String]]),
-      ("verstoring", "retour", "return_rate", "zb", "<", Option(0.336), Option.empty[Seq[String]]),
-      ("structuur", "kwantiteit", "avg_qty", "b", ">=", Option(25.3), Option.empty[Seq[String]]),
-      ("structuur", "waarde", "avg_price", "b", ">=", Option(53000.0), Option.empty[Seq[String]]),
-      ("context", "herkomst", "regio", "b", "in", Option.empty[Double], Option(lsviRegions)))
+      ("verstoring", "prijsdruk", "avg_discount", "b", "<=", Option(0.05), Option.empty[Seq[String]],
+        "0.05", Option(0.1)),
+      ("verstoring", "retour", "return_rate", "zb", "<", Option(0.336), Option.empty[Seq[String]],
+        "0.336", Option(1.0)),
+      ("structuur", "kwantiteit", "avg_qty", "b", ">=", Option(25.3), Option.empty[Seq[String]],
+        "25.3", Option(50.0)),
+      ("structuur", "waarde", "avg_price", "b", ">=", Option(53000.0), Option.empty[Seq[String]],
+        "53000", Option(100000.0)),
+      ("context", "herkomst", "regio", "b", "in", Option.empty[Double], Option(lsviRegions),
+        lsviRegions.mkString(", "), Option.empty[Double]))
       .toDF("criterium", "indicator", "voorwaarde", "belang", "op",
-        "ref_numeric", "ref_categories")
+        "ref_numeric", "ref_categories", "referentiewaarde", "theoretisch_maximum")
   }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
@@ -2087,6 +2114,50 @@ object SparkEntry {
         | round(value_numeric, 6) AS value_numeric, value_category, op,
         | ref_numeric, voldoet
         |FROM d""".stripMargin),
+
+    "q96_lsvi_detail_report" -> (lsviOracleCtes.stripSuffix("\n") +
+      s""", r2(voorwaarde, referentiewaarde, theoretischmaximum) AS (
+        |  VALUES
+        |   ('avg_discount', '0.05', 0.1),
+        |   ('return_rate', '0.336', 1.0),
+        |   ('avg_qty', '25.3', 50.0),
+        |   ('avg_price', '53000', 100000.0),
+        |   ('regio', '${lsviRegions.mkString(", ")}', CAST(NULL AS DOUBLE))),
+        |rep AS (
+        |  SELECT d.*, r2.referentiewaarde, r2.theoretischmaximum,
+        |    CASE WHEN d.id % 2 = 0 THEN '9120' ELSE '9130' END AS type_observed,
+        |    CASE WHEN d.voorwaarde IN ('avg_qty', 'avg_price') THEN 'square'
+        |         ELSE 'circle' END AS plot_type,
+        |    floor(d.value_numeric*1e6 + 0.5)/1e6 AS v6
+        |  FROM d JOIN r2 USING (voorwaarde)),
+        |scored AS (
+        |  SELECT *,
+        |    CASE
+        |      WHEN voldoet IS NULL THEN CAST(NULL AS DOUBLE)
+        |      WHEN op IN ('>=', '>') THEN
+        |        CASE WHEN voldoet THEN
+        |               CASE WHEN theoretischmaximum - ref_numeric <> 0
+        |                    THEN (value_numeric - ref_numeric)/(theoretischmaximum - ref_numeric) END
+        |             ELSE
+        |               CASE WHEN ref_numeric <> 0
+        |                    THEN (value_numeric - ref_numeric)/ref_numeric END END
+        |      WHEN op IN ('<=', '<') THEN
+        |        CASE WHEN voldoet THEN
+        |               CASE WHEN ref_numeric <> 0
+        |                    THEN (ref_numeric - value_numeric)/ref_numeric END
+        |             ELSE
+        |               CASE WHEN theoretischmaximum - ref_numeric <> 0
+        |                    THEN (ref_numeric - value_numeric)/(theoretischmaximum - ref_numeric) END END
+        |      ELSE CASE WHEN voldoet THEN 1.0 ELSE -1.0 END
+        |    END AS verschilscore
+        |  FROM rep)
+        |SELECT id, type_observed, criterium, indicator, belang, voorwaarde, plot_type,
+        |  CASE WHEN value_category IS NOT NULL THEN value_category
+        |       WHEN value_numeric IS NOT NULL THEN printf('%.6f', v6) END AS waarde,
+        |  floor(value_numeric*1e6 + 0.5)/1e6 AS waarde_numeric,
+        |  referentiewaarde, voldoet AS status_voorwaarde, theoretischmaximum,
+        |  floor(verschilscore*1e6 + 0.5)/1e6 AS verschilscore
+        |FROM scored""".stripMargin),
 
     "q71_lsvi_globaal" -> (lsviOracleCtes.stripSuffix("\n") +
       """, i AS (

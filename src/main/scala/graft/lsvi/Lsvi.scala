@@ -71,6 +71,56 @@ object Lsvi {
       .select("id", "habitattype", "criterium", "indicator", "voorwaarde", "belang",
         "value_numeric", "value_category", "op", "ref_numeric", "voldoet")
 
+  /** Forest-detail report shape — the column set the reference's forest
+    * report consumes (`/root/reference/src/data_questions/data_lsvi_forests.R:32`;
+    * schema `processed/lsvi_mhq/forests/result/lsvi_detail_fs.yml`):
+    * per (id, voorwaarde) the verdict is published as
+    * `status_voorwaarde` alongside `theoretischmaximum` (the declared
+    * theoretical maximum of the measured variable, from the rule table)
+    * and `verschilscore` — the LSVI difference score: the observed
+    * value's distance from the reference value rescaled to [-1, 1],
+    * positive iff the condition is met (0 = exactly at the reference,
+    * +1 = at the theoretical optimum, -1 = at the theoretical worst).
+    *
+    * Numeric conditions: for an upward condition (op >= / >)
+    * met ⇒ (value-ref)/(max-ref), unmet ⇒ (value-ref)/ref; a downward
+    * condition (<= / <) mirrors: met ⇒ (ref-value)/ref, unmet ⇒
+    * (ref-value)/(max-ref). Zero denominators yield NULL (reported, not
+    * dropped). Categorical/equality conditions score +1 met / -1 unmet.
+    *
+    * `measurements` additionally carries the report passthroughs
+    * (`type_observed`, `plot_type`, display `waarde`); `rules`
+    * additionally carries `referentiewaarde` (the reference value's
+    * character form) and `theoretisch_maximum`. Same join shape as
+    * [[detail]]: rules broadcast, measurements stream.
+    */
+  def detailReport(measurements: DataFrame, rules: DataFrame): DataFrame = {
+    val joined = measurements.join(broadcast(rules), Seq("voorwaarde"))
+      .withColumn("status_voorwaarde",
+        verdict(col("op"), col("value_numeric"), col("ref_numeric"),
+          col("value_category"), col("ref_categories")))
+    val up = col("op").isin(">=", ">")
+    val down = col("op").isin("<=", "<")
+    def div(n: Column, d: Column) = when(d =!= 0.0, n / d)
+    val maxMinusRef = col("theoretisch_maximum") - col("ref_numeric")
+    val vs =
+      when(col("status_voorwaarde").isNull, lit(null).cast("double"))
+        .when(up, when(col("status_voorwaarde"),
+            div(col("value_numeric") - col("ref_numeric"), maxMinusRef))
+          .otherwise(div(col("value_numeric") - col("ref_numeric"), col("ref_numeric"))))
+        .when(down, when(col("status_voorwaarde"),
+            div(col("ref_numeric") - col("value_numeric"), col("ref_numeric")))
+          .otherwise(div(col("ref_numeric") - col("value_numeric"), maxMinusRef)))
+        .otherwise(when(col("status_voorwaarde"), lit(1.0)).otherwise(lit(-1.0)))
+    joined
+      .withColumn("verschilscore", vs)
+      .select(col("id"), col("type_observed"), col("criterium"), col("indicator"),
+        col("belang"), col("voorwaarde"), col("plot_type"), col("waarde"),
+        col("value_numeric").as("waarde_numeric"), col("referentiewaarde"),
+        col("status_voorwaarde"),
+        col("theoretisch_maximum").as("theoretischmaximum"), col("verschilscore"))
+  }
+
   /** Indicator table: favorable iff ALL conditions hold (missing
     * verdicts make the indicator NULL-unknown, reported not dropped);
     * `score` = fraction of evaluable conditions met (the per-indicator

@@ -26,6 +26,49 @@ class LsviSpec extends SparkSuite {
     assert(verdicts === Map("v1" -> true, "v2" -> true, "v3" -> true, "v4" -> true))
   }
 
+  test("detailReport: published forest column set + verschilscore rescaling") {
+    // rules enriched with the report columns (referentiewaarde char form,
+    // theoretisch maximum), as in lsvi_detail_fs.yml
+    val repRules = Seq(
+      ("crit1", "indA", "v1", "b", ">=", Option(10.0), Option.empty[Seq[String]], "10", Option(20.0)),
+      ("crit1", "indB", "v3", "zb", "<=", Option(1.0), Option.empty[Seq[String]], "1", Option(5.0)),
+      ("crit2", "indC", "v4", "b", "in", Option.empty[Double], Option(Seq("x", "y")), "x, y", Option.empty[Double]))
+      .toDF("criterium", "indicator", "voorwaarde", "belang", "op",
+        "ref_numeric", "ref_categories", "referentiewaarde", "theoretisch_maximum")
+    val m = Seq(
+      ("p1", "v1", Some(15.0), Option.empty[String]), // met up: (15-10)/(20-10) = 0.5
+      ("p2", "v1", Some(8.0), Option.empty[String]),  // unmet up: (8-10)/10 = -0.2
+      ("p1", "v3", Some(0.25), Option.empty[String]), // met down: (1-0.25)/1 = 0.75
+      ("p2", "v3", Some(2.0), Option.empty[String]),  // unmet down: (1-2)/(5-1) = -0.25
+      ("p1", "v4", Option.empty[Double], Some("x")),  // met categorical: +1
+      ("p2", "v4", Option.empty[Double], Some("z")))  // unmet categorical: -1
+      .toDF("id", "voorwaarde", "value_numeric", "value_category")
+      .withColumn("type_observed", lit("9120"))
+      .withColumn("plot_type", lit("circle"))
+      .withColumn("waarde", coalesce(col("value_category"),
+        col("value_numeric").cast("string")))
+    val rep = Lsvi.detailReport(m, repRules)
+    // the exact column set of data_lsvi_forests.R:32's select
+    assert(rep.columns.toSeq === Seq("id", "type_observed", "criterium",
+      "indicator", "belang", "voorwaarde", "plot_type", "waarde",
+      "waarde_numeric", "referentiewaarde", "status_voorwaarde",
+      "theoretischmaximum", "verschilscore"))
+    val scores = rep.select("id", "voorwaarde", "status_voorwaarde", "verschilscore")
+      .as[(String, String, Boolean, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(scores(("p1", "v1")) === ((true, 0.5)))
+    assert(scores(("p2", "v1")) === ((false, -0.2)))
+    assert(scores(("p1", "v3")) === ((true, 0.75)))
+    assert(scores(("p2", "v3")) === ((false, -0.25)))
+    assert(scores(("p1", "v4")) === ((true, 1.0)))
+    assert(scores(("p2", "v4")) === ((false, -1.0)))
+    // theoretischmaximum rides through; categorical rows carry NA
+    val maxima = rep.select("voorwaarde", "theoretischmaximum")
+      .distinct().collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(maxima === Map("v1" -> Some(20.0), "v3" -> Some(5.0), "v4" -> None))
+  }
+
   test("indicator = AND of conditions; unknown propagates, not drops") {
     val m = meas(
       ("p1", "v1", Some(12.0), None), ("p1", "v2", Some(9.0), None), // v2 fails -> indA false
