@@ -90,7 +90,8 @@ object Checks {
   * as a CHECK constraint instead of an encoded type. Level lists ride
   * in table metadata (git2rdata keeps them in the .yml sidecar).
   */
-final case class FactorDomain(name: String, levels: Seq[String]) {
+final case class FactorDomain(name: String, levels: Seq[String],
+                              ordered: Boolean = false) {
   /** Rows whose value is neither NULL nor a declared level. */
   def violations(df: DataFrame, colName: String): DataFrame =
     df.where(col(colName).isNotNull && !col(colName).isin(levels: _*))

@@ -2,16 +2,34 @@ package graft.io
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
-import org.apache.spark.sql.types.{DataType, StructType}
+import graft.core.FactorDomain
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Versioned-table I/O — the git2rdata `write_vc`/`read_vc` output
   * contract (SURVEY.md §2.1 S5/S8): a deterministically sorted TSV plus
-  * a sidecar carrying the schema, the declared sort key, and a SHA-256
-  * of the sorted bytes, so any two runs producing the same data produce
-  * byte-identical, diff-friendly files
-  * (`/root/reference/src/export_from_fieldmap/query_fieldmap.Rmd:1959-1974`).
+  * a YAML sidecar carrying the column classes (including factor-level
+  * dictionaries), the declared sort key, the NA string convention, and
+  * split `hash`/`data_hash` digests, so any two runs producing the same
+  * data produce byte-identical, diff-friendly files
+  * (`/root/reference/src/export_from_fieldmap/query_fieldmap.Rmd:1959-1974`;
+  * sidecar shape mirrors `processed/fieldmap_mhq/cover_species.yml`).
+  *
+  * Sidecar fields, following the published .yml layout:
+  *   - `..generic` block: format version, `optimize` flag (we store
+  *     values verbatim — git2rdata's non-optimized mode), `NA string`,
+  *     `sorting` list, `hash` (digest of the metadata descriptor: any
+  *     schema drift changes it) and `data_hash` (digest of the TSV
+  *     bytes: any data drift changes it). Digests are SHA-256 (the
+  *     reference package uses SHA-1; documented deviation).
+  *   - one block per column: `class` in git2rdata vocabulary
+  *     (character / integer / numeric / logical / Date / POSIXct /
+  *     factor); factors carry `labels`, `index` and `ordered`, and
+  *     [[read]] enforces the level dictionary (a value outside the
+  *     declared levels fails loudly — the round-trip keeps the factor
+  *     contract, not just the strings). 64-bit integer columns carry
+  *     `bits: 64` (R needs bit64 for these; documented extension).
   *
   * Scale note: the byte-stable contract forces a total order and a
   * single writer task for the final file — correct for the reference's
@@ -32,13 +50,58 @@ object Vc {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Write `df` as `<base>.tsv` + `<base>.schema.json` sidecar. */
-  def write(df: DataFrame, base: String, sortKeys: Seq[String]): Unit = {
+  private def sha256(s: String): String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** git2rdata class name (+ extra attribute lines) for a Spark type. */
+  private def classOf(dt: DataType): (String, Seq[String]) = dt match {
+    case StringType => ("character", Nil)
+    case IntegerType | ShortType | ByteType => ("integer", Nil)
+    case LongType => ("integer", Seq("bits: 64"))
+    case DoubleType => ("numeric", Nil)
+    case FloatType => ("numeric", Seq("bits: 32"))
+    case BooleanType => ("logical", Nil)
+    case DateType => ("Date", Seq("origin: '1970-01-01'"))
+    case TimestampType => ("POSIXct", Seq("origin: '1970-01-01 00:00:00'"))
+    case other => throw new IllegalArgumentException(
+      s"Vc cannot carry ${other.simpleString} through a TSV round-trip; " +
+        "flatten or cast it first (the git2rdata contract is scalar columns)")
+  }
+
+  private def sparkTypeOf(cls: String, attrs: Map[String, String]): DataType = cls match {
+    case "character" | "factor" => StringType
+    case "integer" => if (attrs.get("bits").contains("64")) LongType else IntegerType
+    case "numeric" => if (attrs.get("bits").contains("32")) FloatType else DoubleType
+    case "logical" => BooleanType
+    case "Date" => DateType
+    case "POSIXct" => TimestampType
+    case other => throw new IllegalStateException(s"unknown sidecar class '$other'")
+  }
+
+  /** YAML scalar: plain if inert, single-quoted (with '' escaping) else. */
+  private def yamlScalar(s: String): String =
+    if (s.nonEmpty && s.matches("[A-Za-z0-9_][A-Za-z0-9_ .\\-]*") && !s.endsWith(" ")) s
+    else "'" + s.replace("'", "''") + "'"
+
+  /** Write `df` as `<base>.tsv` + git2rdata-style `<base>.yml` sidecar.
+    * Columns named in `factors` are validated against their level
+    * dictionary BEFORE anything is written (git2rdata's write_vc errors
+    * on unknown levels) and their dictionary rides in the sidecar. */
+  def write(df: DataFrame, base: String, sortKeys: Seq[String],
+            factors: Seq[FactorDomain] = Nil, naString: String = "NA"): Unit = {
+    factors.foreach { f =>
+      require(df.columns.contains(f.name), s"factor column '${f.name}' not in frame")
+      require(df.schema(f.name).dataType == StringType,
+        s"factor column '${f.name}' must be a string column")
+      f.assertValid(df, f.name)
+    }
     val tmp = base + ".tmp"
     df.orderBy(sortKeys.map(col): _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite)
-      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .option("sep", "\t").option("header", "true").option("nullValue", naString)
       .csv(tmp)
     val partFile = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
       .findFirst().orElseThrow(() => new IllegalStateException(s"no part file under $tmp"))
@@ -47,18 +110,119 @@ object Vc {
     Files.move(partFile, dest, StandardCopyOption.REPLACE_EXISTING)
     Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => Files.deleteIfExists(p))
-    // canonical schema: all-nullable (TSV round-trip cannot carry nullability)
-    val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
-    val meta =
-      s"""{"schema": ${schema.json},
-         | "sorting": [${sortKeys.map("\"" + _ + "\"").mkString(", ")}],
-         | "data_hash": "${sha256(dest)}"}""".stripMargin
-    Files.writeString(Paths.get(base + ".schema.json"), meta)
+
+    val byName = factors.map(f => f.name -> f).toMap
+    val colBlocks = df.schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(dom) =>
+          val labels = dom.levels.map(l => s"  - ${yamlScalar(l)}").mkString("\n")
+          val index = dom.levels.indices.map(i => s"  - ${i + 1}").mkString("\n")
+          s"""${f.name}:
+             |  class: factor
+             |  labels:
+             |$labels
+             |  index:
+             |$index
+             |  ordered: ${if (dom.ordered) "yes" else "no"}""".stripMargin
+        case None =>
+          val (cls, attrs) = classOf(f.dataType)
+          (s"${f.name}:\n  class: $cls" +: attrs.map("  " + _)).mkString("\n")
+      }
+    }.mkString("\n")
+    // metadata digest: any change to columns, classes, levels, sorting
+    // or the NA convention changes `hash`; `data_hash` covers the TSV
+    val descriptor = colBlocks + "\nsorting: " + sortKeys.mkString(",") +
+      "\nNA: " + naString
+    val yml =
+      s"""..generic:
+         |  git2rdata: 0.5.1
+         |  optimize: no
+         |  NA string: ${yamlScalar(naString)}
+         |  sorting:
+         |${sortKeys.map(k => s"  - $k").mkString("\n")}
+         |  hash: ${sha256(descriptor)}
+         |  data_hash: ${sha256(dest)}
+         |$colBlocks
+         |""".stripMargin
+    Files.writeString(Paths.get(base + ".yml"), yml)
   }
 
-  /** Read a `write`-produced table back with its declared schema and
-    * verify the content hash (fails fast on corrupted data). */
+  /** Minimal parser for the sidecar shape [[write]] emits: top-level
+    * keys own 2-space-indented `key: value` lines and `- item` lists. */
+  private[io] def parseSidecar(text: String):
+      Seq[(String, Map[String, String], Map[String, Seq[String]])] = {
+    val blocks = scala.collection.mutable.ArrayBuffer
+      .empty[(String, scala.collection.mutable.LinkedHashMap[String, String],
+              scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]])]
+    var listKey: Option[String] = None
+    def unquote(s: String): String =
+      if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+        s.substring(1, s.length - 1).replace("''", "'")
+      else s
+    text.split("\n").foreach { raw =>
+      val line = raw.replaceAll("\\s+$", "")
+      if (line.nonEmpty) {
+        if (!line.startsWith(" ") && line.endsWith(":")) {
+          blocks += ((line.dropRight(1),
+            scala.collection.mutable.LinkedHashMap.empty,
+            scala.collection.mutable.LinkedHashMap.empty))
+          listKey = None
+        } else if (line.startsWith("  - ")) {
+          val (_, _, lists) = blocks.last
+          val k = listKey.getOrElse(throw new IllegalStateException(
+            s"list item outside a list in sidecar: $line"))
+          lists.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) +=
+            unquote(line.drop(4).trim)
+        } else if (line.startsWith("  ")) {
+          val t = line.trim
+          val i = t.indexOf(':')
+          val (k, v) = (t.substring(0, i), t.substring(i + 1).trim)
+          val (_, scalars, lists) = blocks.last
+          if (v.isEmpty) { listKey = Some(k); lists.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) }
+          else { scalars(k) = unquote(v); listKey = None }
+        }
+      }
+    }
+    blocks.map { case (n, s, l) => (n, s.toMap, l.map { case (k, v) => k -> v.toSeq }.toMap) }.toSeq
+  }
+
+  /** Read a `write`-produced table back with its declared classes,
+    * verify the content hash (fails fast on corrupted data), and
+    * enforce factor-level dictionaries (a value outside the declared
+    * levels is a loud failure, as in git2rdata's read_vc). Legacy
+    * `.schema.json` sidecars (pre-yml tables) still read. */
   def read(spark: SparkSession, base: String): DataFrame = {
+    if (!Files.exists(Paths.get(base + ".yml")) &&
+        Files.exists(Paths.get(base + ".schema.json")))
+      return readLegacy(spark, base)
+    val blocks = parseSidecar(Files.readString(Paths.get(base + ".yml")))
+    val generic = blocks.find(_._1 == "..generic").getOrElse(
+      throw new IllegalStateException(s"$base.yml has no ..generic block"))
+    val expectedHash = generic._2.getOrElse("data_hash",
+      throw new IllegalStateException(s"$base.yml has no data_hash"))
+    val actual = sha256(Paths.get(base + ".tsv"))
+    if (expectedHash != actual)
+      throw new IllegalStateException(
+        s"$base.tsv content hash $actual does not match sidecar $expectedHash")
+    val naString = generic._2.getOrElse("NA string", "NA")
+    val cols = blocks.filterNot(_._1 == "..generic")
+    val schema = StructType(cols.map { case (name, scalars, _) =>
+      StructField(name, sparkTypeOf(scalars("class"), scalars), nullable = true)
+    })
+    val df = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", naString)
+      .schema(schema)
+      .csv(base + ".tsv")
+    val factorDomains = cols.collect {
+      case (name, scalars, lists) if scalars.get("class").contains("factor") =>
+        FactorDomain(name, lists.getOrElse("labels", Nil),
+          ordered = scalars.get("ordered").contains("yes"))
+    }
+    factorDomains.foreach(d => d.assertValid(df, d.name))
+    df
+  }
+
+  private def readLegacy(spark: SparkSession, base: String): DataFrame = {
     val metaText = Files.readString(Paths.get(base + ".schema.json"))
     val hashInMeta = "\"data_hash\":\\s*\"([0-9a-f]{64})\"".r
       .findFirstMatchIn(metaText).map(_.group(1))
@@ -73,6 +237,19 @@ object Vc {
       .option("sep", "\t").option("header", "true").option("nullValue", "NA")
       .schema(schema)
       .csv(base + ".tsv")
+  }
+
+  /** data_hash recorded in a table's sidecar (yml or legacy json). */
+  def dataHash(base: String): String = {
+    val yml = Paths.get(base + ".yml")
+    if (Files.exists(yml))
+      parseSidecar(Files.readString(yml))
+        .find(_._1 == "..generic").flatMap(_._2.get("data_hash")).getOrElse("")
+    else {
+      val meta = Files.readString(Paths.get(base + ".schema.json"))
+      "\"data_hash\":\\s*\"([0-9a-f]{64})\"".r.findFirstMatchIn(meta)
+        .map(_.group(1)).getOrElse("")
+    }
   }
 
   private def balancedEnd(s: String): Int = {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomicity, no history, and no idempotent re-apply).
   *
   * Layout under `dir/`:
-  *   v00001.tsv + v00001.schema.json     immutable snapshot files (Vc)
+  *   v00001.tsv + v00001.yml             immutable snapshot files (Vc)
   *   manifest.json                       ordered snapshot log
   *
   * Guarantees:
@@ -39,11 +39,7 @@ object VcSnapshots {
 
   private def manifestPath(dir: String) = Paths.get(dir, "manifest.json")
 
-  private def hashOf(base: String): String = {
-    val meta = Files.readString(Paths.get(base + ".schema.json"))
-    "\"data_hash\":\\s*\"([0-9a-f]{64})\"".r.findFirstMatchIn(meta)
-      .map(_.group(1)).getOrElse("")
-  }
+  private def hashOf(base: String): String = Vc.dataHash(base)
 
   /** Ordered snapshot log (oldest first); empty if uninitialized. */
   def entries(dir: String): Seq[Entry] = {

@@ -32,10 +32,72 @@ class IoMediaStreamSpec extends SparkSuite {
     def hashOf(parts: Int): String = {
       Vc.write(data.toDF("k", "name", "v").repartition(parts),
         s"$dir/t$parts", Seq("k", "name"))
-      val meta = Files.readString(java.nio.file.Paths.get(s"$dir/t$parts.schema.json"))
-      "\"data_hash\":\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(meta).get.group(1)
+      Vc.dataHash(s"$dir/t$parts")
     }
     assert(hashOf(1) === hashOf(11))
+  }
+
+  test("Vc sidecar mirrors the git2rdata .yml contract (golden shape)") {
+    val dir = Files.createTempDirectory("vcy").toString
+    val df = Seq(
+      (1, "Londo", Some("hoog"), Some(2.5), Some(java.sql.Date.valueOf("2022-05-01")), true),
+      (2, "Tansley", Some("matig"), None, None, false),
+      (3, "Londo", None, Some(0.5), Some(java.sql.Date.valueOf("2023-06-02")), true))
+      .toDF("plot_id", "coverscale_name", "reliability", "cover_mean",
+        "date_assessment", "measured")
+    val reliability = graft.core.FactorDomain("reliability", Seq("hoog", "matig", "laag"))
+    Vc.write(df, s"$dir/cover", Seq("plot_id"), factors = Seq(reliability))
+    val yml = Files.readString(java.nio.file.Paths.get(s"$dir/cover.yml"))
+    // ..generic block: format fields + split hash/data_hash, as in
+    // processed/fieldmap_mhq/cover_species.yml
+    assert(yml.startsWith("..generic:\n"))
+    for (line <- Seq("  optimize: no", "  NA string: NA", "  sorting:", "  - plot_id"))
+      assert(yml.contains(line + "\n"), s"missing '$line' in:\n$yml")
+    val hashes = "(?m)^  (hash|data_hash): ([0-9a-f]{64})$".r.findAllMatchIn(yml)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    assert(hashes.keySet === Set("hash", "data_hash"))
+    assert(hashes("hash") !== hashes("data_hash"))
+    // column classes in git2rdata vocabulary; the factor carries its dictionary
+    assert(yml.contains("plot_id:\n  class: integer\n"))
+    assert(yml.contains("cover_mean:\n  class: numeric\n"))
+    assert(yml.contains("date_assessment:\n  class: Date\n  origin: '1970-01-01'\n"))
+    assert(yml.contains("measured:\n  class: logical\n"))
+    assert(yml.contains(
+      "reliability:\n  class: factor\n  labels:\n  - hoog\n  - matig\n  - laag\n" +
+      "  index:\n  - 1\n  - 2\n  - 3\n  ordered: no\n"))
+    // round trip preserves classes and values
+    val back = Vc.read(spark, s"$dir/cover")
+    assert(back.schema("plot_id").dataType === IntegerType)
+    assert(back.schema("date_assessment").dataType === DateType)
+    assert(back.orderBy("plot_id")
+      .select("plot_id", "reliability", "cover_mean", "measured")
+      .as[(Int, Option[String], Option[Double], Boolean)].collect().toSeq === Seq(
+        (1, Some("hoog"), Some(2.5), true),
+        (2, Some("matig"), None, false),
+        (3, None, Some(0.5), true)))
+    // same data written twice -> byte-identical sidecar (diff-friendly contract)
+    Vc.write(df.repartition(7), s"$dir/cover2", Seq("plot_id"), factors = Seq(reliability))
+    val yml2 = Files.readString(java.nio.file.Paths.get(s"$dir/cover2.yml"))
+    assert(yml === yml2)
+  }
+
+  test("Vc factor domains are enforced on write and on read") {
+    val dir = Files.createTempDirectory("vcf").toString
+    val df = Seq((1, "hoog"), (2, "zeer hoog")).toDF("id", "reliability")
+    val dom = graft.core.FactorDomain("reliability", Seq("hoog", "matig", "laag"))
+    // write_vc-style: a value outside the declared levels never lands on disk
+    val werr = intercept[Exception] {
+      Vc.write(df, s"$dir/bad", Seq("id"), factors = Seq(dom))
+    }
+    assert(werr.getMessage.contains("reliability"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/bad.tsv")))
+    // read_vc-style: a sidecar whose dictionary no longer covers the data fails
+    Vc.write(df, s"$dir/ok", Seq("id"),
+      factors = Seq(graft.core.FactorDomain("reliability", Seq("hoog", "zeer hoog"))))
+    val yml = java.nio.file.Paths.get(s"$dir/ok.yml")
+    Files.writeString(yml, Files.readString(yml).replace("  - zeer hoog\n", ""))
+    val rerr = intercept[Exception] { Vc.read(spark, s"$dir/ok") }
+    assert(rerr.getMessage.contains("reliability"))
   }
 
   test("Csv2 reads semicolon-separated decimal-comma files with schema") {
