@@ -1114,6 +1114,38 @@ object SparkEntry {
       graft.io.Vc.read(s, base)
     }),
 
+    // ---- E2 HT3260 header prep (`HT3260_data_preparation.Rmd:70-115,
+    // 157-178`): sitequal spread to reliability / reason_no_survey with
+    // prefix strip + recode, N2k factor recode, suitable_mhq and
+    // measured flags from the three-extract completeness anti-joins.
+    // INBOVEG-shaped inputs synthesized deterministically from customer. ----
+    "q97_ht3260_header" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      def recId = concat(lit("IV"), col("c_custkey")).as("recording_givid")
+      val header = cust.select(recId, lit("HT3260").as("survey"),
+        col("c_name").as("user_reference"), col("c_mktsegment").as("location"))
+      val classif = cust.where(col("c_custkey") % 11 =!= 5).select(recId,
+        when(col("c_custkey") % 3 === 0, "-9")
+          .when(col("c_custkey") % 3 === 1, "0")
+          .otherwise("3260").as("value_code"))
+      val sitequal = cust.where(col("c_custkey") % 4 === 0).select(recId,
+          concat(lit("Betrouwbaarheid opname: "),
+            when(col("c_custkey") % 3 === 0, "hoog")
+              .when(col("c_custkey") % 3 === 1, "matig")
+              .otherwise("laag")).as("value"),
+          lit(null).cast("string").as("comment"))
+        .unionByName(cust.where(col("c_custkey") % 5 === 0).select(recId,
+          when(col("c_custkey") % 2 === 0, "Geen opname: niet toegankelijk")
+            .otherwise("Geen opname: drooggevallen").as("value"),
+          when(col("c_custkey") % 10 === 0, "tijdelijk droog")
+            .cast("string").as("comment")))
+      val structure = cust.where(col("c_custkey") % 7 =!= 2).select(recId)
+      val layerqual = cust.where(col("c_custkey") % 7 =!= 3).select(recId)
+      val vegetation = cust.where(col("c_custkey") % 7 =!= 4).select(recId)
+      graft.pipelines.Inboveg.ht3260Header(
+        header, classif, sitequal, structure, layerqual, vegetation)
+    }),
+
     // ---- multimodal segment sampling: stride-aligned byte windows
     // over the binary media column (frame-sampling plumbing; ASCII
     // text payloads make it DuckDB-oracle-checkable) ----
@@ -1446,6 +1478,45 @@ object SparkEntry {
         | CASE WHEN c_custkey % 10 = 3 THEN c_acctbal * 1.5 ELSE c_acctbal END AS c_acctbal,
         | c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q97_ht3260_header" ->
+      """WITH sq AS (
+        |  SELECT 'IV' || c_custkey AS recording_givid,
+        |    'Betrouwbaarheid opname: ' ||
+        |      CASE WHEN c_custkey % 3 = 0 THEN 'hoog'
+        |           WHEN c_custkey % 3 = 1 THEN 'matig' ELSE 'laag' END AS value,
+        |    CAST(NULL AS VARCHAR) AS comment
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT 'IV' || c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'Geen opname: niet toegankelijk'
+        |         ELSE 'Geen opname: drooggevallen' END,
+        |    CASE WHEN c_custkey % 10 = 0 THEN 'tijdelijk droog' END
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |spread AS (
+        |  SELECT recording_givid,
+        |    replace(min(CASE WHEN value LIKE '%Betrouwbaarheid opname:%' THEN value END),
+        |            'Betrouwbaarheid opname: ', '') AS reliability,
+        |    replace(replace(min(CASE WHEN value LIKE '%Geen opname:%' THEN value END),
+        |            'Geen opname: ', ''), 'niet toegankelijk', 'ongeschikt') AS reason_no_survey,
+        |    min(comment) AS comment
+        |  FROM sq GROUP BY 1),
+        |hdr AS (
+        |  SELECT 'IV' || c_custkey AS recording_givid, 'HT3260' AS survey,
+        |    c_name AS user_reference, c_mktsegment AS location,
+        |    CASE WHEN c_custkey % 11 = 5 THEN NULL
+        |         WHEN c_custkey % 3 = 0 THEN 'gh'
+        |         WHEN c_custkey % 3 = 1 THEN 'unknown'
+        |         ELSE '3260' END AS type_observed,
+        |    (c_custkey % 7 NOT IN (2, 3, 4)) AS measured
+        |  FROM customer)
+        |SELECT h.recording_givid, h.survey, h.user_reference, h.location,
+        |  h.type_observed, s.reliability, s.reason_no_survey,
+        |  CASE WHEN s.comment IS NULL THEN s.reason_no_survey
+        |       ELSE concat_ws('; ', s.reason_no_survey, s.comment) END AS comment_not_measured,
+        |  (h.type_observed = '3260' AND s.reason_no_survey IS NULL) AS suitable_mhq,
+        |  h.measured
+        |FROM hdr h LEFT JOIN spread s USING (recording_givid)""".stripMargin,
 
     // q62: DuckDB replay of the Green's-theorem circle∩polygon edge
     // decomposition (GeoKernels.circleIntersectionArea, r = 9 at the

@@ -67,6 +67,38 @@ class VbiInbovegSpec extends SparkSuite {
     assert(missingClassif.as[String].collect().toSet === Set("d"))
   }
 
+  test("E2: HT3260 sitequal spread + header flags (Rmd:70-115,157-178)") {
+    val header = Seq(("r1", "HT3260"), ("r2", "HT3260"), ("r3", "HT3260"), ("r4", "HT3260"))
+      .toDF("recording_givid", "survey")
+    val classif = Seq(("r1", "3260"), ("r2", "-9"), ("r3", "0"))
+      .toDF("recording_givid", "value_code") // r4 unclassified -> NULL type
+    val sitequal = Seq(
+      ("r1", "Betrouwbaarheid opname: hoog", None),
+      ("r2", "Betrouwbaarheid opname: matig", None),
+      ("r2", "Geen opname: niet toegankelijk", Some("brug afgesloten")),
+      ("r3", "Geen opname: drooggevallen", None))
+      .toDF("recording_givid", "value", "comment")
+    val all = Seq("r1", "r2", "r3", "r4").toDF("recording_givid")
+    val noR3 = Seq("r1", "r2", "r4").toDF("recording_givid")
+    val got = Inboveg.ht3260Header(header, classif, sitequal,
+        structure = all, layerqual = noR3, vegetation = all)
+      .select("recording_givid", "type_observed", "reliability",
+        "reason_no_survey", "comment_not_measured", "suitable_mhq", "measured")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // prefix strip + factor recode + flags
+    assert(got("r1").getString(1) === "3260" && got("r1").getString(2) === "hoog")
+    assert(got("r1").getBoolean(5) && got("r1").getBoolean(6))
+    // "niet toegankelijk" recodes to "ongeschikt"; comment concatenates
+    assert(got("r2").getString(1) === "gh")
+    assert(got("r2").getString(3) === "ongeschikt")
+    assert(got("r2").getString(4) === "ongeschikt; brug afgesloten")
+    assert(!got("r2").getBoolean(5))
+    // r3: reason present without comment; missing from layerqual -> not measured
+    assert(got("r3").getString(4) === "drooggevallen" && !got("r3").getBoolean(6))
+    // r4: no classification -> NULL type -> suitable NULL (reported, not false)
+    assert(got("r4").isNullAt(1) && got("r4").isNullAt(5))
+  }
+
   test("FactorDomain validates declared levels") {
     val df = Seq("3140", "gh", "9999", null).toDF("type_observed")
     val bad = FactorDomain.TypeObserved.violations(df, "type_observed")
