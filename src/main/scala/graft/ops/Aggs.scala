@@ -40,8 +40,20 @@ object Aggs {
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
-  /** Column form of the product aggregate. */
-  def product(x: Column): Column = udaf(productAgg).apply(x)
+  /** Column form of the product aggregate — codegen'd built-ins only:
+    * exp(sum(log|x|)) with explicit zero and sign handling (the naive
+    * exp-sum-log rewrite breaks on zeros and negatives). Whole-stage
+    * codegen + map-side partial aggregation, so it is preferred over
+    * the UDAF in DataFrame plans; [[productAgg]] stays for the typed
+    * Dataset path. Empty / all-null groups yield 1.0 (the fold zero),
+    * matching the Aggregator. */
+  def product(x: Column): Column = {
+    val zeros = count(when(x === 0.0, 1))
+    val negs = count(when(x < 0.0, 1))
+    val mag = exp(sum(when(x =!= 0.0, log(abs(x)))))
+    when(zeros > 0, lit(0.0))
+      .otherwise(coalesce(when(negs % 2 === 1, -mag).otherwise(mag), lit(1.0)))
+  }
 
   /** A7: union of fractional covers in [0,1]. */
   def complementProduct(coverFraction: Column): Column =

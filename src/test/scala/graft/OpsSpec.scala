@@ -91,6 +91,23 @@ class OpsSpec extends SparkSuite {
     assert(got(1) === 0.75 && got(2) === 0.0 && got(3) === 1.0)
   }
 
+  test("product: sign/zero/empty handling of the codegen'd form") {
+    val df = Seq(
+      (1, Some(2.0)), (1, Some(-3.0)),                  // one negative -> -6
+      (2, Some(-2.0)), (2, Some(-5.0)),                 // two negatives -> 10
+      (3, Some(4.0)), (3, Some(0.0)), (3, Some(-1.0)),  // any zero -> 0
+      (4, None), (4, None),                             // all null -> fold zero 1.0
+      (5, Some(2.5)), (5, None))                        // nulls ignored
+      .toDF("k", "x")
+    val got = df.groupBy("k").agg(round(Aggs.product(col("x")), 9).as("p"))
+      .as[(Int, Double)].collect().toMap
+    assert(got === Map(1 -> -6.0, 2 -> 10.0, 3 -> 0.0, 4 -> 1.0, 5 -> 2.5))
+    // the plan stays in whole-stage codegen (no UDAF / ObjectHashAggregate)
+    val plan = df.groupBy("k").agg(Aggs.product(col("x")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), s"UDAF-style aggregate in:\n$plan")
+  }
+
   test("complementProductSorted agrees with the Aggregator to 1e-12 (A7)") {
     // 40 groups x up to 9 fractional covers; the sorted canonical fold
     // and the merge-order Aggregator may differ in the last double bit,
