@@ -1114,6 +1114,33 @@ object SparkEntry {
       graft.io.Vc.read(s, base)
     }),
 
+    // ---- K2 forest plot-level report (`data_lsvi_forests.R:35-41`,
+    // the lsvi_globaal_boshabitat.csv shape): RapportageHR globaal
+    // results joined to point metadata, scheme detected from the
+    // point code (vbi vs mhq), observed subtype passthrough. ----
+    "q98_lsvi_plot_report" -> ((s, dir) => {
+      val glob = Lsvi.globaal(Lsvi.indicator(
+        Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))
+      val pts = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"),
+        when(col("s_suppkey") % 3 === 0, concat(lit("vbi_"), col("s_suppkey")))
+          .otherwise(concat(lit("mhq_"), col("s_suppkey"))).as("point_code"),
+        date_add(lit("2022-01-01").cast("date"),
+          (col("s_suppkey") % 365).cast("int")).as("date"),
+        (lit(140000.0) + col("s_suppkey") * 100).as("x"),
+        (lit(160000.0) + col("s_suppkey") * 80).as("y"),
+        when(col("s_suppkey") % 2 === 0, "9120").otherwise("9130")
+          .as("habitatsubtype"))
+      glob.join(pts, Seq("id"))
+        .select(
+          when(col("point_code").contains("vbi"), "vbi").otherwise("mhq")
+            .as("scheme"),
+          col("id"), col("date"), col("point_code"), col("x"), col("y"),
+          col("habitatsubtype").as("type_observed"), col("lsvi"),
+          lit("RapportageHR").as("aggregatiemethode"),
+          col("aandeel_gunstig"), col("index_mean_ind"))
+    }),
+
     // ---- E2 HT3260 header prep (`HT3260_data_preparation.Rmd:70-115,
     // 157-178`): sitequal spread to reliability / reason_no_survey with
     // prefix strip + recode, N2k factor recode, suitable_mhq and
@@ -2229,6 +2256,37 @@ object SparkEntry {
         |  referentiewaarde, voldoet AS status_voorwaarde, theoretischmaximum,
         |  floor(verschilscore*1e6 + 0.5)/1e6 AS verschilscore
         |FROM scored""".stripMargin),
+
+    "q98_lsvi_plot_report" -> (lsviOracleCtes.stripSuffix("\n") +
+      """, i AS (
+        |  SELECT id, criterium, indicator, belang,
+        |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND
+        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig,
+        |    count(CASE WHEN voldoet = true THEN 1 END)
+        |      / greatest(count(CASE WHEN voldoet IS NOT NULL THEN 1 END), 1) AS score
+        |  FROM d GROUP BY 1, 2, 3, 4),
+        |g AS (
+        |  SELECT id,
+        |    round(100.0 * count(CASE WHEN gunstig THEN 1 END) / count(*), 6) AS aandeel_gunstig,
+        |    round(sum(score) / count(*), 6) AS index_mean_ind,
+        |    CASE WHEN count(CASE WHEN belang = 'zb' AND NOT gunstig THEN 1 END) = 0 AND
+        |              count(CASE WHEN gunstig THEN 1 END) * 2 > count(*)
+        |         THEN 'gunstig' ELSE 'ongunstig' END AS lsvi
+        |  FROM i GROUP BY id),
+        |pts AS (
+        |  SELECT s_suppkey AS id,
+        |    CASE WHEN s_suppkey % 3 = 0 THEN 'vbi_' || s_suppkey
+        |         ELSE 'mhq_' || s_suppkey END AS point_code,
+        |    CAST('2022-01-01' AS DATE) + CAST(s_suppkey % 365 AS INTEGER) AS "date",
+        |    CAST(140000.0 + s_suppkey*100 AS DOUBLE) AS x,
+        |    CAST(160000.0 + s_suppkey*80 AS DOUBLE) AS y,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN '9120' ELSE '9130' END AS habitatsubtype
+        |  FROM supplier)
+        |SELECT CASE WHEN point_code LIKE '%vbi%' THEN 'vbi' ELSE 'mhq' END AS scheme,
+        |  id, "date", point_code, x, y,
+        |  habitatsubtype AS type_observed, lsvi,
+        |  'RapportageHR' AS aggregatiemethode, aandeel_gunstig, index_mean_ind
+        |FROM g JOIN pts USING (id)""".stripMargin),
 
     "q71_lsvi_globaal" -> (lsviOracleCtes.stripSuffix("\n") +
       """, i AS (
