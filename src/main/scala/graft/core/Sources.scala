@@ -29,6 +29,22 @@ final case class JdbcQuerySource(url: String, query: String,
   }
 }
 
+/** S1 with reference-style dialect dispatch (see [[DbDialects]]): the
+  * query text is a function of the resolved dialect (the reference
+  * keeps a hand-written variant per backend,
+  * `query_fieldmap.Rmd:139-154`), and returned column names are
+  * lowercased like `query_fieldmap.Rmd:156` so downstream code is
+  * backend-agnostic. */
+final case class DialectQuerySource(db: String,
+                                    queryFor: DbDialect => String,
+                                    dialect: Option[DbDialect] = None) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val d = dialect.getOrElse(DbDialects.forDatabaseFile(db))
+    val df = JdbcQuerySource(d.jdbcUrl(db), queryFor(d), d.connectionProperties).load(spark)
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+}
+
 /** S2: whole-table JDBC fetch (`sqlFetch` equivalent). */
 final case class JdbcTableSource(url: String, table: String,
                                  properties: Map[String, String] = Map.empty) extends Source {
