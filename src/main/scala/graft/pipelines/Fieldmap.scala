@@ -66,21 +66,43 @@ object IncrementalUpdate {
 
   /** Pure-DataFrame merge (storage-agnostic core). `replace = false`
     * fails on key overlap like the reference's guarded append;
-    * `replace = true` upserts (patch semantics, P9). */
+    * `replace = true` upserts (patch semantics, P9).
+    *
+    * Both invariants — no cross-batch overlap (append mode) and key
+    * uniqueness within each side — come out of ONE slim groupBy over
+    * the key columns tagged by origin, instead of a semi-join overlap
+    * probe plus a second groupBy over the full merged frame. At scale
+    * that's one shuffle of (keys, count) with map-side partial
+    * aggregation, and the wide payload columns never enter the check. */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             replace: Boolean = false): DataFrame = {
-    if (!replace) {
-      val overlap = Checks.overlap(existing, incoming, keys).limit(5).collect()
-      if (overlap.nonEmpty)
+    val kc = keys.map(col)
+    val tagged = existing.select(kc :+ lit(0).as("__side"): _*)
+      .unionByName(incoming.select(kc :+ lit(1).as("__side"): _*))
+    val counts = tagged.groupBy(kc: _*).agg(
+      count(when(col("__side") === 0, 1)).as("__n_old"),
+      count(when(col("__side") === 1, 1)).as("__n_new"))
+    // upsert mode allows a key on both sides (that IS the patch);
+    // duplicates within one side are invalid in either mode
+    val badPred =
+      if (replace) col("__n_old") > 1 || col("__n_new") > 1
+      else col("__n_old") + col("__n_new") > 1
+    val bad = counts.where(badPred).limit(5).collect()
+    if (bad.nonEmpty) {
+      val overlaps = bad.filter(r =>
+        r.getAs[Long]("__n_old") > 0 && r.getAs[Long]("__n_new") > 0)
+      val sample = (r: org.apache.spark.sql.Row) =>
+        keys.map(k => s"$k=${r.getAs[Any](k)}").mkString("[", ",", "]")
+      if (!replace && overlaps.nonEmpty)
         throw Checks.CheckFailed(
           s"incoming batch overlaps existing on (${keys.mkString(",")}): " +
-            overlap.mkString("; "))
+            overlaps.map(sample).mkString("; "))
+      throw Checks.CheckFailed(
+        s"duplicate keys on (${keys.mkString(",")}): sample " +
+          bad.map(sample).mkString("; "))
     }
-    val kept =
-      if (replace) Relational.applyPatches(existing, incoming, keys)
-      else existing.unionByName(incoming, allowMissingColumns = true)
-    Checks.assertUniqueKey(kept, keys)
-    kept
+    if (replace) Relational.applyPatches(existing, incoming, keys)
+    else existing.unionByName(incoming, allowMissingColumns = true)
   }
 
   /** Versioned-table form: read `<base>.tsv`, merge, rewrite sorted —
