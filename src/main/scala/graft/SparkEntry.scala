@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.functions.{HashFunctions, VectorFunctions}
 import graft.lsvi.Lsvi
 import graft.multimodal.Media
-import graft.ops.{Aggs, Relational, Reshape}
+import graft.ops.{Aggs, Layout, Relational, Reshape}
 import graft.similarity.Ann
 import graft.streaming.Events
 import graft.text.Text
@@ -1183,6 +1183,17 @@ object SparkEntry {
           decode(col("segment"), "UTF-8").as("segment_text"))
     }),
 
+    // ---- z-order layout key (Layout.zvalue): Morton code over
+    // declared domains. Map-only and bit-exact across engines — the
+    // write path (Layout.writeZOrdered) range-exchanges on this key so
+    // parquet min/max pruning works on EVERY dimension (LayoutSpec
+    // proves the per-file envelope property). ----
+    "q99_zorder_key" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        Layout.zvalue(Seq(
+          Layout.ZDim(col("p_size"), 1, 50),
+          Layout.ZDim(col("p_retailprice"), 900, 2100)), bits = 8).as("z"))),
+
     // ---- K4 volume tariff polynomials (data-driven per formule_type) ----
     "q72_tree_volume" -> ((s, dir) => {
       import s.implicits._
@@ -1495,6 +1506,23 @@ object SparkEntry {
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
+    // q99: replay Layout.zvalue — quantize each dimension to an 8-bit
+    // cell (scale by 2^bits, clamp the top cell; identical IEEE double
+    // ops in both engines), then interleave via unrolled shift/mask
+    // terms (bit b of dim i lands at b*ndims + i).
+    "q99_zorder_key" -> {
+      val cx = "least(CAST(floor((least(greatest(CAST(p_size AS DOUBLE), 1.0), 50.0)" +
+        " - 1.0) / 49.0 * 256.0) AS BIGINT), 255)"
+      val cy = "least(CAST(floor((least(greatest(CAST(p_retailprice AS DOUBLE), 900.0), 2100.0)" +
+        " - 900.0) / 1200.0 * 256.0) AS BIGINT), 255)"
+      val interleave = (0 until 8).flatMap(b => Seq(
+        s"(((cx >> $b) & 1) << ${2 * b})",
+        s"(((cy >> $b) & 1) << ${2 * b + 1})")).mkString(" + ")
+      s"""WITH cells AS (
+         |  SELECT p_partkey, $cx AS cx, $cy AS cy FROM part)
+         |SELECT p_partkey, $interleave AS z FROM cells""".stripMargin
+    },
+
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         | CAST(o_orderdate AS DATE) AS o_orderdate
