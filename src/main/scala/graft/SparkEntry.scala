@@ -897,6 +897,19 @@ object SparkEntry {
         n = 3)
     }),
 
+    // ---- L-series E2E: one corpus-ingestion round (quality floor ->
+    // within-batch exact dedup -> against-corpus fingerprint anti-join
+    // -> benchmark decontamination -> append); all rules relational,
+    // so the whole round is oracle-checked ----
+    "q100_corpus_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipelines.CorpusIngest.ingest(
+        corpus = docs.where(col("doc_id") % 3 === 0),
+        batch = docs.where(col("doc_id") % 3 =!= 0),
+        bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30)
+    }),
+
     // ---- deterministic hash split: stable train/val/test assignment
     // from md5(doc_id) alone — adding documents never reassigns
     // existing ones ----
@@ -2440,6 +2453,49 @@ object SparkEntry {
         |  'species_' || v.tree_species_id AS name_sc,
         |  v.tree_species_id
         |FROM vols v LEFT JOIN dated d ON v.plot_id = d.plot_id""".stripMargin,
+
+    // q100: replay of the ingestion round. Shingle CTEs mirror q81;
+    // fingerprints mirror q40's normalized-md5.
+    "q100_corpus_ingest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |batch AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |quality AS (
+        |  SELECT * FROM batch WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+        |fp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM quality),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
+        |  WHERE doc_id = canon),
+        |corpusfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+        |  FROM corpus),
+        |fresh AS (
+        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpusfp c WHERE c.f = d.f)),
+        |fsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM fresh)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench)),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
+        |  JOIN bsh USING (shingle)),
+        |clean AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM fresh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT doc_id, text, lang, source, n_chars FROM corpus
+        |UNION ALL SELECT doc_id, text, lang, source, n_chars FROM clean""".stripMargin,
 
     "q81_decontamination" ->
       """WITH docs AS (
