@@ -77,4 +77,29 @@ object Layout {
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
     df.groupBy(input_file_name().as("file")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Small-file compaction: rewrite `inputPath` as
+    * ceil(totalBytes / targetBytes) files sorted on `sortKeys` —
+    * the steady-state maintenance op for incrementally-ingested
+    * tables, where every micro-batch adds a few files and scan
+    * planning eventually dominates query time. Sizing uses the actual
+    * on-disk file lengths (driver-side metadata listing only, no data
+    * read); the rewrite itself is one range exchange. Returns the
+    * target file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              inputPath: String, outputPath: String,
+              targetBytes: Long, sortKeys: Seq[String]): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val df = spark.read.parquet(inputPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    df.repartitionByRange(n, sortKeys.map(col): _*)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite").parquet(outputPath)
+    n
+  }
 }

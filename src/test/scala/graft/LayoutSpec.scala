@@ -58,4 +58,26 @@ class LayoutSpec extends SparkSuite {
     assert(zY < linearY / 2, s"z-order y envelope not tight: $zY vs linear $linearY")
     assert(zX < 16.0, s"z-order x envelope not tight: $zX")
   }
+
+  test("compact rewrites many small files into the byte-sized target count") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // 20 single-row files — the incremental-ingestion steady state
+    spark.range(0, 20).select(col("id"), (col("id") * 7 % 5).as("k"))
+      .repartition(20).write.parquet(s"$dir/in")
+    val inFiles = spark.read.parquet(s"$dir/in").inputFiles.length
+    assert(inFiles >= 10, s"fixture not fragmented enough: $inFiles files")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val total = spark.read.parquet(s"$dir/in").inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    // target half the table -> exactly 2 output files
+    val n = Layout.compact(spark, s"$dir/in", s"$dir/out",
+      targetBytes = (total + 1) / 2, sortKeys = Seq("id"))
+    assert(n === 2)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.inputFiles.length === 2)
+    assert(out.select("id").as[Long].collect().sorted.toSeq === (0L until 20L))
+  }
 }
