@@ -59,6 +59,30 @@ class LayoutSpec extends SparkSuite {
     assert(zX < 16.0, s"z-order x envelope not tight: $zX")
   }
 
+  test("resolution hierarchy: a coarse z-grid is an exact prefix of a fine one") {
+    // soundness of range pruning on z: the 4-bit cell is the 16-bit
+    // cell shifted, so z16 >> 2*(16-4) must equal z4 for EVERY point —
+    // a z-range covering a coarse cell covers exactly its refinements
+    val pts = spark.range(0, 2000).select(
+      (rand(7) * 100.0 - 50.0).as("x"), (rand(13) * 9.0).as("y"))
+    val dims = Seq(ZDim(col("x"), -50, 50), ZDim(col("y"), 0, 9))
+    val bad = pts.select(
+        Layout.zvalue(dims, bits = 16).as("z16"),
+        Layout.zvalue(dims, bits = 4).as("z4"))
+      .where(shiftright(col("z16"), 2 * 12) =!= col("z4"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("three dimensions: corner cells land on the exact interleaved codes") {
+    val dims = Seq(ZDim(col("x"), 0, 1), ZDim(col("y"), 0, 1), ZDim(col("z"), 0, 1))
+    val got = Seq((0.0, 0.0, 0.0), (1.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+      .toDF("x", "y", "z")
+      .select(Layout.zvalue(dims, bits = 4)).as[Long].collect().toSeq
+    // hi corner on dim 0 only: cell 15 (1111) at positions 0,3,6,9
+    assert(got === Seq(0L, 585L, (1L << 12) - 1))
+  }
+
   test("compact rewrites many small files into the byte-sized target count") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
     // 20 single-row files — the incremental-ingestion steady state
