@@ -897,6 +897,44 @@ object SparkEntry {
         n = 3)
     }),
 
+    // ---- ROI selection report (data_heide_groot_schietveld.Rmd:32-117):
+    // ROI polygons -> type filter -> PIP spatial join of measurement
+    // points -> membership flag against the LSVI global results (the
+    // report's `lsvi_data = id %in% lsvi_detail$id` check). Rectangles
+    // with half-unit offsets keep the oracle interval-expressible while
+    // Spark runs the generic grid-indexed ray-cast path. ----
+    "q101_roi_selection" -> ((s, dir) => {
+      val meas = t(s, dir, "customer").select(
+          col("c_custkey").as("id"),
+          concat(lit("P"), col("c_custkey")).as("point_code"),
+          when(col("c_custkey") % 4 === 0, "4010")
+            .when(col("c_custkey") % 4 === 1, "4030")
+            .when(col("c_custkey") % 4 === 2, "7140_oli")
+            .otherwise("2310").as("type"),
+          ((col("c_custkey") * 7) % 97).cast("double").as("x"),
+          ((col("c_custkey") * 13) % 89).cast("double").as("y"))
+        .where(col("type").isin("4010", "4030", "7140_oli"))
+      val roi = t(s, dir, "region").select(
+          concat(lit("md_"), col("r_regionkey")).as("code_md"),
+          (((col("r_regionkey") * 19) % 60).cast("double") - 0.5).as("x0"),
+          (((col("r_regionkey") * 23) % 50).cast("double") - 0.5).as("y0"))
+        .withColumn("x1", col("x0") + 25.0)
+        .withColumn("y1", col("y0") + 30.0)
+      val polys = roi.select(col("code_md"), array(
+        struct(col("x0").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y0").as("y")),
+        struct(col("x1").as("x"), col("y1").as("y")),
+        struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      val inRoi = graft.geo.GeoJoin.pointInPolygonJoin(
+        meas, polys, "x", "y", "ring", cellSize = 16.0)
+      val glob = Lsvi.globaal(Lsvi.indicator(
+        Lsvi.detail(lsviMeasurements(s, dir), lsviRules(s))))
+      inRoi
+        .join(glob.select(col("id"), lit(true).as("__has")), Seq("id"), "left")
+        .select(col("id"), col("point_code"), col("type"), col("x"), col("y"),
+          col("code_md"), coalesce(col("__has"), lit(false)).as("lsvi_data"))
+    }),
+
     // ---- L-series E2E: one corpus-ingestion round (quality floor ->
     // within-batch exact dedup -> against-corpus fingerprint anti-join
     // -> benchmark decontamination -> append); all rules relational,
@@ -2453,6 +2491,38 @@ object SparkEntry {
         |  'species_' || v.tree_species_id AS name_sc,
         |  v.tree_species_id
         |FROM vols v LEFT JOIN dated d ON v.plot_id = d.plot_id""".stripMargin,
+
+    // q101: ROI selection replay — rectangle containment as interval
+    // predicates (the half-unit offsets guarantee integer-derived
+    // points never sit on an edge), LSVI membership via the shared
+    // globaal CTEs.
+    "q101_roi_selection" -> (lsviOracleCtes.stripSuffix("\n") +
+      """, i AS (
+        |  SELECT id, criterium, indicator, belang,
+        |    (count(CASE WHEN voldoet = false THEN 1 END) = 0 AND
+        |     count(CASE WHEN voldoet IS NULL THEN 1 END) = 0) AS gunstig
+        |  FROM d GROUP BY 1, 2, 3, 4),
+        |g AS (SELECT id FROM i GROUP BY id),
+        |meas AS (
+        |  SELECT c_custkey AS id, 'P' || c_custkey AS point_code,
+        |    CASE WHEN c_custkey % 4 = 0 THEN '4010'
+        |         WHEN c_custkey % 4 = 1 THEN '4030'
+        |         WHEN c_custkey % 4 = 2 THEN '7140_oli'
+        |         ELSE '2310' END AS type,
+        |    CAST((c_custkey * 7) % 97 AS DOUBLE) AS x,
+        |    CAST((c_custkey * 13) % 89 AS DOUBLE) AS y
+        |  FROM customer
+        |  WHERE c_custkey % 4 IN (0, 1, 2)),
+        |roi AS (
+        |  SELECT 'md_' || r_regionkey AS code_md,
+        |    CAST((r_regionkey * 19) % 60 AS DOUBLE) - 0.5 AS x0,
+        |    CAST((r_regionkey * 23) % 50 AS DOUBLE) - 0.5 AS y0
+        |  FROM region)
+        |SELECT m.id, m.point_code, m.type, m.x, m.y, r.code_md,
+        |  m.id IN (SELECT id FROM g) AS lsvi_data
+        |FROM meas m JOIN roi r
+        |  ON m.x > r.x0 AND m.x < r.x0 + 25.0
+        | AND m.y > r.y0 AND m.y < r.y0 + 30.0""".stripMargin),
 
     // q100: replay of the ingestion round. Shingle CTEs mirror q81;
     // fingerprints mirror q40's normalized-md5.
