@@ -54,4 +54,26 @@ class BucketedSpec extends SparkSuite {
     val unfiltered = spark.read.parquet(dir)
     assert(!graft.io.Vc.prunesPartitions(unfiltered))
   }
+
+  test("writeSharded: disjoint key ranges across shards, sorted within each") {
+    val dir = java.nio.file.Files.createTempDirectory("sharded").toString + "/t"
+    // 37 is coprime to 1000 -> distinct keys in scrambled order
+    val df = spark.range(0, 1000).select((col("id") * 37 % 1000).as("k"), col("id").as("v"))
+    graft.io.Vc.writeSharded(df, dir, Seq("k"), shards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 1000)
+    val files = back.inputFiles.sorted
+    assert(files.length >= 2, s"expected multiple shards, got ${files.length}")
+    // within-shard sortedness and cross-shard range disjointness
+    val ranges = files.map { f =>
+      val ks = spark.read.parquet(f).select("k").as[Long].collect()
+      assert(ks.sameElements(ks.sorted), s"shard $f not sorted on k")
+      (ks.min, ks.max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(bMin > aMax, s"shard ranges overlap: max $aMax vs next min $bMin")
+      case _ => ()
+    }
+  }
 }
