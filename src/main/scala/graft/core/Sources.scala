@@ -68,6 +68,21 @@ final case class ParquetSource(path: String) extends Source {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** JSON-lines with a declared schema (crawl-drop ingestion format for
+  * the §2.11 corpus pipeline; never `inferSchema` — §1.3 applies to
+  * every text format). Malformed lines land in NULL rows rather than
+  * failing the scan (PERMISSIVE), so a bad record is a filterable
+  * data-quality fact, not a task failure. */
+final case class JsonLinesSource(path: String, schema: StructType) extends Source {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
+/** ORC table (columnar interchange with Hive-era warehouses). */
+final case class OrcSource(path: String) extends Source {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 /** S6: ESRI shapefile layer (attributes + WKB `geometry`). */
 final case class ShapefileSource(base: String) extends Source {
   def load(spark: SparkSession): DataFrame = graft.geo.Shapefile.read(spark, base)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Csv2Source, JdbcQuerySource, JdbcTableSource, ParquetSource, SourceRegistry}
+import graft.core.{Csv2Source, JdbcQuerySource, JdbcTableSource, JsonLinesSource, OrcSource, ParquetSource, SourceRegistry}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 import java.sql.DriverManager
@@ -37,6 +37,28 @@ class SourcesSpec extends SparkSuite {
     val got = reg.load(spark, "done_plots")
     assert(got.count() === 2)
     assert(got.select($"AREA".cast("double")).as[Double].collect().sorted.toSeq === Seq(3.0, 12.5))
+  }
+
+  test("JSONL and ORC sources load through the registry with declared schemas") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("src2").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta"}
+        |{"doc_id": 2, "text": "gamma"}
+        |not valid json at all
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.orc(s"$dir/t.orc")
+    val reg = SourceRegistry(Map(
+      "docs" -> JsonLinesSource(s"$dir/docs.jsonl", schema),
+      "facts" -> OrcSource(s"$dir/t.orc")))
+    val docs = reg.load(spark, "docs")
+    // the malformed line becomes a NULL row (PERMISSIVE), not a failure
+    assert(docs.count() === 3)
+    assert(docs.where($"doc_id".isNotNull).as[(Long, String)].collect().toSet
+      === Set((1L, "alpha beta"), (2L, "gamma")))
+    assert(reg.load(spark, "facts").count() === 2)
   }
 
   test("S4/parquet dispatch and unknown-source error") {
