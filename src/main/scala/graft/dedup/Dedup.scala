@@ -122,13 +122,11 @@ object Dedup {
     *
     * Semantics: within each LSH bucket the candidate representative is the
     * bucket's min id; each doc is exact-Jaccard-verified against that
-    * representative only (m verifications per bucket, not m^2), and its
-    * canonical id is the smallest verified representative across its
-    * bands, followed by one hop of path compression (the representative's
-    * own canonical), so A->B->C chains discovered via different buckets
-    * collapse. This is single-pass min-id propagation, not full
-    * transitive closure over the pair graph — the contract callers
-    * actually need for "keep one copy per near-dup cluster".
+    * representative only (m verifications per bucket, not m^2). The
+    * verified doc->representative edges then go through full connected
+    * components on the dup subgraph only ([[canonicalFromEdges]]), so a
+    * doc's canonical id is its cluster's global minimum no matter how
+    * long the A->B->C chain across buckets.
     *
     * Output: (idCol, canonical_id) for EVERY input doc; untouched docs map
     * to themselves. */
