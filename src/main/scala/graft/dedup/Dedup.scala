@@ -165,13 +165,12 @@ object Dedup {
 
   /** Shared canonical-id assembly from verified duplicate edges
     * (`id_a` = representative, `id_b` = duplicate): one output row per
-    * doc, `canonical_id` = its group representative (one hop of path
-    * compression). The dup map (one row per duplicate, tiny vs corpus)
-    * is persisted because it is consumed twice — without this the whole
-    * candidate pipeline above it re-executes for the path-compression
-    * join (visible as a doubled subtree in the physical plan). Both
-    * consumer joins broadcast it so the corpus side never shuffles
-    * (Catalyst can't infer smallness through the aggregation). */
+    * doc, `canonical_id` = the minimum of the doc's connected component
+    * in the verified-pair graph ([[graft.graph.ConnectedComponents]],
+    * run on the dup subgraph only). The resulting dup map (one row per
+    * duplicate, tiny vs corpus) broadcasts to the single corpus-wide
+    * mapping join, so the corpus side never shuffles (Catalyst can't
+    * infer smallness through the aggregation — the hint is explicit). */
   private def canonicalFromEdges(docs: DataFrame, idCol: String,
                                  edges: DataFrame): DataFrame = {
     // full transitive closure over the verified-pair graph: a doc's
@@ -201,9 +200,9 @@ object Dedup {
     * 16-bit band bucket), never all-pairs within a bucket, so a
     * degenerate corpus cannot explode the edge count; the Hamming
     * verify then keeps edges <= `maxHamming` apart. Output is one row
-    * per doc. Clustering is one-hop representative-based like the
-    * MinHash form: chains longer than rep->dup->dup resolve over
-    * repeated runs, the documented approximation for a single pass. */
+    * per doc; the verified edges resolve through full connected
+    * components like the MinHash form, so cross-bucket chains collapse
+    * to their cluster minimum in one run. */
   def simhashCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
