@@ -52,10 +52,9 @@ object GeoPackageWriter {
     require(fields.exists(_.name == geomCol), s"no geometry column '$geomCol'")
     val n = df.count()
     require(n <= maxRows,
-      s"GeoPackage export materializes on the driver: $n rows exceeds maxRows=$maxRows. " +
-        s"Raise maxRows explicitly for a deliberate large export, or keep fact-scale " +
-        s"geometry as WKB-in-parquet (the scale path).")
-    val rows = df.collect()
+      s"GeoPackage export builds one SQLite page image on the driver: $n rows exceeds " +
+        s"maxRows=$maxRows. Raise maxRows explicitly for a deliberate large export, or " +
+        s"keep fact-scale geometry as WKB-in-parquet (the scale path).")
 
     val pages = new Pager
     // --- gpkg_spatial_ref_sys ---
@@ -73,7 +72,12 @@ object GeoPackageWriter {
       Seq(Seq[Any](table, geomCol, geometryType, srid.toLong, 0L, 0L)))
     // --- the feature table: fid INTEGER PRIMARY KEY is a rowid alias,
     // stored as NULL in the record per the SQLite spec ---
-    val featureRows = rows.toSeq.map { r =>
+    // Rows stream through toLocalIterator (one partition of Spark rows
+    // resident at a time, in frame order so rowids stay deterministic);
+    // peak driver memory is the SQLite page image (≈ file size) plus a
+    // single partition, with `maxRows` the soft bound on the image.
+    import scala.jdk.CollectionConverters._
+    val featureRows = df.toLocalIterator().asScala.map { r =>
       null +: fields.toSeq.map { f =>
         val v = r.getAs[Any](f.name)
         if (v == null) null
@@ -154,11 +158,14 @@ object GeoPackageWriter {
       pages.length + 1
     }
 
-    /** Build a table b-tree for `rows` (rowids 1..n); returns root page. */
-    def buildTable(rows: Seq[Seq[Any]]): Int = {
-      val cells = rows.zipWithIndex.map { case (vals, i) =>
+    /** Build a table b-tree for `rows` (rowids 1..n); returns root page.
+      * Accepts a one-shot iterator so callers can stream rows in: only
+      * the serialized cells (the file content itself) are held, not the
+      * source rows. */
+    def buildTable(rows: IterableOnce[Seq[Any]]): Int = {
+      val cells = rows.iterator.zipWithIndex.map { case (vals, i) =>
         leafCell(i + 1L, record(vals))
-      }
+      }.toVector
       buildLeafLevel(cells, pageOneUsable = false)
     }
 

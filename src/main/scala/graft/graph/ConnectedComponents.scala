@@ -44,8 +44,13 @@ object ConnectedComponents {
     * components come from a driver-side union-find on one collect —
     * two cheap jobs instead of diameter × (join + agg + sum) rounds.
     * Past the threshold the distributed fixpoint runs unchanged. The
-    * same broadcast-threshold logic as a join: bounded driver memory
-    * (16 bytes/edge ⇒ ~16 MB at the default bound), identical result. */
+    * same broadcast-threshold logic as a join: bounded driver memory,
+    * identical result. Transient driver footprint at the default bound
+    * is ~60-100 MB, not the raw 16 bytes/edge: collect() materializes
+    * boxed (Long, Long) tuples (~50-80 bytes each with object headers)
+    * plus the union-find LongMap — comfortably inside a driver sized
+    * for broadcast joins, but size `maxLocalEdges` with the boxed
+    * figure, not the primitive one. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
           maxIter: Int = 20, maxLocalEdges: Long = 1L << 20): DataFrame = {
     val sym = edges

@@ -38,6 +38,41 @@ object Media {
       (length(col(textCol)) % 480).cast("int").as("height"),
       lit(16000).as("sample_rate"))
 
+  /** REAL raster decode via the JDK's ImageIO (PNG/BMP/GIF — zero new
+    * dependencies). Returns None for bytes no installed reader accepts,
+    * so callers can fall back to [[decodeStub]] for audio/video kinds. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
+
+  /** 8-dim feature vector from a decoded raster: dims, band count, and
+    * luminance stats over band 0 (exact for grayscale; first channel
+    * otherwise). Deterministic — no sampling. */
+  private def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0.0; var sumSq = 0.0
+    var minV = Double.MaxValue; var maxV = Double.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSampleDouble(x, y, 0)
+        sum += v; sumSq += v * v
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val mean = if (n > 0) sum / n else 0.0
+    val variance = if (n > 0) math.max(0.0, sumSq / n - mean * mean) else 0.0
+    Array(w.toFloat, h.toFloat, raster.getNumBands.toFloat, mean.toFloat,
+      minV.toFloat, maxV.toFloat, math.sqrt(variance).toFloat,
+      if (h > 0) w.toFloat / h else 0f)
+  }
+
   /** STUB decoder: deterministic 8-dim "embedding" from byte statistics.
     * Replace with a real codec; keeps the exact batch/partition shape. */
   private def decodeStub(bytes: Array[Byte]): Array[Float] = {
@@ -48,20 +83,71 @@ object Media {
     f
   }
 
+  // not `private`: Spark's generated deserializer code must construct it
+  case class DecodeIn(media_id: Long, kind: String, media: Array[Byte],
+                      byte_len: Long, content_hash: String)
+
   /** Batched decode/feature-extract: one partition = one batch stream;
-    * no per-row task overhead, no driver collection. */
+    * no per-row task overhead, no driver collection.
+    *
+    * `byte_len`/`content_hash` are codegen built-ins (`length`/`md5`)
+    * projected BEFORE the typed pass — the JVM boundary is crossed only
+    * for the one thing Catalyst can't express, the codec step. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.select("media_id", "kind", "media", "width", "height", "sample_rate")
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { r =>
-          md.reset()
-          val hash = md.digest(r.media).map("%02x".format(_)).mkString
-          MediaFeatures(r.media_id, r.kind, r.media.length.toLong, hash, decodeStub(r.media))
+    media.select(
+        col("media_id").cast("long").as("media_id"),
+        col("kind"),
+        col("media"),
+        length(col("media")).cast("long").as("byte_len"),
+        md5(col("media")).as("content_hash"))
+      .as[DecodeIn]
+      .mapPartitions(_.map { r =>
+        val feat =
+          if (r.kind != null && r.kind.startsWith("image/"))
+            decodeImage(r.media).map(imageFeatures).getOrElse(decodeStub(r.media))
+          else decodeStub(r.media)
+        MediaFeatures(r.media_id, r.kind, r.byte_len, r.content_hash, feat)
+      })
+  }
+
+  /** Encode a constant-fill grayscale PNG — a deterministic real-codec
+    * payload generator for tests and oracle-backed decode queries. */
+  def grayPng(width: Int, height: Int, value: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, value & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImageMeta(media_id: Long, width: Int, height: Int, n_bands: Int,
+                       mean_px: Double)
+
+  /** REAL image decode to typed metadata: ImageIO inside the same
+    * batched per-partition pass as [[extractFeatures]]. Rows ImageIO
+    * cannot decode surface as width/height -1 rather than vanishing, so
+    * corrupt payloads stay visible to data-quality filters downstream. */
+  def decodeImageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long").as("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) =>
+            val f = imageFeatures(img)
+            ImageMeta(id, img.getWidth, img.getHeight, f(2).toInt, f(3).toDouble)
+          case None => ImageMeta(id, -1, -1, -1, Double.NaN)
         }
-      }
+      })
   }
 
   /** Frame/segment sampling plumbing: fixed-size byte windows every

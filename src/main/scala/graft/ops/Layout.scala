@@ -90,6 +90,15 @@ object Layout {
               inputPath: String, outputPath: String,
               targetBytes: Long, sortKeys: Seq[String]): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    // overwrite-writes outputPath while lazily reading inputPath: the
+    // same path for both would delete the input mid-read
+    val conf0 = spark.sparkContext.hadoopConfiguration
+    val inP = new org.apache.hadoop.fs.Path(inputPath)
+    val outP = new org.apache.hadoop.fs.Path(outputPath)
+    require(
+      inP.getFileSystem(conf0).makeQualified(inP) !=
+        outP.getFileSystem(conf0).makeQualified(outP),
+      s"compact cannot write onto its own input: $inputPath")
     val df = spark.read.parquet(inputPath)
     val conf = spark.sparkContext.hadoopConfiguration
     val totalBytes = df.inputFiles.map { f =>

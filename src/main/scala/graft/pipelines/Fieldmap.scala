@@ -68,6 +68,13 @@ object IncrementalUpdate {
     * fails on key overlap like the reference's guarded append;
     * `replace = true` upserts (patch semantics, P9).
     *
+    * STRICTER SINCE r7 (deliberate): replace mode now rejects duplicate
+    * keys WITHIN either side up front. Previously uniqueness was only
+    * checked on the post-patch result, so an existing table with a
+    * historically duplicated key slipped through whenever the incoming
+    * batch happened to patch that key; such tables now fail loudly with
+    * a keyed sample — fix the table (dedup) rather than the check.
+    *
     * Both invariants — no cross-batch overlap (append mode) and key
     * uniqueness within each side — come out of ONE slim groupBy over
     * the key columns tagged by origin, instead of a semi-join overlap

@@ -122,6 +122,30 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(feats(2L).byte_len === 0L)
   }
 
+  test("Media.decodeImageMeta: real ImageIO decode recovers dims and pixel mean") {
+    val rows = Seq(
+      (1L, "image/png", Media.grayPng(5, 3, 200)),
+      (2L, "image/png", Media.grayPng(8, 8, 0)),
+      (3L, "image/png", Array[Byte](1, 2, 3))) // not a decodable image
+      .toDF("media_id", "kind", "media")
+    val got = Media.decodeImageMeta(spark, rows).collect().map(m => m.media_id -> m).toMap
+    assert(got(1L).width === 5 && got(1L).height === 3 && got(1L).n_bands === 1)
+    assert(got(1L).mean_px === 200.0)
+    assert(got(2L).width === 8 && got(2L).mean_px === 0.0)
+    assert(got(3L).width === -1 && got(3L).mean_px.isNaN)
+  }
+
+  test("Media.extractFeatures: image kinds get real decoded features, others the stub") {
+    val rows = Seq(
+      (1L, "image/png", Media.grayPng(6, 4, 100), 0, 0, 0),
+      (2L, "audio/wav", Array[Byte](10, 20, 30), 0, 0, 0))
+      .toDF("media_id", "kind", "media", "width", "height", "sample_rate")
+    val feats = Media.extractFeatures(spark, rows).collect().map(f => f.media_id -> f).toMap
+    // decoded image features: [w, h, bands, mean, min, max, std, aspect]
+    assert(feats(1L).feature.toSeq === Seq[Float](6f, 4f, 1f, 100f, 100f, 100f, 0f, 1.5f))
+    assert(feats(2L).feature.length === 8) // stub path still produces the 8-dim shape
+  }
+
   test("Media.resizeRaster: exact nearest-neighbor on rasters, pass-through otherwise") {
     // 4x4 grayscale gradient: pixel(x, y) = 16*y + x
     val raster = Array.tabulate(16)(i => i.toByte)

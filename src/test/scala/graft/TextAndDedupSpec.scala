@@ -153,6 +153,26 @@ class TextAndDedupSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("winnowCanonicalIds: one row per doc, A~B~C chains collapse across buckets") {
+    val paraX = "it was the best of times it was the worst of times " * 3
+    val paraY = "call me ishmael some years ago never mind how long precisely " * 3
+    val docs = Seq(
+      (1L, s"unique opening alpha. $paraX"),
+      (2L, s"different middle beta. $paraX and also $paraY"), // bridges X and Y
+      (3L, s"closing gamma. $paraY"),
+      (4L, "nothing copied here at all, just original prose qq zz"))
+      .toDF("doc_id", "text")
+    // 1~2 share paraX fingerprints, 2~3 share paraY: the component
+    // {1,2,3} must collapse to min id 1 even though no fingerprint
+    // links 1 and 3 directly
+    val canon = Dedup.winnowCanonicalIds(docs, "text", "doc_id",
+        k = 8, t = 4, minShared = 2, maxDf = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(canon.size === 4)
+    assert(canon(1L) === 1L && canon(2L) === 1L && canon(3L) === 1L)
+    assert(canon(4L) === 4L)
+  }
+
   test("embeddingCanonicalIds groups identical vectors, one row per id") {
     val dup = Seq(0.6f, 0.8f, 0.0f, 0.0f)
     val docs = Seq(
