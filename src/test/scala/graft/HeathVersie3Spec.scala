@@ -1,0 +1,139 @@
+package graft
+
+import graft.lsvi.{LsviForest, Versie3Heath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fidelity of the heath / inland-dunes Versie-3 rule content against
+  * the reference's published result tables
+  * (`/root/reference/processed/lsvi_mhq/heath_inland_dunes/result/`):
+  * published detail rows replay through the SAME [[LsviForest]] engine
+  * that scores the forests — only the rule data changes — and every
+  * level is compared to the published values (tolerance 1.5e-4 for the
+  * 4-decimal display rounding). `index_mean_crit` is gated at 97%: 14
+  * of 594 published values, all in the 2330_bu/2330_dw subtype pair,
+  * are not derivable from any aggregation of the published criterium
+  * table (see the [[Versie3Heath]] scaladoc).
+  */
+class HeathVersie3Spec extends SparkSuite {
+  import spark.implicits._
+
+  private val refDir = "/root/reference/processed/lsvi_mhq/heath_inland_dunes/result"
+
+  private def readTsv(name: String): DataFrame =
+    spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$refDir/$name")
+
+  private lazy val pubDetail = readTsv("lsvi_detail_hs_id.tsv").cache()
+
+  private lazy val measurements =
+    pubDetail.select(
+      col("id"), col("type_analysis"), col("voorwaarde"), col("waarde"), col("plot_type"),
+      col("waarde").cast("double").as("value_numeric"),
+      lit(null).cast("string").as("value_category"),
+      when(col("voorwaarde") === Versie3Heath.dynamicVoorwaarde,
+        col("referentiewaarde").cast("double")).as("ref_override"))
+      .distinct() // shared conditions appear under both 2330 subtypes
+
+  // plot_type rides with the measurements here: heath records different
+  // conditions on circle vs square subplots of the same plot
+  private lazy val plots =
+    pubDetail.select("id", "type_analysis", "survey", "record_id_square",
+      "record_id_circle", "type_observed").distinct()
+
+  private lazy val myDetail =
+    LsviForest.detail(plots, measurements, Versie3Heath.rulesDf(spark)).cache()
+
+  test("rule table matches the published rule tuples (dynamic ref collapsed)") {
+    val published = pubDetail
+      .select(col("type_analysis"), col("criterium"), col("indicator"), col("belang"),
+        col("voorwaarde"),
+        when(col("voorwaarde") === Versie3Heath.dynamicVoorwaarde, "dynamisch")
+          .otherwise(col("referentiewaarde")).as("referentiewaarde"),
+        col("theoretischmaximum").cast("double"))
+      .distinct().as[(String, String, String, String, String, String, Double)]
+      .collect().toSet
+    assert(Versie3Heath.rules.toSet === published)
+    assert(Versie3Heath.rules.size === 34)
+  }
+
+  test("detail: status and verschilscore match every published row") {
+    // the published id repeats per type_analysis (2330 plots score as
+    // both subtypes), so the join keys include the type
+    val joined = myDetail.alias("m").join(pubDetail.alias("p"),
+      Seq("id", "type_analysis", "voorwaarde"))
+    assert(joined.count() === pubDetail.count())
+    val statusBad = joined.where(
+      !(col("m.status_voorwaarde").cast("int") <=> col("p.status_voorwaarde").cast("int"))).count()
+    assert(statusBad === 0L)
+    val vsBad = joined.where(
+      !(col("m.verschilscore").isNull && col("p.verschilscore").isNull) &&
+        (col("m.verschilscore").isNull || col("p.verschilscore").isNull ||
+          abs(col("m.verschilscore") - col("p.verschilscore").cast("double")) > 1.5e-4)).count()
+    assert(vsBad === 0L)
+  }
+
+  private lazy val myIndicator = LsviForest.indicator(
+    pubDetail.select(col("id"), col("type_analysis"), col("criterium"),
+      col("indicator"), col("belang"),
+      col("status_voorwaarde").cast("boolean").as("status_voorwaarde"),
+      col("verschilscore").cast("double").as("verschilscore"),
+      lit("and").as("role"), lit(true).as("aggregate"))).cache()
+
+  test("indicator: status + verschilscore match all published rows") {
+    val pub = readTsv("lsvi_indicator_hs_id.tsv")
+    val joined = myIndicator.alias("m").join(pub.alias("p"),
+      Seq("id", "type_analysis", "criterium", "indicator", "belang"))
+    assert(joined.count() === pub.count())
+    val bad = joined.where(
+      !(col("m.status_indicator").cast("int") <=> col("p.status_indicator").cast("int")) ||
+        (!(col("m.verschilscore").isNull && col("p.verschilscore").isNull) &&
+          (col("m.verschilscore").isNull || col("p.verschilscore").isNull ||
+            abs(col("m.verschilscore") - col("p.verschilscore").cast("double")) > 1.5e-4))).count()
+    assert(bad === 0L)
+  }
+
+  test("criterium: every published row matches") {
+    val mine = LsviForest.criterium(myIndicator)
+    val pub = readTsv("lsvi_criterium_hs_id.tsv")
+    val joined = mine.alias("m").join(pub.alias("p"),
+      Seq("id", "type_analysis", "criterium"))
+    assert(joined.count() === pub.count())
+    val numBad = Seq("aandeel_gunstig", "index_mean_ind", "doelbereik_mean_ind").map(c =>
+      !(col(s"m.$c").isNull && col(s"p.$c").isNull) &&
+        (col(s"m.$c").isNull || col(s"p.$c").isNull ||
+          abs(col(s"m.$c") - col(s"p.$c").cast("double")) > 1.5e-4)).reduce(_ || _)
+    val bad = joined.where(
+      !(col("m.status_criterium").cast("int") <=> col("p.status_criterium").cast("int")) ||
+        col("m.n_zb_ongunstig") =!= col("p.n_zb_ongunstig").cast("long") || numBad).count()
+    assert(bad === 0L)
+  }
+
+  test("globaal: all columns exact; index_mean_crit >= 97% (2330 anomaly)") {
+    val crit = LsviForest.criterium(myIndicator)
+    val mine = LsviForest.globaal(myIndicator, crit)
+    val pub = readTsv("lsvi_globaal_hs_id.tsv")
+    val joined = mine.alias("m").join(pub.alias("p"), Seq("id", "type_analysis")).cache()
+    val total = joined.count()
+    assert(total === pub.count())
+    val exactCols = Seq("aandeel_gunstig", "index_mean_ind", "doelbereik_mean_ind")
+    val numBad = exactCols.map(c =>
+      !(col(s"m.$c").isNull && col(s"p.$c").isNull) &&
+        (col(s"m.$c").isNull || col(s"p.$c").isNull ||
+          abs(col(s"m.$c") - col(s"p.$c").cast("double")) > 1.5e-4)).reduce(_ || _)
+    val bad = joined.where(
+      !(col("m.status").cast("int") <=> col("p.status").cast("int")) ||
+        col("m.n_zb_ongunstig") =!= col("p.n_zb_ongunstig").cast("long") || numBad).count()
+    assert(bad === 0L)
+    val imcBad = joined.where(
+      abs(col("m.index_mean_crit") - col("p.index_mean_crit").cast("double")) > 1.5e-4).count()
+    assert(imcBad <= (total * 0.03).toLong, s"index_mean_crit off on $imcBad of $total")
+    // the known anomaly is confined to the 2330 subtypes
+    val imcBadOther = joined.where(
+      !col("type_analysis").startsWith("2330") &&
+        abs(col("m.index_mean_crit") - col("p.index_mean_crit").cast("double")) > 1.5e-4).count()
+    assert(imcBadOther === 0L)
+  }
+
+}
