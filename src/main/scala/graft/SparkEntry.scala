@@ -433,6 +433,32 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ---- streaming near-dup dedup (DedupStream; no SQL oracle —
+    // xxhash64 minhash signatures): real Structured Streaming replay of
+    // the documents table through the per-bucket signature state, then
+    // the cross-band min-canonical resolve; batch-twin equivalence is
+    // pinned by DedupStreamSpec ----
+    "q106_dedup_stream" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val sink = "graft_q106_sink"
+      graft.streaming.Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.DedupStream
+          .bandVerdicts(stream, "text", "doc_id", threshold = 0.8)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      graft.streaming.DedupStream.resolveCanonical(s.table(sink))
+    }),
+
+    // ---- winnowing canonical ids (no SQL oracle — xxhash64 rolling
+    // fingerprints): the O(n)-output doc->representative form; chain
+    // collapse pinned by TextAndDedupSpec ----
+    "q105_winnow_canonical" -> ((s, dir) =>
+      graft.dedup.Dedup.winnowCanonicalIds(t(s, dir, "documents"), "text", "doc_id")),
+
     // ---- winnowing document fingerprint (MOSS; no SQL oracle —
     // custom rolling hash): per-doc substring-level fingerprints,
     // k=16-byte grams, window t=8 ----
@@ -799,6 +825,40 @@ object SparkEntry {
     "q78_lsvi_v3_globaal" -> ((s, dir) => {
       val (hab, sc, veg) = v3Inputs(s, dir)
       graft.lsvi.Versie3.score(hab, sc, veg)._4
+    }),
+
+    // ---- K2 FOREST Versie-3 rule content (graft.lsvi.Versie3Forests —
+    // the 203 published rule rows of lsvi_detail_fs.tsv) on synthetic
+    // forest plots: q102 reproduces the 17-column lsvi_detail_fs shape
+    // (skeleton left-join, NA rows kept, class-membership verdicts,
+    // validated verschilscore formula), q103 the lsvi_globaal_fs shape
+    // (RapportageHR + index/doelbereik means). ----
+    "q102_lsvi_forest_detail" -> ((s, dir) => {
+      val (plots, m) = forestInputs(s, dir)
+      graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Forests.rulesDf(s))
+        .drop("role", "aggregate")
+    }),
+
+    // The means are computed in 1e-6 fixed point (quantize each
+    // indicator verschilscore once, then integer sums all the way up):
+    // integer addition is order-independent, so Spark's partial
+    // aggregation and DuckDB's sequential scan produce bit-identical
+    // doubles — a float avg() of 3 criterium means straddles 6-decimal
+    // rounding boundaries between engines (observed at sf0.01).
+    "q103_lsvi_forest_globaal" -> ((s, dir) => {
+      val (plots, m) = forestInputs(s, dir)
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Forests.rulesDf(s))))
+    }),
+
+    // ---- K2 HEATH/INLAND-DUNES Versie-3 rule content
+    // (graft.lsvi.Versie3Heath — lsvi_detail_hs_id.tsv): same engine,
+    // second rule set, exercising the strict-> dynamic per-plot
+    // reference and the split status/score references. ----
+    "q107_lsvi_heath_globaal" -> ((s, dir) => {
+      val (plots, m) = heathInputs(s, dir)
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Heath.rulesDf(s))))
     }),
 
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
@@ -1289,6 +1349,21 @@ object SparkEntry {
       val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "text_blob")
       Media.extractFeatures(s, media).toDF()
         .select("media_id", "kind", "byte_len", "content_hash")
+    }),
+
+    // ---- REAL raster decode (JDK ImageIO): generate constant-fill gray
+    // PNGs with closed-form dims, decode them back through the batched
+    // media pass; the oracle recomputes the closed form in SQL ----
+    "q104_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 13 + 3).toInt
+          val h = (id % 7 + 2).toInt
+          (id, "image/png", Media.grayPng(w, h, (id % 251).toInt))
+        }).toDF("media_id", "kind", "media")
+      Media.decodeImageMeta(s, media).toDF()
+        .select("media_id", "width", "height", "mean_px")
     })
   )
 
@@ -1536,6 +1611,328 @@ object SparkEntry {
        |""".stripMargin
   }
 
+  // ---- forest Versie-3 synthetic inputs (q102/q103): deterministic
+  // integer-derived measurements so Spark and the DuckDB oracle compute
+  // bit-identical doubles; ~14% of (plot, voorwaarde) pairs are left
+  // unmeasured to exercise the published NA skeleton rows. ----
+
+  /** Numeric voorwaarden as (name, index, modulo span); span = twice the
+    * largest theoretisch maximum over types so values land on both sides
+    * of every per-type reference. */
+  private lazy val forestNumVars: Seq[(String, Int, Int)] = {
+    val cat = graft.lsvi.Versie3Forests.categorical.keySet
+    graft.lsvi.Versie3Forests.rules
+      .collect { case (_, _, _, _, vw, _, tm) if !cat(vw) => (vw, tm) }
+      .groupBy(_._1).map { case (vw, xs) => (vw, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((vw, tmMax), p) => (vw, p, 2 * tmMax.toInt + 1) }
+  }
+
+  /** Categorical voorwaarden as (name, index) — indices continue after
+    * the numeric ones so every voorwaarde has a distinct stream. */
+  private lazy val forestCatVars: Seq[(String, Int)] =
+    graft.lsvi.Versie3Forests.categorical.keySet.toSeq.sorted
+      .zipWithIndex.map { case (vw, i) => (vw, forestNumVars.size + i) }
+
+  /** (plots, measurements) in the [[graft.lsvi.LsviForest.detail]]
+    * input contract, derived from the customer table. */
+  private def forestInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v3f = graft.lsvi.Versie3Forests
+    val base = t(s, dir, "customer").select(
+        concat(lit("FP_"), col("c_custkey")).as("id"),
+        element_at(typedLit(v3f.habitattypes),
+          (col("c_custkey") % 11 + 1).cast("int")).as("type_analysis"),
+        col("c_custkey").as("ck"))
+      .withColumn("type_observed",
+        when(col("type_analysis").startsWith("91E0"), "91E0")
+          .when(col("type_analysis") === "9130_end", "9130")
+          .otherwise(col("type_analysis")))
+      .withColumn("survey", when(col("ck") % 2 === 0, "anb").otherwise("vbi"))
+      .withColumn("record_id_square", concat(lit("SQ_"), col("ck")))
+      .withColumn("record_id_circle", concat(lit("CI_"), col("ck")))
+      .withColumn("plot_type", lit("vbi"))
+    val numStructs = forestNumVars.map { case (vw, p, span) =>
+      struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
+        ((col("ck") * (2 * p + 3)) % span).as("v"),
+        lit(null).cast("string").as("cls"),
+        lit(null).cast("double").as("vd"))
+    }
+    // the class and its continuous cover move together (midpoint per
+    // class), as in the field data — the class verdict and the
+    // value-branched score must not contradict each other
+    val catStructs = forestCatVars.map { case (vw, p) =>
+      val clsIdx = ((col("ck") * (p + 2)) % 9 + 1).cast("int")
+      struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
+        lit(null).cast("long").as("v"),
+        element_at(typedLit(v3f.coverClasses), clsIdx).as("cls"),
+        element_at(typedLit(v3f.coverMidpoints), clsIdx).as("vd"))
+    }
+    val m = base.select(col("id"), col("ck"),
+        explode(array(numStructs ++ catStructs: _*)).as("s"))
+      .where((col("ck") + col("s.p") * 3) % 7 =!= 0)
+      .select(col("id"), col("s.voorwaarde").as("voorwaarde"),
+        coalesce(col("s.cls"), col("s.v").cast("string")).as("waarde"),
+        coalesce(col("s.vd"), col("s.v").cast("double")).as("value_numeric"),
+        col("s.cls").as("value_category"))
+    (base.select("id", "type_analysis", "survey", "record_id_square",
+      "record_id_circle", "type_observed", "plot_type"), m)
+  }
+
+  /** Globaal report in 1e-6 fixed point (see q103's comment: integer
+    * sums are order-independent, so Spark's partial aggregation and the
+    * DuckDB oracle produce bit-identical doubles). Shared by the forest
+    * (q103) and heath (q107) globaal queries. */
+  private def lsviGlobaalFixedPoint(indicator0: DataFrame): DataFrame = {
+    val ind = indicator0
+      .withColumn("vs6", floor(col("verschilscore") * 1e6 + 0.5).cast("long"))
+    val perPlot = ind.groupBy("id", "type_analysis").agg(
+      count(when(col("status_indicator").isNotNull, 1)).as("n_known"),
+      count(when(col("status_indicator"), 1)).as("n_gunstig"),
+      count(when(col("belang") === "zb" && !col("status_indicator"), 1))
+        .as("n_zb_ongunstig"),
+      sum(col("vs6")).as("s6"), count(col("vs6")).as("n_vs"),
+      // guard: Spark's least() skips nulls, so an unguarded
+      // least(vs6, 0)+1e6 would count unknown indicators as 1.0
+      sum(when(col("vs6").isNotNull, least(col("vs6"), lit(0L)) + lit(1000000L)))
+        .as("d6"))
+    val critMean = ind.groupBy("id", "type_analysis", "criterium")
+      .agg(sum(col("vs6")).as("cs6"), count(col("vs6")).as("cn"))
+      .where(col("cn") > 0)
+      .withColumn("m6", floor(col("cs6").cast("double") / col("cn") + 0.5).cast("long"))
+      .groupBy("id", "type_analysis")
+      .agg(sum(col("m6")).as("mc6"), count(lit(1)).as("n_crit"))
+    perPlot.join(critMean, Seq("id", "type_analysis"), "left_outer")
+      .select(col("id"), col("type_analysis"),
+        when(col("n_known") > 0,
+          lit(100.0) * col("n_gunstig") / col("n_known") > 50.0 &&
+            col("n_zb_ongunstig") === 0).as("status"),
+        lit("RapportageHR").as("aggregatiemethode"),
+        col("n_zb_ongunstig"),
+        when(col("n_known") > 0, lit(100.0) * col("n_gunstig") / col("n_known"))
+          .as("aandeel_gunstig"),
+        when(col("n_vs") > 0, col("s6").cast("double") / col("n_vs") / lit(1e6))
+          .as("index_mean_ind"),
+        (col("mc6").cast("double") / col("n_crit") / lit(1e6)).as("index_mean_crit"),
+        when(col("n_vs") > 0, col("d6").cast("double") / col("n_vs") / lit(1e6))
+          .as("doelbereik_mean_ind"))
+  }
+
+  /** Heath voorwaarden as (name, index, modulo span); the dynamic rule
+    * additionally gets a per-plot reference stream. */
+  private lazy val heathVars: Seq[(String, Int, Int)] =
+    graft.lsvi.Versie3Heath.rules.map { case (_, _, _, _, vw, _, tm) => (vw, tm) }
+      .groupBy(_._1).map { case (vw, xs) => (vw, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((vw, tmMax), p) => (vw, p, 2 * tmMax.toInt + 1) }
+
+  /** (plots, measurements) for the heath rule set: all-numeric values,
+    * a ref_override stream for the dynamic éénjarigen rule, plot_type
+    * on the measurement side (subplot protocol). */
+  private def heathInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v3h = graft.lsvi.Versie3Heath
+    val base = t(s, dir, "customer").select(
+        concat(lit("HP_"), col("c_custkey")).as("id"),
+        element_at(typedLit(v3h.habitattypes),
+          (col("c_custkey") % 5 + 1).cast("int")).as("type_analysis"),
+        col("c_custkey").as("ck"))
+      .withColumn("type_observed",
+        when(col("type_analysis").startsWith("2330"), "2330")
+          .otherwise(col("type_analysis")))
+      .withColumn("survey", when(col("ck") % 2 === 0, "anb").otherwise("inbo"))
+      .withColumn("record_id_square", concat(lit("SQ_"), col("ck")))
+      .withColumn("record_id_circle", concat(lit("CI_"), col("ck")))
+    val structs = heathVars.map { case (vw, p, span) =>
+      struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
+        ((col("ck") * (2 * p + 3)) % span).as("v"),
+        (if (vw == v3h.dynamicVoorwaarde) ((col("ck") * (p + 11)) % 101).cast("double")
+         else lit(null).cast("double")).as("refo"))
+    }
+    val m = base.select(col("id"), col("ck"),
+        explode(array(structs: _*)).as("s"))
+      .where((col("ck") + col("s.p") * 3) % 7 =!= 0)
+      .select(col("id"), col("s.voorwaarde").as("voorwaarde"),
+        col("s.v").cast("string").as("waarde"),
+        lit("square").as("plot_type"),
+        col("s.v").cast("double").as("value_numeric"),
+        lit(null).cast("string").as("value_category"),
+        col("s.refo").as("ref_override"))
+    (base.select("id", "type_analysis", "survey", "record_id_square",
+      "record_id_circle", "type_observed"), m)
+  }
+
+  /** Shared CTE prefix for the heath oracle SQL: replays [[heathInputs]]
+    * and the op/status_ref/ref_override detail semantics in DuckDB from
+    * the SAME [[graft.lsvi.Versie3Heath]] constants. */
+  private def heathOracleCtes: String = {
+    val v3h = graft.lsvi.Versie3Heath
+    val htList = v3h.habitattypes.map(sqlStr).mkString("[", ", ", "]")
+    val varVals = heathVars.map { case (vw, p, span) =>
+      val dyn = if (vw == v3h.dynamicVoorwaarde) "TRUE" else "FALSE"
+      s"(${sqlStr(vw)}, $p, $span, $dyn)"
+    }.mkString(",\n   ")
+    val ruleVals = v3h.rules.map { case (ht, cr, ind, b, vw, ref, tm) =>
+      val op =
+        if (vw == v3h.dynamicVoorwaarde) ">"
+        else if (v3h.downVoorwaarden(vw)) "<=" else ">="
+      val split = v3h.splitRefs.get((vw, ref))
+      val sref = split.map(_._1.toString).getOrElse(
+        if (ref == "dynamisch") "CAST(NULL AS DOUBLE)" else ref)
+      val cref = split.map(_._2.toString).getOrElse(
+        if (ref == "dynamisch") "CAST(NULL AS DOUBLE)" else ref)
+      s"(${sqlStr(ht)}, ${sqlStr(cr)}, ${sqlStr(ind)}, ${sqlStr(b)}, ${sqlStr(vw)}, " +
+        s"'$op', $sref, $cref, $tm)"
+    }.mkString(",\n   ")
+    s"""WITH plots AS (
+       |  SELECT 'HP_' || c_custkey AS id,
+       |    $htList[CAST(c_custkey % 5 AS INTEGER) + 1] AS type_analysis,
+       |    c_custkey AS ck
+       |  FROM customer),
+       |m AS (
+       |  SELECT id, v.voorwaarde,
+       |    CAST((ck * (2*v.p + 3)) % v.span AS DOUBLE) AS value_numeric,
+       |    CASE WHEN v.dyn THEN CAST((ck * (v.p + 11)) % 101 AS DOUBLE) END AS ref_override
+       |  FROM plots CROSS JOIN (VALUES
+       |   $varVals) v(voorwaarde, p, span, dyn)
+       |  WHERE (ck + 3*v.p) % 7 <> 0),
+       |r(habitattype, criterium, indicator, belang, voorwaarde, op, status_ref,
+       |  score_ref, score_max) AS (
+       |  VALUES
+       |   $ruleVals),
+       |d AS (
+       |  SELECT p.id, p.type_analysis, r.criterium, r.indicator, r.belang,
+       |    r.voorwaarde, 'and' AS role, TRUE AS aggregate,
+       |    m.value_numeric AS v,
+       |    COALESCE(m.ref_override, r.status_ref) AS sref,
+       |    COALESCE(m.ref_override, r.score_ref) AS cref,
+       |    r.score_max, r.op
+       |  FROM plots p
+       |  JOIN r ON p.type_analysis = r.habitattype
+       |  LEFT JOIN m ON m.id = p.id AND m.voorwaarde = r.voorwaarde),
+       |d2 AS (
+       |  SELECT id, type_analysis, criterium, indicator, belang, voorwaarde,
+       |    role, aggregate,
+       |    CASE WHEN op = '>=' THEN v >= sref
+       |         WHEN op = '>'  THEN v > sref
+       |         WHEN op = '<=' THEN v <= sref
+       |         ELSE v < sref END AS status_voorwaarde,
+       |    CASE WHEN v IS NULL OR sref IS NULL THEN NULL
+       |         ELSE greatest(-1.0, least(1.0,
+       |           CASE WHEN op IN ('>=', '>') THEN
+       |                  CASE WHEN v >= cref THEN
+       |                         (CASE WHEN score_max = cref THEN 1.0
+       |                               ELSE (v - cref) / (score_max - cref) END)
+       |                       WHEN cref <> 0 THEN (v - cref) / cref
+       |                       WHEN v = cref THEN 0.0 END
+       |                ELSE
+       |                  CASE WHEN v <= cref THEN
+       |                         (CASE WHEN cref <> 0 THEN (cref - v) / cref
+       |                               WHEN v = cref THEN 0.0 END)
+       |                       ELSE (cref - v) / (score_max - cref) END
+       |           END)) END AS verschilscore
+       |  FROM d)
+       |""".stripMargin
+  }
+
+  /** Shared CTE prefix for the forest oracle SQL: replays
+    * [[forestInputs]] and the [[graft.lsvi.LsviForest]] detail semantics
+    * in DuckDB, with all dictionary VALUES generated from the SAME
+    * [[graft.lsvi.Versie3Forests]] constants (single source of truth). */
+  private def forestOracleCtes: String = {
+    val v3f = graft.lsvi.Versie3Forests
+    val htList = v3f.habitattypes.map(sqlStr).mkString("[", ", ", "]")
+    val clsList = v3f.coverClasses.map(sqlStr).mkString("[", ", ", "]")
+    val midList = v3f.coverMidpoints
+      .map(m => s"CAST($m AS DOUBLE)").mkString("[", ", ", "]")
+    val numVals = forestNumVars
+      .map { case (vw, p, span) => s"(${sqlStr(vw)}, $p, $span)" }.mkString(",\n   ")
+    val catVals = forestCatVars
+      .map { case (vw, p) => s"(${sqlStr(vw)}, $p)" }.mkString(",\n   ")
+    val ruleVals = v3f.rules.map { case (ht, cr, ind, b, vw, ref, tm) =>
+      val catOpt = v3f.categorical.get(vw)
+      val met = catOpt
+        .map { case (cls, _) => cls.map(sqlStr).mkString("[", ", ", "]") }
+        .getOrElse("CAST(NULL AS VARCHAR[])")
+      val refNum = catOpt.map(_._2).getOrElse(ref.toDouble)
+      val scoreMax = if (catOpt.isDefined) 100.0 else tm
+      val dir = if (v3f.downVoorwaarden(vw)) "down" else "up"
+      val role = if (v3f.orVoorwaarden(vw)) "or" else "and"
+      val agg = !v3f.noAggregateIndicators(ind)
+      s"(${sqlStr(ht)}, ${sqlStr(cr)}, ${sqlStr(ind)}, ${sqlStr(b)}, ${sqlStr(vw)}, " +
+        s"${sqlStr(ref)}, $tm, '$dir', $refNum, $scoreMax, $met, '$role', $agg)"
+    }.mkString(",\n   ")
+    s"""WITH plots AS (
+       |  SELECT 'FP_' || c_custkey AS id,
+       |    $htList[CAST(c_custkey % 11 AS INTEGER) + 1] AS type_analysis,
+       |    c_custkey AS ck
+       |  FROM customer),
+       |plots2 AS (
+       |  SELECT id, type_analysis, ck,
+       |    CASE WHEN type_analysis LIKE '91E0%' THEN '91E0'
+       |         WHEN type_analysis = '9130_end' THEN '9130'
+       |         ELSE type_analysis END AS type_observed,
+       |    CASE WHEN ck % 2 = 0 THEN 'anb' ELSE 'vbi' END AS survey,
+       |    'SQ_' || ck AS record_id_square, 'CI_' || ck AS record_id_circle,
+       |    'vbi' AS plot_type
+       |  FROM plots),
+       |mnum AS (
+       |  SELECT id, v.voorwaarde,
+       |    CAST((ck * (2*v.p + 3)) % v.span AS VARCHAR) AS waarde,
+       |    CAST((ck * (2*v.p + 3)) % v.span AS DOUBLE) AS value_numeric,
+       |    CAST(NULL AS VARCHAR) AS value_category
+       |  FROM plots2 CROSS JOIN (VALUES
+       |   $numVals) v(voorwaarde, p, span)
+       |  WHERE (ck + 3*v.p) % 7 <> 0),
+       |mcat AS (
+       |  SELECT id, v.voorwaarde,
+       |    $clsList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] AS waarde,
+       |    $midList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] AS value_numeric,
+       |    $clsList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] AS value_category
+       |  FROM plots2 CROSS JOIN (VALUES
+       |   $catVals) v(voorwaarde, p)
+       |  WHERE (ck + 3*v.p) % 7 <> 0),
+       |m AS (SELECT * FROM mnum UNION ALL SELECT * FROM mcat),
+       |r(habitattype, criterium, indicator, belang, voorwaarde, referentiewaarde,
+       |  theoretischmaximum, direction, ref_numeric, score_max, met_classes,
+       |  role, aggregate) AS (
+       |  VALUES
+       |   $ruleVals),
+       |d AS (
+       |  SELECT p.id, p.survey, p.record_id_square, p.record_id_circle,
+       |    p.type_observed, p.type_analysis, r.criterium, r.indicator, r.belang,
+       |    r.voorwaarde, p.plot_type, m.waarde,
+       |    CASE WHEN r.met_classes IS NULL THEN m.value_numeric END AS waarde_numeric,
+       |    r.referentiewaarde,
+       |    CASE WHEN r.met_classes IS NOT NULL THEN
+       |           (CASE WHEN m.value_category IS NOT NULL
+       |                 THEN list_contains(r.met_classes, m.value_category) END)
+       |         WHEN r.direction = 'up' THEN m.value_numeric >= r.ref_numeric
+       |         ELSE m.value_numeric <= r.ref_numeric END AS status_voorwaarde,
+       |    CAST(r.theoretischmaximum AS DOUBLE) AS theoretischmaximum,
+       |    r.role, r.aggregate,
+       |    m.value_numeric AS score_value, r.direction, r.ref_numeric, r.score_max
+       |  FROM plots2 p
+       |  JOIN r ON p.type_analysis = r.habitattype
+       |  LEFT JOIN m ON m.id = p.id AND m.voorwaarde = r.voorwaarde),
+       |d2 AS (
+       |  SELECT *,
+       |    CASE WHEN status_voorwaarde IS NULL OR score_value IS NULL THEN NULL
+       |         ELSE greatest(-1.0, least(1.0,
+       |           CASE WHEN direction = 'up' THEN
+       |                  CASE WHEN status_voorwaarde THEN
+       |                         (CASE WHEN score_max = ref_numeric THEN 1.0
+       |                               ELSE (score_value - ref_numeric)
+       |                                    / (score_max - ref_numeric) END)
+       |                       ELSE (score_value - ref_numeric) / ref_numeric END
+       |                ELSE
+       |                  CASE WHEN status_voorwaarde THEN
+       |                         (ref_numeric - score_value) / ref_numeric
+       |                       ELSE (ref_numeric - score_value)
+       |                            / (score_max - ref_numeric) END
+       |           END)) END AS verschilscore
+       |  FROM d)
+       |""".stripMargin
+  }
+
   private def lsviRules(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
@@ -1552,6 +1949,59 @@ object SparkEntry {
       .toDF("criterium", "indicator", "voorwaarde", "belang", "op",
         "ref_numeric", "ref_categories", "referentiewaarde", "theoretisch_maximum")
   }
+
+  /** Fixed-point globaal aggregation SQL on top of a `d2` detail CTE
+    * (mirrors [[lsviGlobaalFixedPoint]]); shared by q103 and q107. */
+  private val lsviGlobaalSqlTail: String =
+    """, ind AS (
+        |  SELECT id, type_analysis, criterium, indicator, belang,
+        |    count(CASE WHEN role = 'and' AND status_voorwaarde IS NOT NULL THEN 1 END) AS and_known,
+        |    count(CASE WHEN role = 'and' AND NOT status_voorwaarde THEN 1 END) AS and_bad,
+        |    count(CASE WHEN role = 'or' AND status_voorwaarde IS NOT NULL THEN 1 END) AS or_known,
+        |    count(CASE WHEN role = 'or' AND status_voorwaarde THEN 1 END) AS or_true,
+        |    min(CASE WHEN role = 'and' THEN verschilscore END) AS vs_and,
+        |    max(CASE WHEN role = 'or' THEN verschilscore END) AS vs_or
+        |  FROM d2 WHERE aggregate GROUP BY 1, 2, 3, 4, 5),
+        |ind2 AS (
+        |  SELECT id, type_analysis, criterium, belang,
+        |    CASE WHEN and_known + or_known = 0 THEN NULL
+        |         ELSE (and_known = 0 OR and_bad = 0) AND
+        |              (or_known = 0 OR or_true > 0) END AS status_indicator,
+        |    CASE WHEN vs_and IS NULL THEN vs_or
+        |         WHEN vs_or IS NULL THEN vs_and
+        |         WHEN vs_and < vs_or THEN vs_and ELSE vs_or END AS verschilscore
+        |  FROM ind),
+        |ind3 AS (
+        |  SELECT *, CAST(floor(verschilscore * 1000000.0 + 0.5) AS BIGINT) AS vs6
+        |  FROM ind2),
+        |crit AS (
+        |  SELECT id, type_analysis, criterium,
+        |    CAST(sum(vs6) AS BIGINT) AS cs6, count(vs6) AS cn
+        |  FROM ind3 GROUP BY 1, 2, 3),
+        |critmean AS (
+        |  SELECT id, type_analysis,
+        |    CAST(sum(CAST(floor(CAST(cs6 AS DOUBLE) / cn + 0.5) AS BIGINT)) AS BIGINT) AS mc6,
+        |    count(*) AS n_crit
+        |  FROM crit WHERE cn > 0 GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT id, type_analysis,
+        |    count(CASE WHEN status_indicator IS NOT NULL THEN 1 END) AS n_known,
+        |    count(CASE WHEN status_indicator THEN 1 END) AS n_gunstig,
+        |    count(CASE WHEN belang = 'zb' AND NOT status_indicator THEN 1 END) AS n_zb_ongunstig,
+        |    CAST(sum(vs6) AS BIGINT) AS s6, count(vs6) AS n_vs,
+        |    CAST(sum(CASE WHEN vs6 IS NOT NULL THEN
+        |          (CASE WHEN vs6 < 0 THEN vs6 ELSE 0 END) + 1000000 END) AS BIGINT) AS d6
+        |  FROM ind3 GROUP BY 1, 2)
+        |SELECT g.id, g.type_analysis,
+        | CASE WHEN g.n_known > 0 THEN
+        |   100.0 * g.n_gunstig / g.n_known > 50.0 AND g.n_zb_ongunstig = 0 END AS status,
+        | 'RapportageHR' AS aggregatiemethode, g.n_zb_ongunstig,
+        | CASE WHEN g.n_known > 0 THEN 100.0 * g.n_gunstig / g.n_known END AS aandeel_gunstig,
+        | CASE WHEN g.n_vs > 0 THEN CAST(g.s6 AS DOUBLE) / g.n_vs / 1000000.0 END AS index_mean_ind,
+        | CAST(cm.mc6 AS DOUBLE) / cm.n_crit / 1000000.0 AS index_mean_crit,
+        | CASE WHEN g.n_vs > 0 THEN CAST(g.d6 AS DOUBLE) / g.n_vs / 1000000.0 END AS doelbereik_mean_ind
+        |FROM gl g LEFT JOIN critmean cm
+        |  ON g.id = cm.id AND g.type_analysis = cm.type_analysis""".stripMargin
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
@@ -2392,6 +2842,19 @@ object SparkEntry {
         | round(value_numeric, 6) AS value_numeric, op, ref_numeric, voldoet
         |FROM d""".stripMargin),
 
+    "q102_lsvi_forest_detail" -> (forestOracleCtes +
+      """SELECT id, survey, record_id_square, record_id_circle, type_observed,
+        | type_analysis, criterium, indicator, belang, voorwaarde, plot_type,
+        | waarde, waarde_numeric, referentiewaarde, status_voorwaarde,
+        | theoretischmaximum, verschilscore
+        |FROM d2""".stripMargin),
+
+    "q103_lsvi_forest_globaal" -> (forestOracleCtes.stripSuffix("\n") +
+      lsviGlobaalSqlTail),
+
+    "q107_lsvi_heath_globaal" -> (heathOracleCtes.stripSuffix("\n") +
+      lsviGlobaalSqlTail),
+
     "q78_lsvi_v3_globaal" -> (v3OracleCtes.stripSuffix("\n") +
       """, i AS (
         |  SELECT id, criterium, indicator, belang,
@@ -2801,6 +3264,13 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'text_blob' AS kind,
         | CAST(strlen(text) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "q104_image_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 13 + 3 AS INT) AS width,
+        | CAST(doc_id % 7 + 2 AS INT) AS height,
+        | CAST(doc_id % 251 AS DOUBLE) AS mean_px
         |FROM documents""".stripMargin
   )
 }

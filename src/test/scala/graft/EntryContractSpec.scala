@@ -21,7 +21,9 @@ class EntryContractSpec extends AnyFunSuite {
     "q51_ann_lsh",           // approximate, recall-gated (RecallSpec)
     "q52_embedding_neardups",// approximate, recall-gated (RecallSpec)
     "q54_ann_ivf",           // approximate, recall-gated (RecallSpec)
-    "q93_sketch_stats")      // sketches, error-bound (TemporalSketchSpec)
+    "q93_sketch_stats",      // sketches, error-bound (TemporalSketchSpec)
+    "q105_winnow_canonical", // xxhash64 fingerprints (TextAndDedupSpec)
+    "q106_dedup_stream")     // xxhash64 minhash state (DedupStreamSpec)
 
   test("every oracleSql key names an implemented query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
