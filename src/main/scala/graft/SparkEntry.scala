@@ -845,10 +845,30 @@ object SparkEntry {
     // aggregation and DuckDB's sequential scan produce bit-identical
     // doubles — a float avg() of 3 criterium means straddles 6-decimal
     // rounding boundaries between engines (observed at sf0.01).
-    "q103_lsvi_forest_globaal" -> ((s, dir) => {
-      val (plots, m) = forestInputs(s, dir)
-      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
-        graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Forests.rulesDf(s))))
+    "q103_lsvi_forest_globaal" -> ((s, dir) => forestGlobaal(s, dir)),
+
+    // ---- lsvi_plot_fs shape: the plot-level deliverable is the globaal
+    // report joined with plot metadata + the gunstig/ongunstig label
+    // (verified against the reference: all 1,174 published lsvi_plot_fs
+    // rows are exactly their lsvi_globaal_fs row + metadata) ----
+    "q108_lsvi_plot_report" -> ((s, dir) => {
+      val meta = t(s, dir, "customer").select(
+        concat(lit("FP_"), col("c_custkey")).as("id"),
+        (lit(14610) + col("c_custkey") % 3650).cast("long").as("date"),
+        concat(lit("vbi_"), col("c_custkey")).as("point_code"),
+        (lit(150000) + (col("c_custkey") * 97) % 100000).cast("double").as("x"),
+        (lit(150000) + (col("c_custkey") * 53) % 100000).cast("double").as("y"),
+        (col("c_custkey") % 2).cast("int").as("in_sac"))
+      forestGlobaal(s, dir).join(meta, Seq("id"))
+        .select(col("id"), col("date"), col("point_code"), col("x"), col("y"),
+          col("in_sac"),
+          when(col("type_analysis").startsWith("91E0"), "91E0")
+            .when(col("type_analysis") === "9130_end", "9130")
+            .otherwise(col("type_analysis")).as("habitattype"),
+          col("type_analysis").as("habitatsubtype"),
+          when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
+          col("aggregatiemethode"), col("n_zb_ongunstig"), col("aandeel_gunstig"),
+          col("index_mean_ind"), col("doelbereik_mean_ind"))
     }),
 
     // ---- K2 HEATH/INLAND-DUNES Versie-3 rule content
@@ -1715,6 +1735,13 @@ object SparkEntry {
         (col("mc6").cast("double") / col("n_crit") / lit(1e6)).as("index_mean_crit"),
         when(col("n_vs") > 0, col("d6").cast("double") / col("n_vs") / lit(1e6))
           .as("doelbereik_mean_ind"))
+  }
+
+  /** Forest globaal report (q103's body; q108 joins plot metadata). */
+  private def forestGlobaal(s: SparkSession, dir: String): DataFrame = {
+    val (plots, m) = forestInputs(s, dir)
+    lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+      graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Forests.rulesDf(s))))
   }
 
   /** Heath voorwaarden as (name, index, modulo span); the dynamic rule
@@ -2854,6 +2881,28 @@ object SparkEntry {
 
     "q107_lsvi_heath_globaal" -> (heathOracleCtes.stripSuffix("\n") +
       lsviGlobaalSqlTail),
+
+    "q108_lsvi_plot_report" -> {
+      val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail
+      s"""SELECT g.id, m.date, m.point_code, m.x, m.y, m.in_sac,
+         | CASE WHEN g.type_analysis LIKE '91E0%' THEN '91E0'
+         |      WHEN g.type_analysis = '9130_end' THEN '9130'
+         |      ELSE g.type_analysis END AS habitattype,
+         | g.type_analysis AS habitatsubtype,
+         | CASE WHEN g.status THEN 'gunstig' ELSE 'ongunstig' END AS lsvi,
+         | g.aggregatiemethode, g.n_zb_ongunstig, g.aandeel_gunstig,
+         | g.index_mean_ind, g.doelbereik_mean_ind
+         |FROM (
+         |$globaalSql
+         |) g
+         |JOIN (SELECT 'FP_' || c_custkey AS id,
+         |        CAST(14610 + c_custkey % 3650 AS BIGINT) AS date,
+         |        'vbi_' || c_custkey AS point_code,
+         |        CAST(150000 + (c_custkey * 97) % 100000 AS DOUBLE) AS x,
+         |        CAST(150000 + (c_custkey * 53) % 100000 AS DOUBLE) AS y,
+         |        CAST(c_custkey % 2 AS INTEGER) AS in_sac
+         |      FROM customer) m ON g.id = m.id""".stripMargin
+    },
 
     "q78_lsvi_v3_globaal" -> (v3OracleCtes.stripSuffix("\n") +
       """, i AS (

@@ -132,6 +132,26 @@ class ForestVersie3Spec extends SparkSuite {
       Seq("aandeel_gunstig", "index_mean_ind", "doelbereik_mean_ind"))
   }
 
+  test("plot report: published lsvi_plot_fs rows are globaal + metadata (q108 shape)") {
+    // every published plot-report row must equal its globaal row with
+    // the gunstig/ongunstig label — the derivation q108 implements
+    val plot = readTsv("lsvi_plot_fs.tsv")
+    val glob = readTsv("lsvi_globaal_fs.tsv")
+    val joined = plot.alias("p").join(glob.alias("g"), Seq("id"))
+    assert(joined.count() === plot.count())
+    val bad = joined.where(
+      col("p.lsvi") =!= when(col("g.status") === "1", "gunstig").otherwise("ongunstig") ||
+        col("p.n_zb_ongunstig") =!= col("g.n_zb_ongunstig") ||
+        col("p.habitatsubtype") =!= col("g.type_analysis") ||
+        abs(col("p.aandeel_gunstig").cast("double") -
+          col("g.aandeel_gunstig").cast("double")) > 1e-9 ||
+        abs(col("p.index_mean_ind").cast("double") -
+          col("g.index_mean_ind").cast("double")) > 1e-9 ||
+        abs(col("p.doelbereik_mean_ind").cast("double") -
+          col("g.doelbereik_mean_ind").cast("double")) > 1e-9).count()
+    assert(bad === 0L)
+  }
+
   test("globaal: every published row matches") {
     val crit = LsviForest.criterium(myIndicator)
     checkAgg(LsviForest.globaal(myIndicator, crit), readTsv("lsvi_globaal_fs.tsv"),
