@@ -881,6 +881,28 @@ object SparkEntry {
         graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Heath.rulesDf(s))))
     }),
 
+    // ---- K2 COASTAL-DUNES and MONEOS Versie-3 rule content
+    // (graft.lsvi.Versie3Dunes / Versie3Moneos): fourth and fifth rule
+    // sets through the same engine — WT class-membership verdicts,
+    // split WT status/score references, zero-reference optimum. ----
+    "q109_lsvi_dunes_globaal" -> ((s, dir) => {
+      val v3d = graft.lsvi.Versie3Dunes
+      val (plots, m) = wtGroupInputs(s, dir, "DP_", v3d.habitattypes,
+        v3d.rules, v3d.wtCategorical.keySet)
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, v3d.rulesDf(s))))
+    }),
+
+    "q110_lsvi_moneos_globaal" -> ((s, dir) => {
+      val v3m = graft.lsvi.Versie3Moneos
+      val catVws = graft.lsvi.Versie3Dunes.wtCategorical.keySet ++
+        graft.lsvi.Versie3Forests.categorical.keySet
+      val (plots, m) = wtGroupInputs(s, dir, "MP_", v3m.habitattypes,
+        v3m.rules, catVws)
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, v3m.rulesDf(s))))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -1854,6 +1876,165 @@ object SparkEntry {
        |                  CASE WHEN v <= cref THEN
        |                         (CASE WHEN cref <> 0 THEN (cref - v) / cref
        |                               WHEN v = cref THEN 0.0 END)
+       |                       ELSE (cref - v) / (score_max - cref) END
+       |           END)) END AS verschilscore
+       |  FROM d)
+       |""".stripMargin
+  }
+
+  /** Per-rule engine metadata for the WT-bearing groups (dunes/moneos),
+    * derived from the SAME constants as the group's `rulesDf`:
+    * (op, status_ref, score_ref, score_max, met_classes, role, agg). */
+  private def wtRuleMeta(vw: String, ref: String, tm: Double,
+                         down: Set[String], or: Set[String], noAgg: Set[String],
+                         ind: String):
+      (String, Option[Double], Option[Double], Double, Option[Seq[String]], String, Boolean) = {
+    val v3d = graft.lsvi.Versie3Dunes
+    val isWt = ref == "WT"
+    val isFCat = ref == "B" || ref == "ZS"
+    val isCat = (isWt && !v3d.wtNumeric(vw)) || isFCat
+    val op = if (down(vw)) "<=" else ">="
+    val scoreRef: Option[Double] =
+      if (isWt) Some(v3d.wtScoreRef)
+      else if (isFCat) Some(graft.lsvi.Versie3Forests.categorical(vw)._2)
+      else Some(ref.toDouble)
+    val statusRef: Option[Double] =
+      if (isWt && !isCat) Some(if (down(vw)) v3d.wtStatusDown else v3d.wtStatusUp)
+      else scoreRef
+    val met: Option[Seq[String]] =
+      if (isCat)
+        Some(if (isWt) v3d.wtCategorical(vw)
+          else graft.lsvi.Versie3Forests.categorical(vw)._1)
+      else None
+    val scoreMax = if (isWt || isFCat) 100.0 else tm
+    (op, statusRef, scoreRef, scoreMax, met,
+      if (or(vw)) "or" else "and", !noAgg(ind))
+  }
+
+  /** Synthetic (plots, measurements) for a WT-bearing group: numeric
+    * streams per voorwaarde; class-coded voorwaarden draw a cover class
+    * and its midpoint together. */
+  private def wtGroupInputs(s: SparkSession, dir: String, idPrefix: String,
+      types: Seq[String],
+      rules: Seq[(String, String, String, String, String, String, Double)],
+      catVws: Set[String]): (DataFrame, DataFrame) = {
+    val v3f = graft.lsvi.Versie3Forests
+    val vars = rules.map { case (_, _, _, _, vw, _, tm) => (vw, tm) }
+      .groupBy(_._1).map { case (vw, xs) => (vw, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((vw, tmMax), p) => (vw, p, 2 * tmMax.toInt + 1) }
+    val n = types.size
+    val base = t(s, dir, "customer").select(
+        concat(lit(idPrefix), col("c_custkey")).as("id"),
+        element_at(typedLit(types), (col("c_custkey") % n + 1).cast("int"))
+          .as("type_analysis"),
+        col("c_custkey").as("ck"))
+      .withColumn("type_observed", substring_index(col("type_analysis"), "_", 1))
+      .withColumn("survey", when(col("ck") % 2 === 0, "anb").otherwise("inbo"))
+      .withColumn("record_id_square", concat(lit("SQ_"), col("ck")))
+      .withColumn("record_id_circle", concat(lit("CI_"), col("ck")))
+    val structs = vars.map { case (vw, p, span) =>
+      if (catVws(vw)) {
+        val clsIdx = ((col("ck") * (p + 2)) % 9 + 1).cast("int")
+        struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
+          element_at(typedLit(v3f.coverMidpoints), clsIdx).as("v"),
+          element_at(typedLit(v3f.coverClasses), clsIdx).as("cls"))
+      } else
+        struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
+          ((col("ck") * (2 * p + 3)) % span).cast("double").as("v"),
+          lit(null).cast("string").as("cls"))
+    }
+    val m = base.select(col("id"), col("ck"), explode(array(structs: _*)).as("s"))
+      .where((col("ck") + col("s.p") * 3) % 7 =!= 0)
+      .select(col("id"), col("s.voorwaarde").as("voorwaarde"),
+        coalesce(col("s.cls"), col("s.v").cast("string")).as("waarde"),
+        lit("square").as("plot_type"),
+        col("s.v").as("value_numeric"),
+        col("s.cls").as("value_category"))
+    (base.select("id", "type_analysis", "survey", "record_id_square",
+      "record_id_circle", "type_observed"), m)
+  }
+
+  /** Oracle CTE prefix for a WT-bearing group: replays [[wtGroupInputs]]
+    * plus the op/status_ref/class-membership/value-branch detail
+    * semantics in DuckDB from the same constants. */
+  private def wtGroupOracleCtes(idPrefix: String, types: Seq[String],
+      rules: Seq[(String, String, String, String, String, String, Double)],
+      down: Set[String], or: Set[String], noAgg: Set[String],
+      catVws: Set[String]): String = {
+    val v3f = graft.lsvi.Versie3Forests
+    val typeList = types.map(sqlStr).mkString("[", ", ", "]")
+    val clsList = v3f.coverClasses.map(sqlStr).mkString("[", ", ", "]")
+    val midList = v3f.coverMidpoints
+      .map(x => s"CAST($x AS DOUBLE)").mkString("[", ", ", "]")
+    val vars = rules.map { case (_, _, _, _, vw, _, tm) => (vw, tm) }
+      .groupBy(_._1).map { case (vw, xs) => (vw, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+      .zipWithIndex.map { case ((vw, tmMax), p) => (vw, p, 2 * tmMax.toInt + 1) }
+    val varVals = vars.map { case (vw, p, span) =>
+      s"(${sqlStr(vw)}, $p, $span, ${catVws(vw).toString.toUpperCase})"
+    }.mkString(",\n   ")
+    val ruleVals = rules.map { case (ht, cr, ind, b, vw, ref, tm) =>
+      val (op, sref, cref, smax, met, role, agg) =
+        wtRuleMeta(vw, ref, tm, down, or, noAgg, ind)
+      val metSql = met.map(_.map(sqlStr).mkString("[", ", ", "]"))
+        .getOrElse("CAST(NULL AS VARCHAR[])")
+      val srefSql = sref.map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+      val crefSql = cref.map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
+      s"(${sqlStr(ht)}, ${sqlStr(cr)}, ${sqlStr(ind)}, ${sqlStr(b)}, ${sqlStr(vw)}, " +
+        s"'$op', $srefSql, $crefSql, $smax, $metSql, '$role', $agg)"
+    }.mkString(",\n   ")
+    s"""WITH plots AS (
+       |  SELECT '$idPrefix' || c_custkey AS id,
+       |    $typeList[CAST(c_custkey % ${types.size} AS INTEGER) + 1] AS type_analysis,
+       |    c_custkey AS ck
+       |  FROM customer),
+       |m AS (
+       |  SELECT id,
+       |    v.voorwaarde,
+       |    CASE WHEN v.is_cat
+       |         THEN $midList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1]
+       |         ELSE CAST((ck * (2*v.p + 3)) % v.span AS DOUBLE) END AS value_numeric,
+       |    CASE WHEN v.is_cat
+       |         THEN $clsList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] END AS value_category
+       |  FROM plots CROSS JOIN (VALUES
+       |   $varVals) v(voorwaarde, p, span, is_cat)
+       |  WHERE (ck + 3*v.p) % 7 <> 0),
+       |r(habitattype, criterium, indicator, belang, voorwaarde, op, status_ref,
+       |  score_ref, score_max, met_classes, role, aggregate) AS (
+       |  VALUES
+       |   $ruleVals),
+       |d AS (
+       |  SELECT p.id, p.type_analysis, r.criterium, r.indicator, r.belang,
+       |    r.voorwaarde, r.role, r.aggregate,
+       |    m.value_numeric AS v, m.value_category AS cls,
+       |    r.status_ref AS sref, r.score_ref AS cref, r.score_max, r.op,
+       |    r.met_classes
+       |  FROM plots p
+       |  JOIN r ON p.type_analysis = r.habitattype
+       |  LEFT JOIN m ON m.id = p.id AND m.voorwaarde = r.voorwaarde),
+       |d2 AS (
+       |  SELECT id, type_analysis, criterium, indicator, belang, voorwaarde,
+       |    role, aggregate,
+       |    CASE WHEN met_classes IS NOT NULL THEN
+       |           (CASE WHEN cls IS NOT NULL THEN list_contains(met_classes, cls) END)
+       |         WHEN op = '>=' THEN v >= sref
+       |         WHEN op = '>'  THEN v > sref
+       |         WHEN op = '<=' THEN v <= sref
+       |         ELSE v < sref END AS status_voorwaarde,
+       |    CASE WHEN v IS NULL OR cref IS NULL OR
+       |              (met_classes IS NOT NULL AND cls IS NULL) THEN NULL
+       |         ELSE greatest(-1.0, least(1.0,
+       |           CASE WHEN op IN ('>=', '>') THEN
+       |                  CASE WHEN v >= cref THEN
+       |                         (CASE WHEN score_max = cref THEN 1.0
+       |                               ELSE (v - cref) / (score_max - cref) END)
+       |                       WHEN cref <> 0 THEN (v - cref) / cref
+       |                       WHEN v = cref THEN 0.0 END
+       |                ELSE
+       |                  CASE WHEN v <= cref THEN
+       |                         (CASE WHEN cref = 0 THEN 1.0
+       |                               ELSE (cref - v) / cref END)
        |                       ELSE (cref - v) / (score_max - cref) END
        |           END)) END AS verschilscore
        |  FROM d)
@@ -2881,6 +3062,23 @@ object SparkEntry {
 
     "q107_lsvi_heath_globaal" -> (heathOracleCtes.stripSuffix("\n") +
       lsviGlobaalSqlTail),
+
+    "q109_lsvi_dunes_globaal" -> {
+      val v3d = graft.lsvi.Versie3Dunes
+      wtGroupOracleCtes("DP_", v3d.habitattypes, v3d.rules,
+        v3d.downVoorwaarden, v3d.orVoorwaarden, Set.empty,
+        v3d.wtCategorical.keySet).stripSuffix("\n") + lsviGlobaalSqlTail
+    },
+
+    "q110_lsvi_moneos_globaal" -> {
+      val v3m = graft.lsvi.Versie3Moneos
+      val catVws = graft.lsvi.Versie3Dunes.wtCategorical.keySet ++
+        graft.lsvi.Versie3Forests.categorical.keySet
+      wtGroupOracleCtes("MP_", v3m.habitattypes, v3m.rules,
+        v3m.downVoorwaarden, v3m.orVoorwaarden,
+        graft.lsvi.Versie3Forests.noAggregateIndicators,
+        catVws).stripSuffix("\n") + lsviGlobaalSqlTail
+    },
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

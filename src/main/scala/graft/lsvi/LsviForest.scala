@@ -40,7 +40,10 @@ object LsviForest {
             .otherwise(div(v - ref, scoreMax - ref)))
           .otherwise(div(v - ref, ref)))
         .otherwise(
-          when(v <= ref, div(ref - v, ref))
+          // a zero reference on a downward condition means "absent is
+          // the optimum": v == 0 == ref publishes 1.0 in the coastal
+          // dunes tables, not the 0/0 fallback
+          when(v <= ref, when(ref === 0.0, lit(1.0)).otherwise(div(ref - v, ref)))
             .otherwise(div(ref - v, scoreMax - ref)))
     when(met.isNull || v.isNull, lit(null).cast("double"))
       .otherwise(greatest(lit(-1.0), least(lit(1.0), raw)))
@@ -185,9 +188,12 @@ object LsviForest {
         avg(when(col("verschilscore").isNotNull,
             lit(1.0) + least(col("verschilscore"), lit(0.0))))
           .as("doelbereik_mean_ind")))
-    val critMean = criterium.groupBy("id")
+    // keyed by (id, type_analysis): a plot scored as two subtypes (the
+    // heath 2330 / dune 2130 pairs share one id) must not pool its
+    // criterium means across the types
+    val critMean = criterium.groupBy("id", "type_analysis")
       .agg(avg(col("index_mean_ind")).as("index_mean_crit"))
-    perPlot.join(critMean, Seq("id"), "left_outer")
+    perPlot.join(critMean, Seq("id", "type_analysis"), "left_outer")
       .select(col("id"), col("type_analysis"), col("status_agg").as("status"),
         col("aggregatiemethode"), col("n_zb_ongunstig"), col("aandeel_gunstig"),
         col("index_mean_ind"), col("index_mean_crit"), col("doelbereik_mean_ind"))
