@@ -903,6 +903,18 @@ object SparkEntry {
         graft.lsvi.LsviForest.detail(plots, m, v3m.rulesDf(s))))
     }),
 
+    // ---- K2 GRASSLAND/MARSH Versie-3 rule content
+    // (graft.lsvi.Versie3Grasslands): the sixth rule set — strict-<
+    // verdicts, a per-plot dynamic reference (rbbzil), and the T
+    // class/value references. ----
+    "q111_lsvi_grassland_globaal" -> ((s, dir) => {
+      val v3g = graft.lsvi.Versie3Grasslands
+      val (plots, m) = wtGroupInputs(s, dir, "GP_", v3g.habitattypes,
+        v3g.rules, v3g.tCategorical.keySet, Some(v3g.dynamicVoorwaarde))
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, v3g.rulesDf(s))))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -1917,7 +1929,8 @@ object SparkEntry {
   private def wtGroupInputs(s: SparkSession, dir: String, idPrefix: String,
       types: Seq[String],
       rules: Seq[(String, String, String, String, String, String, Double)],
-      catVws: Set[String]): (DataFrame, DataFrame) = {
+      catVws: Set[String],
+      dynamicVw: Option[String] = None): (DataFrame, DataFrame) = {
     val v3f = graft.lsvi.Versie3Forests
     val vars = rules.map { case (_, _, _, _, vw, _, tm) => (vw, tm) }
       .groupBy(_._1).map { case (vw, xs) => (vw, xs.map(_._2).max) }
@@ -1934,15 +1947,20 @@ object SparkEntry {
       .withColumn("record_id_square", concat(lit("SQ_"), col("ck")))
       .withColumn("record_id_circle", concat(lit("CI_"), col("ck")))
     val structs = vars.map { case (vw, p, span) =>
+      val refo =
+        if (dynamicVw.contains(vw)) ((col("ck") * (p + 11)) % 101).cast("double")
+        else lit(null).cast("double")
       if (catVws(vw)) {
         val clsIdx = ((col("ck") * (p + 2)) % 9 + 1).cast("int")
         struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
           element_at(typedLit(v3f.coverMidpoints), clsIdx).as("v"),
-          element_at(typedLit(v3f.coverClasses), clsIdx).as("cls"))
+          element_at(typedLit(v3f.coverClasses), clsIdx).as("cls"),
+          refo.as("refo"))
       } else
         struct(lit(vw).as("voorwaarde"), lit(p).as("p"),
           ((col("ck") * (2 * p + 3)) % span).cast("double").as("v"),
-          lit(null).cast("string").as("cls"))
+          lit(null).cast("string").as("cls"),
+          refo.as("refo"))
     }
     val m = base.select(col("id"), col("ck"), explode(array(structs: _*)).as("s"))
       .where((col("ck") + col("s.p") * 3) % 7 =!= 0)
@@ -1950,7 +1968,8 @@ object SparkEntry {
         coalesce(col("s.cls"), col("s.v").cast("string")).as("waarde"),
         lit("square").as("plot_type"),
         col("s.v").as("value_numeric"),
-        col("s.cls").as("value_category"))
+        col("s.cls").as("value_category"),
+        col("s.refo").as("ref_override"))
     (base.select("id", "type_analysis", "survey", "record_id_square",
       "record_id_circle", "type_observed"), m)
   }
@@ -1961,7 +1980,11 @@ object SparkEntry {
   private def wtGroupOracleCtes(idPrefix: String, types: Seq[String],
       rules: Seq[(String, String, String, String, String, String, Double)],
       down: Set[String], or: Set[String], noAgg: Set[String],
-      catVws: Set[String]): String = {
+      catVws: Set[String],
+      dynamicVw: Option[String] = None,
+      metaFn: Option[(String, String, Double, String) =>
+        (String, Option[Double], Option[Double], Double, Option[Seq[String]], String, Boolean)] = None):
+      String = {
     val v3f = graft.lsvi.Versie3Forests
     val typeList = types.map(sqlStr).mkString("[", ", ", "]")
     val clsList = v3f.coverClasses.map(sqlStr).mkString("[", ", ", "]")
@@ -1972,11 +1995,12 @@ object SparkEntry {
       .toSeq.sortBy(_._1)
       .zipWithIndex.map { case ((vw, tmMax), p) => (vw, p, 2 * tmMax.toInt + 1) }
     val varVals = vars.map { case (vw, p, span) =>
-      s"(${sqlStr(vw)}, $p, $span, ${catVws(vw).toString.toUpperCase})"
+      s"(${sqlStr(vw)}, $p, $span, ${catVws(vw).toString.toUpperCase}, " +
+        s"${dynamicVw.contains(vw).toString.toUpperCase})"
     }.mkString(",\n   ")
+    val meta = metaFn.getOrElse(wtRuleMeta(_, _, _, down, or, noAgg, _))
     val ruleVals = rules.map { case (ht, cr, ind, b, vw, ref, tm) =>
-      val (op, sref, cref, smax, met, role, agg) =
-        wtRuleMeta(vw, ref, tm, down, or, noAgg, ind)
+      val (op, sref, cref, smax, met, role, agg) = meta(vw, ref, tm, ind)
       val metSql = met.map(_.map(sqlStr).mkString("[", ", ", "]"))
         .getOrElse("CAST(NULL AS VARCHAR[])")
       val srefSql = sref.map(_.toString).getOrElse("CAST(NULL AS DOUBLE)")
@@ -1996,9 +2020,10 @@ object SparkEntry {
        |         THEN $midList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1]
        |         ELSE CAST((ck * (2*v.p + 3)) % v.span AS DOUBLE) END AS value_numeric,
        |    CASE WHEN v.is_cat
-       |         THEN $clsList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] END AS value_category
+       |         THEN $clsList[CAST((ck * (v.p + 2)) % 9 AS INTEGER) + 1] END AS value_category,
+       |    CASE WHEN v.dyn THEN CAST((ck * (v.p + 11)) % 101 AS DOUBLE) END AS ref_override
        |  FROM plots CROSS JOIN (VALUES
-       |   $varVals) v(voorwaarde, p, span, is_cat)
+       |   $varVals) v(voorwaarde, p, span, is_cat, dyn)
        |  WHERE (ck + 3*v.p) % 7 <> 0),
        |r(habitattype, criterium, indicator, belang, voorwaarde, op, status_ref,
        |  score_ref, score_max, met_classes, role, aggregate) AS (
@@ -2008,8 +2033,9 @@ object SparkEntry {
        |  SELECT p.id, p.type_analysis, r.criterium, r.indicator, r.belang,
        |    r.voorwaarde, r.role, r.aggregate,
        |    m.value_numeric AS v, m.value_category AS cls,
-       |    r.status_ref AS sref, r.score_ref AS cref, r.score_max, r.op,
-       |    r.met_classes
+       |    COALESCE(m.ref_override, r.status_ref) AS sref,
+       |    COALESCE(m.ref_override, r.score_ref) AS cref,
+       |    r.score_max, r.op, r.met_classes
        |  FROM plots p
        |  JOIN r ON p.type_analysis = r.habitattype
        |  LEFT JOIN m ON m.id = p.id AND m.voorwaarde = r.voorwaarde),
@@ -3078,6 +3104,29 @@ object SparkEntry {
         v3m.downVoorwaarden, v3m.orVoorwaarden,
         graft.lsvi.Versie3Forests.noAggregateIndicators,
         catVws).stripSuffix("\n") + lsviGlobaalSqlTail
+    },
+
+    "q111_lsvi_grassland_globaal" -> {
+      val v3g = graft.lsvi.Versie3Grasslands
+      // mirrors Versie3Grasslands.rulesDf rule-for-rule
+      val meta = (vw: String, ref: String, tm: Double, _: String) => {
+        val isT = ref == "T"
+        val isCat = isT && !v3g.tNumeric(vw)
+        val op =
+          if (v3g.strictVoorwaarden(vw)) "<"
+          else if (v3g.downVoorwaarden(vw)) "<=" else ">="
+        val scoreRef: Option[Double] =
+          if (isT) Some(v3g.tScoreRef)
+          else if (ref == "dynamisch") None
+          else Some(ref.toDouble)
+        val statusRef = if (isT && !isCat) Some(v3g.tStatusUp) else scoreRef
+        val met = if (isCat) Some(v3g.tCategorical(vw)) else None
+        (op, statusRef, scoreRef, if (isT) 100.0 else tm, met, "and", true)
+      }
+      wtGroupOracleCtes("GP_", v3g.habitattypes, v3g.rules,
+        v3g.downVoorwaarden, Set.empty, Set.empty, v3g.tCategorical.keySet,
+        Some(v3g.dynamicVoorwaarde), Some(meta)).stripSuffix("\n") +
+        lsviGlobaalSqlTail
     },
 
     "q108_lsvi_plot_report" -> {
