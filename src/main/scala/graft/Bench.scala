@@ -31,21 +31,30 @@ object Bench {
         catch { case _: Throwable => }
       }
 
-    // median of 5 runs per query: the local VM host shows multi-second
-    // noise spikes (single-run timings swing 3x), and min-of-2 is not
-    // robust against a pair of noisy runs — the median of 5 is.
+    // median of 5 INTERLEAVED passes per query: the local VM host shows
+    // not only per-run noise spikes but multi-minute whole-host stalls
+    // (round 8 shipped a 23x phantom on q78: all 5 consecutive runs of
+    // one query fell inside a stall). Running the full query list as
+    // repeated passes (A,B,...,A,B,...) spreads any contiguous stall
+    // across MANY queries' single runs instead of one query's entire
+    // sample, so the per-query median rejects it: a stall must span
+    // more than half the passes (several minutes of a ~40s/pass run)
+    // before any median moves.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     // dev aid: SPARK_GRAFT_BENCH_ONLY=regex restricts the query set (the
     // harness never sets it, so driver runs always cover everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val samples = (1 to runs).flatMap { _ =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val results = queries.map { case (name, _) =>
+      val times = samples.collect { case (`name`, t) => t }.sorted
       name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

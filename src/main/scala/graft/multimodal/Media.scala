@@ -40,10 +40,14 @@ object Media {
 
   /** REAL raster decode via the JDK's ImageIO (PNG/BMP/GIF — zero new
     * dependencies). Returns None for bytes no installed reader accepts,
-    * so callers can fall back to [[decodeStub]] for audio/video kinds. */
+    * so callers can fall back to [[decodeStub]] for audio/video kinds.
+    * NonFatal, not just IOException: ImageIO readers throw
+    * IllegalArgumentException / IndexOutOfBoundsException / CMMException
+    * on malformed-but-recognized payloads, and a corrupt row must
+    * degrade per-row, not kill the Spark task. */
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** 8-dim feature vector from a decoded raster: dims, band count, and
     * luminance stats over band 0 (exact for grayscale; first channel

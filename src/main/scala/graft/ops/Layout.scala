@@ -91,16 +91,16 @@ object Layout {
               targetBytes: Long, sortKeys: Seq[String]): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     // overwrite-writes outputPath while lazily reading inputPath: the
-    // same path for both would delete the input mid-read
-    val conf0 = spark.sparkContext.hadoopConfiguration
+    // same path — or a nested one, in either direction — would delete
+    // input files mid-read
+    val conf = spark.sparkContext.hadoopConfiguration
     val inP = new org.apache.hadoop.fs.Path(inputPath)
     val outP = new org.apache.hadoop.fs.Path(outputPath)
-    require(
-      inP.getFileSystem(conf0).makeQualified(inP) !=
-        outP.getFileSystem(conf0).makeQualified(outP),
-      s"compact cannot write onto its own input: $inputPath")
+    val qIn = inP.getFileSystem(conf).makeQualified(inP).toString.stripSuffix("/")
+    val qOut = outP.getFileSystem(conf).makeQualified(outP).toString.stripSuffix("/")
+    require(qIn != qOut && !qIn.startsWith(qOut + "/") && !qOut.startsWith(qIn + "/"),
+      s"compact cannot write onto (or under/over) its own input: $inputPath -> $outputPath")
     val df = spark.read.parquet(inputPath)
-    val conf = spark.sparkContext.hadoopConfiguration
     val totalBytes = df.inputFiles.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).getFileStatus(p).getLen

@@ -66,16 +66,18 @@ class ForestVersie3Spec extends SparkSuite {
     assert(statusBad === 0L)
   }
 
-  test("detail: verschilscore matches published at 4-decimal tolerance (numeric rows)") {
+  test("detail: verschilscore exact at the published 4-decimal half-ULP (numeric rows)") {
     val joined = myDetail.alias("m").join(
         pubDetail.alias("p"), Seq("id", "type_analysis", "voorwaarde"))
       .where(col("p.waarde_numeric").isNotNull) // categorical scores need unpublished covers
     val evaluable = joined.where(col("p.verschilscore").isNotNull).count()
     assert(evaluable > 20000L)
+    // 5.1e-5: the published score is rendered at 4 decimals, so an exact
+    // formula shows at most 5.0e-5 of display rounding — and does
     val bad = joined.where(
       !(col("m.verschilscore").isNull && col("p.verschilscore").isNull) &&
         (col("m.verschilscore").isNull || col("p.verschilscore").isNull ||
-          abs(col("m.verschilscore") - col("p.verschilscore").cast("double")) > 1.5e-4)).count()
+          abs(col("m.verschilscore") - col("p.verschilscore").cast("double")) > 5.1e-5)).count()
     assert(bad === 0L)
   }
 
