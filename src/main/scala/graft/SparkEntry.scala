@@ -927,6 +927,29 @@ object SparkEntry {
         graft.lsvi.LsviForest.detail(plots, m, graft.lsvi.Versie3Streams.rulesDf(s))))
     }),
 
+    // ---- Design-level status/trend shapes over the per-plot LSVI
+    // results (graft.lsvi.LsviStatus): latest-cycle-per-point
+    // selection, stratified favourability with Wilson bounds and the
+    // Goed/Niet goed/Onbekend verdict (q113), the mean
+    // habitat-quality index with a normal interval (q114), and the
+    // McNemar paired two-cycle trend on weighted discordant pairs
+    // (q115) — the reference's status_indicatoren_fs / index_hq_fs /
+    // mc_nemar_fs shapes. ----
+    "q113_status_indicatoren" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.statusIndicatoren(ind, meta)
+    }),
+
+    "q114_index_hq" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.indexHq(meta)
+    }),
+
+    "q115_mc_nemar" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.mcNemar(meta)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2083,6 +2106,71 @@ object SparkEntry {
        |                       ELSE (cref - v) / (score_max - cref) END
        |           END)) END AS verschilscore
        |  FROM d)
+       |""".stripMargin
+  }
+
+  /** Synthetic (plotMeta, indicatorRows) for the status/trend shapes
+    * (q113-q115): two measurement cycles per sampling point (some
+    * points dropping to one or zero), forest habitat types, an SAC
+    * stratum flag, a quarter-step design weight (exact in binary, so
+    * distributed double sums stay order-independent), a per-plot lsvi
+    * verdict and habitat-quality index, and five tri-state indicator
+    * statuses per plot. */
+  private def statusInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val types = graft.lsvi.Versie3Forests.habitattypes
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), expr("c_custkey div 2").as("pt"))
+      .where((col("ck") * 3) % 7 =!= 0)
+    val meta = base.select(
+      concat(lit("ST_"), col("ck")).as("id"),
+      col("ck"),
+      element_at(typedLit(types), (col("pt") % 11 + 1).cast("int"))
+        .as("habitattype"),
+      concat(lit("pt_"), col("pt")).as("point_code"),
+      (lit(2010) + lit(10) * (col("ck") % 2)).as("date"),
+      when(col("pt") % 3 < 2, 1).otherwise(0).as("in_sac"),
+      when((col("ck") * 5) % 3 === 0, "gunstig").otherwise("ongunstig").as("lsvi"),
+      ((col("pt") % 7 + 1).cast("double") * 0.25).as("weight"),
+      (((col("ck") * 11) % 2001 - 1000).cast("double") / 1000.0)
+        .as("index_mean_ind"))
+    val indStructs = (0 until 5).map { j =>
+      val m = (col("ck") * (j + 2)) % 5
+      struct(
+        lit(s"crit_${j % 2}").as("criterium"), lit(s"ind_$j").as("indicator"),
+        lit(if (j < 2) "zb" else "b").as("belang"),
+        when(m === 0, lit(null).cast("boolean")).otherwise(m % 2 === 1)
+          .as("status_indicator"))
+    }
+    val ind = meta.select(col("id"), col("habitattype").as("type_analysis"),
+        col("ck"), explode(array(indStructs: _*)).as("i"))
+      .select(col("id"), col("type_analysis"), col("i.criterium"),
+        col("i.indicator"), col("i.belang"), col("i.status_indicator"))
+    (meta.drop("ck"), ind)
+  }
+
+  /** Shared oracle CTE prefix for q113-q115: replays [[statusInputs]]
+    * and the latest-cycle-per-point selection in DuckDB (`mdate`, not
+    * `date` — reserved word). */
+  private def statusOracleCtes: String = {
+    val typeList = graft.lsvi.Versie3Forests.habitattypes
+      .map(sqlStr).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS ck, c_custkey // 2 AS pt
+       |  FROM customer WHERE (c_custkey * 3) % 7 <> 0),
+       |plots AS (
+       |  SELECT 'ST_' || ck AS id, ck, pt,
+       |    $typeList[CAST(pt % 11 AS INTEGER) + 1] AS habitattype,
+       |    'pt_' || pt AS point_code,
+       |    2010 + 10 * (ck % 2) AS mdate,
+       |    CASE WHEN pt % 3 < 2 THEN 1 ELSE 0 END AS in_sac,
+       |    CASE WHEN (ck * 5) % 3 = 0 THEN 'gunstig' ELSE 'ongunstig' END AS lsvi,
+       |    CAST((pt % 7 + 1) AS DOUBLE) * 0.25 AS w,
+       |    CAST((ck * 11) % 2001 - 1000 AS DOUBLE) / 1000.0 AS idx
+       |  FROM base),
+       |latest AS (
+       |  SELECT habitattype, point_code, arg_max(id, mdate) AS id,
+       |    arg_max(in_sac, mdate) AS in_sac, arg_max(idx, mdate) AS idx
+       |  FROM plots GROUP BY 1, 2)
        |""".stripMargin
   }
 
@@ -3323,6 +3411,118 @@ object SparkEntry {
 
     "q112_lsvi_streams_globaal" -> (streamsOracleCtes.stripSuffix("\n") +
       lsviGlobaalSqlTail),
+
+    // q113: status_indicatoren — latest-cycle-per-point selection,
+    // Binnen/Buiten/pooled strata, plain proportions, Wilson z bounds
+    // (same closed form on both sides), Goed/Niet goed/Onbekend at 75%.
+    "q113_status_indicatoren" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE ((p.ck * (j.j + 2)) % 5) % 2 = 1 END AS status
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |rows_ AS (
+           |  SELECT i.habitattype,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN l.in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    i.criterium, i.indicator, i.belang, i.status
+           |  FROM ind i JOIN latest l ON i.id = l.id
+           |  CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE i.status IS NOT NULL),
+           |agg AS (
+           |  SELECT habitattype, sbzh, criterium, indicator, belang,
+           |    count(*) AS n_obs, count(CASE WHEN status THEN 1 END) AS k
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5),
+           |wil AS (
+           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM agg),
+           |wil2 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM wil),
+           |fin AS (
+           |  SELECT habitattype, sbzh, criterium, indicator, belang, n_obs,
+           |    round(100.0 * CAST(k AS DOUBLE) / n_obs, 6) AS aandeel_gunstig,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS aandeel_gunstig_llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS aandeel_gunstig_ulci
+           |  FROM wil2)
+           |SELECT *, CASE WHEN aandeel_gunstig_llci >= 75 THEN 'Goed'
+           |               WHEN aandeel_gunstig_ulci < 75 THEN 'Niet goed'
+           |               ELSE 'Onbekend' END AS beoordeling
+           |FROM fin""".stripMargin
+    },
+
+    // q114: index_hq — mean habitat-quality index per stratum/pooled
+    // group; 1e-6 fixed-point sums for order-independent distributed
+    // aggregation, exact integer variance identity, z interval.
+    "q114_index_hq" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", g AS (
+           |  SELECT l.habitattype,
+           |    CASE WHEN gg.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN gg.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN l.in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    CAST(floor(l.idx * 1000000.0 + 0.5) AS BIGINT) AS x6
+           |  FROM latest l CROSS JOIN (VALUES (0),(1)) gg(g)
+           |  WHERE l.idx IS NOT NULL),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    CAST(sum(x6) AS BIGINT) AS s6, CAST(sum(x6 * x6) AS BIGINT) AS ss6
+           |  FROM g GROUP BY 1, 2, 3),
+           |f AS (
+           |  SELECT *, CAST(s6 AS DOUBLE) / n_obs / 1000000.0 AS m,
+           |    sqrt(CAST(n_obs * ss6 - s6 * s6 AS DOUBLE)
+           |         / (n_obs * (n_obs - 1))) / 1000000.0 AS sd
+           |  FROM agg)
+           |SELECT type_resultaat, habitattype, sbzh, n_obs,
+           |  round(m, 6) AS index_hq_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_hq_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_hq_ulci
+           |FROM f""".stripMargin
+    },
+
+    // q115: mc_nemar — paired two-cycle transitions per point, n +
+    // weighted n_adj per transition, chi-square without continuity
+    // correction on the weighted discordant counts (quarter-step
+    // weights are exact in binary: distributed sums replay bit-equal).
+    "q115_mc_nemar" -> (statusOracleCtes.stripSuffix("\n") +
+      """, pairs AS (
+        |  SELECT habitattype, point_code,
+        |    arg_min(lsvi, mdate) AS l1, arg_max(lsvi, mdate) AS l2,
+        |    arg_max(w, mdate) AS w, count(DISTINCT mdate) AS nc
+        |  FROM plots GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT habitattype, l1 || ' - ' || l2 AS trend_local, w
+        |  FROM pairs WHERE nc > 1),
+        |counts AS (
+        |  SELECT habitattype, trend_local, count(*) AS n,
+        |    round(sum(w), 6) AS n_adj
+        |  FROM p2 GROUP BY 1, 2),
+        |disc AS (
+        |  SELECT habitattype,
+        |    sum(CASE WHEN trend_local = 'gunstig - ongunstig' THEN w ELSE 0.0 END) AS b,
+        |    sum(CASE WHEN trend_local = 'ongunstig - gunstig' THEN w ELSE 0.0 END) AS c
+        |  FROM p2 GROUP BY 1)
+        |SELECT c.habitattype, c.trend_local, c.n, c.n_adj,
+        |  CASE WHEN d.b + d.c > 0.0
+        |       THEN round(pow(d.b - d.c, 2) / (d.b + d.c), 6) END AS mcnemar_chi2
+        |FROM counts c JOIN disc d ON c.habitattype = d.habitattype""".stripMargin),
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

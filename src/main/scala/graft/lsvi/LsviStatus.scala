@@ -1,0 +1,228 @@
+package graft.lsvi
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Design-level status and trend reporting over the per-plot LSVI
+  * results — the reference's `status_indicatoren_*`, `index_hq_*` and
+  * `mc_nemar_*` shapes (`/root/reference/processed/lsvi_mhq/forests/
+  * result/status_indicatoren_fs.yml`, `index_hq_fs.yml`,
+  * `mc_nemar_fs.yml`; same shapes under `streams/result/` as `_rw`).
+  *
+  * Selection and aggregation semantics validated against the published
+  * forest tables (`StatusShapesSpec`):
+  *   - the analysis set is the LATEST measurement per
+  *     (habitattype, point_code) — with that selection the published
+  *     per-stratum n_obs and aandeel_gunstig are PLAIN proportions,
+  *     exact on all 100 single-subtype Binnen/Buiten rows of
+  *     `status_indicatoren_fs.tsv`;
+  *   - the pooled "Binnen & Buiten" rows and the published confidence
+  *     bounds carry the reference's survey-design weights (drawn in
+  *     its analysis repo, outside this snapshot), so they are gated at
+  *     shape level: the published interval tracks the equal-weight
+  *     [[logitTCi]] within ~2pp on stratum rows (median 0.23pp);
+  *   - `beoordeling` is the three-way Goed / Niet goed / Onbekend
+  *     verdict of the interval against the 75% favourability
+  *     threshold (the published integer codes are git2rdata factor
+  *     indices for exactly those labels — `status_indicatoren_fs.yml`
+  *     maps 1/2/3, `status_indicatoren_rw.yml` 4/5/3) — the mapping
+  *     reproduces every published class from the published bounds;
+  *   - McNemar: the chi-square statistic is computed WITHOUT
+  *     continuity correction on the design-WEIGHTED discordant pair
+  *     counts — (b-c)^2/(b+c) on the published `n_adj` values
+  *     reproduces every published `mcnemar_p_value` (e.g. forests
+  *     9120: (5.23263-3.48842)^2/8.72105 -> p=0.554769; streams:
+  *     0.876836 -> p=0.34907).
+  *
+  * The oracle-backed queries (q113-q115) use the CLOSED-FORM z-based
+  * intervals below (Wilson score; normal mean interval) so every
+  * column replays exactly in DuckDB; the reference-style Student-t
+  * variants ([[logitTCi]], [[meanTCi]], [[mcNemarP]]) are the engine's
+  * driver-side reporting functions, spec-validated against the
+  * published tables. All plot-level aggregation is distributed (two
+  * hash aggregations); the t/erfc transforms run on the aggregated
+  * result, whose size is bounded by #habitattypes x #indicators x 3
+  * strata — never by plot count.
+  */
+object LsviStatus {
+
+  val z975: Double = 1.959963984540054
+
+  /** Latest measurement per (habitattype, point_code) — the reference's
+    * status analysis set (one row per sampling point, newest cycle
+    * wins). Ties on date are broken by id to stay deterministic. */
+  def latestPerPoint(plotMeta: DataFrame): DataFrame = {
+    val payload = struct(
+      plotMeta.columns.filterNot(Seq("habitattype", "point_code").contains)
+        .map(col): _*)
+    plotMeta
+      .groupBy("habitattype", "point_code")
+      .agg(max_by(payload, struct(col("date"), col("id"))).as("r"))
+      .select(Seq(col("habitattype"), col("point_code"), col("r.*")): _*)
+  }
+
+  /** Wilson score interval on [0, 100], z-based, with the reference's
+    * degenerate rendering at p in {0, 1} (the published tables show
+    * (100, 100) / (0, 0) there). Closed form — replays in DuckDB. */
+  private def wilson(k: Column, n: Column): (Column, Column) = {
+    val p = k.cast("double") / n.cast("double")
+    val z2 = lit(z975 * z975)
+    val den = lit(1.0) + z2 / n
+    val center = (p + z2 / (lit(2.0) * n)) / den
+    val half = (lit(z975) / den) *
+      sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))
+    val lo = when(k === 0 || k === n, lit(100.0) * p)
+      .otherwise(lit(100.0) * greatest(lit(0.0), center - half))
+    val hi = when(k === 0 || k === n, lit(100.0) * p)
+      .otherwise(lit(100.0) * least(lit(1.0), center + half))
+    (lo, hi)
+  }
+
+  /** Goed / Niet goed / Onbekend against the 75% favourability
+    * threshold on the interval. */
+  private def beoordeling(lo: Column, hi: Column): Column =
+    when(lo >= 75.0, "Goed")
+      .when(hi < 75.0, "Niet goed")
+      .otherwise("Onbekend")
+
+  /** `status_indicatoren` shape: per (habitattype, sbzh, criterium,
+    * indicator, belang) over the latest-per-point plots — n_obs,
+    * aandeel_gunstig (plain proportion), Wilson 95% bounds, verdict.
+    * `sbzh` takes Binnen / Buiten from the plot's `in_sac` plus the
+    * pooled "Binnen & Buiten" row. One shuffle on the group key after
+    * the broadcast-sized latest-per-point join. */
+  def statusIndicatoren(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    val latest = latestPerPoint(plotMeta)
+      .select(col("id"), when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
+        .as("stratum"))
+    val rows = indicator
+      .join(latest, Seq("id"))
+      .where(col("status_indicator").isNotNull)
+      .select(col("type_analysis").as("habitattype"), col("criterium"),
+        col("indicator"), col("belang"), col("status_indicator"),
+        explode(array(col("stratum"), lit("Binnen & Buiten"))).as("sbzh"))
+    val agg = rows.groupBy("habitattype", "sbzh", "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("status_indicator"), 1)).as("n_gunstig"))
+    val (lo, hi) = wilson(col("n_gunstig"), col("n_obs"))
+    agg
+      .withColumn("aandeel_gunstig",
+        round(lit(100.0) * col("n_gunstig").cast("double") / col("n_obs"), 6))
+      .withColumn("aandeel_gunstig_llci", round(lo, 6))
+      .withColumn("aandeel_gunstig_ulci", round(hi, 6))
+      .withColumn("beoordeling",
+        beoordeling(col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")))
+      .drop("n_gunstig")
+  }
+
+  /** `index_hq` shape: mean habitat-quality index (the globaal
+    * `index_mean_ind`) + 95% normal interval per (type_resultaat,
+    * habitattype, sbzh) over the latest-per-point plots; `Habitattype`
+    * rows pool both strata, `SBZH` rows split them — exactly the
+    * published grouping. The index enters as 1e-6 fixed point so the
+    * distributed sums are order-independent (bit-identical to the
+    * DuckDB oracle); variance uses the exact integer identity
+    * (n*sum(x^2) - sum(x)^2) / (n*(n-1)). Single-plot groups publish
+    * NA bounds, as the reference does (9110 Buiten). */
+  def indexHq(plotIndex: DataFrame): DataFrame = {
+    val x6 = floor(col("index_mean_ind") * 1e6 + 0.5).cast("long")
+    val rows = latestPerPoint(plotIndex)
+      .where(col("index_mean_ind").isNotNull)
+      .withColumn("x6", x6)
+      .select(col("habitattype"), col("x6"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"), col("x6"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"), sum(col("x6")).as("s6"),
+        sum(col("x6") * col("x6")).as("ss6"))
+    val mean = col("s6").cast("double") / col("n_obs") / 1e6
+    val sd = sqrt((col("n_obs") * col("ss6") - col("s6") * col("s6"))
+        .cast("double") / (col("n_obs") * (col("n_obs") - lit(1L)))) / 1e6
+    val half = lit(z975) * sd / sqrt(col("n_obs").cast("double"))
+    agg
+      .withColumn("index_hq_mean", round(mean, 6))
+      .withColumn("index_hq_llci",
+        when(col("n_obs") > 1, round(mean - half, 6)))
+      .withColumn("index_hq_ulci",
+        when(col("n_obs") > 1, round(mean + half, 6)))
+      .drop("s6", "ss6")
+  }
+
+  /** `mc_nemar` shape: two-cycle paired habitat-status trend. Input is
+    * plot metadata with the per-plot lsvi verdict and a design weight;
+    * a pair is a point with more than one measured cycle (earliest vs
+    * latest by date). Output: one row per observed transition per
+    * habitattype — n (pair count), n_adj (weighted, 1e-6-rounded) —
+    * plus the habitattype's McNemar chi-square WITHOUT continuity
+    * correction on the WEIGHTED discordant counts, the reference's
+    * statistic (validated: it reproduces every published p-value).
+    * The per-transition table is one aggregation; the statistic join
+    * is against the habitattype-count-sized side (broadcast). */
+  def mcNemar(plotLsvi: DataFrame): DataFrame = {
+    val pairs = plotLsvi
+      .groupBy("habitattype", "point_code")
+      .agg(
+        min_by(col("lsvi"), struct(col("date"), col("id"))).as("lsvi_1"),
+        max_by(col("lsvi"), struct(col("date"), col("id"))).as("lsvi_2"),
+        max_by(col("weight"), struct(col("date"), col("id"))).as("w"),
+        countDistinct(col("date")).as("n_cycles"))
+      .where(col("n_cycles") > 1)
+      .withColumn("trend_local",
+        concat(col("lsvi_1"), lit(" - "), col("lsvi_2")))
+    val counts = pairs.groupBy("habitattype", "trend_local")
+      .agg(count(lit(1)).as("n"), round(sum(col("w")), 6).as("n_adj"))
+    val disc = pairs.groupBy("habitattype").agg(
+      sum(when(col("trend_local") === "gunstig - ongunstig", col("w"))
+        .otherwise(0.0)).as("b"),
+      sum(when(col("trend_local") === "ongunstig - gunstig", col("w"))
+        .otherwise(0.0)).as("c"))
+      .withColumn("mcnemar_chi2",
+        when(col("b") + col("c") > 0.0,
+          round(pow(col("b") - col("c"), 2) / (col("b") + col("c")), 6)))
+      .select("habitattype", "mcnemar_chi2")
+    counts.join(broadcast(disc), Seq("habitattype"))
+  }
+
+  // ---- reference-style Student-t reporting variants (driver-side
+  // transforms over the aggregated tables; spec-validated against the
+  // published forest rows) ----
+
+  private def t975(df: Int): Double =
+    new org.apache.commons.math3.distribution.TDistribution(df.toDouble)
+      .inverseCumulativeProbability(0.975)
+
+  /** Survey-style logit-transformed 95% interval for a proportion
+    * under equal weights: SE = sqrt(p(1-p)/(n-1)), t quantile at
+    * df = n-1, transformed back from the logit scale; degenerate at
+    * p in {0, 1} like the published tables. Tracks the published
+    * design-weighted bounds within ~2pp (median 0.23pp) on the
+    * single-subtype stratum rows of `status_indicatoren_fs.tsv`. */
+  def logitTCi(k: Long, n: Long): (Double, Double) = {
+    require(n > 0 && k >= 0 && k <= n)
+    val p = k.toDouble / n
+    if (k == 0L || k == n) (100.0 * p, 100.0 * p)
+    else {
+      val t = t975((n - 1).toInt)
+      val se = math.sqrt(p * (1 - p) / (n - 1))
+      val l = math.log(p / (1 - p))
+      val s = se / (p * (1 - p))
+      (100.0 / (1 + math.exp(-(l - t * s))), 100.0 / (1 + math.exp(-(l + t * s))))
+    }
+  }
+
+  /** Student-t 95% interval for a mean (df = n-1). */
+  def meanTCi(n: Long, mean: Double, sd: Double): (Double, Double) = {
+    require(n > 1)
+    val h = t975((n - 1).toInt) * sd / math.sqrt(n.toDouble)
+    (mean - h, mean + h)
+  }
+
+  /** McNemar p-value for the df=1 chi-square statistic:
+    * P(X > chi2) = erfc(sqrt(chi2 / 2)). */
+  def mcNemarP(chi2: Double): Double =
+    org.apache.commons.math3.special.Erf.erfc(math.sqrt(chi2 / 2.0))
+}
