@@ -950,6 +950,11 @@ object SparkEntry {
       graft.lsvi.LsviStatus.mcNemar(meta)
     }),
 
+    "q116_trend_indicatoren" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndicatoren(ind, meta)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3495,6 +3500,101 @@ object SparkEntry {
            |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
            |    AS index_hq_ulci
            |FROM f""".stripMargin
+    },
+
+    // q116: trend_indicatoren — per-cycle paired proportions with
+    // Wilson bounds, paired-Wald difference interval from the
+    // discordant counts, relative change as a point estimate.
+    "q116_trend_indicatoren" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairsAll AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(id, mdate) AS id_1, arg_max(id, mdate) AS id_2,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |prs AS (SELECT * FROM pairsAll WHERE nc > 1),
+           |ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE ((p.ck * (j.j + 2)) % 5) % 2 = 1 END AS status
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |known AS (SELECT * FROM ind WHERE status IS NOT NULL),
+           |cyc AS (
+           |  SELECT id_1 AS id, 'c_1' AS periode FROM prs
+           |  UNION ALL
+           |  SELECT id_2 AS id, 'c_2' AS periode FROM prs),
+           |pc AS (
+           |  SELECT k.habitattype, c.periode, k.criterium, k.indicator, k.belang,
+           |    count(*) AS n_obs, count(CASE WHEN k.status THEN 1 END) AS k
+           |  FROM known k JOIN cyc c ON k.id = c.id
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |wil AS (
+           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM pc),
+           |wil2 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM wil),
+           |aandeel AS (
+           |  SELECT habitattype, periode, criterium, indicator, belang, n_obs,
+           |    'aandeel_gunstig' AS parameter,
+           |    round(100.0 * CAST(k AS DOUBLE) / n_obs, 6) AS mean,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6) AS llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6) AS ulci
+           |  FROM wil2),
+           |s1 AS (
+           |  SELECT p.habitattype, p.point_code, k.criterium, k.indicator,
+           |    k.belang, k.status AS st1
+           |  FROM known k JOIN prs p ON k.id = p.id_1),
+           |s2 AS (
+           |  SELECT p.habitattype, p.point_code, k.criterium, k.indicator,
+           |    k.status AS st2
+           |  FROM known k JOIN prs p ON k.id = p.id_2),
+           |pr AS (
+           |  SELECT s1.habitattype, s1.criterium, s1.indicator, s1.belang,
+           |    count(*) AS n_obs,
+           |    count(CASE WHEN st1 THEN 1 END) AS k1,
+           |    count(CASE WHEN st1 AND NOT st2 THEN 1 END) AS b,
+           |    count(CASE WHEN NOT st1 AND st2 THEN 1 END) AS c
+           |  FROM s1 JOIN s2 ON s1.habitattype = s2.habitattype
+           |    AND s1.point_code = s2.point_code
+           |    AND s1.criterium = s2.criterium AND s1.indicator = s2.indicator
+           |  GROUP BY 1, 2, 3, 4),
+           |vr AS (
+           |  SELECT *,
+           |    100.0 * (CAST(c AS DOUBLE) - CAST(b AS DOUBLE))
+           |      / CAST(n_obs AS DOUBLE) AS d,
+           |    100.0 * sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE)
+           |        - pow(CAST(b AS DOUBLE) - CAST(c AS DOUBLE), 2)
+           |          / CAST(n_obs AS DOUBLE))
+           |      / CAST(n_obs AS DOUBLE) AS se,
+           |    100.0 * CAST(k1 AS DOUBLE) / CAST(n_obs AS DOUBLE) AS a1
+           |  FROM pr)
+           |SELECT * FROM aandeel
+           |UNION ALL
+           |SELECT habitattype, 'c_2' AS periode, criterium, indicator, belang,
+           |  n_obs, 'verschil_aandeel_gunstig_abs' AS parameter,
+           |  round(d, 6) AS mean,
+           |  round(d - $z * se, 6) AS llci,
+           |  round(d + $z * se, 6) AS ulci
+           |FROM vr
+           |UNION ALL
+           |SELECT habitattype, 'c_2' AS periode, criterium, indicator, belang,
+           |  n_obs, 'verschil_aandeel_gunstig_rel' AS parameter,
+           |  CASE WHEN a1 > 0.0
+           |       THEN round(100.0 * (CAST(c AS DOUBLE) - CAST(b AS DOUBLE))
+           |                  / CAST(n_obs AS DOUBLE) / a1 * 100.0, 6) END AS mean,
+           |  CAST(NULL AS DOUBLE) AS llci,
+           |  CAST(NULL AS DOUBLE) AS ulci
+           |FROM vr""".stripMargin
     },
 
     // q115: mc_nemar — paired two-cycle transitions per point, n +

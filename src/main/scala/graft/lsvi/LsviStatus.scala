@@ -187,6 +187,88 @@ object LsviStatus {
     counts.join(broadcast(disc), Seq("habitattype"))
   }
 
+  /** `trend_indicatoren` shape: paired two-cycle indicator trend over
+    * the points with more than one measured cycle (earliest = c_1,
+    * latest = c_2). Long form like the published table: per
+    * (habitattype, criterium, indicator, belang) an `aandeel_gunstig`
+    * row per periode (plain proportion + Wilson bounds over that
+    * cycle's known statuses) and, under c_2, the paired difference —
+    * `verschil_aandeel_gunstig_abs` with the classic paired Wald
+    * interval from the discordant counts (SE = 100*sqrt(b + c -
+    * (b-c)^2/n)/n) and `verschil_aandeel_gunstig_rel` as a point
+    * estimate (the reference's interval for the relative change is
+    * resampling-based in its analysis repo, outside this snapshot).
+    * Published n_obs reproduces exactly (all 40 forest verschil rows
+    * and every aandeel row); the published means carry design weights
+    * and sit within ~3pp of these equal-weight estimates. */
+  def trendIndicatoren(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    val pairs = plotMeta
+      .groupBy("habitattype", "point_code")
+      .agg(
+        min_by(col("id"), struct(col("date"), col("id"))).as("id_1"),
+        max_by(col("id"), struct(col("date"), col("id"))).as("id_2"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+    val cyc = pairs.select(explode(array(
+        struct(col("id_1").as("id"), lit("c_1").as("periode")),
+        struct(col("id_2").as("id"), lit("c_2").as("periode")))).as("e"))
+      .select(col("e.id"), col("e.periode"))
+    val known = indicator.where(col("status_indicator").isNotNull)
+    val perCycle = known.join(cyc, Seq("id"))
+      .groupBy(col("type_analysis").as("habitattype"), col("periode"),
+        col("criterium"), col("indicator"), col("belang"))
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("status_indicator"), 1)).as("n_gunstig"))
+    val (alo, ahi) = wilson(col("n_gunstig"), col("n_obs"))
+    val aandeel = perCycle
+      .withColumn("parameter", lit("aandeel_gunstig"))
+      .withColumn("mean",
+        round(lit(100.0) * col("n_gunstig").cast("double") / col("n_obs"), 6))
+      .withColumn("llci", round(alo, 6))
+      .withColumn("ulci", round(ahi, 6))
+      .drop("n_gunstig")
+    // paired per (point, indicator): both cycles known
+    val s1 = known.join(pairs.select(col("id_1").as("id"), col("habitattype"),
+        col("point_code")), Seq("id"))
+      .select(col("habitattype"), col("point_code"), col("criterium"),
+        col("indicator"), col("belang"), col("status_indicator").as("s1"))
+    val s2 = known.join(pairs.select(col("id_2").as("id"), col("habitattype"),
+        col("point_code")), Seq("id"))
+      .select(col("habitattype"), col("point_code"), col("criterium"),
+        col("indicator"), col("status_indicator").as("s2"))
+    val paired = s1.join(s2,
+        Seq("habitattype", "point_code", "criterium", "indicator"))
+      .groupBy("habitattype", "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("s1"), 1)).as("k1"),
+        count(when(col("s2"), 1)).as("k2"),
+        count(when(col("s1") && !col("s2"), 1)).as("b"),
+        count(when(!col("s1") && col("s2"), 1)).as("c"))
+    val nd = col("n_obs").cast("double")
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    val d = lit(100.0) * (cd - bd) / nd
+    val se = lit(100.0) * sqrt(bd + cd - pow(bd - cd, 2) / nd) / nd
+    val a1 = lit(100.0) * col("k1").cast("double") / nd
+    val verschil = paired.select(col("habitattype"), lit("c_2").as("periode"),
+        col("criterium"), col("indicator"), col("belang"), col("n_obs"),
+        explode(array(
+          struct(lit("verschil_aandeel_gunstig_abs").as("parameter"),
+            round(d, 6).as("mean"),
+            round(d - lit(z975) * se, 6).as("llci"),
+            round(d + lit(z975) * se, 6).as("ulci")),
+          struct(lit("verschil_aandeel_gunstig_rel").as("parameter"),
+            when(a1 > 0.0, round(lit(100.0) * (cd - bd) / nd / a1 * 100.0, 6))
+              .as("mean"),
+            lit(null).cast("double").as("llci"),
+            lit(null).cast("double").as("ulci")))).as("p"))
+      .select(col("habitattype"), col("periode"), col("criterium"),
+        col("indicator"), col("belang"), col("n_obs"),
+        col("p.parameter").as("parameter"), col("p.mean").as("mean"),
+        col("p.llci").as("llci"), col("p.ulci").as("ulci"))
+    aandeel.unionByName(verschil)
+  }
+
   // ---- reference-style Student-t reporting variants (driver-side
   // transforms over the aggregated tables; spec-validated against the
   // published forest rows) ----

@@ -159,6 +159,38 @@ class StatusShapesSpec extends SparkSuite {
     assert(bad === 0L)
   }
 
+  test("trend_indicatoren: n_obs exact, equal-weight means track published (median <=1.5pp, max <=9pp)") {
+    val ind = readTsv(s"$fsDir/lsvi_indicator_fs.tsv")
+      .select(col("id"), col("type_analysis"), col("criterium"), col("indicator"),
+        col("belang"), (col("status_indicator").cast("int") === 1)
+          .as("status_indicator"))
+    val mine = LsviStatus.trendIndicatoren(ind, plotMeta).cache()
+    val pub = readTsv(s"$fsDir/trend_indicatoren_fs.tsv")
+      .where(!coalesce(col("habitatsubtype"), lit("")).contains(";") &&
+        col("parameter").isin("aandeel_gunstig", "verschil_aandeel_gunstig_abs"))
+      .withColumn("ht",
+        coalesce(col("habitatsubtype"), col("habitattype")))
+    val joined = mine.alias("m").join(pub.alias("p"),
+      col("m.habitattype") === col("p.ht") &&
+        col("m.periode") === col("p.periode") &&
+        col("m.criterium") === col("p.criterium") &&
+        col("m.indicator") === col("p.indicator") &&
+        col("m.parameter") === col("p.parameter"))
+    assert(joined.count() === pub.count())
+    val badN = joined.where(
+      col("m.n_obs") =!= col("p.n_obs").cast("long")).count()
+    assert(badN === 0L)
+    // the published means are design-weighted: the equal-weight
+    // estimate matches closely in the large groups and drifts up to
+    // ~8.5pp in the smallest (n=18) where plot weights vary most
+    val diffs = joined
+      .select(abs(col("m.mean") - col("p.mean").cast("double")).as("d"))
+      .where(col("d").isNotNull).as[Double].collect().sorted
+    assert(diffs.nonEmpty)
+    assert(diffs(diffs.length / 2) <= 1.5, s"median ${diffs(diffs.length / 2)}")
+    assert(diffs.last <= 9.0, s"max ${diffs.last}")
+  }
+
   test("mc_nemar: transition counts exact, published p-values reproduce from weighted counts") {
     val mine = LsviStatus.mcNemar(plotMeta)
     val pub = readTsv(s"$fsDir/mc_nemar_fs.tsv")
