@@ -955,6 +955,16 @@ object SparkEntry {
       graft.lsvi.LsviStatus.trendIndicatoren(ind, meta)
     }),
 
+    "q117_status_habitat" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.statusHabitat(meta)
+    }),
+
+    "q118_index_ind" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.indexInd(ind, meta)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2144,12 +2154,16 @@ object SparkEntry {
         lit(s"crit_${j % 2}").as("criterium"), lit(s"ind_$j").as("indicator"),
         lit(if (j < 2) "zb" else "b").as("belang"),
         when(m === 0, lit(null).cast("boolean")).otherwise(m % 2 === 1)
-          .as("status_indicator"))
+          .as("status_indicator"),
+        when(m === 0, lit(null).cast("double"))
+          .otherwise(((col("ck") * (j + 4)) % 2001 - 1000).cast("double") / 1000.0)
+          .as("verschilscore"))
     }
     val ind = meta.select(col("id"), col("habitattype").as("type_analysis"),
         col("ck"), explode(array(indStructs: _*)).as("i"))
       .select(col("id"), col("type_analysis"), col("i.criterium"),
-        col("i.indicator"), col("i.belang"), col("i.status_indicator"))
+        col("i.indicator"), col("i.belang"), col("i.status_indicator"),
+        col("i.verschilscore"))
     (meta.drop("ck"), ind)
   }
 
@@ -2174,7 +2188,8 @@ object SparkEntry {
        |  FROM base),
        |latest AS (
        |  SELECT habitattype, point_code, arg_max(id, mdate) AS id,
-       |    arg_max(in_sac, mdate) AS in_sac, arg_max(idx, mdate) AS idx
+       |    arg_max(in_sac, mdate) AS in_sac, arg_max(idx, mdate) AS idx,
+       |    arg_max(lsvi, mdate) AS lsvi
        |  FROM plots GROUP BY 1, 2)
        |""".stripMargin
   }
@@ -3595,6 +3610,93 @@ object SparkEntry {
            |  CAST(NULL AS DOUBLE) AS llci,
            |  CAST(NULL AS DOUBLE) AS ulci
            |FROM vr""".stripMargin
+    },
+
+    // q117: status_habitat — the q113 Wilson machinery on the
+    // plot-level lsvi verdict.
+    "q117_status_habitat" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    (lsvi = 'gunstig') AS gn
+           |  FROM latest CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE lsvi IS NOT NULL),
+           |agg AS (
+           |  SELECT habitattype, sbzh, count(*) AS n_obs,
+           |    count(CASE WHEN gn THEN 1 END) AS k
+           |  FROM rows_ GROUP BY 1, 2),
+           |wil AS (
+           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM agg),
+           |wil2 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM wil),
+           |fin AS (
+           |  SELECT habitattype, sbzh, n_obs,
+           |    round(100.0 * CAST(k AS DOUBLE) / n_obs, 6) AS aandeel_gunstig,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS aandeel_gunstig_llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS aandeel_gunstig_ulci
+           |  FROM wil2)
+           |SELECT *, CASE WHEN aandeel_gunstig_llci >= 75 THEN 'Goed'
+           |               WHEN aandeel_gunstig_ulci < 75 THEN 'Niet goed'
+           |               ELSE 'Onbekend' END AS beoordeling
+           |FROM fin""".stripMargin
+    },
+
+    // q118: index_ind — the q114 fixed-point mean machinery at
+    // indicator grain.
+    "q118_index_ind" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE) / 1000.0
+           |         END AS vs
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |rows_ AS (
+           |  SELECT i.habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN l.in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    i.criterium, i.indicator, i.belang,
+           |    CAST(floor(i.vs * 1000000.0 + 0.5) AS BIGINT) AS x6
+           |  FROM ind i JOIN latest l ON i.id = l.id
+           |  CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE i.vs IS NOT NULL),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |    belang, count(*) AS n_obs,
+           |    CAST(sum(x6) AS BIGINT) AS s6, CAST(sum(x6 * x6) AS BIGINT) AS ss6
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5, 6),
+           |f AS (
+           |  SELECT *, CAST(s6 AS DOUBLE) / n_obs / 1000000.0 AS m,
+           |    sqrt(CAST(n_obs * ss6 - s6 * s6 AS DOUBLE)
+           |         / (n_obs * (n_obs - 1))) / 1000000.0 AS sd
+           |  FROM agg)
+           |SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |  belang, n_obs,
+           |  round(m, 6) AS index_ind_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_ind_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_ind_ulci
+           |FROM f""".stripMargin
     },
 
     // q115: mc_nemar — paired two-cycle transitions per point, n +

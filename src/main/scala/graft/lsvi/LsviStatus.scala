@@ -115,6 +115,70 @@ object LsviStatus {
       .drop("n_gunstig")
   }
 
+  /** `status_habitat` shape: favourability of the plot-level lsvi
+    * verdict per (habitattype, sbzh) over the latest-per-point plots —
+    * the same Wilson + verdict machinery as [[statusIndicatoren]], one
+    * aggregation. Validated: every published single-subtype stratum
+    * row of `status_habitat_fs.tsv` is this exact plain proportion. */
+  def statusHabitat(plotLsvi: DataFrame): DataFrame = {
+    val rows = latestPerPoint(plotLsvi)
+      .where(col("lsvi").isNotNull)
+      .select(col("habitattype"), (col("lsvi") === "gunstig").as("g"),
+        explode(array(
+          when(col("in_sac") === 1, "Binnen").otherwise("Buiten"),
+          lit("Binnen & Buiten"))).as("sbzh"))
+    val agg = rows.groupBy("habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"), count(when(col("g"), 1)).as("n_gunstig"))
+    val (lo, hi) = wilson(col("n_gunstig"), col("n_obs"))
+    agg
+      .withColumn("aandeel_gunstig",
+        round(lit(100.0) * col("n_gunstig").cast("double") / col("n_obs"), 6))
+      .withColumn("aandeel_gunstig_llci", round(lo, 6))
+      .withColumn("aandeel_gunstig_ulci", round(hi, 6))
+      .withColumn("beoordeling",
+        beoordeling(col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")))
+      .drop("n_gunstig")
+  }
+
+  /** `index_ind` shape: mean (clamped) indicator verschilscore + 95%
+    * normal interval per (type_resultaat, habitattype, sbzh,
+    * criterium, indicator, belang) over the latest-per-point plots —
+    * the [[indexHq]] fixed-point machinery at indicator grain.
+    * Validated: published single-subtype stratum means are exact
+    * (display-rounding only) on `index_ind_fs.tsv`. */
+  def indexInd(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    val latest = latestPerPoint(plotMeta)
+      .select(col("id"), when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
+        .as("stratum"))
+    val rows = indicator
+      .join(latest, Seq("id"))
+      .where(col("verschilscore").isNotNull)
+      .withColumn("x6", floor(col("verschilscore") * 1e6 + 0.5).cast("long"))
+      .select(col("type_analysis").as("habitattype"), col("criterium"),
+        col("indicator"), col("belang"), col("x6"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"), col("stratum").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("criterium"), col("indicator"), col("belang"), col("x6"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh",
+        "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"), sum(col("x6")).as("s6"),
+        sum(col("x6") * col("x6")).as("ss6"))
+    val mean = col("s6").cast("double") / col("n_obs") / 1e6
+    val sd = sqrt((col("n_obs") * col("ss6") - col("s6") * col("s6"))
+        .cast("double") / (col("n_obs") * (col("n_obs") - lit(1L)))) / 1e6
+    val half = lit(z975) * sd / sqrt(col("n_obs").cast("double"))
+    agg
+      .withColumn("index_ind_mean", round(mean, 6))
+      .withColumn("index_ind_llci",
+        when(col("n_obs") > 1, round(mean - half, 6)))
+      .withColumn("index_ind_ulci",
+        when(col("n_obs") > 1, round(mean + half, 6)))
+      .drop("s6", "ss6")
+  }
+
   /** `index_hq` shape: mean habitat-quality index (the globaal
     * `index_mean_ind`) + 95% normal interval per (type_resultaat,
     * habitattype, sbzh) over the latest-per-point plots; `Habitattype`

@@ -191,6 +191,73 @@ class StatusShapesSpec extends SparkSuite {
     assert(diffs.last <= 9.0, s"max ${diffs.last}")
   }
 
+  test("status_habitat: stratum rows are exact plain proportions of the plot verdict") {
+    val mine = LsviStatus.statusHabitat(plotMeta)
+    val pub = readTsv(s"$fsDir/status_habitat_fs.tsv")
+      .withColumn("ht", coalesce(col("habitatsubtype"), col("habitattype")))
+      .where(!col("ht").contains(";"))
+    val joined = mine.alias("m").join(pub.alias("p"),
+      col("m.habitattype") === col("p.ht") && col("m.sbzh") === col("p.sbzh"))
+    val stratum = joined.where(col("p.sbzh").isin("Binnen", "Buiten"))
+    assert(stratum.count() === 10L) // the five plain types x 2 strata
+    val bad = stratum.where(
+      col("m.n_obs") =!= col("p.n_obs").cast("long") ||
+        abs(col("m.aandeel_gunstig") - col("p.aandeel_gunstig").cast("double")) > 0.005)
+      .count()
+    assert(bad === 0L)
+    // pooled rows (excluding the 91E0_sf subtype-share case): n exact
+    val pooledBad = joined.where(col("p.sbzh") === "Binnen & Buiten" &&
+        col("m.habitattype") =!= "91E0_sf" &&
+        col("m.n_obs") =!= col("p.n_obs").cast("long")).count()
+    assert(pooledBad === 0L)
+  }
+
+  test("index_ind: n_obs exact, stratum means exact, pooled/bounds track published") {
+    val ind = readTsv(s"$fsDir/lsvi_indicator_fs.tsv")
+      .select(col("id"), col("type_analysis"), col("criterium"), col("indicator"),
+        col("belang"),
+        greatest(lit(-1.0), least(lit(1.0), col("verschilscore").cast("double")))
+          .as("verschilscore"))
+    val mine = LsviStatus.indexInd(ind, plotMeta).cache()
+    // the published table lists the 9130_end analysis twice — as TYPE
+    // 9130 (type_resultaat Habitattype) and as subtype 9130_end
+    // (type_resultaat Habitatsubtype), same plot set both times
+    val pub = readTsv(s"$fsDir/index_ind_fs.tsv")
+      .where(!col("habitattype").startsWith("91E0"))
+      .withColumn("ht", when(col("habitattype") === "9130", "9130_end")
+        .otherwise(col("habitattype")))
+      .withColumn("type_resultaat",
+        when(col("type_resultaat") === "Habitatsubtype", "Habitattype")
+          .otherwise(col("type_resultaat")))
+    val joined = mine.alias("m").join(pub.alias("p"),
+      col("m.habitattype") === col("p.ht") &&
+        col("m.type_resultaat") === col("p.type_resultaat") &&
+        col("m.sbzh") === col("p.sbzh") &&
+        col("m.criterium") === col("p.criterium") &&
+        col("m.indicator") === col("p.indicator"))
+    assert(joined.count() === pub.count())
+    val badN = joined.where(
+      col("m.n_obs") =!= col("p.n_obs").cast("long")).count()
+    assert(badN === 0L)
+    // stratum means are plain (exact up to 4-decimal display rounding);
+    // pooled means carry design weights; bounds are the z interval vs
+    // the reference's t/design one
+    val badStratum = joined.where(col("p.sbzh").isin("Binnen", "Buiten") &&
+      abs(col("m.index_ind_mean") - col("p.index_ind_mean").cast("double")) > 1e-4)
+      .count()
+    assert(badStratum === 0L)
+    val badPooled = joined.where(col("p.sbzh") === "Binnen & Buiten" &&
+      abs(col("m.index_ind_mean") - col("p.index_ind_mean").cast("double")) > 0.05)
+      .count()
+    assert(badPooled === 0L)
+    val badBounds = joined.where(
+      col("p.`index_ind_llci_0.95`").isNotNull && col("m.index_ind_llci").isNotNull &&
+        (abs(col("m.index_ind_llci") - col("p.`index_ind_llci_0.95`").cast("double")) > 0.1 ||
+          abs(col("m.index_ind_ulci") - col("p.`index_ind_ulci_0.95`").cast("double")) > 0.1))
+      .count()
+    assert(badBounds === 0L)
+  }
+
   test("mc_nemar: transition counts exact, published p-values reproduce from weighted counts") {
     val mine = LsviStatus.mcNemar(plotMeta)
     val pub = readTsv(s"$fsDir/mc_nemar_fs.tsv")
