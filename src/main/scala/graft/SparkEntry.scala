@@ -965,6 +965,16 @@ object SparkEntry {
       graft.lsvi.LsviStatus.indexInd(ind, meta)
     }),
 
+    "q119_trend_index_hq" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndexHq(meta)
+    }),
+
+    "q120_trend_index_ind" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndexInd(ind, meta)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3696,6 +3706,121 @@ object SparkEntry {
            |  CASE WHEN n_obs > 1
            |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
            |    AS index_ind_ulci
+           |FROM f""".stripMargin
+    },
+
+    // q119: trend_index_hq — exact fixed-point paired differences of
+    // the plot index, z interval, relative change = sum(d)/sum(x1).
+    "q119_trend_index_hq" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", px AS (
+           |  SELECT habitattype, point_code, id, mdate, in_sac,
+           |    CAST(floor(idx * 1000000.0 + 0.5) AS BIGINT) AS x6
+           |  FROM plots WHERE idx IS NOT NULL),
+           |pairs AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(x6, mdate) AS x16, arg_max(x6, mdate) AS x26,
+           |    arg_max(in_sac, mdate) AS in_sac,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM px GROUP BY 1, 2),
+           |d AS (
+           |  SELECT habitattype, x26 - x16 AS d6, x16, in_sac
+           |  FROM pairs WHERE nc > 1),
+           |rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    d6, x16
+           |  FROM d CROSS JOIN (VALUES (0),(1)) g(g)),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    CAST(sum(d6) AS BIGINT) AS sd6,
+           |    CAST(sum(d6 * d6) AS BIGINT) AS ssd6,
+           |    CAST(sum(x16) AS BIGINT) AS s16
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |f AS (
+           |  SELECT *, CAST(sd6 AS DOUBLE) / n_obs / 1000000.0 AS m,
+           |    sqrt(CAST(n_obs * ssd6 - sd6 * sd6 AS DOUBLE)
+           |         / (n_obs * (n_obs - 1))) / 1000000.0 AS sd
+           |  FROM agg)
+           |SELECT type_resultaat, habitattype, sbzh, n_obs,
+           |  round(m, 6) AS index_diff_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_diff_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_diff_ulci,
+           |  CASE WHEN s16 <> 0
+           |       THEN round(CAST(sd6 AS DOUBLE) / CAST(s16 AS DOUBLE), 6) END
+           |    AS index_diff_rel
+           |FROM f""".stripMargin
+    },
+
+    // q120: trend_index_ind — the q119 machinery at indicator grain.
+    "q120_trend_index_ind" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairs AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(id, mdate) AS id_1, arg_max(id, mdate) AS id_2,
+           |    arg_max(in_sac, mdate) AS in_sac,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |prs AS (SELECT * FROM pairs WHERE nc > 1),
+           |ind AS (
+           |  SELECT p.id, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE CAST(floor(CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE)
+           |                         / 1000.0 * 1000000.0 + 0.5) AS BIGINT)
+           |         END AS x6
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |known AS (SELECT * FROM ind WHERE x6 IS NOT NULL),
+           |s1 AS (
+           |  SELECT p.habitattype, p.point_code, p.in_sac, k.criterium,
+           |    k.indicator, k.belang, k.x6 AS x16
+           |  FROM known k JOIN prs p ON k.id = p.id_1),
+           |s2 AS (
+           |  SELECT p.habitattype, p.point_code, k.criterium, k.indicator,
+           |    k.x6 AS x26
+           |  FROM known k JOIN prs p ON k.id = p.id_2),
+           |d AS (
+           |  SELECT s1.habitattype, s1.criterium, s1.indicator, s1.belang,
+           |    s1.in_sac, s2.x26 - s1.x16 AS d6
+           |  FROM s1 JOIN s2 ON s1.habitattype = s2.habitattype
+           |    AND s1.point_code = s2.point_code
+           |    AND s1.criterium = s2.criterium AND s1.indicator = s2.indicator),
+           |rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    criterium, indicator, belang, d6
+           |  FROM d CROSS JOIN (VALUES (0),(1)) g(g)),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |    belang, count(*) AS n_obs,
+           |    CAST(sum(d6) AS BIGINT) AS sd6,
+           |    CAST(sum(d6 * d6) AS BIGINT) AS ssd6
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5, 6),
+           |f AS (
+           |  SELECT *, CAST(sd6 AS DOUBLE) / n_obs / 1000000.0 AS m,
+           |    sqrt(CAST(n_obs * ssd6 - sd6 * sd6 AS DOUBLE)
+           |         / (n_obs * (n_obs - 1))) / 1000000.0 AS sd
+           |  FROM agg)
+           |SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |  belang, n_obs,
+           |  round(m, 6) AS index_diff_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_diff_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sd / sqrt(CAST(n_obs AS DOUBLE)), 6) END
+           |    AS index_diff_ulci
            |FROM f""".stripMargin
     },
 

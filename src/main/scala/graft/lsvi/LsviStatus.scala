@@ -216,6 +216,104 @@ object LsviStatus {
       .drop("s6", "ss6")
   }
 
+  /** `trend_index_hq` shape: paired two-cycle change of the plot-level
+    * habitat-quality index per (type_resultaat, habitattype, sbzh) —
+    * mean within-point difference (latest minus earliest), 95% normal
+    * interval, and the relative change (mean difference over the
+    * first-cycle mean, = sum(d)/sum(x1) under equal weights). All in
+    * 1e-6 fixed point: the within-point difference of two fixed-point
+    * values is an exact integer, so the distributed sums replay
+    * bit-identically in the oracle. Validated: the published SBZH
+    * stratum rows of `trend_index_hq_fs.tsv` reproduce EXACTLY (mean
+    * and both bounds — the reference's interval is this z interval);
+    * pooled rows carry design weights (within 0.005). */
+  def trendIndexHq(plotIndex: DataFrame): DataFrame = {
+    val p = plotIndex.where(col("index_mean_ind").isNotNull)
+      .withColumn("x6", floor(col("index_mean_ind") * 1e6 + 0.5).cast("long"))
+    val pairs = p.groupBy("habitattype", "point_code").agg(
+        min_by(col("x6"), struct(col("date"), col("id"))).as("x16"),
+        max_by(col("x6"), struct(col("date"), col("id"))).as("x26"),
+        max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+      .withColumn("d6", col("x26") - col("x16"))
+    val rows = pairs.select(col("habitattype"), col("d6"), col("x16"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("d6"), col("x16"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"), sum(col("d6")).as("sd6"),
+        sum(col("d6") * col("d6")).as("ssd6"), sum(col("x16")).as("s16"))
+    val mean = col("sd6").cast("double") / col("n_obs") / 1e6
+    val sd = sqrt((col("n_obs") * col("ssd6") - col("sd6") * col("sd6"))
+        .cast("double") / (col("n_obs") * (col("n_obs") - lit(1L)))) / 1e6
+    val half = lit(z975) * sd / sqrt(col("n_obs").cast("double"))
+    agg
+      .withColumn("index_diff_mean", round(mean, 6))
+      .withColumn("index_diff_llci",
+        when(col("n_obs") > 1, round(mean - half, 6)))
+      .withColumn("index_diff_ulci",
+        when(col("n_obs") > 1, round(mean + half, 6)))
+      .withColumn("index_diff_rel",
+        when(col("s16") =!= 0L,
+          round(col("sd6").cast("double") / col("s16").cast("double"), 6)))
+      .drop("sd6", "ssd6", "s16")
+  }
+
+  /** `trend_index_ind` shape: the [[trendIndexHq]] paired-difference
+    * machinery at indicator grain (clamped indicator verschilscores,
+    * both cycles known). Published SBZH stratum rows reproduce exactly
+    * (1.4e-5, display rounding). */
+  def trendIndexInd(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    val pr = plotMeta.groupBy("habitattype", "point_code").agg(
+        min_by(col("id"), struct(col("date"), col("id"))).as("id_1"),
+        max_by(col("id"), struct(col("date"), col("id"))).as("id_2"),
+        max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+    val k = indicator.where(col("verschilscore").isNotNull)
+      .withColumn("x6", floor(col("verschilscore") * 1e6 + 0.5).cast("long"))
+    val s1 = k.join(pr.select(col("id_1").as("id"), col("habitattype"),
+        col("point_code"), col("in_sac")), Seq("id"))
+      .select(col("habitattype"), col("point_code"), col("in_sac"),
+        col("criterium"), col("indicator"), col("belang"), col("x6").as("x16"))
+    val s2 = k.join(pr.select(col("id_2").as("id"), col("habitattype"),
+        col("point_code")), Seq("id"))
+      .select(col("habitattype"), col("point_code"), col("criterium"),
+        col("indicator"), col("x6").as("x26"))
+    val rows = s1.join(s2,
+        Seq("habitattype", "point_code", "criterium", "indicator"))
+      .withColumn("d6", col("x26") - col("x16"))
+      .select(col("habitattype"), col("criterium"), col("indicator"),
+        col("belang"), col("d6"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("criterium"), col("indicator"), col("belang"), col("d6"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh",
+        "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"), sum(col("d6")).as("sd6"),
+        sum(col("d6") * col("d6")).as("ssd6"))
+    val mean = col("sd6").cast("double") / col("n_obs") / 1e6
+    val sd = sqrt((col("n_obs") * col("ssd6") - col("sd6") * col("sd6"))
+        .cast("double") / (col("n_obs") * (col("n_obs") - lit(1L)))) / 1e6
+    val half = lit(z975) * sd / sqrt(col("n_obs").cast("double"))
+    agg
+      .withColumn("index_diff_mean", round(mean, 6))
+      .withColumn("index_diff_llci",
+        when(col("n_obs") > 1, round(mean - half, 6)))
+      .withColumn("index_diff_ulci",
+        when(col("n_obs") > 1, round(mean + half, 6)))
+      .drop("sd6", "ssd6")
+  }
+
   /** `mc_nemar` shape: two-cycle paired habitat-status trend. Input is
     * plot metadata with the per-plot lsvi verdict and a design weight;
     * a pair is a point with more than one measured cycle (earliest vs

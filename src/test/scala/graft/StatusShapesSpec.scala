@@ -258,6 +258,74 @@ class StatusShapesSpec extends SparkSuite {
     assert(badBounds === 0L)
   }
 
+  test("trend_index_hq: stratum rows exact (mean AND bounds — the published interval IS this z interval)") {
+    val mine = LsviStatus.trendIndexHq(plotMeta)
+    val pub = readTsv(s"$fsDir/trend_index_hq_fs.tsv")
+      .where(!col("habitattype").startsWith("91E0") &&
+        col("type_resultaat") =!= "Habitatsubtype")
+      .withColumn("ht", when(col("habitattype") === "9130", "9130_end")
+        .otherwise(col("habitattype")))
+    val joined = mine.alias("m").join(pub.alias("p"),
+      col("m.habitattype") === col("p.ht") &&
+        col("m.type_resultaat") === col("p.type_resultaat") &&
+        col("m.sbzh") === col("p.sbzh"))
+    assert(joined.count() === pub.count())
+    // 5e-6: the published values carry their own ~1e-6 rendering on
+    // top of the plot table's 4-decimal index (measured worst 1.5e-6)
+    val badStratum = joined.where(col("p.sbzh").isin("Binnen", "Buiten") &&
+        (abs(col("m.index_diff_mean") - col("p.index_diff_mean").cast("double")) > 5e-6 ||
+          abs(col("m.index_diff_llci") - col("p.`index_diff_llci_0.95`").cast("double")) > 5e-6 ||
+          abs(col("m.index_diff_ulci") - col("p.`index_diff_ulci_0.95`").cast("double")) > 5e-6))
+      .count()
+    assert(badStratum === 0L)
+    val badPooled = joined.where(col("p.sbzh") === "Binnen & Buiten" &&
+        abs(col("m.index_diff_mean") - col("p.index_diff_mean").cast("double")) > 0.005)
+      .count()
+    assert(badPooled === 0L)
+    // relative change: published at 3 decimals, stratum rows plain
+    val badRel = joined.where(col("p.sbzh").isin("Binnen", "Buiten") &&
+        col("p.index_diff_rel").isNotNull &&
+        abs(col("m.index_diff_rel") - col("p.index_diff_rel").cast("double")) > 5e-3)
+      .count()
+    assert(badRel === 0L)
+  }
+
+  test("trend_index_ind: stratum rows exact, pooled within design-weight tolerance") {
+    val ind = readTsv(s"$fsDir/lsvi_indicator_fs.tsv")
+      .select(col("id"), col("type_analysis"), col("criterium"), col("indicator"),
+        col("belang"),
+        greatest(lit(-1.0), least(lit(1.0), col("verschilscore").cast("double")))
+          .as("verschilscore"))
+    val mine = LsviStatus.trendIndexInd(ind, plotMeta)
+    // published type_resultaat codes: 'sbzh' for stratum rows,
+    // 'Habitatsubtype' duplicating the 9130_end type rows
+    val pub = readTsv(s"$fsDir/trend_index_ind_fs.tsv")
+      .where(!col("habitattype").startsWith("91E0") &&
+        col("type_resultaat") =!= "Habitatsubtype")
+      .withColumn("ht", when(col("habitattype") === "9130", "9130_end")
+        .otherwise(col("habitattype")))
+      .withColumn("type_resultaat",
+        when(col("type_resultaat") === "sbzh", "SBZH")
+          .otherwise(col("type_resultaat")))
+    val joined = mine.alias("m").join(pub.alias("p"),
+      col("m.habitattype") === col("p.ht") &&
+        col("m.type_resultaat") === col("p.type_resultaat") &&
+        col("m.sbzh") === col("p.sbzh") &&
+        col("m.criterium") === col("p.criterium") &&
+        col("m.indicator") === col("p.indicator"))
+    assert(joined.count() === pub.count())
+    val badStratum = joined.where(col("p.sbzh").isin("Binnen", "Buiten") &&
+        (abs(col("m.index_diff_mean") - col("p.index_diff_mean").cast("double")) > 2e-5 ||
+          abs(col("m.index_diff_llci") - col("p.`index_diff_llci_0.95`").cast("double")) > 2e-5 ||
+          abs(col("m.index_diff_ulci") - col("p.`index_diff_ulci_0.95`").cast("double")) > 2e-5))
+      .count()
+    assert(badStratum === 0L)
+    val badPooled = joined.where(col("p.sbzh") === "Binnen & Buiten" &&
+        abs(col("m.index_diff_mean") - col("p.index_diff_mean").cast("double")) > 0.05)
+      .count()
+    assert(badPooled === 0L)
+  }
+
   test("mc_nemar: transition counts exact, published p-values reproduce from weighted counts") {
     val mine = LsviStatus.mcNemar(plotMeta)
     val pub = readTsv(s"$fsDir/mc_nemar_fs.tsv")
