@@ -1795,27 +1795,41 @@ object SparkEntry {
   /** Globaal report in 1e-6 fixed point (see q103's comment: integer
     * sums are order-independent, so Spark's partial aggregation and the
     * DuckDB oracle produce bit-identical doubles). Shared by the forest
-    * (q103) and heath (q107) globaal queries. */
+    * (q103) and heath (q107) globaal queries.
+    *
+    * ONE chained aggregation path (indicator -> criterium -> plot):
+    * the plot-level counts are sums of the criterium-level partials
+    * (every indicator row belongs to exactly one criterium), so the
+    * criterium mean-of-means and the plot rollup come out of the same
+    * pass — the earlier perPlot ⋈ critMean self-join evaluated the
+    * whole upstream (rules join, measurement prep) twice because
+    * Spark does not reuse the common subplan across the two grouping
+    * branches (measured: q112's species prep ran double, 3.1s -> this
+    * shape). Values are bit-identical; the oracle SQL is unchanged. */
   private def lsviGlobaalFixedPoint(indicator0: DataFrame): DataFrame = {
     val ind = indicator0
       .withColumn("vs6", floor(col("verschilscore") * 1e6 + 0.5).cast("long"))
-    val perPlot = ind.groupBy("id", "type_analysis").agg(
-      count(when(col("status_indicator").isNotNull, 1)).as("n_known"),
-      count(when(col("status_indicator"), 1)).as("n_gunstig"),
+    val crit = ind.groupBy("id", "type_analysis", "criterium").agg(
+      count(when(col("status_indicator").isNotNull, 1)).as("nk"),
+      count(when(col("status_indicator"), 1)).as("ng"),
       count(when(col("belang") === "zb" && !col("status_indicator"), 1))
-        .as("n_zb_ongunstig"),
-      sum(col("vs6")).as("s6"), count(col("vs6")).as("n_vs"),
+        .as("nzb"),
+      sum(col("vs6")).as("cs6"), count(col("vs6")).as("cn"),
       // guard: Spark's least() skips nulls, so an unguarded
       // least(vs6, 0)+1e6 would count unknown indicators as 1.0
       sum(when(col("vs6").isNotNull, least(col("vs6"), lit(0L)) + lit(1000000L)))
-        .as("d6"))
-    val critMean = ind.groupBy("id", "type_analysis", "criterium")
-      .agg(sum(col("vs6")).as("cs6"), count(col("vs6")).as("cn"))
-      .where(col("cn") > 0)
-      .withColumn("m6", floor(col("cs6").cast("double") / col("cn") + 0.5).cast("long"))
-      .groupBy("id", "type_analysis")
-      .agg(sum(col("m6")).as("mc6"), count(lit(1)).as("n_crit"))
-    perPlot.join(critMean, Seq("id", "type_analysis"), "left_outer")
+        .as("cd6"))
+    val perPlot = crit.groupBy("id", "type_analysis").agg(
+      sum(col("nk")).as("n_known"),
+      sum(col("ng")).as("n_gunstig"),
+      sum(col("nzb")).as("n_zb_ongunstig"),
+      sum(col("cs6")).as("s6"), sum(col("cn")).as("n_vs"),
+      sum(col("cd6")).as("d6"),
+      sum(when(col("cn") > 0,
+        floor(col("cs6").cast("double") / col("cn") + 0.5).cast("long")))
+        .as("mc6"),
+      count(when(col("cn") > 0, 1)).as("n_crit"))
+    perPlot
       .select(col("id"), col("type_analysis"),
         when(col("n_known") > 0,
           lit(100.0) * col("n_gunstig") / col("n_known") > 50.0 &&
@@ -1826,7 +1840,9 @@ object SparkEntry {
           .as("aandeel_gunstig"),
         when(col("n_vs") > 0, col("s6").cast("double") / col("n_vs") / lit(1e6))
           .as("index_mean_ind"),
-        (col("mc6").cast("double") / col("n_crit") / lit(1e6)).as("index_mean_crit"),
+        when(col("n_crit") > 0,
+          col("mc6").cast("double") / col("n_crit") / lit(1e6))
+          .as("index_mean_crit"),
         when(col("n_vs") > 0, col("d6").cast("double") / col("n_vs") / lit(1e6))
           .as("doelbereik_mean_ind"))
   }
