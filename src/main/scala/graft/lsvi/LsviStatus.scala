@@ -269,24 +269,28 @@ object LsviStatus {
     * both cycles known). Published SBZH stratum rows reproduce exactly
     * (1.4e-5, display rounding). */
   def trendIndexInd(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    // single-chain like [[trendIndicatoren]]: cycle pivot by conditional
+    // aggregation instead of an s1 ⋈ s2 self-join (which planned the
+    // pairing subtree twice)
     val pr = plotMeta.groupBy("habitattype", "point_code").agg(
         min_by(col("id"), struct(col("date"), col("id"))).as("id_1"),
         max_by(col("id"), struct(col("date"), col("id"))).as("id_2"),
         max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
         countDistinct(col("date")).as("nc"))
       .where(col("nc") > 1)
+    val cyc = pr.select(col("point_code"), col("in_sac"), explode(array(
+        struct(col("id_1").as("id"), lit("c_1").as("periode")),
+        struct(col("id_2").as("id"), lit("c_2").as("periode")))).as("e"))
+      .select(col("point_code"), col("in_sac"), col("e.id"), col("e.periode"))
     val k = indicator.where(col("verschilscore").isNotNull)
       .withColumn("x6", floor(col("verschilscore") * 1e6 + 0.5).cast("long"))
-    val s1 = k.join(pr.select(col("id_1").as("id"), col("habitattype"),
-        col("point_code"), col("in_sac")), Seq("id"))
-      .select(col("habitattype"), col("point_code"), col("in_sac"),
-        col("criterium"), col("indicator"), col("belang"), col("x6").as("x16"))
-    val s2 = k.join(pr.select(col("id_2").as("id"), col("habitattype"),
-        col("point_code")), Seq("id"))
-      .select(col("habitattype"), col("point_code"), col("criterium"),
-        col("indicator"), col("x6").as("x26"))
-    val rows = s1.join(s2,
-        Seq("habitattype", "point_code", "criterium", "indicator"))
+    val rows = k.join(cyc, Seq("id"))
+      .groupBy(col("type_analysis").as("habitattype"), col("point_code"),
+        col("in_sac"), col("criterium"), col("indicator"), col("belang"))
+      .agg(
+        max(when(col("periode") === "c_1", col("x6"))).as("x16"),
+        max(when(col("periode") === "c_2", col("x6"))).as("x26"))
+      .where(col("x16").isNotNull && col("x26").isNotNull)
       .withColumn("d6", col("x26") - col("x16"))
       .select(col("habitattype"), col("criterium"), col("indicator"),
         col("belang"), col("d6"),
@@ -335,18 +339,22 @@ object LsviStatus {
       .where(col("n_cycles") > 1)
       .withColumn("trend_local",
         concat(col("lsvi_1"), lit(" - "), col("lsvi_2")))
+    // single-chain: the discordant sums come from a window over the
+    // transition-count aggregate (habitattype-count-sized) instead of a
+    // second aggregation branch over the pairs — the earlier
+    // counts ⋈ broadcast(disc) shape planned the pairing subtree twice
     val counts = pairs.groupBy("habitattype", "trend_local")
-      .agg(count(lit(1)).as("n"), round(sum(col("w")), 6).as("n_adj"))
-    val disc = pairs.groupBy("habitattype").agg(
-      sum(when(col("trend_local") === "gunstig - ongunstig", col("w"))
-        .otherwise(0.0)).as("b"),
-      sum(when(col("trend_local") === "ongunstig - gunstig", col("w"))
-        .otherwise(0.0)).as("c"))
+      .agg(count(lit(1)).as("n"), round(sum(col("w")), 6).as("n_adj"),
+        sum(col("w")).as("w_sum"))
+    val byHt = org.apache.spark.sql.expressions.Window.partitionBy("habitattype")
+    val b = sum(when(col("trend_local") === "gunstig - ongunstig",
+      col("w_sum")).otherwise(0.0)).over(byHt)
+    val c = sum(when(col("trend_local") === "ongunstig - gunstig",
+      col("w_sum")).otherwise(0.0)).over(byHt)
+    counts
       .withColumn("mcnemar_chi2",
-        when(col("b") + col("c") > 0.0,
-          round(pow(col("b") - col("c"), 2) / (col("b") + col("c")), 6)))
-      .select("habitattype", "mcnemar_chi2")
-    counts.join(broadcast(disc), Seq("habitattype"))
+        when(b + c > 0.0, round(pow(b - c, 2) / (b + c), 6)))
+      .drop("w_sum")
   }
 
   /** `trend_indicatoren` shape: paired two-cycle indicator trend over
@@ -364,6 +372,11 @@ object LsviStatus {
     * and every aandeel row); the published means carry design weights
     * and sit within ~3pp of these equal-weight estimates. */
   def trendIndicatoren(indicator: DataFrame, plotMeta: DataFrame): DataFrame = {
+    // single-chain: pairs -> per-(point, indicator) cycle pivot -> one
+    // group-level aggregation that yields BOTH per-cycle counts and the
+    // paired discordants — the earlier per-cycle aggregation + s1 ⋈ s2
+    // self-join planned the pairing subtree three times (no
+    // cross-branch reuse), tripling the upstream scans
     val pairs = plotMeta
       .groupBy("habitattype", "point_code")
       .agg(
@@ -371,41 +384,50 @@ object LsviStatus {
         max_by(col("id"), struct(col("date"), col("id"))).as("id_2"),
         countDistinct(col("date")).as("nc"))
       .where(col("nc") > 1)
-    val cyc = pairs.select(explode(array(
+    val cyc = pairs.select(col("point_code"), explode(array(
         struct(col("id_1").as("id"), lit("c_1").as("periode")),
         struct(col("id_2").as("id"), lit("c_2").as("periode")))).as("e"))
-      .select(col("e.id"), col("e.periode"))
+      .select(col("point_code"), col("e.id"), col("e.periode"))
     val known = indicator.where(col("status_indicator").isNotNull)
-    val perCycle = known.join(cyc, Seq("id"))
-      .groupBy(col("type_analysis").as("habitattype"), col("periode"),
+    // one row per (point, indicator, cycle) by the engine contract
+    // (one indicator row per id), so max(when(...)) is the cycle pivot
+    val level1 = known.join(cyc, Seq("id"))
+      .groupBy(col("type_analysis").as("habitattype"), col("point_code"),
         col("criterium"), col("indicator"), col("belang"))
-      .agg(count(lit(1)).as("n_obs"),
-        count(when(col("status_indicator"), 1)).as("n_gunstig"))
+      .agg(
+        max(when(col("periode") === "c_1", col("status_indicator"))).as("s1"),
+        max(when(col("periode") === "c_2", col("status_indicator"))).as("s2"))
+    val both = col("s1").isNotNull && col("s2").isNotNull
+    val level2 = level1.groupBy("habitattype", "criterium", "indicator", "belang")
+      .agg(
+        count(col("s1")).as("n1"), count(when(col("s1"), 1)).as("k1c"),
+        count(col("s2")).as("n2"), count(when(col("s2"), 1)).as("k2c"),
+        count(when(both, 1)).as("np"),
+        count(when(both && col("s1"), 1)).as("k1"),
+        count(when(both && col("s1") && !col("s2"), 1)).as("b"),
+        count(when(both && !col("s1") && col("s2"), 1)).as("c"))
+    val aCyc = level2.select(col("habitattype"), col("criterium"),
+        col("indicator"), col("belang"),
+        explode(array(
+          struct(lit("c_1").as("periode"), col("n1").as("n_obs"),
+            col("k1c").as("k")),
+          struct(lit("c_2").as("periode"), col("n2").as("n_obs"),
+            col("k2c").as("k")))).as("e"))
+      .select(col("habitattype"), col("e.periode").as("periode"),
+        col("criterium"), col("indicator"), col("belang"),
+        col("e.n_obs").as("n_obs"), col("e.k").as("n_gunstig"))
+      .where(col("n_obs") > 0)
     val (alo, ahi) = wilson(col("n_gunstig"), col("n_obs"))
-    val aandeel = perCycle
+    val aandeel = aCyc
       .withColumn("parameter", lit("aandeel_gunstig"))
       .withColumn("mean",
         round(lit(100.0) * col("n_gunstig").cast("double") / col("n_obs"), 6))
       .withColumn("llci", round(alo, 6))
       .withColumn("ulci", round(ahi, 6))
       .drop("n_gunstig")
-    // paired per (point, indicator): both cycles known
-    val s1 = known.join(pairs.select(col("id_1").as("id"), col("habitattype"),
-        col("point_code")), Seq("id"))
-      .select(col("habitattype"), col("point_code"), col("criterium"),
-        col("indicator"), col("belang"), col("status_indicator").as("s1"))
-    val s2 = known.join(pairs.select(col("id_2").as("id"), col("habitattype"),
-        col("point_code")), Seq("id"))
-      .select(col("habitattype"), col("point_code"), col("criterium"),
-        col("indicator"), col("status_indicator").as("s2"))
-    val paired = s1.join(s2,
-        Seq("habitattype", "point_code", "criterium", "indicator"))
-      .groupBy("habitattype", "criterium", "indicator", "belang")
-      .agg(count(lit(1)).as("n_obs"),
-        count(when(col("s1"), 1)).as("k1"),
-        count(when(col("s2"), 1)).as("k2"),
-        count(when(col("s1") && !col("s2"), 1)).as("b"),
-        count(when(!col("s1") && col("s2"), 1)).as("c"))
+    val paired = level2.where(col("np") > 0)
+      .select(col("habitattype"), col("criterium"), col("indicator"),
+        col("belang"), col("np").as("n_obs"), col("k1"), col("b"), col("c"))
     val nd = col("n_obs").cast("double")
     val bd = col("b").cast("double")
     val cd = col("c").cast("double")
