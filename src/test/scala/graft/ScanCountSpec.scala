@@ -1,0 +1,35 @@
+package graft
+
+/** Plan-reuse regression gate: pins the number of parquet scans each
+  * optimization-sensitive query plans. The LSVI globaal family and the
+  * paired trend shapes were rewritten to single-chain aggregations
+  * (round 9) precisely to stop Spark re-planning a shared subtree 2-3x
+  * (no cross-branch exchange reuse in local mode); a refactor that
+  * reintroduces a self-join or a second aggregation branch over the
+  * same upstream shows up here as an extra scan of the base table.
+  * Bounds are the measured post-rewrite counts — equality is not
+  * required (an optimizer improvement may drop a scan), exceeding them
+  * is the regression.
+  */
+class ScanCountSpec extends SparkSuite {
+  private def scanCount(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString
+    "file:[^\\]\\s]*/(\\w+)\\.parquet".r.findAllMatchIn(plan).size
+  }
+
+  test("single-chain globaal family plans a bounded number of scans") {
+    assert(scanCount("q103_lsvi_forest_globaal") <= 2)
+    assert(scanCount("q107_lsvi_heath_globaal") <= 2)
+    assert(scanCount("q112_lsvi_streams_globaal") <= 3)
+  }
+
+  test("status/trend shapes stay single-chain") {
+    assert(scanCount("q113_status_indicatoren") <= 2)
+    assert(scanCount("q115_mc_nemar") <= 1)
+    assert(scanCount("q116_trend_indicatoren") <= 4)
+    assert(scanCount("q117_status_habitat") <= 1)
+    assert(scanCount("q119_trend_index_hq") <= 1)
+    assert(scanCount("q120_trend_index_ind") <= 2)
+  }
+}
