@@ -975,6 +975,22 @@ object SparkEntry {
       graft.lsvi.LsviStatus.trendIndexInd(ind, meta)
     }),
 
+    // q121/q122 complete the published status/trend shape catalogue:
+    // the paired two-cycle habitat trend with the ten-class effect
+    // classification (trend_habitat_*.tsv — klasse thresholds +-12pp
+    // absolute / +-25% relative, validated 147/147 on the published
+    // rows in TrendBeheerShapesSpec) and the management split with the
+    // two-proportion chi-square (status_beheer_*.tsv).
+    "q121_trend_habitat" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendHabitat(meta)
+    }),
+
+    "q122_status_beheer" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.statusBeheer(meta)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2171,6 +2187,7 @@ object SparkEntry {
       (lit(2010) + lit(10) * (col("ck") % 2)).as("date"),
       when(col("pt") % 3 < 2, 1).otherwise(0).as("in_sac"),
       when((col("ck") * 5) % 3 === 0, "gunstig").otherwise("ongunstig").as("lsvi"),
+      when((col("pt") * 7) % 5 < 3, "ja").otherwise("nee").as("passend_beheer"),
       ((col("pt") % 7 + 1).cast("double") * 0.25).as("weight"),
       (((col("ck") * 11) % 2001 - 1000).cast("double") / 1000.0)
         .as("index_mean_ind"))
@@ -2209,13 +2226,14 @@ object SparkEntry {
        |    2010 + 10 * (ck % 2) AS mdate,
        |    CASE WHEN pt % 3 < 2 THEN 1 ELSE 0 END AS in_sac,
        |    CASE WHEN (ck * 5) % 3 = 0 THEN 'gunstig' ELSE 'ongunstig' END AS lsvi,
+       |    CASE WHEN (pt * 7) % 5 < 3 THEN 'ja' ELSE 'nee' END AS beheer,
        |    CAST((pt % 7 + 1) AS DOUBLE) * 0.25 AS w,
        |    CAST((ck * 11) % 2001 - 1000 AS DOUBLE) / 1000.0 AS idx
        |  FROM base),
        |latest AS (
        |  SELECT habitattype, point_code, arg_max(id, mdate) AS id,
        |    arg_max(in_sac, mdate) AS in_sac, arg_max(idx, mdate) AS idx,
-       |    arg_max(lsvi, mdate) AS lsvi
+       |    arg_max(lsvi, mdate) AS lsvi, arg_max(beheer, mdate) AS beheer
        |  FROM plots GROUP BY 1, 2)
        |""".stripMargin
   }
@@ -3866,6 +3884,187 @@ object SparkEntry {
         |  CASE WHEN d.b + d.c > 0.0
         |       THEN round(pow(d.b - d.c, 2) / (d.b + d.c), 6) END AS mcnemar_chi2
         |FROM counts c JOIN disc d ON c.habitattype = d.habitattype""".stripMargin),
+
+    // q121: trend_habitat — per-cycle paired proportions with Wilson
+    // bounds, paired-Wald absolute difference and log-ratio-delta
+    // relative change, both classified by the ten-class effect CASE
+    // (thresholds +-12pp abs / +-25% rel), year spans and the mean
+    // revisit interval.
+    "q121_trend_habitat" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      def klasseSql(tl: Double, th: Double): String =
+        s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
+           |     WHEN coalesce(llci, mean) > $th THEN '++'
+           |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
+           |     WHEN coalesce(llci, mean) > 0.0 THEN
+           |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
+           |     WHEN coalesce(ulci, mean) < 0.0 THEN
+           |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
+           |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
+           |       THEN '~'
+           |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
+           |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
+           |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairs AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(lsvi, mdate) = 'gunstig' AS g1,
+           |    arg_max(lsvi, mdate) = 'gunstig' AS g2,
+           |    arg_max(in_sac, mdate) AS in_sac,
+           |    min(mdate) AS j1, max(mdate) AS j2,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    g1, g2, j1, j2
+           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE nc > 1),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    count(CASE WHEN g1 THEN 1 END) AS k1,
+           |    count(CASE WHEN g2 THEN 1 END) AS k2,
+           |    count(CASE WHEN g1 AND NOT g2 THEN 1 END) AS b,
+           |    count(CASE WHEN NOT g1 AND g2 THEN 1 END) AS c,
+           |    min(j1) AS jmin1, max(j1) AS jmax1,
+           |    min(j2) AS jmin2, max(j2) AS jmax2,
+           |    sum(j2 - j1) AS sdj
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |acyc AS (
+           |  SELECT 'c_1' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    k1 AS k, jmin1 AS jaar_min, jmax1 AS jaar_max FROM agg
+           |  UNION ALL
+           |  SELECT 'c_2', type_resultaat, habitattype, sbzh, n_obs,
+           |    k2, jmin2, jmax2 FROM agg),
+           |wil AS (
+           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM acyc),
+           |wil2 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM wil),
+           |aand AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'aandeel_gunstig' AS parameter,
+           |    round(100.0 * p, 6) AS mean,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6) AS llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, CAST(NULL AS VARCHAR) AS periode_ref,
+           |    jaar_min, jaar_max, CAST(NULL AS DOUBLE) AS verschil_jaar
+           |  FROM wil2),
+           |vboth AS (
+           |  SELECT *,
+           |    100.0 * (CAST(k2 AS DOUBLE) - k1) / n_obs AS d,
+           |    100.0 * sqrt(b + c - pow(CAST(b AS DOUBLE) - c, 2) / n_obs) / n_obs AS se,
+           |    least(jmin1, jmin2) AS jaar_min, greatest(jmax1, jmax2) AS jaar_max,
+           |    round(CAST(sdj AS DOUBLE) / n_obs, 1) AS vj
+           |  FROM agg),
+           |vabs AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_abs' AS parameter,
+           |    round(d, 6) AS mean, round(d - $z * se, 6) AS llci,
+           |    round(d + $z * se, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, 'c_1' AS periode_ref,
+           |    jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vboth),
+           |vabs2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci, ${klasseSql(12.0, 12.0)} AS klasse,
+           |    periode_ref, jaar_min, jaar_max, verschil_jaar
+           |  FROM vabs),
+           |vrel AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_rel' AS parameter,
+           |    CASE WHEN k1 > 0
+           |         THEN round(100.0 * (CAST(k2 AS DOUBLE) - k1) / k1, 6) END AS mean,
+           |    CASE WHEN k1 > 0 AND k2 > 0
+           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
+           |                - $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
+           |         END AS llci,
+           |    CASE WHEN k1 > 0 AND k2 > 0
+           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
+           |                + $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
+           |         END AS ulci,
+           |    k1, round(d - $z * se, 6) AS abs_llci,
+           |    jaar_min, jaar_max, vj
+           |  FROM vboth),
+           |vrel2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci,
+           |    CASE WHEN k1 > 0 THEN ${klasseSql(25.0, 25.0)}
+           |         WHEN abs_llci > 0.0 THEN '++' ELSE '?' END AS klasse,
+           |    'c_1' AS periode_ref, jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vrel)
+           |SELECT * FROM aand UNION ALL SELECT * FROM vabs2
+           |UNION ALL SELECT * FROM vrel2""".stripMargin
+    },
+
+    // q122: status_beheer — latest-per-point favourability split by
+    // management with Wilson bounds and the two-proportion Pearson
+    // chi-square (both rows of a habitattype carry the statistic; the
+    // test needs both groups with n >= 5 and a non-degenerate table).
+    "q122_status_beheer" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      val crit = graft.lsvi.LsviStatus.chi2Crit05
+      statusOracleCtes.stripSuffix("\n") +
+        s""", agg AS (
+           |  SELECT habitattype, beheer AS passend_beheer, count(*) AS n_obs,
+           |    count(CASE WHEN lsvi = 'gunstig' THEN 1 END) AS k
+           |  FROM latest GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT *,
+           |    count(*) OVER (PARTITION BY habitattype) AS n_groups,
+           |    sum(n_obs) OVER (PARTITION BY habitattype) AS n_tot,
+           |    sum(k) OVER (PARTITION BY habitattype) AS k_tot,
+           |    min(n_obs) OVER (PARTITION BY habitattype) AS n_min
+           |  FROM agg),
+           |chi AS (
+           |  SELECT *,
+           |    CASE WHEN n_groups = 2 AND n_min >= 5
+           |              AND k_tot > 0 AND k_tot < n_tot
+           |         THEN round(n_tot * pow(CAST(k AS DOUBLE) * n_tot
+           |                  - CAST(k_tot AS DOUBLE) * n_obs, 2)
+           |              / (CAST(n_obs AS DOUBLE) * (n_tot - n_obs) * k_tot
+           |                 * (n_tot - k_tot)), 6)
+           |         END AS chi2_beheer,
+           |    CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM tot),
+           |wil AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM chi),
+           |fin AS (
+           |  SELECT 'Passend beheer' AS type_resultaat, habitattype,
+           |    'Binnen & Buiten' AS sbzh, passend_beheer, n_obs,
+           |    round(100.0 * p, 6) AS aandeel_gunstig,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS aandeel_gunstig_llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS aandeel_gunstig_ulci,
+           |    chi2_beheer
+           |  FROM wil)
+           |SELECT type_resultaat, habitattype, sbzh, passend_beheer, n_obs,
+           |  aandeel_gunstig, aandeel_gunstig_llci, aandeel_gunstig_ulci,
+           |  CASE WHEN aandeel_gunstig_llci >= 75 THEN 'Goed'
+           |       WHEN aandeel_gunstig_ulci < 75 THEN 'Niet goed'
+           |       ELSE 'Onbekend' END AS beoordeling,
+           |  chi2_beheer,
+           |  CASE WHEN chi2_beheer IS NOT NULL THEN
+           |    CASE WHEN chi2_beheer > $crit THEN 'significant'
+           |         ELSE 'niet significant' END END AS effect_beheer
+           |FROM fin""".stripMargin
+    },
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

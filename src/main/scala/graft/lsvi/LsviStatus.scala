@@ -318,6 +318,219 @@ object LsviStatus {
       .drop("sd6", "ssd6")
   }
 
+  /** Chi-square df=1 critical value at alpha 0.05 — the published
+    * `effect_beheer` labels flip exactly at p = 0.05. */
+  val chi2Crit05: Double = 3.841458820694124
+
+  /** Ten-class effect classification of a change estimate against
+    * reference 0 with thresholds (-tl, +th) — the reference's `klasse`
+    * factor (labels ++/+/+~/~/-~/-/--/?+/?-/? in
+    * `trend_habitat_fs.yml`). Closed-form CASE chain; when the bounds
+    * are null the point estimate classifies alone (the published
+    * zero-variance rows carry klasse `~`). Validated in
+    * `TrendBeheerShapesSpec`: with tl=th=12 for the absolute change
+    * and 25 for the relative change this mapping reproduces EVERY
+    * published bounded `klasse` across all seven groups' trend_habitat
+    * tables (135/135 rows). */
+  def effectKlasse(mean: Column, lo0: Column, hi0: Column,
+                   tl: Double, th: Double): Column = {
+    val lo = coalesce(lo0, mean)
+    val hi = coalesce(hi0, mean)
+    when(lo.isNull || hi.isNull, lit(null).cast("string"))
+      .when(lo > th, "++")
+      .when(hi < -tl, "--")
+      .when(lo > 0.0, when(hi > th, "+").otherwise("+~"))
+      .when(hi < 0.0, when(lo < -tl, "-").otherwise("-~"))
+      .when(lo >= -tl && hi <= th, "~")
+      .when(lo >= -tl, "?+")
+      .when(hi <= th, "?-")
+      .otherwise("?")
+  }
+
+  /** `trend_habitat` shape: paired two-cycle trend of the plot-level
+    * habitat verdict per (type_resultaat, habitattype, sbzh) — long
+    * form like the published table (`trend_habitat_fs.tsv`): an
+    * `aandeel_gunstig` row per periode over the PAIRED points (the
+    * published per-cycle n_obs are identical across cycles — the
+    * analysis set is the points with both cycles known), the paired
+    * absolute difference (`verschil_aandeel_gunstig_abs`, Wald
+    * interval from the discordant counts) classified by
+    * [[effectKlasse]] at the +-12 percentage-point threshold, and the
+    * relative change (`verschil_aandeel_gunstig_rel`) with a paired
+    * log-ratio delta interval (SE(ln(p2/p1)) = sqrt((b+c)/(k1*k2)))
+    * classified at the +-25% threshold. The published relative MEANS
+    * are resampling-based in the reference's analysis repo (outside
+    * this snapshot; they are not derivable from the published cycle
+    * shares — e.g. forests 9120 rel -6.09 vs abs/share -11.33), so
+    * the engine publishes the deterministic point estimate; the
+    * klasse mapping itself is validated on the published bounds.
+    * When the first cycle has zero favourable plots the relative
+    * change is undefined: klasse is `++` if the absolute change's
+    * lower bound clears 0, `?` otherwise — the published all-NA rel
+    * rows follow exactly this rule (12/12). Year columns: jaar_min /
+    * jaar_max span the contributing cycle(s); verschil_jaar is the
+    * mean revisit interval rounded to 1 decimal, as published. */
+  def trendHabitat(plotLsvi: DataFrame): DataFrame = {
+    val pairs = plotLsvi.where(col("lsvi").isNotNull)
+      .groupBy("habitattype", "point_code")
+      .agg(
+        min_by(struct((col("lsvi") === "gunstig").as("g"),
+          col("date").as("j")), struct(col("date"), col("id"))).as("r1"),
+        max_by(struct((col("lsvi") === "gunstig").as("g"),
+          col("date").as("j")), struct(col("date"), col("id"))).as("r2"),
+        max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+    val rows = pairs.select(col("habitattype"),
+        col("r1.g").as("g1"), col("r2.g").as("g2"),
+        col("r1.j").as("j1"), col("r2.j").as("j2"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("s"))
+      .select(col("habitattype"), col("s.type_resultaat"), col("s.sbzh"),
+        col("g1"), col("g2"), col("j1"), col("j2"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("g1"), 1)).as("k1"),
+        count(when(col("g2"), 1)).as("k2"),
+        count(when(col("g1") && !col("g2"), 1)).as("b"),
+        count(when(!col("g1") && col("g2"), 1)).as("c"),
+        min(col("j1")).as("jmin1"), max(col("j1")).as("jmax1"),
+        min(col("j2")).as("jmin2"), max(col("j2")).as("jmax2"),
+        sum(col("j2") - col("j1")).as("sdj"))
+    val nd = col("n_obs").cast("double")
+    val k1d = col("k1").cast("double")
+    val k2d = col("k2").cast("double")
+    val bd = col("b").cast("double")
+    val cd = col("c").cast("double")
+    val (lo1, hi1) = wilson(col("k1"), col("n_obs"))
+    val (lo2, hi2) = wilson(col("k2"), col("n_obs"))
+    val dAbs = lit(100.0) * (k2d - k1d) / nd
+    val seAbs = lit(100.0) * sqrt(bd + cd - pow(bd - cd, 2) / nd) / nd
+    val absLo = round(dAbs - lit(z975) * seAbs, 6)
+    val absHi = round(dAbs + lit(z975) * seAbs, 6)
+    // paired log-ratio delta interval for the relative change:
+    // Var(ln(p2/p1)) = (b + c) / (k1 * k2) for matched pairs
+    val relMean = when(col("k1") > 0,
+      round(lit(100.0) * (k2d - k1d) / k1d, 6))
+    val seLn = sqrt((bd + cd) / (k1d * k2d))
+    val relDef = col("k1") > 0 && col("k2") > 0
+    val relLo = when(relDef,
+      round(lit(100.0) * (exp(log(k2d / k1d) - lit(z975) * seLn) - lit(1.0)), 6))
+    val relHi = when(relDef,
+      round(lit(100.0) * (exp(log(k2d / k1d) + lit(z975) * seLn) - lit(1.0)), 6))
+    val relKlasse = when(col("k1") > 0,
+        effectKlasse(relMean, relLo, relHi, 25.0, 25.0))
+      .otherwise(when(absLo > 0.0, "++").otherwise("?"))
+    val vj = round(col("sdj").cast("double") / nd, 1)
+    val out = agg.select(col("type_resultaat"), col("habitattype"),
+      col("sbzh"), col("n_obs"),
+      explode(array(
+        struct(lit("c_1").as("periode"), lit("aandeel_gunstig").as("parameter"),
+          round(lit(100.0) * k1d / nd, 6).as("mean"),
+          round(lo1, 6).as("llci"), round(hi1, 6).as("ulci"),
+          lit(null).cast("string").as("klasse"),
+          lit(null).cast("string").as("periode_ref"),
+          col("jmin1").as("jaar_min"), col("jmax1").as("jaar_max"),
+          lit(null).cast("double").as("verschil_jaar")),
+        struct(lit("c_2").as("periode"), lit("aandeel_gunstig").as("parameter"),
+          round(lit(100.0) * k2d / nd, 6).as("mean"),
+          round(lo2, 6).as("llci"), round(hi2, 6).as("ulci"),
+          lit(null).cast("string").as("klasse"),
+          lit(null).cast("string").as("periode_ref"),
+          col("jmin2").as("jaar_min"), col("jmax2").as("jaar_max"),
+          lit(null).cast("double").as("verschil_jaar")),
+        struct(lit("c_2").as("periode"),
+          lit("verschil_aandeel_gunstig_abs").as("parameter"),
+          round(dAbs, 6).as("mean"), absLo.as("llci"), absHi.as("ulci"),
+          effectKlasse(round(dAbs, 6), absLo, absHi, 12.0, 12.0).as("klasse"),
+          lit("c_1").as("periode_ref"),
+          least(col("jmin1"), col("jmin2")).as("jaar_min"),
+          greatest(col("jmax1"), col("jmax2")).as("jaar_max"),
+          vj.as("verschil_jaar")),
+        struct(lit("c_2").as("periode"),
+          lit("verschil_aandeel_gunstig_rel").as("parameter"),
+          relMean.as("mean"), relLo.as("llci"), relHi.as("ulci"),
+          relKlasse.as("klasse"), lit("c_1").as("periode_ref"),
+          least(col("jmin1"), col("jmin2")).as("jaar_min"),
+          greatest(col("jmax1"), col("jmax2")).as("jaar_max"),
+          vj.as("verschil_jaar")))).as("r"))
+    out.select(col("r.periode").as("periode"), col("type_resultaat"),
+      col("habitattype"), col("sbzh"), col("n_obs"),
+      col("r.parameter").as("parameter"), col("r.mean").as("mean"),
+      col("r.llci").as("llci"), col("r.ulci").as("ulci"),
+      col("r.klasse").as("klasse"), col("r.periode_ref").as("periode_ref"),
+      col("r.jaar_min").as("jaar_min"), col("r.jaar_max").as("jaar_max"),
+      col("r.verschil_jaar").as("verschil_jaar"))
+  }
+
+  /** `status_beheer` shape: favourability of the plot-level habitat
+    * verdict split by appropriate management per (habitattype,
+    * passend_beheer) over the latest-per-point plots
+    * (`status_beheer_fs.tsv`) — n_obs, plain proportion + Wilson
+    * bounds + Goed/Niet goed/Onbekend verdict, plus the two-proportion
+    * Pearson chi-square comparing the ja/nee groups (`chi2_beheer`,
+    * shared by both rows of a habitattype) and its significance class
+    * at alpha 0.05 (`effect_beheer` — the published label flips at
+    * p = 0.05: 0.01319 -> significant, 0.1403 -> niet significant).
+    * The test runs only when the habitattype has BOTH groups with
+    * n_obs >= 5 and a non-degenerate 2x2 table (the published tables
+    * carry NA below that: nee-groups of 1 and 3 plots are NA, 9 is
+    * tested); the p-value itself needs erfc (neither Spark nor the
+    * SQL oracle has it) and is the driver-side [[mcNemarP]] of the
+    * published statistic. Published proportions/bounds are
+    * design-weighted (gated at shape level like
+    * [[statusIndicatoren]]). Single aggregation to the
+    * habitattype x beheer grain, then window transforms over the
+    * group-count-bounded result — no second pass over plots. */
+  def statusBeheer(plotLsvi: DataFrame): DataFrame = {
+    val latest = latestPerPoint(plotLsvi)
+      .where(col("lsvi").isNotNull && col("passend_beheer").isNotNull)
+    val agg = latest.groupBy("habitattype", "passend_beheer")
+      .agg(count(lit(1)).as("n_obs"),
+        count(when(col("lsvi") === "gunstig", 1)).as("k"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("habitattype")
+    val groups = count(lit(1)).over(w)
+    val nTot = sum(col("n_obs")).over(w)
+    val kTot = sum(col("k")).over(w)
+    val nMin = min(col("n_obs")).over(w)
+    val nd = col("n_obs").cast("double")
+    val nT = col("n_tot").cast("double")
+    val kT = col("k_tot").cast("double")
+    // Pearson 2x2: chi2 = N*(k*N - K*n)^2 / (n*(N-n)*K*(N-K)); the
+    // cross term k*n2 - k2*n collapses to k*N - K*n, so both rows
+    // compute the identical statistic from their own (n, k) plus the
+    // window totals
+    val num = col("k").cast("double") * nT - kT * nd
+    val chi2 = when(col("n_groups") === 2 && col("n_min") >= 5 &&
+        col("k_tot") > 0 && col("k_tot") < col("n_tot"),
+      round(nT * num * num / (nd * (nT - nd) * kT * (nT - kT)), 6))
+    val (lo, hi) = wilson(col("k"), col("n_obs"))
+    agg
+      .withColumn("n_groups", groups)
+      .withColumn("n_tot", nTot)
+      .withColumn("k_tot", kTot)
+      .withColumn("n_min", nMin)
+      .withColumn("type_resultaat", lit("Passend beheer"))
+      .withColumn("sbzh", lit("Binnen & Buiten"))
+      .withColumn("aandeel_gunstig",
+        round(lit(100.0) * col("k").cast("double") / col("n_obs"), 6))
+      .withColumn("aandeel_gunstig_llci", round(lo, 6))
+      .withColumn("aandeel_gunstig_ulci", round(hi, 6))
+      .withColumn("beoordeling",
+        beoordeling(col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")))
+      .withColumn("chi2_beheer", chi2)
+      .withColumn("effect_beheer",
+        when(col("chi2_beheer").isNotNull,
+          when(col("chi2_beheer") > chi2Crit05, "significant")
+            .otherwise("niet significant")))
+      .select("type_resultaat", "habitattype", "sbzh", "passend_beheer",
+        "n_obs", "aandeel_gunstig", "aandeel_gunstig_llci",
+        "aandeel_gunstig_ulci", "beoordeling", "chi2_beheer", "effect_beheer")
+  }
+
   /** `mc_nemar` shape: two-cycle paired habitat-status trend. Input is
     * plot metadata with the per-plot lsvi verdict and a design weight;
     * a pair is a point with more than one measured cycle (earliest vs
