@@ -991,6 +991,53 @@ object SparkEntry {
       graft.lsvi.LsviStatus.statusBeheer(meta)
     }),
 
+    // ---- E4 external-variables pipeline (process_external_data.Rmd):
+    // PIP join to the habitat map + broadcast cluster/type dictionary
+    // joins (q123, the msa flow Rmd:117-126) and the paired-coordinate
+    // QA distance (q124, Rmd:96-106). Same rectangle-ring harness as
+    // q61: Spark runs the generic even-odd ray cast, the oracle
+    // expresses containment as interval predicates (half-integer
+    // edges, integer coordinates — no boundary ambiguity). ----
+    "q123_extra_vars_msa" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(
+        col("c_custkey").as("plot_id"),
+        (col("c_custkey") % 2 + 2).as("periode"),
+        ((col("c_custkey") * 7) % 97).cast("double").as("x"),
+        ((col("c_custkey") * 13) % 89).cast("double").as("y"))
+      val polys = t(s, dir, "nation").select(
+        col("n_nationkey").as("polygon_id"),
+        (((col("n_nationkey") * 11) % 80).cast("double") - 0.5).as("x0"),
+        (((col("n_nationkey") * 17) % 70).cast("double") - 0.5).as("y0"))
+        .withColumn("x1", col("x0") + 15.0)
+        .withColumn("y1", col("y0") + 20.0)
+        .select(col("polygon_id"), array(
+          struct(col("x0").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y1").as("y")),
+          struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      val clusters = t(s, dir, "nation").select(
+        col("n_nationkey").as("polygon_id"),
+        (col("n_nationkey") % 7).as("cluster_id"))
+      val types = t(s, dir, "nation").where(col("n_nationkey") < 7).select(
+        col("n_nationkey").as("cluster_id"),
+        concat(lit("T"), col("n_nationkey") % 3).as("type"),
+        ((col("n_nationkey") + 1).cast("double") * 1.5).as("msa_area_ha"))
+      graft.pipelines.ExtraVars.msa(pts, polys, clusters, types,
+        Seq("plot_id", "periode", "type", "msa_area_ha"), cellSize = 16.0)
+    }),
+
+    "q124_coord_paired_check" -> ((s, dir) => {
+      val coords = t(s, dir, "customer").select(
+        expr("c_custkey div 2").as("idplots"),
+        (col("c_custkey") % 2 + 2).as("periode"),
+        when(expr("c_custkey div 2") % 5 === 0, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 2") % 13).as("idgroup"),
+        concat(lit("ht"), col("c_custkey") % 4).as("type"),
+        ((col("c_custkey") * 7) % 97).cast("double").as("x"),
+        ((col("c_custkey") * 13) % 89).cast("double").as("y"))
+      graft.pipelines.ExtraVars.pairedCoordinateDistance(coords, 2, 3)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -4065,6 +4112,66 @@ object SparkEntry {
            |         ELSE 'niet significant' END END AS effect_beheer
            |FROM fin""".stripMargin
     },
+
+    // q123: extra-vars msa — rectangle PIP as interval predicates
+    // (Spark side runs the generic even-odd ray cast), broadcast
+    // cluster/type dictionary joins, distinct.
+    "q123_extra_vars_msa" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS plot_id, c_custkey % 2 + 2 AS periode,
+        |    CAST((c_custkey * 7) % 97 AS DOUBLE) AS x,
+        |    CAST((c_custkey * 13) % 89 AS DOUBLE) AS y
+        |  FROM customer),
+        |polys AS (
+        |  SELECT n_nationkey AS polygon_id,
+        |    CAST((n_nationkey * 11) % 80 AS DOUBLE) - 0.5 AS x0,
+        |    CAST((n_nationkey * 17) % 70 AS DOUBLE) - 0.5 AS y0
+        |  FROM nation),
+        |hits AS (
+        |  SELECT p.plot_id, p.periode, q.polygon_id
+        |  FROM pts p JOIN polys q
+        |    ON p.x > q.x0 AND p.x < q.x0 + 15.0
+        |   AND p.y > q.y0 AND p.y < q.y0 + 20.0),
+        |clus AS (
+        |  SELECT n_nationkey AS polygon_id, n_nationkey % 7 AS cluster_id
+        |  FROM nation),
+        |typ AS (
+        |  SELECT n_nationkey AS cluster_id,
+        |    'T' || (n_nationkey % 3) AS type,
+        |    CAST(n_nationkey + 1 AS DOUBLE) * 1.5 AS msa_area_ha
+        |  FROM nation WHERE n_nationkey < 7)
+        |SELECT DISTINCT plot_id, periode, type, msa_area_ha
+        |FROM hits
+        |LEFT JOIN clus USING (polygon_id)
+        |LEFT JOIN typ USING (cluster_id)
+        |WHERE msa_area_ha IS NOT NULL""".stripMargin,
+
+    // q124: paired-coordinate QA distance — single aggregation with
+    // conditional-max cycle pivots, idgroup-carrying rows only feed
+    // the pivots while the period count spans all rows.
+    "q124_coord_paired_check" ->
+      """WITH c AS (
+        |  SELECT c_custkey // 2 AS idplots, c_custkey % 2 + 2 AS periode,
+        |    CASE WHEN (c_custkey // 2) % 5 = 0 THEN NULL
+        |         ELSE (c_custkey // 2) % 13 END AS idgroup,
+        |    'ht' || (c_custkey % 4) AS type,
+        |    CAST((c_custkey * 7) % 97 AS DOUBLE) AS x,
+        |    CAST((c_custkey * 13) % 89 AS DOUBLE) AS y
+        |  FROM customer),
+        |k AS (SELECT * FROM c WHERE periode > 1),
+        |agg AS (
+        |  SELECT idplots, count(DISTINCT periode) AS nc,
+        |    max(idgroup) AS idgroup,
+        |    max(CASE WHEN periode = 2 AND idgroup IS NOT NULL THEN x END) AS x_2,
+        |    max(CASE WHEN periode = 2 AND idgroup IS NOT NULL THEN y END) AS y_2,
+        |    max(CASE WHEN periode = 2 AND idgroup IS NOT NULL THEN type END) AS type_2,
+        |    max(CASE WHEN periode = 3 AND idgroup IS NOT NULL THEN x END) AS x_3,
+        |    max(CASE WHEN periode = 3 AND idgroup IS NOT NULL THEN y END) AS y_3,
+        |    max(CASE WHEN periode = 3 AND idgroup IS NOT NULL THEN type END) AS type_3
+        |  FROM k GROUP BY idplots)
+        |SELECT idplots, idgroup, x_2, y_2, type_2, x_3, y_3, type_3,
+        |  sqrt(pow(x_2 - x_3, 2) + pow(y_2 - y_3, 2)) AS distance
+        |FROM agg WHERE nc >= 2 AND idgroup IS NOT NULL""".stripMargin,
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

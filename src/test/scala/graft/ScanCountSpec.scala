@@ -31,5 +31,7 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q117_status_habitat") <= 1)
     assert(scanCount("q119_trend_index_hq") <= 1)
     assert(scanCount("q120_trend_index_ind") <= 2)
+    assert(scanCount("q121_trend_habitat") <= 1)
+    assert(scanCount("q122_status_beheer") <= 1)
   }
 }
