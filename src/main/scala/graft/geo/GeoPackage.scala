@@ -133,10 +133,19 @@ object GeoPackage {
       defs.iterator.map(_.trim).filter(_.nonEmpty)
         .filterNot(d => constraint.contains(d.split("\\s+")(0).toUpperCase))
         .map { d =>
-          val name = d.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
-            .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
-          val rest = d.drop(d.indexOf(name) + name.length).trim
-          val typ = rest.split("\\s+").headOption.getOrElse("")
+          // quoted identifiers ("name" / `name` / [name]) end at the
+          // matching close quote — GDAL quotes every column, so the
+          // type token follows the CLOSING quote, not the bare name
+          val (name, rest) =
+            if (d.head == '"' || d.head == '`' || d.head == '[') {
+              val close = if (d.head == '[') ']' else d.head
+              val end = d.indexOf(close, 1)
+              (d.substring(1, end), d.substring(end + 1))
+            } else {
+              val t = d.split("\\s+")(0)
+              (t, d.drop(t.length))
+            }
+          val typ = rest.trim.split("\\s+").headOption.getOrElse("")
           val upper = d.toUpperCase
           ColumnDef(name, typ,
             upper.contains("INTEGER") && upper.contains("PRIMARY KEY"))

@@ -74,6 +74,22 @@ object Shapefile {
   private def recordToWkb(b: ByteBuffer): Array[Byte] = b.getInt() match {
     case 0 => null // null shape
     case 1 => Wkb.encodePoint(b.getDouble(), b.getDouble())
+    case 3 => // polyline: same layout as polygon, parts are open chains
+      b.position(b.position() + 32)
+      val nParts = b.getInt()
+      val nPoints = b.getInt()
+      val parts = Array.fill(nParts)(b.getInt())
+      val xs = new Array[Double](nPoints)
+      val ys = new Array[Double](nPoints)
+      var i = 0
+      while (i < nPoints) { xs(i) = b.getDouble(); ys(i) = b.getDouble(); i += 1 }
+      val bounds = parts.toSeq :+ nPoints
+      val chains = bounds.sliding(2).map { case Seq(from, until) =>
+        (xs.slice(from, until), ys.slice(from, until))
+      }.toSeq
+      if (chains.length == 1)
+        Wkb.encodeLineString(chains.head._1, chains.head._2)
+      else Wkb.encodeMultiLineString(chains)
     case 5 => // polygon: bbox, nParts, nPoints, part offsets, points
       b.position(b.position() + 32)
       val nParts = b.getInt()

@@ -78,8 +78,27 @@ object Wkb {
         val x = buf.getDouble(); val y = buf.getDouble()
         out += ((Array(x), Array(y)))
         1
+      case 2 => // linestring: one open vertex chain
+        if (buf.remaining() < 4) return -1
+        val n = buf.getInt()
+        if (n < 0 || n > buf.remaining() / 16) return -1
+        val xs = new Array[Double](n); val ys = new Array[Double](n)
+        var i = 0
+        while (i < n) { xs(i) = buf.getDouble(); ys(i) = buf.getDouble(); i += 1 }
+        out += ((xs, ys))
+        2
       case 3 => // polygon: exterior + interior rings, all bounds-checked
         if (readPolygonRings(buf, out)) 3 else -1
+      case 5 if allowMulti => // multilinestring: parts are full WKB linestrings
+        if (buf.remaining() < 4) return -1
+        val nParts = buf.getInt()
+        if (nParts < 0 || nParts > buf.remaining() / 9) return -1
+        var p = 0
+        while (p < nParts) {
+          if (readGeometry(buf, out, allowMulti = false) != 2) return -1
+          p += 1
+        }
+        5
       case 6 if allowMulti => // multipolygon: parts are full WKB polygons
         if (buf.remaining() < 4) return -1
         val nParts = buf.getInt()
@@ -139,6 +158,26 @@ object Wkb {
     val buf = ByteBuffer.allocate(1 + 4 + 4 + partBytes.map(_.length).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.put(1.toByte).putInt(6).putInt(parts.length)
+    partBytes.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Encode an open vertex chain to little-endian WKB LINESTRING. */
+  def encodeLineString(xs: Array[Double], ys: Array[Double]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + xs.length * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(2).putInt(xs.length)
+    var i = 0
+    while (i < xs.length) { buf.putDouble(xs(i)); buf.putDouble(ys(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Encode parts to little-endian WKB MULTILINESTRING. */
+  def encodeMultiLineString(parts: Seq[(Array[Double], Array[Double])]): Array[Byte] = {
+    val partBytes = parts.map { case (xs, ys) => encodeLineString(xs, ys) }
+    val buf = ByteBuffer.allocate(1 + 4 + 4 + partBytes.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(1.toByte).putInt(5).putInt(parts.length)
     partBytes.foreach(buf.put)
     buf.array()
   }

@@ -61,6 +61,40 @@ class GeoPackageSpec extends SparkSuite {
     assert(!GeoKernels.pointInRings(xss, yss, 15.0, 15.0)) // in the hole
   }
 
+  test("reads a REAL GDAL-produced GeoPackage from the reference snapshot") {
+    // processed/design_watersurfaces: OGR writer, RTree spatial-index
+    // extension tables, gpkg_ogr_contents, a hyphenated table name,
+    // MEDIUMINT/BOOLEAN/REAL columns, enveloped GP headers over
+    // MULTIPOLYGON WKB in EPSG:31370
+    val real = "/root/reference/processed/design_watersurfaces/" +
+      "mhq_standingwater_cycle2_2024-04-17.gpkg"
+    val name = "mhq_standingwater_cycle2_2024-04-17"
+    assert(GeoPackage.tables(real).map(_._1) === Seq(name))
+    val df = GeoPackage.read(spark, real, name)
+    assert(df.count() === 260)
+    assert(df.columns.take(3).toSeq === Seq("fid", "geom", "polygon_id"))
+    val r = df.where($"polygon_id" === "ANTANT0234").head()
+    assert(r.getAs[Long]("grts_ranking") === 3113917L)
+    assert(r.getAs[String]("area_class") === "1 ha < area <= 5 ha")
+    assert(r.getAs[String]("type_all") === "3130_na")
+    // every geometry decodes to multipolygon rings with Lambert-72
+    // coordinates inside the Flanders window
+    val stats = df.where($"geom".isNotNull)
+      .withColumn("rings", graft.geo.WkbFunctions.wkbToRings($"geom"))
+      .select(
+        count(lit(1)).as("n"),
+        min(expr("array_min(transform(flatten(rings), p -> p.x))")).as("xmin"),
+        max(expr("array_max(transform(flatten(rings), p -> p.x))")).as("xmax"),
+        min(expr("array_min(transform(flatten(rings), p -> p.y))")).as("ymin"),
+        max(expr("array_max(transform(flatten(rings), p -> p.y))")).as("ymax"))
+      .head()
+    assert(stats.getAs[Long]("n") === 260)
+    assert(stats.getAs[Double]("xmin") > 20000 &&
+      stats.getAs[Double]("xmax") < 270000)
+    assert(stats.getAs[Double]("ymin") > 150000 &&
+      stats.getAs[Double]("ymax") < 250000)
+  }
+
   test("distributed area over the whole layer matches the fixture") {
     val df = GeoPackage.read(spark, path, "habitatmap")
       .where($"geom".isNotNull)

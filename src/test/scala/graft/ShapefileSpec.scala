@@ -164,6 +164,37 @@ class ShapefileSpec extends SparkSuite {
     assert(x === 3.5 && y === -1.25)
   }
 
+  test("reads a REAL ESRI-produced shapefile from the reference snapshot") {
+    // processed/3260_steekproefkader: PolyLine layer (255 stream
+    // segments, incl. 11 multi-part arcs), N/F/C dbf fields with
+    // scientific-notation floats. The layer self-validates: the
+    // Shape_Leng attribute is the planar geometry length, so the
+    // decoded WKB must reproduce it on every record.
+    val base = "/root/reference/processed/3260_steekproefkader/" +
+      "steekproefkader_3260_v1_7_strata"
+    val df = Shapefile.read(spark, base)
+    assert(df.count() === 255)
+    assert(df.schema("objectid_1").dataType.typeName === "long")
+    assert(df.schema("shape_leng").dataType.typeName === "double")
+    val rows = df.select("shape_leng", "geometry").collect()
+    var multi = 0
+    rows.foreach { r =>
+      val published = r.getDouble(0)
+      val (t, parts) = Wkb.decodeTyped(r.getAs[Array[Byte]](1))
+      assert(t === 2 || t === 5)
+      if (t === 5) multi += 1
+      val len = parts.map { case (xs, ys) =>
+        (1 until xs.length).map(i =>
+          math.hypot(xs(i) - xs(i - 1), ys(i) - ys(i - 1))).sum
+      }.sum
+      assert(math.abs(len - published) / published < 1e-9,
+        s"length $len vs published $published")
+    }
+    assert(multi === 11)
+    // stratum attribute reads through
+    assert(df.where(col("sbz") === "buiten").count() > 0)
+  }
+
   test("shapefile feeds the distributed PIP join path end-to-end") {
     val base = writeLayer(
       Seq(polygonRecord(Seq(outerCw, holeCcw))),
