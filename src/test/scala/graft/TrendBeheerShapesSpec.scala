@@ -93,6 +93,39 @@ class TrendBeheerShapesSpec extends SparkSuite {
     }
   }
 
+  test("trend_habitat engine replays the published forest table's n_obs and years") {
+    // run the ENGINE on the published per-plot table and match every
+    // published Habitattype/SBZH row: pair counts, per-cycle and
+    // pooled year spans, and the mean revisit interval. (Means and
+    // bounds are design-weighted/resampled in the reference and are
+    // gated at mapping level above.)
+    val fs = s"$base/forests/result"
+    val plots = readTsv(s"$fs/lsvi_plot_fs.tsv").select(
+      col("id"),
+      year(date_add(to_date(lit("1970-01-01")),
+        col("date").cast("int"))).as("date"),
+      col("point_code"), col("in_sac").cast("int").as("in_sac"),
+      col("habitattype"), col("lsvi"))
+    val got = LsviStatus.trendHabitat(plots)
+    val key = Seq("periode", "type_resultaat", "habitattype", "sbzh", "parameter")
+    val pub = readTsv(s"$fs/trend_habitat_fs.tsv")
+      .where(col("type_resultaat").isin("Habitattype", "SBZH"))
+      .select(col("periode"), col("type_resultaat"), col("habitattype"),
+        col("sbzh"), col("parameter"),
+        col("n_obs").cast("long").as("pub_n"),
+        col("jaar_min").cast("int").as("pub_jmin"),
+        col("jaar_max").cast("int").as("pub_jmax"),
+        col("verschil_jaar").cast("double").as("pub_vj"))
+    val j = pub.join(got, key, "left").cache()
+    assert(j.count() === 60) // every published Habitattype/SBZH row
+    assert(j.where(col("n_obs").isNull).count() === 0, "missing engine rows")
+    assert(j.where(col("n_obs") =!= col("pub_n")).count() === 0)
+    assert(j.where(col("jaar_min") =!= col("pub_jmin") ||
+      col("jaar_max") =!= col("pub_jmax")).count() === 0)
+    assert(j.where(col("pub_vj").isNotNull &&
+      abs(col("verschil_jaar") - col("pub_vj")) > 1e-9).count() === 0)
+  }
+
   private val beheerFiles = Seq(
     "forests/result/status_beheer_fs.tsv",
     "heath_inland_dunes/result/status_beheer_hs_id.tsv",
