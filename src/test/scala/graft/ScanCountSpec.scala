@@ -18,6 +18,14 @@ class ScanCountSpec extends SparkSuite {
     "file:[^\\]\\s]*/(\\w+)\\.parquet".r.findAllMatchIn(plan).size
   }
 
+  /** Shuffle (non-broadcast) exchanges in the executed plan. */
+  private def shuffleCount(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+  }
+
   test("single-chain globaal family plans a bounded number of scans") {
     assert(scanCount("q103_lsvi_forest_globaal") <= 2)
     assert(scanCount("q107_lsvi_heath_globaal") <= 2)
@@ -33,5 +41,16 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q120_trend_index_ind") <= 2)
     assert(scanCount("q121_trend_habitat") <= 1)
     assert(scanCount("q122_status_beheer") <= 1)
+  }
+
+  test("new shape/pipeline queries keep bounded shuffle counts") {
+    // q121: pairing agg (countDistinct = 2-phase) + strata agg;
+    // q122: latest agg + beheer agg + window; q123: only the final
+    // distinct shuffles (PIP + dictionaries broadcast); q124: one
+    // 2-phase countDistinct aggregation
+    assert(shuffleCount("q121_trend_habitat") <= 3)
+    assert(shuffleCount("q122_status_beheer") <= 3)
+    assert(shuffleCount("q123_extra_vars_msa") <= 1)
+    assert(shuffleCount("q124_coord_paired_check") <= 2)
   }
 }
