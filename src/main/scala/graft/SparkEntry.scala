@@ -4010,7 +4010,16 @@ object SparkEntry {
            |    100.0 * (CAST(k2 AS DOUBLE) - k1) / n_obs AS d,
            |    100.0 * sqrt(b + c - pow(CAST(b AS DOUBLE) - c, 2) / n_obs) / n_obs AS se,
            |    least(jmin1, jmin2) AS jaar_min, greatest(jmax1, jmax2) AS jaar_max,
-           |    round(CAST(sdj AS DOUBLE) / n_obs, 1) AS vj
+           |    -- half-even to 1 decimal like the engine's bround (DuckDB
+           |    -- round() is half-away-from-zero on doubles): integer
+           |    -- half-even of the exact rational sdj*10/n_obs, which the
+           |    -- correctly-rounded IEEE division makes identical to
+           |    -- Spark's decimal-string HALF_EVEN (sdj >= 0 by pairing)
+           |    CAST(CASE
+           |      WHEN 2 * ((sdj * 10) % n_obs) > n_obs THEN (sdj * 10) // n_obs + 1
+           |      WHEN 2 * ((sdj * 10) % n_obs) < n_obs THEN (sdj * 10) // n_obs
+           |      ELSE (sdj * 10) // n_obs + ((sdj * 10) // n_obs) % 2
+           |    END AS DOUBLE) / 10 AS vj
            |  FROM agg),
            |vabs AS (
            |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,

@@ -369,9 +369,23 @@ object LsviStatus {
     * lower bound clears 0, `?` otherwise — the published all-NA rel
     * rows follow exactly this rule (12/12). Year columns: jaar_min /
     * jaar_max span the contributing cycle(s); verschil_jaar is the
-    * mean revisit interval rounded to 1 decimal, as published. */
+    * mean revisit interval rounded to 1 decimal, as published.
+    *
+    * Pairing: by default any point with more than one visit date is a
+    * pair (first vs last visit) — this matches the forest, heath and
+    * coastal-dune schemes, whose fieldwork windows never revisit a
+    * point within a cycle. Schemes whose cycle windows overlap in
+    * calendar years across strata (grassland/marsh: 1330_da runs
+    * 2013-18/2019-24 while 1330_hpr and 6230 run 2015-20/2021-26)
+    * must pass an integer `cycle` column (see [[assignCycles]]): then
+    * only points observed in BOTH cycle 0 and cycle 1 pair up, and
+    * same-cycle re-visits are excluded — the published
+    * `trend_habitat_gr_bm` drops exactly those points. */
   def trendHabitat(plotLsvi: DataFrame): DataFrame = {
-    val pairs = plotLsvi.where(col("lsvi").isNotNull)
+    val hasCycle = plotLsvi.columns.contains("cycle")
+    val in0 = plotLsvi.where(col("lsvi").isNotNull)
+    val in1 = if (hasCycle) in0.where(col("cycle").isin(0, 1)) else in0
+    val pairs = in1
       .groupBy("habitattype", "point_code")
       .agg(
         min_by(struct((col("lsvi") === "gunstig").as("g"),
@@ -379,8 +393,9 @@ object LsviStatus {
         max_by(struct((col("lsvi") === "gunstig").as("g"),
           col("date").as("j")), struct(col("date"), col("id"))).as("r2"),
         max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
-        countDistinct(col("date")).as("nc"))
-      .where(col("nc") > 1)
+        (if (hasCycle) countDistinct(col("cycle"))
+         else countDistinct(col("date"))).as("nc"))
+      .where(if (hasCycle) col("nc") === 2 else col("nc") > 1)
     val rows = pairs.select(col("habitattype"),
         col("r1.g").as("g1"), col("r2.g").as("g2"),
         col("r1.j").as("j1"), col("r2.j").as("j2"),
@@ -424,7 +439,10 @@ object LsviStatus {
     val relKlasse = when(col("k1") > 0,
         effectKlasse(relMean, relLo, relHi, 25.0, 25.0))
       .otherwise(when(absLo > 0.0, "++").otherwise("?"))
-    val vj = round(col("sdj").cast("double") / nd, 1)
+    // half-even like R's round(): the published tables carry 4.25 ->
+    // 4.2 (coastal dunes 2120-Binnen) and 6.25 -> 6.2 (grassland
+    // 6510-Buiten), which HALF_UP would print as 4.3 / 6.3
+    val vj = bround(col("sdj").cast("double") / nd, 1)
     val out = agg.select(col("type_resultaat"), col("habitattype"),
       col("sbzh"), col("n_obs"),
       explode(array(
@@ -464,6 +482,26 @@ object LsviStatus {
       col("r.klasse").as("klasse"), col("r.periode_ref").as("periode_ref"),
       col("r.jaar_min").as("jaar_min"), col("r.jaar_max").as("jaar_max"),
       col("r.verschil_jaar").as("verschil_jaar"))
+  }
+
+  /** Assign monitoring-cycle indexes for [[trendHabitat]] pairing:
+    * `cycle = floor((date - start) / cycleYears)` with the scheme
+    * start taken as the first visit year of the plot's stratum
+    * (habitatsubtype). The grassland/marsh scheme runs 6-year cycles
+    * whose calendar windows differ per stratum — 1330_da from 2013
+    * (cycles 2013-18 / 2019-24), 1330_hpr and the 6230 subtypes from
+    * 2015 (2015-20 / 2021-26) — which this derivation reproduces
+    * exactly against the published `trend_habitat_gr_bm` year spans.
+    * The stratum dictionary is tiny, so the start-year join is a
+    * broadcast; at any scale this is a map-side annotation. */
+  def assignCycles(plots: DataFrame, subtypeCol: String = "habitatsubtype",
+      cycleYears: Int = 6): DataFrame = {
+    val starts = plots.groupBy(subtypeCol)
+      .agg(min(col("date")).as("cycle_start"))
+    plots.join(broadcast(starts), Seq(subtypeCol), "left")
+      .withColumn("cycle",
+        floor((col("date") - col("cycle_start")) / cycleYears).cast("int"))
+      .drop("cycle_start")
   }
 
   /** `status_beheer` shape: favourability of the plot-level habitat

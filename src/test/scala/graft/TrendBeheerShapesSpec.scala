@@ -93,37 +93,59 @@ class TrendBeheerShapesSpec extends SparkSuite {
     }
   }
 
-  test("trend_habitat engine replays the published forest table's n_obs and years") {
-    // run the ENGINE on the published per-plot table and match every
+  test("trend_habitat engine replays published n_obs and years across groups") {
+    // run the ENGINE on the published per-plot tables and match every
     // published Habitattype/SBZH row: pair counts, per-cycle and
     // pooled year spans, and the mean revisit interval. (Means and
     // bounds are design-weighted/resampled in the reference and are
-    // gated at mapping level above.)
-    val fs = s"$base/forests/result"
-    val plots = readTsv(s"$fs/lsvi_plot_fs.tsv").select(
-      col("id"),
-      year(date_add(to_date(lit("1970-01-01")),
-        col("date").cast("int"))).as("date"),
-      col("point_code"), col("in_sac").cast("int").as("in_sac"),
-      col("habitattype"), col("lsvi"))
-    val got = LsviStatus.trendHabitat(plots)
+    // gated at mapping level above. Streams publishes a different
+    // plot schema — segment_id, coded types — and is validated by its
+    // own StreamsVersie3Spec.)
+    // grassland/marsh is the one scheme whose cycle windows overlap in
+    // calendar years across strata (1330_da 2013-18/2019-24 vs
+    // 1330_hpr & 6230 2015-20/2021-26), so it pairs via assignCycles;
+    // the other schemes pair every revisited point (no same-cycle
+    // revisits exist there) — see LsviStatus.trendHabitat's scaladoc
+    val groups = Seq(
+      ("forests", "lsvi_plot_fs.tsv", "trend_habitat_fs.tsv", 60L, false),
+      ("heath_inland_dunes", "lsvi_plot_hs_id.tsv", "trend_habitat_hs_id.tsv", 32L, false),
+      ("coastal_dunes", "lsvi_plot_cd.tsv", "trend_habitat_cd.tsv", 24L, false),
+      ("grassland_marsh", "lsvi_plot_gr_bm.tsv", "trend_habitat_gr_bm.tsv", 52L, true))
     val key = Seq("periode", "type_resultaat", "habitattype", "sbzh", "parameter")
-    val pub = readTsv(s"$fs/trend_habitat_fs.tsv")
-      .where(col("type_resultaat").isin("Habitattype", "SBZH"))
-      .select(col("periode"), col("type_resultaat"), col("habitattype"),
-        col("sbzh"), col("parameter"),
-        col("n_obs").cast("long").as("pub_n"),
-        col("jaar_min").cast("int").as("pub_jmin"),
-        col("jaar_max").cast("int").as("pub_jmax"),
-        col("verschil_jaar").cast("double").as("pub_vj"))
-    val j = pub.join(got, key, "left").cache()
-    assert(j.count() === 60) // every published Habitattype/SBZH row
-    assert(j.where(col("n_obs").isNull).count() === 0, "missing engine rows")
-    assert(j.where(col("n_obs") =!= col("pub_n")).count() === 0)
-    assert(j.where(col("jaar_min") =!= col("pub_jmin") ||
-      col("jaar_max") =!= col("pub_jmax")).count() === 0)
-    assert(j.where(col("pub_vj").isNotNull &&
-      abs(col("verschil_jaar") - col("pub_vj")) > 1e-9).count() === 0)
+    groups.foreach { case (g, plotFile, trendFile, nPub, useCycles) =>
+      val dir = s"$base/$g/result"
+      val plots = readTsv(s"$dir/$plotFile").select(
+        col("id"),
+        year(date_add(to_date(lit("1970-01-01")),
+          col("date").cast("int"))).as("date"),
+        col("point_code"), col("in_sac").cast("int").as("in_sac"),
+        col("habitattype"), col("habitatsubtype"), col("lsvi"))
+      val got = LsviStatus.trendHabitat(
+        if (useCycles) LsviStatus.assignCycles(plots) else plots)
+      val pub = readTsv(s"$dir/$trendFile")
+        .where(col("type_resultaat").isin("Habitattype", "SBZH"))
+        .select(col("periode"), col("type_resultaat"), col("habitattype"),
+          col("sbzh"), col("parameter"),
+          col("n_obs").cast("long").as("pub_n"),
+          col("jaar_min").cast("int").as("pub_jmin"),
+          col("jaar_max").cast("int").as("pub_jmax"),
+          col("verschil_jaar").cast("double").as("pub_vj"))
+      val j = pub.join(got, key, "left").cache()
+      assert(j.count() === nPub, s"$g: published row count")
+      assert(j.where(col("n_obs").isNull).count() === 0,
+        s"$g: missing engine rows")
+      assert(j.where(col("n_obs") =!= col("pub_n")).count() === 0,
+        s"$g: n_obs")
+      assert(j.where(col("jaar_min") =!= col("pub_jmin") ||
+        col("jaar_max") =!= col("pub_jmax")).count() === 0, s"$g: years")
+      // verschil_jaar is EXACT on every published row of all four
+      // groups — including the half-even cases 4.25 -> 4.2 (coastal
+      // dunes 2120-Binnen) and 6.25 -> 6.2 (grassland 6510-Buiten)
+      // that pin the reference's R-style rounding
+      assert(j.where(col("pub_vj").isNotNull &&
+        abs(col("verschil_jaar") - col("pub_vj")) > 1e-9).count() === 0,
+        s"$g: verschil_jaar")
+    }
   }
 
   private val beheerFiles = Seq(
