@@ -1038,6 +1038,30 @@ object SparkEntry {
       graft.pipelines.ExtraVars.pairedCoordinateDistance(coords, 2, 3)
     }),
 
+    // ---- census / continuous published shapes (status_dikdoodhout,
+    // trend_dikdoodhout, status_habitat_2110, trend_habitat_2110):
+    // q125/q126 mean + normal interval of a measured per-plot value
+    // over latest-per-(point, subtype) strata with habitattype
+    // roll-ups for multi-subtype types; q127/q128 area-weighted
+    // census shares with pessimistic/optimistic unknown-area bounds
+    // and the factor-index trend klasse. ----
+    "q125_status_continuous" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.statusContinuous(continuousInputs(s, dir),
+        "hoeveelheid dik dood hout",
+        "aantal exemplaren dik dood hout per ha")),
+    "q126_trend_continuous" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendContinuous(continuousInputs(s, dir),
+        "hoeveelheid dik dood hout",
+        "aantal exemplaren dik dood hout per ha")),
+    "q127_status_area_census" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.statusAreaCensus(censusPolys(s, dir, 1),
+        Seq("indicator"))),
+    "q128_trend_area_census" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendAreaCensus(
+        censusPolys(s, dir, 1).withColumn("date", lit(2017)),
+        censusPolys(s, dir, 2).withColumn("date", lit(2023)),
+        Seq("indicator"))),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2255,6 +2279,125 @@ object SparkEntry {
         col("i.indicator"), col("i.belang"), col("i.status_indicator"),
         col("i.verschilscore"))
     (meta.drop("ck"), ind)
+  }
+
+  /** Synthetic per-visit measured values for q125/q126: two visits
+    * per point (2010/2020), a habitatsubtype that shifts between
+    * visits on every fifth row (so multi-subtype roll-ups and
+    * unpaired strata both occur), and 2-decimal values — exact at
+    * the engine's 1e-4 fixed point, so the oracle compare is
+    * hash-stable under any aggregation order. */
+  private def continuousInputs(s: SparkSession, dir: String): DataFrame = {
+    val types = graft.lsvi.Versie3Forests.habitattypes
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), expr("c_custkey div 2").as("pt"))
+      .where((col("ck") * 3) % 7 =!= 0)
+    val ht = element_at(typedLit(types), (col("pt") % 11 + 1).cast("int"))
+    val sub = concat(ht, lit("_s"),
+      when(col("ck") % 5 === 0, (col("pt") + 1) % 3).otherwise(col("pt") % 3))
+    base.select(
+      concat(lit("CT_"), col("ck")).as("id"),
+      ht.as("habitattype"),
+      sub.as("habitatsubtype"),
+      concat(lit("pt_"), col("pt")).as("point_code"),
+      (lit(2010) + lit(10) * (col("ck") % 2)).as("date"),
+      (((col("ck") * 13) % 4001).cast("double") / 100.0).as("value"))
+  }
+
+  /** Synthetic assessed polygons for q127/q128: the verdict mix
+    * varies with the cycle tag so the trend has signal; areas are
+    * exact binary fractions (k/64 ha), keeping distributed double
+    * sums order-independent and the oracle compare hash-exact. */
+  private def censusPolys(s: SparkSession, dir: String,
+      cycle: Int): DataFrame = {
+    val types = graft.lsvi.Versie3Forests.habitattypes
+    t(s, dir, "part")
+      .select(col("p_partkey").as("pk"))
+      .select(
+        element_at(typedLit(types), (col("pk") % 7 + 1).cast("int"))
+          .as("habitattype"),
+        when(col("pk") % 3 < 2, 1).otherwise(0).as("in_sac"),
+        when((col("pk") * cycle) % 5 < 2, "gunstig")
+          .when((col("pk") * cycle) % 5 === 4, "onbekend")
+          .otherwise("ongunstig").as("verdict"),
+        (((col("pk") * 17) % 997).cast("double") / 64.0).as("area_ha"),
+        concat(lit("ind_"), col("pk") % 4).as("indicator"))
+  }
+
+  /** Shared oracle CTE prefix for q125/q126: replays
+    * [[continuousInputs]] with the engine's 1e-4 fixed-point value
+    * (the trailing `latest` CTE is unused by q126 — harmless). */
+  private def continuousOracleCtes: String = {
+    val typeList = graft.lsvi.Versie3Forests.habitattypes
+      .map(sqlStr).mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS ck, c_custkey // 2 AS pt
+       |  FROM customer WHERE (c_custkey * 3) % 7 <> 0),
+       |m AS (
+       |  SELECT 'CT_' || ck AS id,
+       |    $typeList[CAST(pt % 11 AS INTEGER) + 1] AS habitattype,
+       |    $typeList[CAST(pt % 11 AS INTEGER) + 1] || '_s' ||
+       |      (CASE WHEN ck % 5 = 0 THEN (pt + 1) % 3 ELSE pt % 3 END)
+       |      AS habitatsubtype,
+       |    'pt_' || pt AS point_code,
+       |    2010 + 10 * (ck % 2) AS mdate,
+       |    CAST(floor(CAST((ck * 13) % 4001 AS DOUBLE) / 100.0 * 10000.0
+       |      + 0.5) AS BIGINT) AS v4
+       |  FROM base),
+       |latest AS (
+       |  SELECT point_code, habitatsubtype,
+       |    arg_max(v4, mdate) AS v,
+       |    arg_max(habitattype, mdate) AS habitattype
+       |  FROM m GROUP BY 1, 2),
+       |""".stripMargin
+  }
+
+  /** Shared oracle tail for q125/q126: habitattype roll-up rows for
+    * multi-subtype types over a `persub` CTE, like the engine's
+    * `continuousShape`. */
+  private val continuousRollupSql: String =
+    """multi AS (
+      |  SELECT habitattype, count(*) AS nsub,
+      |    CAST(sum(n) AS BIGINT) AS rn, CAST(sum(s1) AS BIGINT) AS rs1,
+      |    CAST(sum(s2) AS BIGINT) AS rs2,
+      |    string_agg(habitatsubtype, '; ' ORDER BY habitatsubtype) AS subs
+      |  FROM persub GROUP BY 1),
+      |allr AS (
+      |  SELECT CASE WHEN m2.nsub > 1 THEN 'Habitatsubtype'
+      |           ELSE 'Habitattype' END AS type_resultaat,
+      |    p.habitattype, p.habitatsubtype, p.n, p.s1, p.s2
+      |  FROM persub p JOIN multi m2 USING (habitattype)
+      |  UNION ALL
+      |  SELECT 'Habitattype', habitattype, subs, rn, rs1, rs2
+      |  FROM multi WHERE nsub > 1)""".stripMargin
+
+  /** One census cycle for the q127/q128 oracles: polygons, the
+    * stratum explode and the per-verdict area sums, suffixed by the
+    * cycle tag (no trailing comma — callers chain with ",\n"). */
+  private def censusOracleCte(cycle: Int): String = {
+    val typeList = graft.lsvi.Versie3Forests.habitattypes
+      .map(sqlStr).mkString("[", ", ", "]")
+    s"""WITH p$cycle AS (
+       |  SELECT $typeList[CAST(p_partkey % 7 AS INTEGER) + 1] AS habitattype,
+       |    CASE WHEN p_partkey % 3 < 2 THEN 1 ELSE 0 END AS in_sac,
+       |    CASE WHEN (p_partkey * $cycle) % 5 < 2 THEN 'gunstig'
+       |         WHEN (p_partkey * $cycle) % 5 = 4 THEN 'onbekend'
+       |         ELSE 'ongunstig' END AS verdict,
+       |    CAST((p_partkey * 17) % 997 AS DOUBLE) / 64.0 AS area_ha,
+       |    'ind_' || (p_partkey % 4) AS indicator
+       |  FROM part),
+       |strata$cycle AS (
+       |  SELECT 'Habitattype' AS type_resultaat, 'Binnen & Buiten' AS sbzh,
+       |    habitattype, verdict, area_ha, indicator FROM p$cycle
+       |  UNION ALL
+       |  SELECT 'SBZH', CASE WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END,
+       |    habitattype, verdict, area_ha, indicator FROM p$cycle),
+       |agg$cycle AS (
+       |  SELECT type_resultaat, habitattype, sbzh, indicator,
+       |    sum(CASE WHEN verdict = 'gunstig' THEN area_ha ELSE 0.0 END) AS g,
+       |    sum(CASE WHEN verdict = 'ongunstig' THEN area_ha ELSE 0.0 END) AS o,
+       |    sum(CASE WHEN verdict = 'onbekend' THEN area_ha ELSE 0.0 END) AS u
+       |  FROM strata$cycle GROUP BY 1, 2, 3, 4)""".stripMargin
   }
 
   /** Shared oracle CTE prefix for q113-q115: replays [[statusInputs]]
@@ -4181,6 +4324,119 @@ object SparkEntry {
         |SELECT idplots, idgroup, x_2, y_2, type_2, x_3, y_3, type_3,
         |  sqrt(pow(x_2 - x_3, 2) + pow(y_2 - y_3, 2)) AS distance
         |FROM agg WHERE nc >= 2 AND idgroup IS NOT NULL""".stripMargin,
+
+    // q125/q126: continuous status/trend — the same 1e-4 fixed-point
+    // sums and double formula shapes as the engine, so values are
+    // bit-identical under any aggregation order; roll-up rows union
+    // in for multi-subtype types.
+    "q125_status_continuous" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      continuousOracleCtes +
+      s"""persub AS (
+         |  SELECT habitattype, habitatsubtype, count(*) AS n,
+         |    CAST(sum(v) AS BIGINT) AS s1,
+         |    CAST(sum(v * v) AS BIGINT) AS s2
+         |  FROM latest GROUP BY 1, 2),
+         |$continuousRollupSql
+         |SELECT type_resultaat, habitattype, habitatsubtype,
+         |  'Binnen & Buiten' AS sbzh, n AS n_obs,
+         |  round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) AS gemiddelde,
+         |  CASE WHEN n >= 2 THEN round(CAST(s1 AS DOUBLE) / n / 10000.0 -
+         |    $z * (sqrt(greatest((CAST(s2 AS DOUBLE) -
+         |      CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0)) / 10000.0) /
+         |    sqrt(n), 6) END AS gemiddelde_llci,
+         |  CASE WHEN n >= 2 THEN round(CAST(s1 AS DOUBLE) / n / 10000.0 +
+         |    $z * (sqrt(greatest((CAST(s2 AS DOUBLE) -
+         |      CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0)) / 10000.0) /
+         |    sqrt(n), 6) END AS gemiddelde_ulci,
+         |  'hoeveelheid dik dood hout' AS indicator,
+         |  'aantal exemplaren dik dood hout per ha' AS voorwaarde
+         |FROM allr""".stripMargin
+    },
+
+    "q126_trend_continuous" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      continuousOracleCtes +
+      s"""pairs AS (
+         |  SELECT point_code, habitatsubtype,
+         |    arg_min(v4, mdate) AS v1, arg_max(v4, mdate) AS v2,
+         |    arg_max(habitattype, mdate) AS habitattype,
+         |    count(DISTINCT mdate) AS ncd
+         |  FROM m GROUP BY 1, 2),
+         |pd AS (
+         |  SELECT habitattype, habitatsubtype, v2 - v1 AS d
+         |  FROM pairs WHERE ncd > 1),
+         |persub AS (
+         |  SELECT habitattype, habitatsubtype, count(*) AS n,
+         |    CAST(sum(d) AS BIGINT) AS s1,
+         |    CAST(sum(d * d) AS BIGINT) AS s2
+         |  FROM pd GROUP BY 1, 2),
+         |$continuousRollupSql
+         |SELECT type_resultaat, habitattype, habitatsubtype,
+         |  'Binnen & Buiten' AS sbzh, n AS n_obs,
+         |  round(CAST(s1 AS DOUBLE) / n / 10000.0, 6) AS verschil,
+         |  CASE WHEN n >= 5 THEN round(CAST(s1 AS DOUBLE) / n / 10000.0 -
+         |    $z * (sqrt(greatest((CAST(s2 AS DOUBLE) -
+         |      CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0)) / 10000.0) /
+         |    sqrt(n), 6) END AS verschil_llci,
+         |  CASE WHEN n >= 5 THEN round(CAST(s1 AS DOUBLE) / n / 10000.0 +
+         |    $z * (sqrt(greatest((CAST(s2 AS DOUBLE) -
+         |      CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 0.0)) / 10000.0) /
+         |    sqrt(n), 6) END AS verschil_ulci,
+         |  'hoeveelheid dik dood hout' AS indicator,
+         |  'aantal exemplaren dik dood hout per ha' AS voorwaarde
+         |FROM allr""".stripMargin
+    },
+
+    // q127/q128: area-weighted census shares — exact binary-fraction
+    // areas sum identically in both engines; the klasse CASE mirrors
+    // the point-estimate effectKlasse factor indexes.
+    "q127_status_area_census" ->
+      s"""${censusOracleCte(1)}
+         |SELECT type_resultaat, habitattype, sbzh, indicator,
+         |  round(g, 6) AS opp_gunstig_ha, round(o, 6) AS opp_ongunstig_ha,
+         |  round(u, 6) AS opp_onbekend_ha,
+         |  round((100.0 * g / (g + o + u) +
+         |    100.0 * (g + u) / (g + o + u)) / 2.0, 6) AS aandeel_gunstig,
+         |  round(100.0 * g / (g + o + u), 6) AS aandeel_gunstig_llci,
+         |  round(100.0 * (g + u) / (g + o + u), 6) AS aandeel_gunstig_ulci,
+         |  CASE WHEN 100.0 * g / (g + o + u) >= 75.0 THEN 'Goed'
+         |       WHEN 100.0 * (g + u) / (g + o + u) < 75.0 THEN 'Niet goed'
+         |       ELSE 'Onbekend' END AS beoordeling
+         |FROM agg1""".stripMargin,
+
+    "q128_trend_area_census" ->
+      s"""${censusOracleCte(1)},
+         |${censusOracleCte(2).replaceFirst("^WITH ", "")},
+         |a1 AS (
+         |  SELECT type_resultaat, habitattype, sbzh, indicator,
+         |    (100.0 * g / (g + o + u) +
+         |      100.0 * (g + u) / (g + o + u)) / 2.0 AS a
+         |  FROM agg1),
+         |a2 AS (
+         |  SELECT type_resultaat, habitattype, sbzh, indicator,
+         |    (100.0 * g / (g + o + u) +
+         |      100.0 * (g + u) / (g + o + u)) / 2.0 AS a
+         |  FROM agg2),
+         |j AS (
+         |  SELECT coalesce(a1.type_resultaat, a2.type_resultaat)
+         |      AS type_resultaat,
+         |    coalesce(a1.habitattype, a2.habitattype) AS habitattype,
+         |    coalesce(a1.sbzh, a2.sbzh) AS sbzh,
+         |    coalesce(a1.indicator, a2.indicator) AS indicator,
+         |    a1.a AS av1, a2.a AS av2,
+         |    round(a2.a - a1.a, 2) AS d
+         |  FROM a1 FULL JOIN a2 USING (type_resultaat, habitattype,
+         |    sbzh, indicator))
+         |SELECT type_resultaat, habitattype, sbzh, indicator,
+         |  'verschil_aandeel_gunstig_abs' AS parameter,
+         |  CASE WHEN av1 IS NOT NULL AND av2 IS NOT NULL THEN d END AS mean,
+         |  CASE WHEN av1 IS NOT NULL AND av2 IS NOT NULL THEN
+         |    CASE WHEN d > 12.0 THEN '1' WHEN d < -12.0 THEN '7'
+         |         WHEN d > 0.0 THEN '3' WHEN d < 0.0 THEN '5'
+         |         ELSE '4' END END AS klasse,
+         |  2017 AS jaar_min, 2023 AS jaar_max, 6 AS verschil_jaar
+         |FROM j""".stripMargin,
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

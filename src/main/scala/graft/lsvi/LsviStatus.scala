@@ -738,6 +738,218 @@ object LsviStatus {
     (mean - h, mean + h)
   }
 
+  // ---- continuous-variable status/trend (the `status_dikdoodhout` /
+  // `trend_dikdoodhout` family: a measured quantity per plot instead
+  // of a verdict; `reference/processed/lsvi_mhq/forests/result/
+  // status_dikdoodhout.tsv`) ----
+
+  /** Shared tail for [[statusContinuous]]/[[trendContinuous]]: given
+    * per-(subtype) aggregates of a 1e-4 fixed-point value (n, s1,
+    * s2 = integer sum and sum-of-squares), emit per-subtype rows plus
+    * a habitattype roll-up for multi-subtype types, with a normal 95%
+    * interval. The published tables use design-weighted/t bounds (see
+    * [[meanTCi]] for the t variant; the producing inputs are outside
+    * the reference snapshot), so the oracle-backed shape carries the
+    * z interval; bounds are NULL below `minN` plots, like the
+    * published NA rows (trend n = 1, 2, 4 are NA; n = 14+ carry
+    * bounds). Fixed point keeps the engine/oracle hashes equal under
+    * any aggregation order (see PLANS.md). */
+  private def continuousShape(perSub: DataFrame, meanName: String,
+      minN: Int): DataFrame = {
+    // perSub: habitattype, habitatsubtype, n, s1, s2
+    val multi = perSub.groupBy("habitattype")
+      .agg(countDistinct(col("habitatsubtype")).as("nsub"),
+        sum(col("n")).as("rn"), sum(col("s1")).as("rs1"),
+        sum(col("s2")).as("rs2"),
+        concat_ws("; ", sort_array(collect_set(col("habitatsubtype"))))
+          .as("subs"))
+    val subRows = perSub.join(broadcast(multi.select("habitattype", "nsub")),
+        Seq("habitattype"))
+      .select(
+        when(col("nsub") > 1, "Habitatsubtype").otherwise("Habitattype")
+          .as("type_resultaat"),
+        col("habitattype"), col("habitatsubtype"),
+        col("n"), col("s1"), col("s2"))
+    val rollRows = multi.where(col("nsub") > 1)
+      .select(lit("Habitattype").as("type_resultaat"), col("habitattype"),
+        col("subs").as("habitatsubtype"),
+        col("rn").as("n"), col("rs1").as("s1"), col("rs2").as("s2"))
+    val all = subRows.unionByName(rollRows)
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd / lit(10000.0)
+    // sample variance of the fixed-point values; the s1*s1 product is
+    // evaluated in doubles with the SAME shape as the oracle SQL, so
+    // any rounding is bit-identical on both sides
+    val va = greatest(
+      (col("s2").cast("double") - col("s1").cast("double") * col("s1") / nd) /
+        (nd - 1.0), lit(0.0))
+    val sd = sqrt(va) / lit(10000.0)
+    val h = lit(z975) * sd / sqrt(nd)
+    val ok = col("n") >= minN && col("n") > 1
+    all.select(col("type_resultaat"), col("habitattype"),
+      col("habitatsubtype"), lit("Binnen & Buiten").as("sbzh"),
+      col("n").as("n_obs"),
+      round(mean, 6).as(meanName),
+      when(ok, round(mean - h, 6)).as(s"${meanName}_llci"),
+      when(ok, round(mean + h, 6)).as(s"${meanName}_ulci"))
+  }
+
+  /** `status_dikdoodhout` shape: mean of a measured per-plot quantity
+    * over the latest visit per (point, habitatsubtype) — a point
+    * whose subtype changed between visits counts in each subtype
+    * stratum, which is exactly how the published 91E0 roll-up reaches
+    * 354 over 306 distinct points. Validated against the published
+    * table at n_obs level for all 11 rows (the value column — thick
+    *-dead-wood stems/ha from the tree-level inventory — is not in the
+    * reference snapshot). Input: id, date, point_code, habitattype,
+    * habitatsubtype, value. */
+  def statusContinuous(plots: DataFrame, indicator: String,
+      voorwaarde: String): DataFrame = {
+    val v4 = floor(col("value") * 10000.0 + 0.5).cast("long")
+    val latest = plots.where(col("value").isNotNull)
+      .withColumn("v4", v4)
+      .groupBy("point_code", "habitatsubtype")
+      .agg(max_by(col("v4"), struct(col("date"), col("id"))).as("v"),
+        max_by(col("habitattype"), struct(col("date"), col("id")))
+          .as("habitattype"))
+    val perSub = latest.groupBy("habitattype", "habitatsubtype")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    continuousShape(perSub, "gemiddelde", 2)
+      .withColumn("indicator", lit(indicator))
+      .withColumn("voorwaarde", lit(voorwaarde))
+  }
+
+  /** `trend_dikdoodhout` shape: paired first-vs-last difference of a
+    * measured per-plot quantity per (point, habitatsubtype) — pairs
+    * require both visits in the SAME subtype (the published 91E0
+    * subtype pairs sum to exactly the habitattype's 70 paired
+    * points), and interval columns are NULL below 5 pairs like the
+    * published NA rows. n_obs validated on all 11 published rows. */
+  def trendContinuous(plots: DataFrame, indicator: String,
+      voorwaarde: String): DataFrame = {
+    val v4 = floor(col("value") * 10000.0 + 0.5).cast("long")
+    val pairs = plots.where(col("value").isNotNull)
+      .withColumn("v4", v4)
+      .groupBy("point_code", "habitatsubtype")
+      .agg(min_by(col("v4"), struct(col("date"), col("id"))).as("v1"),
+        max_by(col("v4"), struct(col("date"), col("id"))).as("v2"),
+        max_by(col("habitattype"), struct(col("date"), col("id")))
+          .as("habitattype"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+      .withColumn("d", col("v2") - col("v1"))
+    val perSub = pairs.groupBy("habitattype", "habitatsubtype")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s1"),
+        sum(col("d") * col("d")).as("s2"))
+    continuousShape(perSub, "verschil", 5)
+      .withColumn("indicator", lit(indicator))
+      .withColumn("voorwaarde", lit(voorwaarde))
+  }
+
+  // ---- area-weighted census status/trend (the fully-mapped habitats
+  // 2110 embryonic dunes and 5130 juniper scrub: every polygon is
+  // assessed, so shares are area ratios, not sample estimates —
+  // `status_habitat_2110.tsv`, `status_indicatoren_5130.tsv`) ----
+
+  /** `status_habitat_2110` / `status_indicatoren_5130` shape: given
+    * one row per assessed polygon (habitattype, in_sac, verdict in
+    * {gunstig, ongunstig, onbekend}, area_ha, plus optional detail
+    * columns such as criterium/indicator/belang), sum the area per
+    * verdict for the Habitattype stratum and each SBZH stratum.
+    * `aandeel_gunstig_llci` allocates the unknown area pessimistically
+    * (g / (g+o+u)), `_ulci` optimistically ((g+u) / (g+o+u)), and
+    * `aandeel_gunstig` is their midpoint — the published 5130 rows
+    * reproduce this exactly (sexratio 99.28/100 -> 99.64, verjonging
+    * 54.92/61.92 -> 58.42); with no unknown area all three collapse
+    * to g/(g+o) (every 2110 row). `beoordeling` classifies the
+    * interval against 75%: Goed when even the pessimistic share
+    * clears it, Niet goed when even the optimistic share misses it,
+    * and Onbekend when the unknown area straddles the threshold (the
+    * published 5130 verruiging-Binnen row: 69.71-87.37 -> Onbekend).
+    * One aggregation after the stratum explode; census inputs are
+    * polygon dictionaries, trivially partition-parallel at scale. */
+  def statusAreaCensus(polys: DataFrame,
+      detail: Seq[String] = Nil): DataFrame = {
+    val strata = polys.select(
+      (explode(array(
+        struct(lit("Habitattype").as("type_resultaat"),
+          lit("Binnen & Buiten").as("sbzh")),
+        struct(lit("SBZH").as("type_resultaat"),
+          when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
+            .as("sbzh")))).as("s") +:
+        col("habitattype") +: col("verdict") +: col("area_ha") +:
+        detail.map(col)): _*)
+    val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
+    val agg = strata
+      .select(col("s.type_resultaat").as("type_resultaat") +:
+        col("s.sbzh").as("sbzh") +:
+        col("habitattype") +: col("verdict") +: col("area_ha") +:
+        detail.map(col): _*)
+      .groupBy(keys.head, keys.tail: _*)
+      .agg(
+        sum(when(col("verdict") === "gunstig", col("area_ha"))
+          .otherwise(0.0)).as("opp_gunstig_ha"),
+        sum(when(col("verdict") === "ongunstig", col("area_ha"))
+          .otherwise(0.0)).as("opp_ongunstig_ha"),
+        sum(when(col("verdict") === "onbekend", col("area_ha"))
+          .otherwise(0.0)).as("opp_onbekend_ha"))
+    val tot = col("opp_gunstig_ha") + col("opp_ongunstig_ha") +
+      col("opp_onbekend_ha")
+    val lo = lit(100.0) * col("opp_gunstig_ha") / tot
+    val hi = lit(100.0) * (col("opp_gunstig_ha") + col("opp_onbekend_ha")) / tot
+    val mid = (lo + hi) / 2.0
+    agg.select(keys.map(col) :+
+      round(col("opp_gunstig_ha"), 6).as("opp_gunstig_ha") :+
+      round(col("opp_ongunstig_ha"), 6).as("opp_ongunstig_ha") :+
+      round(col("opp_onbekend_ha"), 6).as("opp_onbekend_ha") :+
+      round(mid, 6).as("aandeel_gunstig") :+
+      round(lo, 6).as("aandeel_gunstig_llci") :+
+      round(hi, 6).as("aandeel_gunstig_ulci") :+
+      when(lo >= 75.0, "Goed").when(hi < 75.0, "Niet goed")
+        .otherwise("Onbekend").as("beoordeling"): _*)
+  }
+
+  /** `trend_habitat_2110` / `trend_indicatoren_2110` shape: the
+    * change in the census share between two full mappings. Both
+    * cycles aggregate like [[statusAreaCensus]]; the published rows
+    * carry the absolute difference of `aandeel_gunstig`, the year
+    * span and revisit interval, and the klasse as the 1-based factor
+    * index of the shared [[effectKlasse]] labels — a census has no
+    * sampling interval, so the point estimate classifies alone
+    * (0.74 -> "+~" -> 3, -1.11 -> "-~" -> 5, -20.55 -> "--" -> 7 in
+    * the published rows). Rows missing either cycle publish NA
+    * mean/klasse but keep the year columns, like the
+    * structuurvormende-sleutelsoorten row. */
+  def trendAreaCensus(c1: DataFrame, c2: DataFrame,
+      detail: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
+    def cyc(df: DataFrame, tag: String): DataFrame = {
+      // campaign year: a census mapping is one fieldwork campaign; the
+      // single-row min joins back as a broadcast singleton (lazy — no
+      // driver-side action at plan time)
+      val y = df.agg(min(col("date")).cast("int").as(s"jaar_$tag"))
+      statusAreaCensus(df, detail).crossJoin(broadcast(y))
+        .select(keys.map(col) :+ col("aandeel_gunstig").as(s"a_$tag") :+
+          col(s"jaar_$tag"): _*)
+    }
+    val j = cyc(c1, "1").join(cyc(c2, "2"), keys, "full")
+    val d = round(col("a_2") - col("a_1"), 2)
+    val known = col("a_1").isNotNull && col("a_2").isNotNull
+    val idx = typedLit(Map("++" -> "1", "+" -> "2", "+~" -> "3",
+      "~" -> "4", "-~" -> "5", "-" -> "6", "--" -> "7",
+      "?+" -> "8", "?-" -> "9", "?" -> "10"))
+    j.select(keys.map(col) :+
+      lit("verschil_aandeel_gunstig_abs").as("parameter") :+
+      when(known, d).as("mean") :+
+      when(known,
+        element_at(idx, effectKlasse(d, d, d, 12.0, 12.0))).as("klasse") :+
+      least(col("jaar_1"), col("jaar_2")).as("jaar_min") :+
+      greatest(col("jaar_1"), col("jaar_2")).as("jaar_max") :+
+      (greatest(col("jaar_1"), col("jaar_2")) -
+        least(col("jaar_1"), col("jaar_2"))).as("verschil_jaar"): _*)
+  }
+
   /** McNemar p-value for the df=1 chi-square statistic:
     * P(X > chi2) = erfc(sqrt(chi2 / 2)). */
   def mcNemarP(chi2: Double): Double =
