@@ -756,25 +756,32 @@ object LsviStatus {
     * any aggregation order (see PLANS.md). */
   private def continuousShape(perSub: DataFrame, meanName: String,
       minN: Int): DataFrame = {
-    // perSub: habitattype, habitatsubtype, n, s1, s2
-    val multi = perSub.groupBy("habitattype")
-      .agg(countDistinct(col("habitatsubtype")).as("nsub"),
-        sum(col("n")).as("rn"), sum(col("s1")).as("rs1"),
-        sum(col("s2")).as("rs2"),
+    // perSub: habitattype, habitatsubtype, n, s1, s2. Single chain:
+    // each per-subtype aggregate contributes itself AND a roll-up
+    // shard (explode), so the upstream is planned and scanned ONCE —
+    // a union of a subtype branch and a groupBy-rollup branch would
+    // re-plan the whole scan chain per branch (no cross-branch
+    // exchange reuse in local mode; see PLANS.md). Everything after
+    // perSub is dictionary-sized.
+    val rows = perSub.select(col("habitattype"), col("habitatsubtype"),
+      col("n"), col("s1"), col("s2"),
+      explode(array(lit("sub"), lit("roll"))).as("role"))
+    val agg = rows.groupBy(col("habitattype"), col("role"),
+        when(col("role") === "sub", col("habitatsubtype")).otherwise("")
+          .as("subkey"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), count(lit(1)).as("cnt"),
         concat_ws("; ", sort_array(collect_set(col("habitatsubtype"))))
           .as("subs"))
-    val subRows = perSub.join(broadcast(multi.select("habitattype", "nsub")),
-        Seq("habitattype"))
-      .select(
-        when(col("nsub") > 1, "Habitatsubtype").otherwise("Habitattype")
-          .as("type_resultaat"),
-        col("habitattype"), col("habitatsubtype"),
-        col("n"), col("s1"), col("s2"))
-    val rollRows = multi.where(col("nsub") > 1)
-      .select(lit("Habitattype").as("type_resultaat"), col("habitattype"),
-        col("subs").as("habitatsubtype"),
-        col("rn").as("n"), col("rs1").as("s1"), col("rs2").as("s2"))
-    val all = subRows.unionByName(rollRows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("habitattype")
+    val typed = agg
+      .withColumn("nsub", max(when(col("role") === "roll", col("cnt"))).over(w))
+      .where(col("role") === "sub" || col("nsub") > 1)
+    val all = typed.select(
+      when(col("role") === "roll" || col("nsub") === 1, "Habitattype")
+        .otherwise("Habitatsubtype").as("type_resultaat"),
+      col("habitattype"), col("subs").as("habitatsubtype"),
+      col("n"), col("s1"), col("s2"))
     val nd = col("n").cast("double")
     val mean = col("s1").cast("double") / nd / lit(10000.0)
     // sample variance of the fixed-point values; the s1*s1 product is
@@ -869,8 +876,13 @@ object LsviStatus {
     * published 5130 verruiging-Binnen row: 69.71-87.37 -> Onbekend).
     * One aggregation after the stratum explode; census inputs are
     * polygon dictionaries, trivially partition-parallel at scale. */
-  def statusAreaCensus(polys: DataFrame,
-      detail: Seq[String] = Nil): DataFrame = {
+  /** Stratum explode + per-verdict area sums shared by
+    * [[statusAreaCensus]] and [[trendAreaCensus]]; `withYear` also
+    * carries min(date) per stratum so the trend's campaign year rides
+    * the SAME scan instead of a second pass over the polygons. */
+  private def censusAgg(polys: DataFrame, detail: Seq[String],
+      withYear: Boolean): DataFrame = {
+    val extra = if (withYear) Seq(col("date")) else Nil
     val strata = polys.select(
       (explode(array(
         struct(lit("Habitattype").as("type_resultaat"),
@@ -879,21 +891,27 @@ object LsviStatus {
           when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
             .as("sbzh")))).as("s") +:
         col("habitattype") +: col("verdict") +: col("area_ha") +:
-        detail.map(col)): _*)
-    val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
-    val agg = strata
-      .select(col("s.type_resultaat").as("type_resultaat") +:
+        (detail.map(col) ++ extra)): _*)
+      .select((col("s.type_resultaat").as("type_resultaat") +:
         col("s.sbzh").as("sbzh") +:
         col("habitattype") +: col("verdict") +: col("area_ha") +:
-        detail.map(col): _*)
-      .groupBy(keys.head, keys.tail: _*)
-      .agg(
-        sum(when(col("verdict") === "gunstig", col("area_ha"))
-          .otherwise(0.0)).as("opp_gunstig_ha"),
-        sum(when(col("verdict") === "ongunstig", col("area_ha"))
-          .otherwise(0.0)).as("opp_ongunstig_ha"),
-        sum(when(col("verdict") === "onbekend", col("area_ha"))
-          .otherwise(0.0)).as("opp_onbekend_ha"))
+        (detail.map(col) ++ extra)): _*)
+    val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
+    val aggs = Seq(
+      sum(when(col("verdict") === "gunstig", col("area_ha"))
+        .otherwise(0.0)).as("opp_gunstig_ha"),
+      sum(when(col("verdict") === "ongunstig", col("area_ha"))
+        .otherwise(0.0)).as("opp_ongunstig_ha"),
+      sum(when(col("verdict") === "onbekend", col("area_ha"))
+        .otherwise(0.0)).as("opp_onbekend_ha")) ++
+      (if (withYear) Seq(min(col("date")).as("y_strat")) else Nil)
+    strata.groupBy(keys.head, keys.tail: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def statusAreaCensus(polys: DataFrame,
+      detail: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
+    val agg = censusAgg(polys, detail, withYear = false)
     val tot = col("opp_gunstig_ha") + col("opp_ongunstig_ha") +
       col("opp_onbekend_ha")
     val lo = lit(100.0) * col("opp_gunstig_ha") / tot
@@ -925,13 +943,20 @@ object LsviStatus {
       detail: Seq[String] = Nil): DataFrame = {
     val keys = Seq("type_resultaat", "habitattype", "sbzh") ++ detail
     def cyc(df: DataFrame, tag: String): DataFrame = {
-      // campaign year: a census mapping is one fieldwork campaign; the
-      // single-row min joins back as a broadcast singleton (lazy — no
-      // driver-side action at plan time)
-      val y = df.agg(min(col("date")).cast("int").as(s"jaar_$tag"))
-      statusAreaCensus(df, detail).crossJoin(broadcast(y))
-        .select(keys.map(col) :+ col("aandeel_gunstig").as(s"a_$tag") :+
-          col(s"jaar_$tag"): _*)
+      // campaign year: a census mapping is one fieldwork campaign —
+      // the global min rides the SAME aggregation as the areas (one
+      // scan per cycle) and collapses via a window over the
+      // dictionary-sized stratum aggregate
+      val agg = censusAgg(df, detail, withYear = true)
+      val tot = col("opp_gunstig_ha") + col("opp_ongunstig_ha") +
+        col("opp_onbekend_ha")
+      val lo = lit(100.0) * col("opp_gunstig_ha") / tot
+      val hi = lit(100.0) *
+        (col("opp_gunstig_ha") + col("opp_onbekend_ha")) / tot
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      agg.select(keys.map(col) :+
+        round((lo + hi) / 2.0, 6).as(s"a_$tag") :+
+        min(col("y_strat")).over(w).cast("int").as(s"jaar_$tag"): _*)
     }
     val j = cyc(c1, "1").join(cyc(c2, "2"), keys, "full")
     val d = round(col("a_2") - col("a_1"), 2)

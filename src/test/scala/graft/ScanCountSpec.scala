@@ -53,4 +53,19 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q123_extra_vars_msa") <= 1)
     assert(shuffleCount("q124_coord_paired_check") <= 2)
   }
+
+  test("census/continuous shapes keep bounded scans and shuffles") {
+    // q125/q126: ONE scan — the roll-up rides the per-subtype
+    // aggregate as an exploded shard instead of a second branch
+    // (a union re-plans the whole chain per branch); q128: one scan
+    // per cycle — the campaign year rides the census aggregation.
+    assert(scanCount("q125_status_continuous") <= 1)
+    assert(shuffleCount("q125_status_continuous") <= 4)
+    assert(scanCount("q126_trend_continuous") <= 1)
+    assert(shuffleCount("q126_trend_continuous") <= 5)
+    assert(scanCount("q127_status_area_census") <= 1)
+    assert(shuffleCount("q127_status_area_census") <= 1)
+    assert(scanCount("q128_trend_area_census") <= 2)
+    assert(shuffleCount("q128_trend_area_census") <= 4)
+  }
 }
