@@ -1056,6 +1056,13 @@ object SparkEntry {
     "q127_status_area_census" -> ((s, dir) =>
       graft.lsvi.LsviStatus.statusAreaCensus(censusPolys(s, dir, 1),
         Seq("indicator"))),
+    // cycle-based pairing (the grassland/marsh scheme: overlapping
+    // per-stratum 6-year windows — see LsviStatus.assignCycles): only
+    // points seen in BOTH cycle 0 and 1 pair; same-cycle revisits and
+    // cycle-2 visits drop out
+    "q129_trend_habitat_cycles" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendHabitat(
+        graft.lsvi.LsviStatus.assignCycles(cycleTrendInputs(s, dir)))),
     "q128_trend_area_census" -> ((s, dir) =>
       graft.lsvi.LsviStatus.trendAreaCensus(
         censusPolys(s, dir, 1).withColumn("date", lit(2017)),
@@ -2304,6 +2311,29 @@ object SparkEntry {
       (((col("ck") * 13) % 4001).cast("double") / 100.0).as("value"))
   }
 
+  /** Synthetic visits for q129: 3-year-stepped dates (2010..2022)
+    * against 6-year cycles make every pairing path occur — cross-cycle
+    * pairs, same-cycle revisits (excluded), and cycle-2 visits
+    * (dropped before pairing). Subtype is stable per point, so
+    * [[graft.lsvi.LsviStatus.assignCycles]]'s per-stratum start years
+    * drive the windows. */
+  private def cycleTrendInputs(s: SparkSession, dir: String): DataFrame = {
+    val types = graft.lsvi.Versie3Forests.habitattypes
+    val base = t(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), expr("c_custkey div 2").as("pt"))
+      .where((col("ck") * 3) % 7 =!= 0)
+    val ht = element_at(typedLit(types), (col("pt") % 11 + 1).cast("int"))
+    base.select(
+      concat(lit("CY_"), col("ck")).as("id"),
+      ht.as("habitattype"),
+      concat(ht, lit("_s"), col("pt") % 3).as("habitatsubtype"),
+      concat(lit("pt_"), col("pt")).as("point_code"),
+      (lit(2010) + lit(3) * (col("ck") % 5)).as("date"),
+      when(col("pt") % 3 < 2, 1).otherwise(0).as("in_sac"),
+      when((col("ck") * 5) % 3 === 0, "gunstig").otherwise("ongunstig")
+        .as("lsvi"))
+  }
+
   /** Synthetic assessed polygons for q127/q128: the verdict mix
     * varies with the cycle tag so the trend has signal; areas are
     * exact binary fractions (k/64 ha), keeping distributed double
@@ -2398,6 +2428,124 @@ object SparkEntry {
        |    sum(CASE WHEN verdict = 'ongunstig' THEN area_ha ELSE 0.0 END) AS o,
        |    sum(CASE WHEN verdict = 'onbekend' THEN area_ha ELSE 0.0 END) AS u
        |  FROM strata$cycle GROUP BY 1, 2, 3, 4)""".stripMargin
+  }
+
+  /** Shared oracle tail for q121/q129 (`trend_habitat`): from the
+    * paired flags to the four published row families; `ncPred` is the
+    * pairing filter (`nc > 1` visit-based, `nc = 2` cycle-based). */
+  private def trendHabitatOracleTail(ncPred: String): String = {
+    val z = graft.lsvi.LsviStatus.z975
+    val z2 = z * z
+    def klasseSql(tl: Double, th: Double): String =
+      s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
+         |     WHEN coalesce(llci, mean) > $th THEN '++'
+         |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
+         |     WHEN coalesce(llci, mean) > 0.0 THEN
+         |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
+         |     WHEN coalesce(ulci, mean) < 0.0 THEN
+         |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
+         |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
+         |       THEN '~'
+         |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
+         |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
+         |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    s"""rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    g1, g2, j1, j2
+           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE $ncPred),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    count(CASE WHEN g1 THEN 1 END) AS k1,
+           |    count(CASE WHEN g2 THEN 1 END) AS k2,
+           |    count(CASE WHEN g1 AND NOT g2 THEN 1 END) AS b,
+           |    count(CASE WHEN NOT g1 AND g2 THEN 1 END) AS c,
+           |    min(j1) AS jmin1, max(j1) AS jmax1,
+           |    min(j2) AS jmin2, max(j2) AS jmax2,
+           |    sum(j2 - j1) AS sdj
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |acyc AS (
+           |  SELECT 'c_1' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    k1 AS k, jmin1 AS jaar_min, jmax1 AS jaar_max FROM agg
+           |  UNION ALL
+           |  SELECT 'c_2', type_resultaat, habitattype, sbzh, n_obs,
+           |    k2, jmin2, jmax2 FROM agg),
+           |wil AS (
+           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
+           |    1.0 + $z2 / n_obs AS den
+           |  FROM acyc),
+           |wil2 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
+           |  FROM wil),
+           |aand AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'aandeel_gunstig' AS parameter,
+           |    round(100.0 * p, 6) AS mean,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6) AS llci,
+           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, CAST(NULL AS VARCHAR) AS periode_ref,
+           |    jaar_min, jaar_max, CAST(NULL AS DOUBLE) AS verschil_jaar
+           |  FROM wil2),
+           |vboth AS (
+           |  SELECT *,
+           |    100.0 * (CAST(k2 AS DOUBLE) - k1) / n_obs AS d,
+           |    100.0 * sqrt(b + c - pow(CAST(b AS DOUBLE) - c, 2) / n_obs) / n_obs AS se,
+           |    least(jmin1, jmin2) AS jaar_min, greatest(jmax1, jmax2) AS jaar_max,
+           |    -- half-even to 1 decimal like the engine's bround (DuckDB
+           |    -- round() is half-away-from-zero on doubles): integer
+           |    -- half-even of the exact rational sdj*10/n_obs, which the
+           |    -- correctly-rounded IEEE division makes identical to
+           |    -- Spark's decimal-string HALF_EVEN (sdj >= 0 by pairing)
+           |    CAST(CASE
+           |      WHEN 2 * ((sdj * 10) % n_obs) > n_obs THEN (sdj * 10) // n_obs + 1
+           |      WHEN 2 * ((sdj * 10) % n_obs) < n_obs THEN (sdj * 10) // n_obs
+           |      ELSE (sdj * 10) // n_obs + ((sdj * 10) // n_obs) % 2
+           |    END AS DOUBLE) / 10 AS vj
+           |  FROM agg),
+           |vabs AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_abs' AS parameter,
+           |    round(d, 6) AS mean, round(d - $z * se, 6) AS llci,
+           |    round(d + $z * se, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, 'c_1' AS periode_ref,
+           |    jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vboth),
+           |vabs2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci, ${klasseSql(12.0, 12.0)} AS klasse,
+           |    periode_ref, jaar_min, jaar_max, verschil_jaar
+           |  FROM vabs),
+           |vrel AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_rel' AS parameter,
+           |    CASE WHEN k1 > 0
+           |         THEN round(100.0 * (CAST(k2 AS DOUBLE) - k1) / k1, 6) END AS mean,
+           |    CASE WHEN k1 > 0 AND k2 > 0
+           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
+           |                - $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
+           |         END AS llci,
+           |    CASE WHEN k1 > 0 AND k2 > 0
+           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
+           |                + $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
+           |         END AS ulci,
+           |    k1, round(d - $z * se, 6) AS abs_llci,
+           |    jaar_min, jaar_max, vj
+           |  FROM vboth),
+           |vrel2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci,
+           |    CASE WHEN k1 > 0 THEN ${klasseSql(25.0, 25.0)}
+           |         WHEN abs_llci > 0.0 THEN '++' ELSE '?' END AS klasse,
+           |    'c_1' AS periode_ref, jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vrel)
+           |SELECT * FROM aand UNION ALL SELECT * FROM vabs2
+           |UNION ALL SELECT * FROM vrel2""".stripMargin
   }
 
   /** Shared oracle CTE prefix for q113-q115: replays [[statusInputs]]
@@ -4080,22 +4228,7 @@ object SparkEntry {
     // relative change, both classified by the ten-class effect CASE
     // (thresholds +-12pp abs / +-25% rel), year spans and the mean
     // revisit interval.
-    "q121_trend_habitat" -> {
-      val z = graft.lsvi.LsviStatus.z975
-      val z2 = z * z
-      def klasseSql(tl: Double, th: Double): String =
-        s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
-           |     WHEN coalesce(llci, mean) > $th THEN '++'
-           |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
-           |     WHEN coalesce(llci, mean) > 0.0 THEN
-           |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
-           |     WHEN coalesce(ulci, mean) < 0.0 THEN
-           |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
-           |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
-           |       THEN '~'
-           |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
-           |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
-           |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    "q121_trend_habitat" -> (
       statusOracleCtes.stripSuffix("\n") +
         s""", pairs AS (
            |  SELECT habitattype, point_code,
@@ -4105,103 +4238,43 @@ object SparkEntry {
            |    min(mdate) AS j1, max(mdate) AS j2,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
-           |rows_ AS (
-           |  SELECT habitattype,
-           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
-           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
-           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
-           |    g1, g2, j1, j2
-           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE nc > 1),
-           |agg AS (
-           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
-           |    count(CASE WHEN g1 THEN 1 END) AS k1,
-           |    count(CASE WHEN g2 THEN 1 END) AS k2,
-           |    count(CASE WHEN g1 AND NOT g2 THEN 1 END) AS b,
-           |    count(CASE WHEN NOT g1 AND g2 THEN 1 END) AS c,
-           |    min(j1) AS jmin1, max(j1) AS jmax1,
-           |    min(j2) AS jmin2, max(j2) AS jmax2,
-           |    sum(j2 - j1) AS sdj
-           |  FROM rows_ GROUP BY 1, 2, 3),
-           |acyc AS (
-           |  SELECT 'c_1' AS periode, type_resultaat, habitattype, sbzh, n_obs,
-           |    k1 AS k, jmin1 AS jaar_min, jmax1 AS jaar_max FROM agg
-           |  UNION ALL
-           |  SELECT 'c_2', type_resultaat, habitattype, sbzh, n_obs,
-           |    k2, jmin2, jmax2 FROM agg),
-           |wil AS (
-           |  SELECT *, CAST(k AS DOUBLE) / CAST(n_obs AS DOUBLE) AS p,
-           |    1.0 + $z2 / n_obs AS den
-           |  FROM acyc),
-           |wil2 AS (
-           |  SELECT *,
-           |    (p + $z2 / (2.0 * n_obs)) / den AS center,
-           |    ($z / den) * sqrt(p * (1.0 - p) / n_obs + $z2 / (4.0 * n_obs * n_obs)) AS half
-           |  FROM wil),
-           |aand AS (
-           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs,
-           |    'aandeel_gunstig' AS parameter,
-           |    round(100.0 * p, 6) AS mean,
-           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
-           |               ELSE 100.0 * greatest(0.0, center - half) END, 6) AS llci,
-           |    round(CASE WHEN k = 0 OR k = n_obs THEN 100.0 * p
-           |               ELSE 100.0 * least(1.0, center + half) END, 6) AS ulci,
-           |    CAST(NULL AS VARCHAR) AS klasse, CAST(NULL AS VARCHAR) AS periode_ref,
-           |    jaar_min, jaar_max, CAST(NULL AS DOUBLE) AS verschil_jaar
-           |  FROM wil2),
-           |vboth AS (
-           |  SELECT *,
-           |    100.0 * (CAST(k2 AS DOUBLE) - k1) / n_obs AS d,
-           |    100.0 * sqrt(b + c - pow(CAST(b AS DOUBLE) - c, 2) / n_obs) / n_obs AS se,
-           |    least(jmin1, jmin2) AS jaar_min, greatest(jmax1, jmax2) AS jaar_max,
-           |    -- half-even to 1 decimal like the engine's bround (DuckDB
-           |    -- round() is half-away-from-zero on doubles): integer
-           |    -- half-even of the exact rational sdj*10/n_obs, which the
-           |    -- correctly-rounded IEEE division makes identical to
-           |    -- Spark's decimal-string HALF_EVEN (sdj >= 0 by pairing)
-           |    CAST(CASE
-           |      WHEN 2 * ((sdj * 10) % n_obs) > n_obs THEN (sdj * 10) // n_obs + 1
-           |      WHEN 2 * ((sdj * 10) % n_obs) < n_obs THEN (sdj * 10) // n_obs
-           |      ELSE (sdj * 10) // n_obs + ((sdj * 10) // n_obs) % 2
-           |    END AS DOUBLE) / 10 AS vj
-           |  FROM agg),
-           |vabs AS (
-           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
-           |    'verschil_aandeel_gunstig_abs' AS parameter,
-           |    round(d, 6) AS mean, round(d - $z * se, 6) AS llci,
-           |    round(d + $z * se, 6) AS ulci,
-           |    CAST(NULL AS VARCHAR) AS klasse, 'c_1' AS periode_ref,
-           |    jaar_min, jaar_max, vj AS verschil_jaar
-           |  FROM vboth),
-           |vabs2 AS (
-           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
-           |    mean, llci, ulci, ${klasseSql(12.0, 12.0)} AS klasse,
-           |    periode_ref, jaar_min, jaar_max, verschil_jaar
-           |  FROM vabs),
-           |vrel AS (
-           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
-           |    'verschil_aandeel_gunstig_rel' AS parameter,
-           |    CASE WHEN k1 > 0
-           |         THEN round(100.0 * (CAST(k2 AS DOUBLE) - k1) / k1, 6) END AS mean,
-           |    CASE WHEN k1 > 0 AND k2 > 0
-           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
-           |                - $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
-           |         END AS llci,
-           |    CASE WHEN k1 > 0 AND k2 > 0
-           |         THEN round(100.0 * (exp(ln(CAST(k2 AS DOUBLE) / k1)
-           |                + $z * sqrt((b + c) / (CAST(k1 AS DOUBLE) * k2))) - 1.0), 6)
-           |         END AS ulci,
-           |    k1, round(d - $z * se, 6) AS abs_llci,
-           |    jaar_min, jaar_max, vj
-           |  FROM vboth),
-           |vrel2 AS (
-           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
-           |    mean, llci, ulci,
-           |    CASE WHEN k1 > 0 THEN ${klasseSql(25.0, 25.0)}
-           |         WHEN abs_llci > 0.0 THEN '++' ELSE '?' END AS klasse,
-           |    'c_1' AS periode_ref, jaar_min, jaar_max, vj AS verschil_jaar
-           |  FROM vrel)
-           |SELECT * FROM aand UNION ALL SELECT * FROM vabs2
-           |UNION ALL SELECT * FROM vrel2""".stripMargin
+           |""".stripMargin + trendHabitatOracleTail("nc > 1")),
+
+    // q129: cycle-based pairing — the same trend tail over pairs that
+    // require one visit in each of cycles 0 and 1, with the cycle
+    // derived from each habitatsubtype's first visit year like
+    // assignCycles (6-year windows).
+    "q129_trend_habitat_cycles" -> {
+      val typeList = graft.lsvi.Versie3Forests.habitattypes
+        .map(sqlStr).mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT c_custkey AS ck, c_custkey // 2 AS pt
+         |  FROM customer WHERE (c_custkey * 3) % 7 <> 0),
+         |plots0 AS (
+         |  SELECT 'CY_' || ck AS id,
+         |    $typeList[CAST(pt % 11 AS INTEGER) + 1] AS habitattype,
+         |    $typeList[CAST(pt % 11 AS INTEGER) + 1] || '_s' || (pt % 3)
+         |      AS habitatsubtype,
+         |    'pt_' || pt AS point_code,
+         |    2010 + 3 * (ck % 5) AS mdate,
+         |    CASE WHEN pt % 3 < 2 THEN 1 ELSE 0 END AS in_sac,
+         |    CASE WHEN (ck * 5) % 3 = 0 THEN 'gunstig' ELSE 'ongunstig' END
+         |      AS lsvi
+         |  FROM base),
+         |y0 AS (
+         |  SELECT habitatsubtype, min(mdate) AS ys FROM plots0 GROUP BY 1),
+         |cycplots AS (
+         |  SELECT p.*, CAST(floor((p.mdate - y.ys) / 6) AS INTEGER) AS cyc
+         |  FROM plots0 p JOIN y0 y USING (habitatsubtype)),
+         |pairs AS (
+         |  SELECT habitattype, point_code,
+         |    arg_min(lsvi, mdate) = 'gunstig' AS g1,
+         |    arg_max(lsvi, mdate) = 'gunstig' AS g2,
+         |    arg_max(in_sac, mdate) AS in_sac,
+         |    min(mdate) AS j1, max(mdate) AS j2,
+         |    count(DISTINCT cyc) AS nc
+         |  FROM cycplots WHERE cyc IN (0, 1) GROUP BY 1, 2),
+         |""".stripMargin + trendHabitatOracleTail("nc = 2")
     },
 
     // q122: status_beheer — latest-per-point favourability split by
