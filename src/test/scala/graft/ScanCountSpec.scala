@@ -67,5 +67,11 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q127_status_area_census") <= 1)
     assert(scanCount("q128_trend_area_census") <= 2)
     assert(shuffleCount("q128_trend_area_census") <= 4)
+    // q129: two scans by design — assignCycles re-scans the base for
+    // the stratum-start dictionary and broadcasts it, which at scale
+    // beats the alternative (a full-data window shuffle on subtype);
+    // pairing countDistinct(cycle) is the only 2-phase aggregation
+    assert(scanCount("q129_trend_habitat_cycles") <= 2)
+    assert(shuffleCount("q129_trend_habitat_cycles") <= 4)
   }
 }
