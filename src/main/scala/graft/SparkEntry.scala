@@ -1056,6 +1056,11 @@ object SparkEntry {
     "q127_status_area_census" -> ((s, dir) =>
       graft.lsvi.LsviStatus.statusAreaCensus(censusPolys(s, dir, 1),
         Seq("indicator"))),
+    "q128_trend_area_census" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendAreaCensus(
+        censusPolys(s, dir, 1).withColumn("date", lit(2017)),
+        censusPolys(s, dir, 2).withColumn("date", lit(2023)),
+        Seq("indicator"))),
     // cycle-based pairing (the grassland/marsh scheme: overlapping
     // per-stratum 6-year windows — see LsviStatus.assignCycles): only
     // points seen in BOTH cycle 0 and 1 pair; same-cycle revisits and
@@ -1063,11 +1068,25 @@ object SparkEntry {
     "q129_trend_habitat_cycles" -> ((s, dir) =>
       graft.lsvi.LsviStatus.trendHabitat(
         graft.lsvi.LsviStatus.assignCycles(cycleTrendInputs(s, dir)))),
-    "q128_trend_area_census" -> ((s, dir) =>
-      graft.lsvi.LsviStatus.trendAreaCensus(
-        censusPolys(s, dir, 1).withColumn("date", lit(2017)),
-        censusPolys(s, dir, 2).withColumn("date", lit(2023)),
-        Seq("indicator"))),
+
+    // ---- design-weighted status estimators (LsviStatus weighted
+    // overloads): Hájek shares/means Σw·x/Σw with Kish-n_eff Wilson /
+    // z intervals — the machinery that reproduces the reference's
+    // design-weighted pooled rows (WeightedStatusSpec replays
+    // status_indicatoren_fs / index_hq_fs pooled rows from solved
+    // stratum weights). q130 weights the habitat-status shape, q131
+    // the habitat-quality mean (over the binary-fraction index twin —
+    // see statusInputs). ----
+    "q130_status_habitat_weighted" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.statusHabitat(meta, "weight")
+    }),
+    "q131_index_hq_weighted" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.indexHq(
+        meta.drop("index_mean_ind")
+          .withColumnRenamed("index_b", "index_mean_ind"), "weight")
+    }),
 
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
@@ -2268,7 +2287,15 @@ object SparkEntry {
       when((col("pt") * 7) % 5 < 3, "ja").otherwise("nee").as("passend_beheer"),
       ((col("pt") % 7 + 1).cast("double") * 0.25).as("weight"),
       (((col("ck") * 11) % 2001 - 1000).cast("double") / 1000.0)
-        .as("index_mean_ind"))
+        .as("index_mean_ind"),
+      // binary-fraction twin of the index for the WEIGHTED mean shape
+      // (q131): 1/1024 steps make every Σw·x / Σw·x² double sum exact,
+      // so the distributed aggregation is order-independent without
+      // the unweighted path's integer fixed point (quarter-step
+      // weights × 2^-10 values: products are 2^-12 multiples, sums
+      // stay far below 2^53 in step units)
+      (((col("ck") * 7) % 2049 - 1024).cast("double") / 1024.0)
+        .as("index_b"))
     val indStructs = (0 until 5).map { j =>
       val m = (col("ck") * (j + 2)) % 5
       struct(
@@ -2376,8 +2403,8 @@ object SparkEntry {
        |  FROM base),
        |latest AS (
        |  SELECT point_code, habitatsubtype,
-       |    arg_max(v4, mdate) AS v,
-       |    arg_max(habitattype, mdate) AS habitattype
+       |    arg_max(v4, mdate || '|' || id) AS v,
+       |    arg_max(habitattype, mdate || '|' || id) AS habitattype
        |  FROM m GROUP BY 1, 2),
        |""".stripMargin
   }
@@ -2550,7 +2577,10 @@ object SparkEntry {
 
   /** Shared oracle CTE prefix for q113-q115: replays [[statusInputs]]
     * and the latest-cycle-per-point selection in DuckDB (`mdate`, not
-    * `date` — reserved word). */
+    * `date` — reserved word). Every arg_min/arg_max orders by
+    * `mdate || '|' || id` — with fixed-width 4-digit years that string
+    * key sorts exactly like the engine's `struct(date, id)`, so
+    * same-date revisits break ties identically on both sides. */
   private def statusOracleCtes: String = {
     val typeList = graft.lsvi.Versie3Forests.habitattypes
       .map(sqlStr).mkString("[", ", ", "]")
@@ -2566,12 +2596,14 @@ object SparkEntry {
        |    CASE WHEN (ck * 5) % 3 = 0 THEN 'gunstig' ELSE 'ongunstig' END AS lsvi,
        |    CASE WHEN (pt * 7) % 5 < 3 THEN 'ja' ELSE 'nee' END AS beheer,
        |    CAST((pt % 7 + 1) AS DOUBLE) * 0.25 AS w,
-       |    CAST((ck * 11) % 2001 - 1000 AS DOUBLE) / 1000.0 AS idx
+       |    CAST((ck * 11) % 2001 - 1000 AS DOUBLE) / 1000.0 AS idx,
+       |    CAST((ck * 7) % 2049 - 1024 AS DOUBLE) / 1024.0 AS idx_b
        |  FROM base),
        |latest AS (
-       |  SELECT habitattype, point_code, arg_max(id, mdate) AS id,
-       |    arg_max(in_sac, mdate) AS in_sac, arg_max(idx, mdate) AS idx,
-       |    arg_max(lsvi, mdate) AS lsvi, arg_max(beheer, mdate) AS beheer
+       |  SELECT habitattype, point_code, arg_max(id, mdate || '|' || id) AS id,
+       |    arg_max(in_sac, mdate || '|' || id) AS in_sac, arg_max(idx, mdate || '|' || id) AS idx,
+       |    arg_max(idx_b, mdate || '|' || id) AS idx_b, arg_max(w, mdate || '|' || id) AS w,
+       |    arg_max(lsvi, mdate || '|' || id) AS lsvi, arg_max(beheer, mdate || '|' || id) AS beheer
        |  FROM plots GROUP BY 1, 2)
        |""".stripMargin
   }
@@ -3908,7 +3940,7 @@ object SparkEntry {
       statusOracleCtes.stripSuffix("\n") +
         s""", pairsAll AS (
            |  SELECT habitattype, point_code,
-           |    arg_min(id, mdate) AS id_1, arg_max(id, mdate) AS id_2,
+           |    arg_min(id, mdate || '|' || id) AS id_1, arg_max(id, mdate || '|' || id) AS id_2,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
            |prs AS (SELECT * FROM pairsAll WHERE nc > 1),
@@ -4092,8 +4124,8 @@ object SparkEntry {
            |  FROM plots WHERE idx IS NOT NULL),
            |pairs AS (
            |  SELECT habitattype, point_code,
-           |    arg_min(x6, mdate) AS x16, arg_max(x6, mdate) AS x26,
-           |    arg_max(in_sac, mdate) AS in_sac,
+           |    arg_min(x6, mdate || '|' || id) AS x16, arg_max(x6, mdate || '|' || id) AS x26,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
            |    count(DISTINCT mdate) AS nc
            |  FROM px GROUP BY 1, 2),
            |d AS (
@@ -4137,8 +4169,8 @@ object SparkEntry {
       statusOracleCtes.stripSuffix("\n") +
         s""", pairs AS (
            |  SELECT habitattype, point_code,
-           |    arg_min(id, mdate) AS id_1, arg_max(id, mdate) AS id_2,
-           |    arg_max(in_sac, mdate) AS in_sac,
+           |    arg_min(id, mdate || '|' || id) AS id_1, arg_max(id, mdate || '|' || id) AS id_2,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
            |prs AS (SELECT * FROM pairs WHERE nc > 1),
@@ -4203,8 +4235,8 @@ object SparkEntry {
     "q115_mc_nemar" -> (statusOracleCtes.stripSuffix("\n") +
       """, pairs AS (
         |  SELECT habitattype, point_code,
-        |    arg_min(lsvi, mdate) AS l1, arg_max(lsvi, mdate) AS l2,
-        |    arg_max(w, mdate) AS w, count(DISTINCT mdate) AS nc
+        |    arg_min(lsvi, mdate || '|' || id) AS l1, arg_max(lsvi, mdate || '|' || id) AS l2,
+        |    arg_max(w, mdate || '|' || id) AS w, count(DISTINCT mdate) AS nc
         |  FROM plots GROUP BY 1, 2),
         |p2 AS (
         |  SELECT habitattype, l1 || ' - ' || l2 AS trend_local, w
@@ -4232,9 +4264,9 @@ object SparkEntry {
       statusOracleCtes.stripSuffix("\n") +
         s""", pairs AS (
            |  SELECT habitattype, point_code,
-           |    arg_min(lsvi, mdate) = 'gunstig' AS g1,
-           |    arg_max(lsvi, mdate) = 'gunstig' AS g2,
-           |    arg_max(in_sac, mdate) AS in_sac,
+           |    arg_min(lsvi, mdate || '|' || id) = 'gunstig' AS g1,
+           |    arg_max(lsvi, mdate || '|' || id) = 'gunstig' AS g2,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
            |    min(mdate) AS j1, max(mdate) AS j2,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
@@ -4268,9 +4300,9 @@ object SparkEntry {
          |  FROM plots0 p JOIN y0 y USING (habitatsubtype)),
          |pairs AS (
          |  SELECT habitattype, point_code,
-         |    arg_min(lsvi, mdate) = 'gunstig' AS g1,
-         |    arg_max(lsvi, mdate) = 'gunstig' AS g2,
-         |    arg_max(in_sac, mdate) AS in_sac,
+         |    arg_min(lsvi, mdate || '|' || id) = 'gunstig' AS g1,
+         |    arg_max(lsvi, mdate || '|' || id) = 'gunstig' AS g2,
+         |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
          |    min(mdate) AS j1, max(mdate) AS j2,
          |    count(DISTINCT cyc) AS nc
          |  FROM cycplots WHERE cyc IN (0, 1) GROUP BY 1, 2),
@@ -4432,8 +4464,8 @@ object SparkEntry {
       continuousOracleCtes +
       s"""pairs AS (
          |  SELECT point_code, habitatsubtype,
-         |    arg_min(v4, mdate) AS v1, arg_max(v4, mdate) AS v2,
-         |    arg_max(habitattype, mdate) AS habitattype,
+         |    arg_min(v4, mdate || '|' || id) AS v1, arg_max(v4, mdate || '|' || id) AS v2,
+         |    arg_max(habitattype, mdate || '|' || id) AS habitattype,
          |    count(DISTINCT mdate) AS ncd
          |  FROM m GROUP BY 1, 2),
          |pd AS (
@@ -4510,6 +4542,86 @@ object SparkEntry {
          |         ELSE '4' END END AS klasse,
          |  2017 AS jaar_min, 2023 AS jaar_max, 6 AS verschil_jaar
          |FROM j""".stripMargin,
+
+    // q130: design-weighted status_habitat — Hájek share Σw·g/Σw with
+    // the Kish-n_eff Wilson interval. Quarter-step weights keep every
+    // distributed double sum exact, so the engine/oracle hashes agree
+    // under any aggregation order.
+    "q130_status_habitat_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    lsvi = 'gunstig' AS gg, w
+           |  FROM latest CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE lsvi IS NOT NULL),
+           |agg AS (
+           |  SELECT habitattype, sbzh, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(CASE WHEN gg THEN w ELSE 0.0 END) AS swk
+           |  FROM rows_ GROUP BY 1, 2),
+           |e1 AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swk / sw AS p FROM agg),
+           |e2 AS (SELECT *, 1.0 + $z2 / neff AS den FROM e1),
+           |e3 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * neff)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / neff
+           |      + $z2 / (4.0 * neff * neff)) AS half
+           |  FROM e2),
+           |fin AS (
+           |  SELECT habitattype, sbzh, n_obs,
+           |    round(100.0 * swk / sw, 6) AS aandeel_gunstig,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS aandeel_gunstig_llci,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS aandeel_gunstig_ulci
+           |  FROM e3)
+           |SELECT *, CASE WHEN aandeel_gunstig_llci >= 75 THEN 'Goed'
+           |               WHEN aandeel_gunstig_ulci < 75 THEN 'Niet goed'
+           |               ELSE 'Onbekend' END AS beoordeling
+           |FROM fin""".stripMargin
+    },
+
+    // q131: design-weighted index_hq over the binary-fraction index
+    // twin — weighted mean Σw·x/Σw, design-effect z interval
+    // mean ± z·sqrt(v_pop/(n_eff − 1)).
+    "q131_index_hq_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END
+           |      AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    idx_b AS x, w
+           |  FROM latest CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE idx_b IS NOT NULL),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * x) AS swx, sum(w * x * x) AS swx2
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |f AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swx / sw AS m FROM agg),
+           |f2 AS (
+           |  SELECT *, greatest(swx2 / sw - m * m, 0.0) AS vpop FROM f)
+           |SELECT type_resultaat, habitattype, sbzh, n_obs,
+           |  round(m, 6) AS index_hq_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_hq_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_hq_ulci
+           |FROM f2""".stripMargin
+    },
 
     "q108_lsvi_plot_report" -> {
       val globaalSql = forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail

@@ -139,8 +139,22 @@ object GeoPackage {
           val (name, rest) =
             if (d.head == '"' || d.head == '`' || d.head == '[') {
               val close = if (d.head == '[') ']' else d.head
-              val end = d.indexOf(close, 1)
-              (d.substring(1, end), d.substring(end + 1))
+              // a doubled close char is an escaped literal ("a""b",
+              // [a]]b]); a def with NO matching close is malformed —
+              // degrade to the bare-token path instead of throwing
+              var i = 1; var end = -1
+              while (end < 0 && i < d.length) {
+                if (d(i) == close) {
+                  if (i + 1 < d.length && d(i + 1) == close) i += 2
+                  else end = i
+                } else i += 1
+              }
+              if (end < 0) {
+                val t = d.split("\\s+")(0)
+                (t, d.drop(t.length))
+              } else
+                (d.substring(1, end).replace(s"$close$close", close.toString),
+                  d.substring(end + 1))
             } else {
               val t = d.split("\\s+")(0)
               (t, d.drop(t.length))

@@ -78,6 +78,9 @@ object Shapefile {
       b.position(b.position() + 32)
       val nParts = b.getInt()
       val nPoints = b.getInt()
+      // a corrupt record with no parts/points would leave sliding(2)
+      // a single-element window below — degrade like a null shape
+      if (nParts <= 0 || nPoints <= 0) return null
       val parts = Array.fill(nParts)(b.getInt())
       val xs = new Array[Double](nPoints)
       val ys = new Array[Double](nPoints)
@@ -94,6 +97,7 @@ object Shapefile {
       b.position(b.position() + 32)
       val nParts = b.getInt()
       val nPoints = b.getInt()
+      if (nParts <= 0 || nPoints <= 0) return null
       val parts = Array.fill(nParts)(b.getInt())
       val xs = new Array[Double](nPoints)
       val ys = new Array[Double](nPoints)

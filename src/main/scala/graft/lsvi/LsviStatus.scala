@@ -493,15 +493,28 @@ object LsviStatus {
     * 2015 (2015-20 / 2021-26) — which this derivation reproduces
     * exactly against the published `trend_habitat_gr_bm` year spans.
     * The stratum dictionary is tiny, so the start-year join is a
-    * broadcast; at any scale this is a map-side annotation. */
+    * broadcast; at any scale this is a map-side annotation.
+    *
+    * The min-date derivation is correct for the published schemes but
+    * fragile against dirty data: ONE mistyped early visit shifts the
+    * whole stratum's cycle grid silently (every later visit lands one
+    * cycle too high, so real pairs stop pairing). `startYears` pins
+    * known scheme starts explicitly — a stratum present in the map
+    * uses its declared start year and the derivation only covers the
+    * rest. */
   def assignCycles(plots: DataFrame, subtypeCol: String = "habitatsubtype",
-      cycleYears: Int = 6): DataFrame = {
+      cycleYears: Int = 6,
+      startYears: Map[String, Int] = Map.empty): DataFrame = {
     val starts = plots.groupBy(subtypeCol)
-      .agg(min(col("date")).as("cycle_start"))
+      .agg(min(col("date")).as("derived_start"))
+    val start =
+      if (startYears.isEmpty) col("derived_start")
+      else coalesce(element_at(typedLit(startYears), col(subtypeCol)),
+        col("derived_start"))
     plots.join(broadcast(starts), Seq(subtypeCol), "left")
       .withColumn("cycle",
-        floor((col("date") - col("cycle_start")) / cycleYears).cast("int"))
-      .drop("cycle_start")
+        floor((col("date") - start) / cycleYears).cast("int"))
+      .drop("derived_start")
   }
 
   /** `status_beheer` shape: favourability of the plot-level habitat
@@ -581,6 +594,7 @@ object LsviStatus {
     * is against the habitattype-count-sized side (broadcast). */
   def mcNemar(plotLsvi: DataFrame): DataFrame = {
     val pairs = plotLsvi
+      .where(col("lsvi").isNotNull)
       .groupBy("habitattype", "point_code")
       .agg(
         min_by(col("lsvi"), struct(col("date"), col("id"))).as("lsvi_1"),
@@ -979,4 +993,381 @@ object LsviStatus {
     * P(X > chi2) = erfc(sqrt(chi2 / 2)). */
   def mcNemarP(chi2: Double): Double =
     org.apache.commons.math3.special.Erf.erfc(math.sqrt(chi2 / 2.0))
+
+  // ---- design-weighted variants ----------------------------------------
+  //
+  // The published pooled "Binnen & Buiten" rows carry survey-design
+  // weights drawn in the reference's analysis repo. These overloads
+  // accept an explicit per-plot weight column and compute
+  // Hájek-ratio estimates with design-effect-adjusted intervals:
+  //
+  //   share / mean:  Σw·x / Σw
+  //   n_eff        = (Σw)² / Σw²        (Kish effective sample size)
+  //   every count X in a closed-form interval becomes its effective
+  //   count n_eff · (Σw·1[X] / Σw)  — with unit weights that is X
+  //   itself, so each weighted formula reduces EXACTLY to its
+  //   unweighted sibling's algebra (validated in WeightedStatusSpec).
+  //
+  // Validation against the snapshot (WeightedStatusSpec): one weight
+  // ratio per (habitattype × SAC) stratum solved from the pooled
+  // `status_habitat_fs` row reproduces the published design-weighted
+  // pooled rows of BOTH `index_hq_fs.tsv` (≤1e-4 on all 6 types) and
+  // `status_indicatoren_fs.tsv` (≤0.02pp on every single-subtype
+  // pooled row) — i.e. the reference's weights are uniform within
+  // forest strata and its pooled estimator is this Σw·x/Σw.
+  //
+  // The weighted path aggregates plain double sums (Σw, Σw², Σw·x,
+  // Σw·x²) — at any scale these are one hash aggregation like the
+  // unweighted path; the q130/q131 oracle parity relies on the
+  // harness's binary-fraction weights and 1e-3-step values keeping
+  // every distributed sum exact (order-independent), as PLANS.md
+  // documents for the fixed-point chains.
+
+  /** Weighted Wilson interval on [0, 100] via effective counts; the
+    * degenerate all-gunstig / none-gunstig rendering follows the
+    * unweighted [[wilson]]. */
+  private def wilsonEff(swk: Column, sw: Column, sw2: Column): (Column, Column) = {
+    val neff = sw * sw / sw2
+    val p = swk / sw
+    val z2 = lit(z975 * z975)
+    val den = lit(1.0) + z2 / neff
+    val center = (p + z2 / (lit(2.0) * neff)) / den
+    val half = (lit(z975) / den) *
+      sqrt(p * (lit(1.0) - p) / neff + z2 / (lit(4.0) * neff * neff))
+    val degen = swk === lit(0.0) || swk === sw
+    val lo = when(degen, lit(100.0) * p)
+      .otherwise(lit(100.0) * greatest(lit(0.0), center - half))
+    val hi = when(degen, lit(100.0) * p)
+      .otherwise(lit(100.0) * least(lit(1.0), center + half))
+    (lo, hi)
+  }
+
+  /** Design-weighted [[statusHabitat]]: `weightCol` is the per-plot
+    * design weight on the plot table (any positive scale — ratios are
+    * scale-free). `n_obs` stays the raw plot count like the published
+    * tables; shares and bounds are weighted. */
+  def statusHabitat(plotLsvi: DataFrame, weightCol: String): DataFrame = {
+    val rows = latestPerPoint(plotLsvi)
+      .where(col("lsvi").isNotNull)
+      .select(col("habitattype"), (col("lsvi") === "gunstig").as("g"),
+        col(weightCol).cast("double").as("w"),
+        explode(array(
+          when(col("in_sac") === 1, "Binnen").otherwise("Buiten"),
+          lit("Binnen & Buiten"))).as("sbzh"))
+    val agg = rows.groupBy("habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(when(col("g"), col("w")).otherwise(0.0)).as("swk"))
+    val (lo, hi) = wilsonEff(col("swk"), col("sw"), col("sw2"))
+    agg
+      .withColumn("aandeel_gunstig",
+        round(lit(100.0) * col("swk") / col("sw"), 6))
+      .withColumn("aandeel_gunstig_llci", round(lo, 6))
+      .withColumn("aandeel_gunstig_ulci", round(hi, 6))
+      .withColumn("beoordeling",
+        beoordeling(col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")))
+      .drop("sw", "sw2", "swk")
+  }
+
+  /** Design-weighted [[statusIndicatoren]] — the weight rides the
+    * plot table and joins to the indicator rows by id. */
+  def statusIndicatoren(indicator: DataFrame, plotMeta: DataFrame,
+      weightCol: String): DataFrame = {
+    val latest = latestPerPoint(plotMeta)
+      .select(col("id"), when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
+        .as("stratum"), col(weightCol).cast("double").as("w"))
+    val rows = indicator
+      .join(latest, Seq("id"))
+      .where(col("status_indicator").isNotNull)
+      .select(col("type_analysis").as("habitattype"), col("criterium"),
+        col("indicator"), col("belang"), col("status_indicator"), col("w"),
+        explode(array(col("stratum"), lit("Binnen & Buiten"))).as("sbzh"))
+    val agg = rows.groupBy("habitattype", "sbzh", "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(when(col("status_indicator"), col("w")).otherwise(0.0)).as("swk"))
+    val (lo, hi) = wilsonEff(col("swk"), col("sw"), col("sw2"))
+    agg
+      .withColumn("aandeel_gunstig",
+        round(lit(100.0) * col("swk") / col("sw"), 6))
+      .withColumn("aandeel_gunstig_llci", round(lo, 6))
+      .withColumn("aandeel_gunstig_ulci", round(hi, 6))
+      .withColumn("beoordeling",
+        beoordeling(col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")))
+      .drop("sw", "sw2", "swk")
+  }
+
+  /** Shared weighted-mean tail: from (Σw, Σw², Σw·x, Σw·x²) to the
+    * Hájek mean and its design-effect z interval. The interval is
+    * mean ± z·sqrt(v_pop / (n_eff − 1)) with v_pop the weighted
+    * population variance — with unit weights that is algebraically the
+    * unweighted z interval (z·s/√n with the sample sd). */
+  private def weightedMeanCols(agg: DataFrame, base: String): DataFrame = {
+    val neff = col("sw") * col("sw") / col("sw2")
+    val m = col("swx") / col("sw")
+    val vpop = greatest(col("swx2") / col("sw") - m * m, lit(0.0))
+    val h = lit(z975) * sqrt(vpop / (neff - lit(1.0)))
+    agg
+      .withColumn(s"${base}_mean", round(m, 6))
+      .withColumn(s"${base}_llci",
+        when(col("n_obs") > 1, round(m - h, 6)))
+      .withColumn(s"${base}_ulci",
+        when(col("n_obs") > 1, round(m + h, 6)))
+      .drop("sw", "sw2", "swx", "swx2")
+  }
+
+  /** Design-weighted [[indexHq]]. */
+  def indexHq(plotIndex: DataFrame, weightCol: String): DataFrame = {
+    val rows = latestPerPoint(plotIndex)
+      .where(col("index_mean_ind").isNotNull)
+      .select(col("habitattype"), col("index_mean_ind").as("x"),
+        col(weightCol).cast("double").as("w"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("x"), col("w"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * col("x")).as("swx"),
+        sum(col("w") * col("x") * col("x")).as("swx2"))
+    weightedMeanCols(agg, "index_hq")
+  }
+
+  /** Design-weighted [[indexInd]]. */
+  def indexInd(indicator: DataFrame, plotMeta: DataFrame,
+      weightCol: String): DataFrame = {
+    val latest = latestPerPoint(plotMeta)
+      .select(col("id"), when(col("in_sac") === 1, "Binnen").otherwise("Buiten")
+        .as("stratum"), col(weightCol).cast("double").as("w"))
+    val rows = indicator
+      .join(latest, Seq("id"))
+      .where(col("verschilscore").isNotNull)
+      .select(col("type_analysis").as("habitattype"), col("criterium"),
+        col("indicator"), col("belang"),
+        col("verschilscore").as("x"), col("w"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"), col("stratum").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("criterium"), col("indicator"), col("belang"), col("x"), col("w"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh",
+        "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * col("x")).as("swx"),
+        sum(col("w") * col("x") * col("x")).as("swx2"))
+    weightedMeanCols(agg, "index_ind")
+  }
+
+  /** Design-weighted [[trendIndicatoren]]: per-cycle shares and the
+    * paired Wald difference via effective counts. The relative-change
+    * interval stays a point estimate like the unweighted shape. */
+  def trendIndicatoren(indicator: DataFrame, plotMeta: DataFrame,
+      weightCol: String): DataFrame = {
+    val pairs = plotMeta
+      .groupBy("habitattype", "point_code")
+      .agg(
+        min_by(col("id"), struct(col("date"), col("id"))).as("id_1"),
+        max_by(col("id"), struct(col("date"), col("id"))).as("id_2"),
+        max_by(col(weightCol).cast("double"), struct(col("date"), col("id")))
+          .as("w"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+    val cyc = pairs.select(col("point_code"), col("w"), explode(array(
+        struct(col("id_1").as("id"), lit("c_1").as("periode")),
+        struct(col("id_2").as("id"), lit("c_2").as("periode")))).as("e"))
+      .select(col("point_code"), col("w"), col("e.id"), col("e.periode"))
+    val known = indicator.where(col("status_indicator").isNotNull)
+    val level1 = known.join(cyc, Seq("id"))
+      .groupBy(col("type_analysis").as("habitattype"), col("point_code"),
+        col("criterium"), col("indicator"), col("belang"))
+      .agg(
+        max(when(col("periode") === "c_1", col("status_indicator"))).as("s1"),
+        max(when(col("periode") === "c_2", col("status_indicator"))).as("s2"),
+        max(col("w")).as("w"))
+    val both = col("s1").isNotNull && col("s2").isNotNull
+    val w = col("w")
+    val level2 = level1.groupBy("habitattype", "criterium", "indicator", "belang")
+      .agg(
+        count(col("s1")).as("n1"),
+        sum(when(col("s1").isNotNull, w).otherwise(0.0)).as("sw1"),
+        sum(when(col("s1").isNotNull, w * w).otherwise(0.0)).as("sw1sq"),
+        sum(when(col("s1"), w).otherwise(0.0)).as("swk1c"),
+        count(col("s2")).as("n2"),
+        sum(when(col("s2").isNotNull, w).otherwise(0.0)).as("sw2_"),
+        sum(when(col("s2").isNotNull, w * w).otherwise(0.0)).as("sw2sq"),
+        sum(when(col("s2"), w).otherwise(0.0)).as("swk2c"),
+        count(when(both, 1)).as("np"),
+        sum(when(both, w).otherwise(0.0)).as("swp"),
+        sum(when(both, w * w).otherwise(0.0)).as("swpsq"),
+        sum(when(both && col("s1"), w).otherwise(0.0)).as("swk1"),
+        sum(when(both && col("s2"), w).otherwise(0.0)).as("swk2"),
+        sum(when(both && col("s1") && !col("s2"), w).otherwise(0.0)).as("swb"),
+        sum(when(both && !col("s1") && col("s2"), w).otherwise(0.0)).as("swc"))
+    val aCyc = level2.select(col("habitattype"), col("criterium"),
+        col("indicator"), col("belang"),
+        explode(array(
+          struct(lit("c_1").as("periode"), col("n1").as("n_obs"),
+            col("sw1").as("sw"), col("sw1sq").as("sw2"), col("swk1c").as("swk")),
+          struct(lit("c_2").as("periode"), col("n2").as("n_obs"),
+            col("sw2_").as("sw"), col("sw2sq").as("sw2"),
+            col("swk2c").as("swk")))).as("e"))
+      .select(col("habitattype"), col("e.periode").as("periode"),
+        col("criterium"), col("indicator"), col("belang"),
+        col("e.n_obs").as("n_obs"), col("e.sw").as("sw"),
+        col("e.sw2").as("sw2"), col("e.swk").as("swk"))
+      .where(col("n_obs") > 0)
+    val (alo, ahi) = wilsonEff(col("swk"), col("sw"), col("sw2"))
+    val aandeel = aCyc
+      .withColumn("parameter", lit("aandeel_gunstig"))
+      .withColumn("mean", round(lit(100.0) * col("swk") / col("sw"), 6))
+      .withColumn("llci", round(alo, 6))
+      .withColumn("ulci", round(ahi, 6))
+      .drop("sw", "sw2", "swk")
+    val paired = level2.where(col("np") > 0)
+    // paired difference of the within-point change d ∈ {-1, 0, 1}:
+    // mean_d = (Σw·c − Σw·b)/Σw, SE = sqrt(v_pop(d)/n_eff) — with unit
+    // weights exactly the classic 100·sqrt(b+c−(b−c)²/n)/n Wald SE
+    val neff = col("swp") * col("swp") / col("swpsq")
+    val md = (col("swc") - col("swb")) / col("swp")
+    val vpop = greatest(
+      (col("swb") + col("swc")) / col("swp") - md * md, lit(0.0))
+    val d = lit(100.0) * md
+    val se = lit(100.0) * sqrt(vpop / neff)
+    val p1 = col("swk1") / col("swp")
+    val verschil = paired.select(col("habitattype"), lit("c_2").as("periode"),
+        col("criterium"), col("indicator"), col("belang"),
+        col("np").as("n_obs"),
+        explode(array(
+          struct(lit("verschil_aandeel_gunstig_abs").as("parameter"),
+            round(d, 6).as("mean"),
+            round(d - lit(z975) * se, 6).as("llci"),
+            round(d + lit(z975) * se, 6).as("ulci")),
+          struct(lit("verschil_aandeel_gunstig_rel").as("parameter"),
+            when(p1 > 0.0, round(md / p1 * 100.0, 6)).as("mean"),
+            lit(null).cast("double").as("llci"),
+            lit(null).cast("double").as("ulci")))).as("p"))
+      .select(col("habitattype"), col("periode"), col("criterium"),
+        col("indicator"), col("belang"), col("n_obs"),
+        col("p.parameter").as("parameter"), col("p.mean").as("mean"),
+        col("p.llci").as("llci"), col("p.ulci").as("ulci"))
+    aandeel.unionByName(verschil)
+  }
+
+  /** Design-weighted [[trendHabitat]]: the same long-form output with
+    * weighted shares, effective-count Wilson and Wald intervals, and
+    * the log-ratio interval on effective counts. Year columns stay
+    * descriptive (unweighted min/max/mean interval). Supports the
+    * same optional `cycle` column as the unweighted shape. */
+  def trendHabitat(plotLsvi: DataFrame, weightCol: String): DataFrame = {
+    val hasCycle = plotLsvi.columns.contains("cycle")
+    val in0 = plotLsvi.where(col("lsvi").isNotNull)
+    val in1 = if (hasCycle) in0.where(col("cycle").isin(0, 1)) else in0
+    val pairs = in1
+      .groupBy("habitattype", "point_code")
+      .agg(
+        min_by(struct((col("lsvi") === "gunstig").as("g"),
+          col("date").as("j")), struct(col("date"), col("id"))).as("r1"),
+        max_by(struct((col("lsvi") === "gunstig").as("g"),
+          col("date").as("j")), struct(col("date"), col("id"))).as("r2"),
+        max_by(col("in_sac"), struct(col("date"), col("id"))).as("in_sac"),
+        max_by(col(weightCol).cast("double"), struct(col("date"), col("id")))
+          .as("w"),
+        (if (hasCycle) countDistinct(col("cycle"))
+         else countDistinct(col("date"))).as("nc"))
+      .where(if (hasCycle) col("nc") === 2 else col("nc") > 1)
+    val rows = pairs.select(col("habitattype"),
+        col("r1.g").as("g1"), col("r2.g").as("g2"),
+        col("r1.j").as("j1"), col("r2.j").as("j2"), col("w"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("s"))
+      .select(col("habitattype"), col("s.type_resultaat"), col("s.sbzh"),
+        col("g1"), col("g2"), col("j1"), col("j2"), col("w"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(when(col("g1"), col("w")).otherwise(0.0)).as("swk1"),
+        sum(when(col("g2"), col("w")).otherwise(0.0)).as("swk2"),
+        sum(when(col("g1") && !col("g2"), col("w")).otherwise(0.0)).as("swb"),
+        sum(when(!col("g1") && col("g2"), col("w")).otherwise(0.0)).as("swc"),
+        min(col("j1")).as("jmin1"), max(col("j1")).as("jmax1"),
+        min(col("j2")).as("jmin2"), max(col("j2")).as("jmax2"),
+        sum(col("j2") - col("j1")).as("sdj"))
+    val neff = col("sw") * col("sw") / col("sw2")
+    val (lo1, hi1) = wilsonEff(col("swk1"), col("sw"), col("sw2"))
+    val (lo2, hi2) = wilsonEff(col("swk2"), col("sw"), col("sw2"))
+    val md = (col("swk2") - col("swk1")) / col("sw")
+    val dAbs = lit(100.0) * md
+    val vpop = greatest(
+      (col("swb") + col("swc")) / col("sw") - md * md, lit(0.0))
+    val seAbs = lit(100.0) * sqrt(vpop / neff)
+    val absLo = round(dAbs - lit(z975) * seAbs, 6)
+    val absHi = round(dAbs + lit(z975) * seAbs, 6)
+    // effective counts for the paired log-ratio interval
+    val k1e = neff * (col("swk1") / col("sw"))
+    val k2e = neff * (col("swk2") / col("sw"))
+    val bce = neff * ((col("swb") + col("swc")) / col("sw"))
+    val relMean = when(col("swk1") > 0.0,
+      round(lit(100.0) * (col("swk2") - col("swk1")) / col("swk1"), 6))
+    val seLn = sqrt(bce / (k1e * k2e))
+    val relDef = col("swk1") > 0.0 && col("swk2") > 0.0
+    val relLo = when(relDef,
+      round(lit(100.0) *
+        (exp(log(col("swk2") / col("swk1")) - lit(z975) * seLn) - lit(1.0)), 6))
+    val relHi = when(relDef,
+      round(lit(100.0) *
+        (exp(log(col("swk2") / col("swk1")) + lit(z975) * seLn) - lit(1.0)), 6))
+    val relKlasse = when(col("swk1") > 0.0,
+        effectKlasse(relMean, relLo, relHi, 25.0, 25.0))
+      .otherwise(when(absLo > 0.0, "++").otherwise("?"))
+    val nd = col("n_obs").cast("double")
+    val vj = bround(col("sdj").cast("double") / nd, 1)
+    val out = agg.select(col("type_resultaat"), col("habitattype"),
+      col("sbzh"), col("n_obs"),
+      explode(array(
+        struct(lit("c_1").as("periode"), lit("aandeel_gunstig").as("parameter"),
+          round(lit(100.0) * col("swk1") / col("sw"), 6).as("mean"),
+          round(lo1, 6).as("llci"), round(hi1, 6).as("ulci"),
+          lit(null).cast("string").as("klasse"),
+          lit(null).cast("string").as("periode_ref"),
+          col("jmin1").as("jaar_min"), col("jmax1").as("jaar_max"),
+          lit(null).cast("double").as("verschil_jaar")),
+        struct(lit("c_2").as("periode"), lit("aandeel_gunstig").as("parameter"),
+          round(lit(100.0) * col("swk2") / col("sw"), 6).as("mean"),
+          round(lo2, 6).as("llci"), round(hi2, 6).as("ulci"),
+          lit(null).cast("string").as("klasse"),
+          lit(null).cast("string").as("periode_ref"),
+          col("jmin2").as("jaar_min"), col("jmax2").as("jaar_max"),
+          lit(null).cast("double").as("verschil_jaar")),
+        struct(lit("c_2").as("periode"),
+          lit("verschil_aandeel_gunstig_abs").as("parameter"),
+          round(dAbs, 6).as("mean"), absLo.as("llci"), absHi.as("ulci"),
+          effectKlasse(round(dAbs, 6), absLo, absHi, 12.0, 12.0).as("klasse"),
+          lit("c_1").as("periode_ref"),
+          least(col("jmin1"), col("jmin2")).as("jaar_min"),
+          greatest(col("jmax1"), col("jmax2")).as("jaar_max"),
+          vj.as("verschil_jaar")),
+        struct(lit("c_2").as("periode"),
+          lit("verschil_aandeel_gunstig_rel").as("parameter"),
+          relMean.as("mean"), relLo.as("llci"), relHi.as("ulci"),
+          relKlasse.as("klasse"), lit("c_1").as("periode_ref"),
+          least(col("jmin1"), col("jmin2")).as("jaar_min"),
+          greatest(col("jmax1"), col("jmax2")).as("jaar_max"),
+          vj.as("verschil_jaar")))).as("r"))
+    out.select(col("r.periode").as("periode"), col("type_resultaat"),
+      col("habitattype"), col("sbzh"), col("n_obs"),
+      col("r.parameter").as("parameter"), col("r.mean").as("mean"),
+      col("r.llci").as("llci"), col("r.ulci").as("ulci"),
+      col("r.klasse").as("klasse"), col("r.periode_ref").as("periode_ref"),
+      col("r.jaar_min").as("jaar_min"), col("r.jaar_max").as("jaar_max"),
+      col("r.verschil_jaar").as("verschil_jaar"))
+  }
 }

@@ -26,18 +26,23 @@ object ExtraVars {
     * MONEOS flow, Rmd:117-126 for the multi-type flow): PIP-join the
     * coordinates to the habitat-map polygons, then broadcast-join
     * polygon -> cluster -> type rows, keep the requested columns,
-    * drop unmatched plots, and dedupe (a plot may hit several polygons
-    * of one cluster). `types` is pre-filtered by the caller when a
-    * single habitat type is wanted (Rmd:68-69). */
+    * and dedupe (a plot may hit several polygons of one cluster).
+    * `types` is pre-filtered by the caller when a single habitat type
+    * is wanted (Rmd:68-69). Only the vbi flow drops plots without an
+    * msa match (`!is.na(msa_area_ha)`, Rmd:124); the MONEOS 91E0_sf
+    * flow (Rmd:71-81) keeps them as NA rows — `dropNaMsa` selects
+    * between the two reference behaviors. */
   def msa(coords: DataFrame, habmapPolys: DataFrame, clusters: DataFrame,
-          types: DataFrame, keep: Seq[String], cellSize: Double): DataFrame =
-    graft.geo.GeoJoin
+          types: DataFrame, keep: Seq[String], cellSize: Double,
+          dropNaMsa: Boolean = true): DataFrame = {
+    val joined = graft.geo.GeoJoin
       .pointInPolygonJoin(coords, habmapPolys, "x", "y", "ring", cellSize)
       .join(broadcast(clusters), Seq("polygon_id"), "left")
       .join(broadcast(types), Seq("cluster_id"), "left")
-      .where(col("msa_area_ha").isNotNull)
+    (if (dropNaMsa) joined.where(col("msa_area_ha").isNotNull) else joined)
       .select(keep.map(col): _*)
       .distinct()
+  }
 
   /** Forest-age attribution (Rmd:111-115): PIP-join the coordinates to
     * the forest-age polygon layer (attribute `blk`), keep the hits. */
