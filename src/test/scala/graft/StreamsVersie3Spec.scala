@@ -187,11 +187,16 @@ class StreamsVersie3Spec extends SparkSuite {
       assert(math.abs(100.0 * k / n - a) <= 0.005, s"$sbzh/$ind not k/$n: $a")
     }
     // every pooled row is the ~2/3 : 1/3 SAC-stratum mix of the exact
-    // stratum proportions: the implied weight solves to 0.667-0.668
-    // per indicator (per-plot design weights vary slightly within the
-    // stratum in the reference's analysis repo, outside this
-    // snapshot), so the published value sits within 0.011 of the
-    // exact 2:1 mix — gated at 0.015
+    // stratum proportions. Gate derivation (r10): the published value
+    // is 2-decimal (±0.005); with exact integer stratum k the
+    // exact-mix prediction lands within 0.0101 of every published
+    // value (max on `sleutelsoorten`), i.e. ≤0.0051pp of genuine
+    // within-stratum weight variation remains (the per-plot design
+    // weights are drawn in the reference's analysis repo, outside
+    // this snapshot) — 0.011 is the tightest snapshot-derivable gate;
+    // ≤0.005 would need the unpublished per-plot weights themselves.
+    // The same mix replayed through the weighted ENGINE estimator is
+    // gated in WeightedStatusSpec.
     pooled.foreach { case (_, ind, n, a) =>
       assert(n === 97)
       val (_, _, nb, ab) = binnen(ind)
@@ -199,7 +204,7 @@ class StreamsVersie3Spec extends SparkSuite {
       val kb = math.round(ab * nb / 100.0)
       val ku = math.round(au * nu / 100.0)
       val exp = (2.0 / 3.0) * 100.0 * kb / nb + (1.0 / 3.0) * 100.0 * ku / nu
-      assert(math.abs(exp - a) <= 0.015, s"pooled $ind: $a vs $exp")
+      assert(math.abs(exp - a) <= 0.011, s"pooled $ind: $a vs $exp")
       assert(a >= math.min(ab, au) - 0.005 && a <= math.max(ab, au) + 0.005,
         s"pooled $ind outside stratum hull")
     }
