@@ -1,0 +1,162 @@
+package graft.pipelines
+
+import graft.io.Vc
+import graft.lsvi.{LsviForest, LsviStatus}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E2's last mile: compose the per-plot LSVI chain and the full
+  * design-level status/trend reporting family into one versioned
+  * result directory laid out like the reference's
+  * `processed/lsvi_mhq/<group>/result/` (e.g. `forests/result/`:
+  * `lsvi_{detail,indicator,criterium,globaal,plot}_fs`,
+  * `status_{indicatoren,habitat,beheer}_fs`, `index_{hq,ind}_fs`,
+  * `mc_nemar_fs`, `trend_{indicatoren,habitat,index_hq,index_ind}_fs`
+  * — each a sorted TSV with a git2rdata-style yml sidecar).
+  *
+  * The engine functions already exist individually
+  * ([[graft.lsvi.LsviForest]], [[graft.lsvi.LsviStatus]]); this job is
+  * the publish composition: one LSVI chain pass, the ten reporting
+  * shapes over its plot/indicator grains, and [[graft.io.Vc]] writes
+  * with the PUBLISHED sort keys (read off the reference yml sidecars,
+  * filtered to each frame's columns like the reference's write_vc
+  * calls).
+  *
+  * Scale: the LSVI chain and every status shape are the same
+  * hash-aggregation pipelines the oracle-backed queries plan (one scan
+  * per grain, dictionary-sized results); only the final sorted
+  * single-file TSV writes collapse to one partition — the S8/S9 output
+  * contract, applied to result tables whose size is bounded by
+  * habitattype × indicator counts, never by plot count. */
+object LsviReportJob {
+
+  /** @param suffix    published file suffix (forests "fs", streams "rw")
+    * @param versie    rule version label column (published `versie`)
+    * @param schaal    reporting scale label column (published `schaal`)
+    * @param weightCol optional design-weight column on `meta` — when
+    *                  set, the status/index estimators use the
+    *                  design-weighted overloads (and `mc_nemar` the
+    *                  weighted discordants); when absent, equal
+    *                  weights (and unit-weight mc_nemar) */
+  case class Config(suffix: String, versie: String = "Versie 3",
+                    schaal: String = "Vlaanderen",
+                    weightCol: Option[String] = None)
+
+  /** Run the full chain and write the result directory.
+    *
+    * @param plots        LSVI plot skeleton (id, type_analysis, survey,
+    *                     record_id_square, record_id_circle,
+    *                     type_observed[, plot_type])
+    * @param measurements prepared measurements (id, voorwaarde, waarde,
+    *                     value_numeric, value_category)
+    * @param rules        the group's rule table (a `Versie3*.rulesDf`)
+    * @param meta         plot metadata: id, date, point_code, x, y,
+    *                     in_sac[, passend_beheer][, weight]
+    * @return the written frames by published base name (suffix-free),
+    *         for inspection and testing */
+  def run(plots: DataFrame, measurements: DataFrame, rules: DataFrame,
+          meta: DataFrame, outDir: String, cfg: Config): Map[String, DataFrame] = {
+    val detail = LsviForest.detail(plots, measurements, rules)
+    val indicator = LsviForest.indicator(detail)
+    val criterium = LsviForest.criterium(indicator)
+    val globaal = LsviForest.globaal(indicator, criterium)
+
+    // the published plot table: globaal ⋈ metadata, with the
+    // habitattype/habitatsubtype split (subtypes roll up to their
+    // reporting type, e.g. 91E0_vc -> 91E0, 9130_end -> 9130)
+    val plot = globaal.join(meta, Seq("id"))
+      .select(Seq(col("id"), col("date"), col("point_code"), col("x"),
+        col("y"), col("in_sac"),
+        when(col("type_analysis").startsWith("91E0"), "91E0")
+          .when(col("type_analysis") === "9130_end", "9130")
+          .otherwise(col("type_analysis")).as("habitattype"),
+        col("type_analysis").as("habitatsubtype"),
+        when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
+        col("aggregatiemethode"), col("n_zb_ongunstig"),
+        col("aandeel_gunstig"), col("index_mean_ind"),
+        col("doelbereik_mean_ind")) ++
+        cfg.weightCol.map(col): _*)
+
+    // LsviStatus input grain: one row per (plot, analysis type) with
+    // the verdict, quality index and design metadata; habitattype is
+    // the full analysis type like the published status strata
+    val statusMeta = globaal.join(meta, Seq("id"))
+      .select(Seq(col("id"), col("type_analysis").as("habitattype"),
+        col("point_code"), col("date"), col("in_sac"),
+        when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
+        col("index_mean_ind")) ++
+        (if (meta.columns.contains("passend_beheer"))
+           Seq(col("passend_beheer")) else Nil) ++
+        cfg.weightCol.map(col): _*)
+
+    val w = cfg.weightCol
+    val shapes: Map[String, DataFrame] = Map(
+      // role/aggregate are engine plumbing, not published columns
+      "lsvi_detail" -> detail.drop("role", "aggregate"),
+      "lsvi_indicator" -> indicator,
+      "lsvi_criterium" -> criterium,
+      "lsvi_globaal" -> globaal,
+      "lsvi_plot" -> plot,
+      "status_indicatoren" -> w.map(LsviStatus.statusIndicatoren(indicator, statusMeta, _))
+        .getOrElse(LsviStatus.statusIndicatoren(indicator, statusMeta)),
+      "status_habitat" -> w.map(LsviStatus.statusHabitat(statusMeta, _))
+        .getOrElse(LsviStatus.statusHabitat(statusMeta)),
+      "index_hq" -> w.map(LsviStatus.indexHq(statusMeta, _))
+        .getOrElse(LsviStatus.indexHq(statusMeta)),
+      "index_ind" -> w.map(LsviStatus.indexInd(indicator, statusMeta, _))
+        .getOrElse(LsviStatus.indexInd(indicator, statusMeta)),
+      "mc_nemar" -> LsviStatus.mcNemar(
+        statusMeta.withColumn("weight",
+          w.map(col).getOrElse(lit(1.0)).cast("double"))),
+      "trend_indicatoren" -> w.map(LsviStatus.trendIndicatoren(indicator, statusMeta, _))
+        .getOrElse(LsviStatus.trendIndicatoren(indicator, statusMeta)),
+      "trend_habitat" -> w.map(LsviStatus.trendHabitat(statusMeta, _))
+        .getOrElse(LsviStatus.trendHabitat(statusMeta)),
+      "trend_index_hq" -> LsviStatus.trendIndexHq(statusMeta),
+      "trend_index_ind" -> LsviStatus.trendIndexInd(indicator, statusMeta)) ++
+      (if (meta.columns.contains("passend_beheer"))
+         Map("status_beheer" -> LsviStatus.statusBeheer(statusMeta))
+       else Map.empty[String, DataFrame])
+
+    val labelled = shapes.map { case (name, df) =>
+      // the published reporting tables lead with versie/schaal labels;
+      // the chain tables (lsvi_*) publish bare
+      name -> (if (name.startsWith("lsvi_")) df
+               else df.select(lit(cfg.versie).as("versie") +:
+                 lit(cfg.schaal).as("schaal") +: df.columns.map(col): _*))
+    }
+
+    labelled.foreach { case (name, df) =>
+      val keys = sortKeys(name).filter(df.columns.contains)
+      Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
+    }
+    labelled
+  }
+
+  /** Published sort keys per base name (from the reference yml
+    * sidecars, e.g. `status_indicatoren_fs.yml` `sorting:`); filtered
+    * to the frame's columns at write time. */
+  def sortKeys(name: String): Seq[String] = name match {
+    case "lsvi_detail" => Seq("id", "type_analysis", "voorwaarde")
+    case "lsvi_indicator" => Seq("id", "type_analysis", "indicator")
+    case "lsvi_criterium" => Seq("id", "type_analysis", "criterium")
+    case "lsvi_globaal" => Seq("id", "type_analysis")
+    case "lsvi_plot" => Seq("habitattype", "habitatsubtype", "date", "point_code")
+    case "status_indicatoren" =>
+      Seq("habitattype", "type_resultaat", "sbzh", "habitatsubtype",
+        "criterium", "indicator")
+    case "status_habitat" | "index_hq" | "trend_index_hq" | "mc_nemar" =>
+      Seq("habitattype", "type_resultaat", "sbzh", "habitatsubtype")
+    case "status_beheer" => Seq("habitattype", "passend_beheer")
+    case "index_ind" | "trend_index_ind" =>
+      Seq("habitattype", "type_resultaat", "sbzh", "habitatsubtype", "indicator")
+    case "trend_indicatoren" =>
+      Seq("periode", "habitattype", "type_resultaat", "sbzh",
+        "habitatsubtype", "criterium", "indicator")
+    case "trend_habitat" =>
+      Seq("periode", "habitattype", "type_resultaat", "sbzh",
+        "habitatsubtype", "parameter")
+    case other =>
+      throw new IllegalArgumentException(s"no published sort keys for '$other'")
+  }
+}
