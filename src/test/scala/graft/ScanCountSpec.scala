@@ -74,4 +74,14 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q129_trend_habitat_cycles") <= 2)
     assert(shuffleCount("q129_trend_habitat_cycles") <= 4)
   }
+
+  test("weighted estimators plan like their unweighted siblings") {
+    // the weighted overloads swap counts for Σw aggregates in the SAME
+    // single-chain shape — still one scan, latest-per-point + stratum
+    // aggregation (+ the window-free closed-form interval)
+    assert(scanCount("q130_status_habitat_weighted") <= 1)
+    assert(shuffleCount("q130_status_habitat_weighted") <= 2)
+    assert(scanCount("q131_index_hq_weighted") <= 1)
+    assert(shuffleCount("q131_index_hq_weighted") <= 2)
+  }
 }

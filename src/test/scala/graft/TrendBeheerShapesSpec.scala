@@ -208,4 +208,36 @@ class TrendBeheerShapesSpec extends SparkSuite {
     assert(out(("9110", "ja")).getAs[java.lang.Double]("chi2_beheer") == null)
     assert(out(("9110", "ja")).getAs[String]("effect_beheer") == null)
   }
+
+  test("assignCycles: an explicit start-year override neutralizes a dirty early visit") {
+    import spark.implicits._
+    // a 2015-start 6-year scheme: five points paired across cycles
+    // 2015-20 / 2021-26
+    def row(id: String, pt: String, y: Int) =
+      (id, y, pt, 1, "6230", "6230_hn", if (y % 2 == 0) "gunstig" else "ongunstig")
+    val clean = (0 until 5).flatMap { i =>
+      Seq(row(s"a_$i", s"p_$i", 2015 + i), row(s"b_$i", s"p_$i", 2021 + i))
+    }
+    // one mistyped 2013 visit: min(date) derivation shifts the WHOLE
+    // stratum's grid to 2013-18 / 2019-24 — p_4's 2019 visit slides
+    // into cycle 1 and its real 2025 revisit into cycle 2, so a real
+    // pair silently disappears
+    val dirty = clean :+ row("z_err", "p_err", 2013)
+    val cols = Seq("id", "date", "point_code", "in_sac", "habitattype",
+      "habitatsubtype", "lsvi")
+    def pairsOf(df: org.apache.spark.sql.DataFrame,
+                starts: Map[String, Int]) =
+      LsviStatus.trendHabitat(
+          LsviStatus.assignCycles(df, startYears = starts))
+        .where(col("type_resultaat") === "Habitattype" &&
+          col("parameter") === "verschil_aandeel_gunstig_abs")
+        .select(col("n_obs")).as[Long].collect().toSeq
+    val cleanPairs = pairsOf(clean.toDF(cols: _*), Map.empty)
+    assert(cleanPairs === Seq(5L))
+    // derivation alone: the outlier costs a pair
+    assert(pairsOf(dirty.toDF(cols: _*), Map.empty) === Seq(4L))
+    // the override pins the scheme start; the outlier visit lands in
+    // cycle -1 and is excluded from pairing, the real pairs survive
+    assert(pairsOf(dirty.toDF(cols: _*), Map("6230_hn" -> 2015)) === Seq(5L))
+  }
 }
