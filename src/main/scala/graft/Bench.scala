@@ -66,12 +66,19 @@ object Bench {
       val times = samples.collect { case (`name`, t) => t }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // SHORT keys (the qNNN prefix, unambiguous — full names live in
+    // SparkEntry.queries): the harness records only the last ~2000 chars
+    // of output and json-parses what it captured. With 120+ full-name
+    // entries the line exceeded the window every round (r10 "parsed":
+    // null, q01-q64 timings lost). qNNN keys keep the ENTIRE line under
+    // ~1900 chars so the artifact is complete and machine-readable.
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      "\"" + short + "\":" + f"$v%.3f"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // "total_sec" is duplicated at the END of the line: the harness records
-    // only the last ~2000 chars of output, and with 70+ per-query entries the
-    // line head (where "value" sits) falls outside that window.
+    // "total_sec" is duplicated at the END of the line as a belt-and-
+    // braces for any capture window that still clips the head.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total_sec":$total%.3f}""")
     spark.stop()
   }

@@ -32,6 +32,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Streaming read of the events table with the same schema-adaptive
+    * `ts` normalization as the batch path (`Tables.normalizeEventsTs`):
+    * the harness has generated events.ts both as INT64 TIMESTAMP(NANOS)
+    * (surfacing as a raw long under nanosAsLong) and as native micros. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    Tables.normalizeEventsTs(s, s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
+
   /** round(x*10^s) as bigint — exact fixed-point per-row scaling. */
   private def cents(c: Column, scale: Int): Column =
     round(c * math.pow(10, scale)).cast("long")
@@ -376,11 +387,7 @@ object SparkEntry {
     // (memory sink, complete mode) — checked against the SAME DuckDB
     // oracle as the batch form, proving batch/stream parity ----
     "q32_events_hourly_stream" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val sink = "graft_q32_sink"
       Events.withStatePartitions(s, 8) {
         val q = Events.hourlyStats(stream)
@@ -397,11 +404,7 @@ object SparkEntry {
     // a real streaming query, oracle-checked against the batch window
     // formulation (state = one (count, lastTs) pair per user) ----
     "q34_sessions_stateful_stream" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val sink = "graft_q34_sink"
       Events.withStatePartitions(s, 8) {
         val q = Events.sessionCountsStream(s, stream, gapMinutes = 30)
@@ -417,11 +420,7 @@ object SparkEntry {
     // emits only the key columns so the result is survivor-independent
     // and hash-checkable against DISTINCT in the oracle ----
     "q37_events_dedup_stream" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = eventsStream(s, dir)
       val sink = "graft_q37_sink"
       Events.withStatePartitions(s, 8) {
         val q = graft.streaming.Events

@@ -26,7 +26,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Write a one-row error marker instead of skipping: a missing
+        // result dir makes the driver's compare drop the query SILENTLY
+        // (round 10 lost 10 events-family queries that way); a marker
+        // row forces a visible rows/schema mismatch in CORRECTNESS.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(s"VERIFY_ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(500)}")
+            .toDF("verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
