@@ -1087,6 +1087,41 @@ object SparkEntry {
           .withColumnRenamed("index_b", "index_mean_ind"), "weight")
     }),
 
+    // ---- remaining weighted overloads, oracle-backed (q132-q135):
+    // trend_habitat / status_indicatoren / index_ind /
+    // trend_indicatoren with design weights. q132/q135 perturb the
+    // weight on the 2020 visit (+0.125, a binary fraction) so the
+    // latest-visit weight the pairing selects is distinguishable from
+    // the first visit's. q134 snaps verschilscore to its nearest
+    // 1/1024 step so every weighted double sum is exact and
+    // order-independent (same rationale as q131's binary-fraction
+    // index twin; weights are quarter steps, so w·x and w·x² are
+    // 2^-12 / 2^-22 multiples). ----
+    "q132_trend_habitat_weighted" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendHabitat(
+        meta.withColumn("weight",
+          col("weight") + when(col("date") === 2020, 0.125).otherwise(0.0)),
+        "weight")
+    }),
+    "q133_status_indicatoren_weighted" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.statusIndicatoren(ind, meta, "weight")
+    }),
+    "q134_index_ind_weighted" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.indexInd(
+        ind.withColumn("verschilscore",
+          round(col("verschilscore") * 1024) / 1024.0), meta, "weight")
+    }),
+    "q135_trend_indicatoren_weighted" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndicatoren(ind,
+        meta.withColumn("weight",
+          col("weight") + when(col("date") === 2020, 0.125).otherwise(0.0)),
+        "weight")
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2567,6 +2602,128 @@ object SparkEntry {
            |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
            |    mean, llci, ulci,
            |    CASE WHEN k1 > 0 THEN ${klasseSql(25.0, 25.0)}
+           |         WHEN abs_llci > 0.0 THEN '++' ELSE '?' END AS klasse,
+           |    'c_1' AS periode_ref, jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vrel)
+           |SELECT * FROM aand UNION ALL SELECT * FROM vabs2
+           |UNION ALL SELECT * FROM vrel2""".stripMargin
+  }
+
+  /** Weighted twin of [[trendHabitatOracleTail]]: expects a `pairs` CTE
+    * that also carries the latest-visit design weight `w`. Mirrors
+    * [[graft.lsvi.LsviStatus.trendHabitat(plotLsvi,weightCol)*]]:
+    * Hájek shares, Kish-n_eff Wilson/Wald intervals, effective-count
+    * log-ratio interval, both klasse ladders, unweighted year columns. */
+  private def trendHabitatWeightedOracleTail: String = {
+    val z = graft.lsvi.LsviStatus.z975
+    val z2 = z * z
+    def klasseSql(tl: Double, th: Double): String =
+      s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
+         |     WHEN coalesce(llci, mean) > $th THEN '++'
+         |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
+         |     WHEN coalesce(llci, mean) > 0.0 THEN
+         |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
+         |     WHEN coalesce(ulci, mean) < 0.0 THEN
+         |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
+         |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
+         |       THEN '~'
+         |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
+         |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
+         |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+    s"""rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    g1, g2, j1, j2, w
+           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE nc > 1),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(CASE WHEN g1 THEN w ELSE 0.0 END) AS swk1,
+           |    sum(CASE WHEN g2 THEN w ELSE 0.0 END) AS swk2,
+           |    sum(CASE WHEN g1 AND NOT g2 THEN w ELSE 0.0 END) AS swb,
+           |    sum(CASE WHEN NOT g1 AND g2 THEN w ELSE 0.0 END) AS swc,
+           |    min(j1) AS jmin1, max(j1) AS jmax1,
+           |    min(j2) AS jmin2, max(j2) AS jmax2,
+           |    sum(j2 - j1) AS sdj
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |acyc AS (
+           |  SELECT 'c_1' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    sw, sw2, swk1 AS swk, jmin1 AS jaar_min, jmax1 AS jaar_max
+           |  FROM agg
+           |  UNION ALL
+           |  SELECT 'c_2', type_resultaat, habitattype, sbzh, n_obs,
+           |    sw, sw2, swk2, jmin2, jmax2 FROM agg),
+           |wil AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swk / sw AS p FROM acyc),
+           |wil2 AS (SELECT *, 1.0 + $z2 / neff AS den FROM wil),
+           |wil3 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * neff)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / neff
+           |      + $z2 / (4.0 * neff * neff)) AS half
+           |  FROM wil2),
+           |aand AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'aandeel_gunstig' AS parameter,
+           |    round(100.0 * swk / sw, 6) AS mean,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6) AS llci,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, CAST(NULL AS VARCHAR) AS periode_ref,
+           |    jaar_min, jaar_max, CAST(NULL AS DOUBLE) AS verschil_jaar
+           |  FROM wil3),
+           |vb0 AS (
+           |  SELECT *, sw * sw / sw2 AS neff, (swk2 - swk1) / sw AS md FROM agg),
+           |vb1 AS (
+           |  SELECT *, 100.0 * md AS d,
+           |    greatest((swb + swc) / sw - md * md, 0.0) AS vpop,
+           |    neff * (swk1 / sw) AS k1e, neff * (swk2 / sw) AS k2e,
+           |    neff * ((swb + swc) / sw) AS bce,
+           |    least(jmin1, jmin2) AS jaar_min, greatest(jmax1, jmax2) AS jaar_max,
+           |    CAST(CASE
+           |      WHEN 2 * ((sdj * 10) % n_obs) > n_obs THEN (sdj * 10) // n_obs + 1
+           |      WHEN 2 * ((sdj * 10) % n_obs) < n_obs THEN (sdj * 10) // n_obs
+           |      ELSE (sdj * 10) // n_obs + ((sdj * 10) // n_obs) % 2
+           |    END AS DOUBLE) / 10 AS vj
+           |  FROM vb0),
+           |vboth AS (
+           |  SELECT *, 100.0 * sqrt(vpop / neff) AS se,
+           |    sqrt(bce / (k1e * k2e)) AS se_ln
+           |  FROM vb1),
+           |vabs AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_abs' AS parameter,
+           |    round(d, 6) AS mean, round(d - $z * se, 6) AS llci,
+           |    round(d + $z * se, 6) AS ulci,
+           |    CAST(NULL AS VARCHAR) AS klasse, 'c_1' AS periode_ref,
+           |    jaar_min, jaar_max, vj AS verschil_jaar
+           |  FROM vboth),
+           |vabs2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci, ${klasseSql(12.0, 12.0)} AS klasse,
+           |    periode_ref, jaar_min, jaar_max, verschil_jaar
+           |  FROM vabs),
+           |vrel AS (
+           |  SELECT 'c_2' AS periode, type_resultaat, habitattype, sbzh, n_obs,
+           |    'verschil_aandeel_gunstig_rel' AS parameter,
+           |    CASE WHEN swk1 > 0.0
+           |         THEN round(100.0 * (swk2 - swk1) / swk1, 6) END AS mean,
+           |    CASE WHEN swk1 > 0.0 AND swk2 > 0.0
+           |         THEN round(100.0 * (exp(ln(swk2 / swk1)
+           |                - $z * se_ln) - 1.0), 6) END AS llci,
+           |    CASE WHEN swk1 > 0.0 AND swk2 > 0.0
+           |         THEN round(100.0 * (exp(ln(swk2 / swk1)
+           |                + $z * se_ln) - 1.0), 6) END AS ulci,
+           |    swk1, round(d - $z * se, 6) AS abs_llci,
+           |    jaar_min, jaar_max, vj
+           |  FROM vboth),
+           |vrel2 AS (
+           |  SELECT periode, type_resultaat, habitattype, sbzh, n_obs, parameter,
+           |    mean, llci, ulci,
+           |    CASE WHEN swk1 > 0.0 THEN ${klasseSql(25.0, 25.0)}
            |         WHEN abs_llci > 0.0 THEN '++' ELSE '?' END AS klasse,
            |    'c_1' AS periode_ref, jaar_min, jaar_max, vj AS verschil_jaar
            |  FROM vrel)
@@ -4620,6 +4777,238 @@ object SparkEntry {
            |       THEN round(m + $z * sqrt(vpop / (neff - 1.0)), 6) END
            |    AS index_hq_ulci
            |FROM f2""".stripMargin
+    },
+
+    // q132: design-weighted trend_habitat — the q121 pairing with the
+    // latest-visit weight (2020 visits carry +0.125), weighted shares,
+    // effective-count Wilson/Wald/log-ratio intervals, both klasse
+    // ladders. Every weighted sum is a binary-fraction multiple, so
+    // the distributed aggregation is order-independent on both sides.
+    "q132_trend_habitat_weighted" -> (
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairs AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(lsvi, mdate || '|' || id) = 'gunstig' AS g1,
+           |    arg_max(lsvi, mdate || '|' || id) = 'gunstig' AS g2,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
+           |    arg_max(w + CASE WHEN mdate = 2020 THEN 0.125 ELSE 0.0 END,
+           |            mdate || '|' || id) AS w,
+           |    min(mdate) AS j1, max(mdate) AS j2,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |""".stripMargin + trendHabitatWeightedOracleTail),
+
+    // q133: design-weighted status_indicatoren — q113 with Hájek
+    // shares and the Kish-n_eff Wilson interval (the q130 formula
+    // shape at indicator grain).
+    "q133_status_indicatoren_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE ((p.ck * (j.j + 2)) % 5) % 2 = 1 END AS status
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |rows_ AS (
+           |  SELECT i.habitattype,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN l.in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    i.criterium, i.indicator, i.belang, i.status, l.w
+           |  FROM ind i JOIN latest l ON i.id = l.id
+           |  CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE i.status IS NOT NULL),
+           |agg AS (
+           |  SELECT habitattype, sbzh, criterium, indicator, belang,
+           |    count(*) AS n_obs, sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(CASE WHEN status THEN w ELSE 0.0 END) AS swk
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5),
+           |e1 AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swk / sw AS p FROM agg),
+           |e2 AS (SELECT *, 1.0 + $z2 / neff AS den FROM e1),
+           |e3 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * neff)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / neff
+           |      + $z2 / (4.0 * neff * neff)) AS half
+           |  FROM e2),
+           |fin AS (
+           |  SELECT habitattype, sbzh, criterium, indicator, belang, n_obs,
+           |    round(100.0 * swk / sw, 6) AS aandeel_gunstig,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS aandeel_gunstig_llci,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS aandeel_gunstig_ulci
+           |  FROM e3)
+           |SELECT *, CASE WHEN aandeel_gunstig_llci >= 75 THEN 'Goed'
+           |               WHEN aandeel_gunstig_ulci < 75 THEN 'Niet goed'
+           |               ELSE 'Onbekend' END AS beoordeling
+           |FROM fin""".stripMargin
+    },
+
+    // q134: design-weighted index_ind over the 1/1024-snapped
+    // verschilscore — Hájek mean, design-effect z interval (the q131
+    // weighted-mean tail at indicator grain).
+    "q134_index_ind_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE round((CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE)
+           |                     / 1000.0) * 1024) / 1024.0
+           |         END AS x
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |rows_ AS (
+           |  SELECT i.habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END
+           |      AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN l.in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    i.criterium, i.indicator, i.belang, i.x, l.w
+           |  FROM ind i JOIN latest l ON i.id = l.id
+           |  CROSS JOIN (VALUES (0),(1)) g(g)
+           |  WHERE i.x IS NOT NULL),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |    belang, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * x) AS swx, sum(w * x * x) AS swx2
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5, 6),
+           |f AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swx / sw AS m FROM agg),
+           |f2 AS (
+           |  SELECT *, greatest(swx2 / sw - m * m, 0.0) AS vpop FROM f)
+           |SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |  belang, n_obs,
+           |  round(m, 6) AS index_ind_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_ind_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_ind_ulci
+           |FROM f2""".stripMargin
+    },
+
+    // q135: design-weighted trend_indicatoren — the q116 pairing with
+    // the latest-visit pair weight, per-cycle Hájek shares with
+    // effective-count Wilson bounds, and the paired Wald difference on
+    // the weighted within-point change (n_eff from the paired set).
+    "q135_trend_indicatoren_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      val z2 = z * z
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairsAll AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(id, mdate || '|' || id) AS id_1,
+           |    arg_max(id, mdate || '|' || id) AS id_2,
+           |    arg_max(w + CASE WHEN mdate = 2020 THEN 0.125 ELSE 0.0 END,
+           |            mdate || '|' || id) AS w,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |prs AS (SELECT * FROM pairsAll WHERE nc > 1),
+           |ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE ((p.ck * (j.j + 2)) % 5) % 2 = 1 END AS status
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |known AS (SELECT * FROM ind WHERE status IS NOT NULL),
+           |cyc AS (
+           |  SELECT point_code, w, id_1 AS id, 'c_1' AS periode FROM prs
+           |  UNION ALL
+           |  SELECT point_code, w, id_2, 'c_2' FROM prs),
+           |lvl1 AS (
+           |  SELECT k.habitattype, c.point_code, k.criterium, k.indicator,
+           |    k.belang,
+           |    max(CASE WHEN c.periode = 'c_1' THEN k.status END) AS s1,
+           |    max(CASE WHEN c.periode = 'c_2' THEN k.status END) AS s2,
+           |    max(c.w) AS w
+           |  FROM known k JOIN cyc c ON k.id = c.id
+           |  GROUP BY 1, 2, 3, 4, 5),
+           |lvl2 AS (
+           |  SELECT habitattype, criterium, indicator, belang,
+           |    count(s1) AS n1,
+           |    sum(CASE WHEN s1 IS NOT NULL THEN w ELSE 0.0 END) AS sw1,
+           |    sum(CASE WHEN s1 IS NOT NULL THEN w * w ELSE 0.0 END) AS sw1sq,
+           |    sum(CASE WHEN s1 THEN w ELSE 0.0 END) AS swk1c,
+           |    count(s2) AS n2,
+           |    sum(CASE WHEN s2 IS NOT NULL THEN w ELSE 0.0 END) AS sw2_,
+           |    sum(CASE WHEN s2 IS NOT NULL THEN w * w ELSE 0.0 END) AS sw2sq,
+           |    sum(CASE WHEN s2 THEN w ELSE 0.0 END) AS swk2c,
+           |    count(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL THEN 1 END)
+           |      AS np,
+           |    sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL
+           |             THEN w ELSE 0.0 END) AS swp,
+           |    sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL
+           |             THEN w * w ELSE 0.0 END) AS swpsq,
+           |    sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL AND s1
+           |             THEN w ELSE 0.0 END) AS swk1,
+           |    sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL AND s1
+           |             AND NOT s2 THEN w ELSE 0.0 END) AS swb,
+           |    sum(CASE WHEN s1 IS NOT NULL AND s2 IS NOT NULL AND NOT s1
+           |             AND s2 THEN w ELSE 0.0 END) AS swc
+           |  FROM lvl1 GROUP BY 1, 2, 3, 4),
+           |acyc AS (
+           |  SELECT habitattype, 'c_1' AS periode, criterium, indicator,
+           |    belang, n1 AS n_obs, sw1 AS sw, sw1sq AS sw2, swk1c AS swk
+           |  FROM lvl2
+           |  UNION ALL
+           |  SELECT habitattype, 'c_2', criterium, indicator, belang,
+           |    n2, sw2_, sw2sq, swk2c FROM lvl2),
+           |wil AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swk / sw AS p
+           |  FROM acyc WHERE n_obs > 0),
+           |wil2 AS (SELECT *, 1.0 + $z2 / neff AS den FROM wil),
+           |wil3 AS (
+           |  SELECT *,
+           |    (p + $z2 / (2.0 * neff)) / den AS center,
+           |    ($z / den) * sqrt(p * (1.0 - p) / neff
+           |      + $z2 / (4.0 * neff * neff)) AS half
+           |  FROM wil2),
+           |aandeel AS (
+           |  SELECT habitattype, periode, criterium, indicator, belang, n_obs,
+           |    'aandeel_gunstig' AS parameter,
+           |    round(100.0 * swk / sw, 6) AS mean,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * greatest(0.0, center - half) END, 6)
+           |      AS llci,
+           |    round(CASE WHEN swk = 0.0 OR swk = sw THEN 100.0 * p
+           |               ELSE 100.0 * least(1.0, center + half) END, 6)
+           |      AS ulci
+           |  FROM wil3),
+           |vr AS (
+           |  SELECT *, swp * swp / swpsq AS neff,
+           |    (swc - swb) / swp AS md, swk1 / swp AS p1
+           |  FROM lvl2 WHERE np > 0),
+           |vr2 AS (
+           |  SELECT *, 100.0 * md AS d,
+           |    greatest((swb + swc) / swp - md * md, 0.0) AS vpop
+           |  FROM vr),
+           |vr3 AS (SELECT *, 100.0 * sqrt(vpop / neff) AS se FROM vr2)
+           |SELECT * FROM aandeel
+           |UNION ALL
+           |SELECT habitattype, 'c_2' AS periode, criterium, indicator, belang,
+           |  np AS n_obs, 'verschil_aandeel_gunstig_abs' AS parameter,
+           |  round(d, 6) AS mean,
+           |  round(d - $z * se, 6) AS llci,
+           |  round(d + $z * se, 6) AS ulci
+           |FROM vr3
+           |UNION ALL
+           |SELECT habitattype, 'c_2' AS periode, criterium, indicator, belang,
+           |  np AS n_obs, 'verschil_aandeel_gunstig_rel' AS parameter,
+           |  CASE WHEN p1 > 0.0 THEN round(md / p1 * 100.0, 6) END AS mean,
+           |  CAST(NULL AS DOUBLE) AS llci,
+           |  CAST(NULL AS DOUBLE) AS ulci
+           |FROM vr3""".stripMargin
     },
 
     "q108_lsvi_plot_report" -> {

@@ -83,5 +83,20 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q130_status_habitat_weighted") <= 2)
     assert(scanCount("q131_index_hq_weighted") <= 1)
     assert(shuffleCount("q131_index_hq_weighted") <= 2)
+    // q132-q135 (round 11): same contract for the remaining weighted
+    // overloads — identical pairing/join shapes to q121/q113/q118/q116
+    // with Σw/Σw² riding the same aggregations, so the same bounds hold
+    assert(scanCount("q132_trend_habitat_weighted") <= 1)
+    assert(shuffleCount("q132_trend_habitat_weighted") <= 3)
+    assert(scanCount("q133_status_indicatoren_weighted") <= 2)
+    assert(shuffleCount("q133_status_indicatoren_weighted") <= 3)
+    assert(scanCount("q134_index_ind_weighted") <= 2)
+    assert(shuffleCount("q134_index_ind_weighted") <= 3)
+    // q135 mirrors q116's accepted two-branch union shape (aandeel +
+    // verschil both derive from the level-2 aggregate; local mode has
+    // no cross-branch exchange reuse): 4 scans / 8 shuffles, measured
+    // identical to the unweighted sibling
+    assert(scanCount("q135_trend_indicatoren_weighted") <= 4)
+    assert(shuffleCount("q135_trend_indicatoren_weighted") <= 8)
   }
 }
