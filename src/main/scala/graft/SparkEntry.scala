@@ -1121,6 +1121,22 @@ object SparkEntry {
           col("weight") + when(col("date") === 2020, 0.125).otherwise(0.0)),
         "weight")
     }),
+    // q136/q137: weighted paired index-difference shapes over the
+    // binary-fraction twins (index_b / 1/1024-snapped verschilscore —
+    // paired differences and their squares stay exact binary-fraction
+    // multiples, so the weighted double sums are order-independent)
+    "q136_trend_index_hq_weighted" -> ((s, dir) => {
+      val (meta, _) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndexHq(
+        meta.drop("index_mean_ind")
+          .withColumnRenamed("index_b", "index_mean_ind"), "weight")
+    }),
+    "q137_trend_index_ind_weighted" -> ((s, dir) => {
+      val (meta, ind) = statusInputs(s, dir)
+      graft.lsvi.LsviStatus.trendIndexInd(
+        ind.withColumn("verschilscore",
+          round(col("verschilscore") * 1024) / 1024.0), meta, "weight")
+    }),
 
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
@@ -5009,6 +5025,122 @@ object SparkEntry {
            |  CAST(NULL AS DOUBLE) AS llci,
            |  CAST(NULL AS DOUBLE) AS ulci
            |FROM vr3""".stripMargin
+    },
+
+    // q136: weighted trend_index_hq — paired index_b differences with
+    // the latest-visit weight; Hájek mean + Kish-n_eff z interval +
+    // weighted relative difference Σw·d / Σw·x1.
+    "q136_trend_index_hq_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairs AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(idx_b, mdate || '|' || id) AS x1,
+           |    arg_max(idx_b, mdate || '|' || id) AS x2,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
+           |    arg_max(w, mdate || '|' || id) AS w,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |prs AS (SELECT *, x2 - x1 AS d FROM pairs WHERE nc > 1),
+           |rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END
+           |      AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    d, x1, w
+           |  FROM prs CROSS JOIN (VALUES (0),(1)) g(g)),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * d) AS swx, sum(w * d * d) AS swx2,
+           |    sum(w * x1) AS swx1
+           |  FROM rows_ GROUP BY 1, 2, 3),
+           |f AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swx / sw AS m FROM agg),
+           |f2 AS (
+           |  SELECT *, greatest(swx2 / sw - m * m, 0.0) AS vpop FROM f)
+           |SELECT type_resultaat, habitattype, sbzh, n_obs,
+           |  CASE WHEN swx1 <> 0.0 THEN round(swx / swx1, 6) END
+           |    AS index_diff_rel,
+           |  round(m, 6) AS index_diff_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_diff_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_diff_ulci
+           |FROM f2""".stripMargin
+    },
+
+    // q137: weighted trend_index_ind — the q135 pairing joined to the
+    // 1/1024-snapped verschilscore, paired differences per indicator,
+    // Hájek mean + Kish-n_eff z interval.
+    "q137_trend_index_ind_weighted" -> {
+      val z = graft.lsvi.LsviStatus.z975
+      statusOracleCtes.stripSuffix("\n") +
+        s""", pairsAll AS (
+           |  SELECT habitattype, point_code,
+           |    arg_min(id, mdate || '|' || id) AS id_1,
+           |    arg_max(id, mdate || '|' || id) AS id_2,
+           |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
+           |    arg_max(w, mdate || '|' || id) AS w,
+           |    count(DISTINCT mdate) AS nc
+           |  FROM plots GROUP BY 1, 2),
+           |prs AS (SELECT * FROM pairsAll WHERE nc > 1),
+           |ind AS (
+           |  SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+           |    'ind_' || j.j AS indicator,
+           |    CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+           |    CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+           |         ELSE round((CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE)
+           |                     / 1000.0) * 1024) / 1024.0
+           |         END AS x
+           |  FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j)),
+           |known AS (SELECT * FROM ind WHERE x IS NOT NULL),
+           |cyc AS (
+           |  SELECT point_code, in_sac, w, id_1 AS id, 'c_1' AS periode FROM prs
+           |  UNION ALL
+           |  SELECT point_code, in_sac, w, id_2, 'c_2' FROM prs),
+           |lvl1 AS (
+           |  SELECT k.habitattype, c.point_code, c.in_sac, k.criterium,
+           |    k.indicator, k.belang,
+           |    max(CASE WHEN c.periode = 'c_1' THEN k.x END) AS x1,
+           |    max(CASE WHEN c.periode = 'c_2' THEN k.x END) AS x2,
+           |    max(c.w) AS w
+           |  FROM known k JOIN cyc c ON k.id = c.id
+           |  GROUP BY 1, 2, 3, 4, 5, 6),
+           |prd AS (
+           |  SELECT *, x2 - x1 AS d FROM lvl1
+           |  WHERE x1 IS NOT NULL AND x2 IS NOT NULL),
+           |rows_ AS (
+           |  SELECT habitattype,
+           |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END
+           |      AS type_resultaat,
+           |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
+           |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
+           |    criterium, indicator, belang, d, w
+           |  FROM prd CROSS JOIN (VALUES (0),(1)) g(g)),
+           |agg AS (
+           |  SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |    belang, count(*) AS n_obs,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * d) AS swx, sum(w * d * d) AS swx2
+           |  FROM rows_ GROUP BY 1, 2, 3, 4, 5, 6),
+           |f AS (
+           |  SELECT *, sw * sw / sw2 AS neff, swx / sw AS m FROM agg),
+           |f2 AS (
+           |  SELECT *, greatest(swx2 / sw - m * m, 0.0) AS vpop FROM f)
+           |SELECT type_resultaat, habitattype, sbzh, criterium, indicator,
+           |  belang, n_obs,
+           |  round(m, 6) AS index_diff_mean,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m - $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_diff_llci,
+           |  CASE WHEN n_obs > 1
+           |       THEN round(m + $z * sqrt(vpop / (neff - 1.0)), 6) END
+           |    AS index_diff_ulci
+           |FROM f2""".stripMargin
     },
 
     "q108_lsvi_plot_report" -> {

@@ -1259,6 +1259,92 @@ object LsviStatus {
     aandeel.unionByName(verschil)
   }
 
+  /** Design-weighted [[trendIndexHq]]: paired habitat-quality index
+    * differences with the latest-visit design weight — Hájek mean
+    * Σw·d/Σw, Kish-n_eff z interval (the [[weightedMeanCols]] tail),
+    * and the weighted relative difference Σw·d / Σw·x₁ (the weighted
+    * analogue of the unweighted shape's Σd / Σx₁). Unlike the
+    * unweighted shape there is no 1e-6 integer fixed point: fractional
+    * weights make integer accumulation impossible, so exact-replay
+    * fixtures should feed binary-fraction values (see q136). */
+  def trendIndexHq(plotIndex: DataFrame, weightCol: String): DataFrame = {
+    val key = struct(col("date"), col("id"))
+    val pairs = plotIndex.where(col("index_mean_ind").isNotNull)
+      .groupBy("habitattype", "point_code").agg(
+        min_by(col("index_mean_ind"), key).as("x1"),
+        max_by(col("index_mean_ind"), key).as("x2"),
+        max_by(col("in_sac"), key).as("in_sac"),
+        max_by(col(weightCol).cast("double"), key).as("w"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+      .withColumn("d", col("x2") - col("x1"))
+    val rows = pairs.select(col("habitattype"), col("d"), col("x1"), col("w"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("d"), col("x1"), col("w"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * col("d")).as("swx"),
+        sum(col("w") * col("d") * col("d")).as("swx2"),
+        sum(col("w") * col("x1")).as("swx1"))
+      .withColumn("index_diff_rel",
+        when(col("swx1") =!= 0.0, round(col("swx") / col("swx1"), 6)))
+      .drop("swx1")
+    weightedMeanCols(agg, "index_diff")
+  }
+
+  /** Design-weighted [[trendIndexInd]]: the same single-chain cycle
+    * pivot with the latest-visit pair weight and the Hájek/Kish mean
+    * interval at indicator grain. */
+  def trendIndexInd(indicator: DataFrame, plotMeta: DataFrame,
+      weightCol: String): DataFrame = {
+    val key = struct(col("date"), col("id"))
+    val pr = plotMeta.groupBy("habitattype", "point_code").agg(
+        min_by(col("id"), key).as("id_1"),
+        max_by(col("id"), key).as("id_2"),
+        max_by(col("in_sac"), key).as("in_sac"),
+        max_by(col(weightCol).cast("double"), key).as("w"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+    val cyc = pr.select(col("point_code"), col("in_sac"), col("w"),
+        explode(array(
+          struct(col("id_1").as("id"), lit("c_1").as("periode")),
+          struct(col("id_2").as("id"), lit("c_2").as("periode")))).as("e"))
+      .select(col("point_code"), col("in_sac"), col("w"), col("e.id"),
+        col("e.periode"))
+    val rows = indicator.where(col("verschilscore").isNotNull)
+      .join(cyc, Seq("id"))
+      .groupBy(col("type_analysis").as("habitattype"), col("point_code"),
+        col("in_sac"), col("criterium"), col("indicator"), col("belang"))
+      .agg(
+        max(when(col("periode") === "c_1", col("verschilscore"))).as("x1"),
+        max(when(col("periode") === "c_2", col("verschilscore"))).as("x2"),
+        max(col("w")).as("w"))
+      .where(col("x1").isNotNull && col("x2").isNotNull)
+      .withColumn("d", col("x2") - col("x1"))
+      .select(col("habitattype"), col("criterium"), col("indicator"),
+        col("belang"), col("d"), col("w"),
+        explode(array(
+          struct(lit("SBZH").as("type_resultaat"),
+            when(col("in_sac") === 1, "Binnen").otherwise("Buiten").as("sbzh")),
+          struct(lit("Habitattype").as("type_resultaat"),
+            lit("Binnen & Buiten").as("sbzh")))).as("g"))
+      .select(col("habitattype"), col("g.type_resultaat"), col("g.sbzh"),
+        col("criterium"), col("indicator"), col("belang"), col("d"), col("w"))
+    val agg = rows.groupBy("type_resultaat", "habitattype", "sbzh",
+        "criterium", "indicator", "belang")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * col("d")).as("swx"),
+        sum(col("w") * col("d") * col("d")).as("swx2"))
+    weightedMeanCols(agg, "index_diff")
+  }
+
   /** Design-weighted [[trendHabitat]]: the same long-form output with
     * weighted shares, effective-count Wilson and Wald intervals, and
     * the log-ratio interval on effective counts. Year columns stay

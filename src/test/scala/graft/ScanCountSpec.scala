@@ -98,5 +98,11 @@ class ScanCountSpec extends SparkSuite {
     // identical to the unweighted sibling
     assert(scanCount("q135_trend_indicatoren_weighted") <= 4)
     assert(shuffleCount("q135_trend_indicatoren_weighted") <= 8)
+    // q136/q137: single-chain cycle pivots like q119/q120 — the
+    // weighted sums ride the same pairing aggregation
+    assert(scanCount("q136_trend_index_hq_weighted") <= 1)
+    assert(shuffleCount("q136_trend_index_hq_weighted") <= 3)
+    assert(scanCount("q137_trend_index_ind_weighted") <= 2)
+    assert(shuffleCount("q137_trend_index_ind_weighted") <= 4)
   }
 }
