@@ -37,10 +37,24 @@ object LsviReportJob {
     *                  set, the status/index estimators use the
     *                  design-weighted overloads (and `mc_nemar` the
     *                  weighted discordants); when absent, equal
-    *                  weights (and unit-weight mc_nemar) */
+    *                  weights (and unit-weight mc_nemar)
+    * @param tables    optional selection of base names to publish —
+    *                  groups publish different subsets (forests: the
+    *                  full chain + shapes; streams: `lsvi_plot` + the
+    *                  nine reporting shapes only); None = everything */
   case class Config(suffix: String, versie: String = "Versie 3",
                     schaal: String = "Vlaanderen",
-                    weightCol: Option[String] = None)
+                    weightCol: Option[String] = None,
+                    tables: Option[Set[String]] = None)
+
+  /** The streams `_rw` publication subset
+    * (`processed/lsvi_mhq/streams/result/`): the plot table plus the
+    * nine design-weighted reporting shapes — no chain tables, no
+    * status_beheer. */
+  val streamsTables: Set[String] = Set("lsvi_plot", "status_indicatoren",
+    "status_habitat", "index_hq", "index_ind", "mc_nemar",
+    "trend_indicatoren", "trend_habitat", "trend_index_hq",
+    "trend_index_ind")
 
   /** Run the full chain and write the result directory.
     *
@@ -112,13 +126,18 @@ object LsviReportJob {
         .getOrElse(LsviStatus.trendIndicatoren(indicator, statusMeta)),
       "trend_habitat" -> w.map(LsviStatus.trendHabitat(statusMeta, _))
         .getOrElse(LsviStatus.trendHabitat(statusMeta)),
-      "trend_index_hq" -> LsviStatus.trendIndexHq(statusMeta),
-      "trend_index_ind" -> LsviStatus.trendIndexInd(indicator, statusMeta)) ++
+      "trend_index_hq" -> w.map(LsviStatus.trendIndexHq(statusMeta, _))
+        .getOrElse(LsviStatus.trendIndexHq(statusMeta)),
+      "trend_index_ind" -> w.map(LsviStatus.trendIndexInd(indicator, statusMeta, _))
+        .getOrElse(LsviStatus.trendIndexInd(indicator, statusMeta))) ++
       (if (meta.columns.contains("passend_beheer"))
          Map("status_beheer" -> LsviStatus.statusBeheer(statusMeta))
        else Map.empty[String, DataFrame])
 
-    val labelled = shapes.map { case (name, df) =>
+    val selected = cfg.tables
+      .map(t => shapes.filter { case (name, _) => t(name) })
+      .getOrElse(shapes)
+    val labelled = selected.map { case (name, df) =>
       // the published reporting tables lead with versie/schaal labels;
       // the chain tables (lsvi_*) publish bare
       name -> (if (name.startsWith("lsvi_")) df

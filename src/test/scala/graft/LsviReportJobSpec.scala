@@ -107,6 +107,25 @@ class LsviReportJobSpec extends SparkSuite {
     assert(badPlot === 0L)
   }
 
+  test("the rw mode reproduces the streams-published file set with weighted estimators") {
+    // the streams group publishes lsvi_plot + the nine design-weighted
+    // reporting shapes as `*_rw` (no chain tables, no status_beheer);
+    // run the job in that mode (weights synthetic — the real ones are
+    // unpublished) and require the file set to match the reference's
+    // streams result directory exactly
+    val rwDir = java.nio.file.Files.createTempDirectory("lsvi-report-rw").toString
+    val metaW = meta.withColumn("weight",
+      ((abs(hash(col("point_code"))) % 4 + 1).cast("double") * 0.25))
+    LsviReportJob.run(plots, measurements,
+      graft.lsvi.Versie3Forests.rulesDf(spark), metaW, rwDir,
+      LsviReportJob.Config(suffix = "rw", weightCol = Some("weight"),
+        tables = Some(LsviReportJob.streamsTables)))
+    val mine = new java.io.File(rwDir).listFiles().map(_.getName).toSet
+    val pub = new java.io.File("/root/reference/processed/lsvi_mhq/streams/result")
+      .listFiles().map(_.getName).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+  }
+
   test("the written status tables carry the validated stratum estimates") {
     // status_habitat stratum rows are plain proportions: the written
     // file must agree with the published single-subtype stratum rows

@@ -305,5 +305,16 @@ class WeightedStatusSpec extends SparkSuite {
       LsviStatus.trendHabitat(plotMeta), 1e-6)
     assertClose(LsviStatus.trendIndicatoren(indicatorTbl, plotMeta, "one"),
       LsviStatus.trendIndicatoren(indicatorTbl, plotMeta), 1e-6)
+    // r11: the paired index-difference shapes — same algebra, but the
+    // unweighted siblings aggregate 1e-6 fixed-point integers while
+    // the weighted path sums doubles, so a mean sitting within one ulp
+    // of a .5e-6 boundary can round the 6th decimal differently
+    // (observed once in the 91E0_vm aandeel-dood-hout row: 0.043662 vs
+    // 0.043663); 2e-6 admits exactly that one-digit flip and nothing
+    // larger
+    assertClose(LsviStatus.trendIndexHq(plotMeta, "one"),
+      LsviStatus.trendIndexHq(plotMeta), 2e-6)
+    assertClose(LsviStatus.trendIndexInd(indicatorTbl, plotMeta, "one"),
+      LsviStatus.trendIndexInd(indicatorTbl, plotMeta), 2e-6)
   }
 }
