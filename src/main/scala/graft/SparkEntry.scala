@@ -1137,6 +1137,15 @@ object SparkEntry {
         ind.withColumn("verschilscore",
           round(col("verschilscore") * 1024) / 1024.0), meta, "weight")
     }),
+    // q138: cycle-based pairing × design weights composed — the q129
+    // overlapping-window scheme through the WEIGHTED trend estimator
+    // (per-visit weights, the pairing keeps the latest cycle-1 visit's)
+    "q138_trend_habitat_cycles_weighted" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendHabitat(
+        graft.lsvi.LsviStatus.assignCycles(
+          cycleTrendInputs(s, dir).withColumn("weight",
+            (expr("(date - 2010) div 3") + 1) * lit(0.25))),
+        "weight")),
 
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
@@ -2630,7 +2639,10 @@ object SparkEntry {
     * [[graft.lsvi.LsviStatus.trendHabitat(plotLsvi,weightCol)*]]:
     * Hájek shares, Kish-n_eff Wilson/Wald intervals, effective-count
     * log-ratio interval, both klasse ladders, unweighted year columns. */
-  private def trendHabitatWeightedOracleTail: String = {
+  private def trendHabitatWeightedOracleTail: String =
+    trendHabitatWeightedOracleTail("nc > 1")
+
+  private def trendHabitatWeightedOracleTail(ncPred: String): String = {
     val z = graft.lsvi.LsviStatus.z975
     val z2 = z * z
     def klasseSql(tl: Double, th: Double): String =
@@ -2652,7 +2664,7 @@ object SparkEntry {
            |    CASE WHEN g.g = 1 THEN 'Binnen & Buiten'
            |         WHEN in_sac = 1 THEN 'Binnen' ELSE 'Buiten' END AS sbzh,
            |    g1, g2, j1, j2, w
-           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE nc > 1),
+           |  FROM pairs CROSS JOIN (VALUES (0),(1)) g(g) WHERE $ncPred),
            |agg AS (
            |  SELECT type_resultaat, habitattype, sbzh, count(*) AS n_obs,
            |    sum(w) AS sw, sum(w * w) AS sw2,
@@ -4479,6 +4491,43 @@ object SparkEntry {
          |    count(DISTINCT cyc) AS nc
          |  FROM cycplots WHERE cyc IN (0, 1) GROUP BY 1, 2),
          |""".stripMargin + trendHabitatOracleTail("nc = 2")
+    },
+
+    // q138: the q129 cycle-derived pairing CTEs with a per-visit
+    // weight, feeding the weighted trend tail.
+    "q138_trend_habitat_cycles_weighted" -> {
+      val typeList = graft.lsvi.Versie3Forests.habitattypes
+        .map(sqlStr).mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT c_custkey AS ck, c_custkey // 2 AS pt
+         |  FROM customer WHERE (c_custkey * 3) % 7 <> 0),
+         |plots0 AS (
+         |  SELECT 'CY_' || ck AS id,
+         |    $typeList[CAST(pt % 11 AS INTEGER) + 1] AS habitattype,
+         |    $typeList[CAST(pt % 11 AS INTEGER) + 1] || '_s' || (pt % 3)
+         |      AS habitatsubtype,
+         |    'pt_' || pt AS point_code,
+         |    2010 + 3 * (ck % 5) AS mdate,
+         |    CASE WHEN pt % 3 < 2 THEN 1 ELSE 0 END AS in_sac,
+         |    CASE WHEN (ck * 5) % 3 = 0 THEN 'gunstig' ELSE 'ongunstig' END
+         |      AS lsvi,
+         |    ((2010 + 3 * (ck % 5) - 2010) // 3 + 1) * 0.25 AS w
+         |  FROM base),
+         |y0 AS (
+         |  SELECT habitatsubtype, min(mdate) AS ys FROM plots0 GROUP BY 1),
+         |cycplots AS (
+         |  SELECT p.*, CAST(floor((p.mdate - y.ys) / 6) AS INTEGER) AS cyc
+         |  FROM plots0 p JOIN y0 y USING (habitatsubtype)),
+         |pairs AS (
+         |  SELECT habitattype, point_code,
+         |    arg_min(lsvi, mdate || '|' || id) = 'gunstig' AS g1,
+         |    arg_max(lsvi, mdate || '|' || id) = 'gunstig' AS g2,
+         |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
+         |    arg_max(w, mdate || '|' || id) AS w,
+         |    min(mdate) AS j1, max(mdate) AS j2,
+         |    count(DISTINCT cyc) AS nc
+         |  FROM cycplots WHERE cyc IN (0, 1) GROUP BY 1, 2),
+         |""".stripMargin + trendHabitatWeightedOracleTail("nc = 2")
     },
 
     // q122: status_beheer — latest-per-point favourability split by

@@ -104,5 +104,9 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q136_trend_index_hq_weighted") <= 3)
     assert(scanCount("q137_trend_index_ind_weighted") <= 2)
     assert(shuffleCount("q137_trend_index_ind_weighted") <= 4)
+    // q138 composes assignCycles (q129's 2-scan broadcast-dictionary
+    // trade) with the weighted pairing — same bounds as q129
+    assert(scanCount("q138_trend_habitat_cycles_weighted") <= 2)
+    assert(shuffleCount("q138_trend_habitat_cycles_weighted") <= 4)
   }
 }
