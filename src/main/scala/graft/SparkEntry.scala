@@ -4751,7 +4751,11 @@ object SparkEntry {
          |    coalesce(a1.sbzh, a2.sbzh) AS sbzh,
          |    coalesce(a1.indicator, a2.indicator) AS indicator,
          |    a1.a AS av1, a2.a AS av2,
-         |    round(a2.a - a1.a, 2) AS d
+         |    -- + 0.0 normalizes IEEE -0.0 (round of the midpoints'
+         |    -- division noise, e.g. -1e-14 -> -0.0 in DuckDB) to +0.0,
+         |    -- matching Spark's BigDecimal round which has no signed
+         |    -- zero; identity for every other value
+         |    round(a2.a - a1.a, 2) + 0.0 AS d
          |  FROM a1 FULL JOIN a2 USING (type_resultaat, habitattype,
          |    sbzh, indicator))
          |SELECT type_resultaat, habitattype, sbzh, indicator,
