@@ -67,19 +67,22 @@ object Bench {
       name -> times(times.length / 2)
     }
     // SHORT keys (the qNNN prefix, unambiguous — full names live in
-    // SparkEntry.queries): the harness records only the last ~2000 chars
-    // of output and json-parses what it captured. With 120+ full-name
-    // entries the line exceeded the window every round (r10 "parsed":
-    // null, q01-q64 timings lost). qNNN keys keep the ENTIRE line under
-    // ~1900 chars so the artifact is complete and machine-readable.
+    // SparkEntry.queries) and 2-decimal seconds: the harness records
+    // only the last ~2000 chars of output and json-parses what it
+    // captured. With 120+ full-name entries the line exceeded the
+    // window every round (r10 "parsed": null, q01-q64 timings lost).
+    // ~12 chars/query keeps the ENTIRE line under ~1700 at 131 queries
+    // (~20 queries of headroom); if the suite ever nears the window,
+    // drop the "q" from the keys next (saves 1 char/query).
     val qs = results.map { case (k, v) =>
       val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + f"$v%.3f"
+      "\"" + short + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val sfLabel = new java.io.File(sfDir).getName
     // "total_sec" is duplicated at the END of the line as a belt-and-
     // braces for any capture window that still clips the head.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"total_sec":$total%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","runs":$runs,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

@@ -1124,18 +1124,27 @@ object SparkEntry {
     // q136/q137: weighted paired index-difference shapes over the
     // binary-fraction twins (index_b / 1/1024-snapped verschilscore —
     // paired differences and their squares stay exact binary-fraction
-    // multiples, so the weighted double sums are order-independent)
+    // multiples, so the weighted double sums are order-independent).
+    // Same +0.125-on-the-2020-visit weight perturbation as q132/q135:
+    // it makes the pairing's LATEST-visit weight selection observable
+    // (a regression to the first visit's weight breaks the hash).
     "q136_trend_index_hq_weighted" -> ((s, dir) => {
       val (meta, _) = statusInputs(s, dir)
       graft.lsvi.LsviStatus.trendIndexHq(
         meta.drop("index_mean_ind")
-          .withColumnRenamed("index_b", "index_mean_ind"), "weight")
+          .withColumnRenamed("index_b", "index_mean_ind")
+          .withColumn("weight",
+            col("weight") + when(col("date") === 2020, 0.125).otherwise(0.0)),
+        "weight")
     }),
     "q137_trend_index_ind_weighted" -> ((s, dir) => {
       val (meta, ind) = statusInputs(s, dir)
       graft.lsvi.LsviStatus.trendIndexInd(
         ind.withColumn("verschilscore",
-          round(col("verschilscore") * 1024) / 1024.0), meta, "weight")
+          round(col("verschilscore") * 1024) / 1024.0),
+        meta.withColumn("weight",
+          col("weight") + when(col("date") === 2020, 0.125).otherwise(0.0)),
+        "weight")
     }),
     // q138: cycle-based pairing × design weights composed — the q129
     // overlapping-window scheme through the WEIGHTED trend estimator
@@ -2519,22 +2528,27 @@ object SparkEntry {
   /** Shared oracle tail for q121/q129 (`trend_habitat`): from the
     * paired flags to the four published row families; `ncPred` is the
     * pairing filter (`nc > 1` visit-based, `nc = 2` cycle-based). */
+  /** SQL rendering of [[graft.lsvi.LsviStatus.effectKlasse]] (the
+    * ten-class trend-effect ladder) over rounded mean/llci/ulci
+    * columns — shared by the unweighted and weighted trend oracle
+    * tails so the ladder cannot drift between them. */
+  private def klasseSql(tl: Double, th: Double): String =
+    s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
+       |     WHEN coalesce(llci, mean) > $th THEN '++'
+       |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
+       |     WHEN coalesce(llci, mean) > 0.0 THEN
+       |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
+       |     WHEN coalesce(ulci, mean) < 0.0 THEN
+       |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
+       |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
+       |       THEN '~'
+       |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
+       |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
+       |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
+
   private def trendHabitatOracleTail(ncPred: String): String = {
     val z = graft.lsvi.LsviStatus.z975
     val z2 = z * z
-    def klasseSql(tl: Double, th: Double): String =
-      s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
-         |     WHEN coalesce(llci, mean) > $th THEN '++'
-         |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
-         |     WHEN coalesce(llci, mean) > 0.0 THEN
-         |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
-         |     WHEN coalesce(ulci, mean) < 0.0 THEN
-         |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
-         |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
-         |       THEN '~'
-         |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
-         |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
-         |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
     s"""rows_ AS (
            |  SELECT habitattype,
            |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
@@ -2645,19 +2659,6 @@ object SparkEntry {
   private def trendHabitatWeightedOracleTail(ncPred: String): String = {
     val z = graft.lsvi.LsviStatus.z975
     val z2 = z * z
-    def klasseSql(tl: Double, th: Double): String =
-      s"""CASE WHEN coalesce(llci, mean) IS NULL THEN NULL
-         |     WHEN coalesce(llci, mean) > $th THEN '++'
-         |     WHEN coalesce(ulci, mean) < -$tl THEN '--'
-         |     WHEN coalesce(llci, mean) > 0.0 THEN
-         |       CASE WHEN coalesce(ulci, mean) > $th THEN '+' ELSE '+~' END
-         |     WHEN coalesce(ulci, mean) < 0.0 THEN
-         |       CASE WHEN coalesce(llci, mean) < -$tl THEN '-' ELSE '-~' END
-         |     WHEN coalesce(llci, mean) >= -$tl AND coalesce(ulci, mean) <= $th
-         |       THEN '~'
-         |     WHEN coalesce(llci, mean) >= -$tl THEN '?+'
-         |     WHEN coalesce(ulci, mean) <= $th THEN '?-'
-         |     ELSE '?' END""".stripMargin.replace("\n", " ").replaceAll(" +", " ")
     s"""rows_ AS (
            |  SELECT habitattype,
            |    CASE WHEN g.g = 0 THEN 'SBZH' ELSE 'Habitattype' END AS type_resultaat,
@@ -5091,7 +5092,8 @@ object SparkEntry {
            |    arg_min(idx_b, mdate || '|' || id) AS x1,
            |    arg_max(idx_b, mdate || '|' || id) AS x2,
            |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
-           |    arg_max(w, mdate || '|' || id) AS w,
+           |    arg_max(w + CASE WHEN mdate = 2020 THEN 0.125 ELSE 0.0 END,
+           |            mdate || '|' || id) AS w,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
            |prs AS (SELECT *, x2 - x1 AS d FROM pairs WHERE nc > 1),
@@ -5137,7 +5139,8 @@ object SparkEntry {
            |    arg_min(id, mdate || '|' || id) AS id_1,
            |    arg_max(id, mdate || '|' || id) AS id_2,
            |    arg_max(in_sac, mdate || '|' || id) AS in_sac,
-           |    arg_max(w, mdate || '|' || id) AS w,
+           |    arg_max(w + CASE WHEN mdate = 2020 THEN 0.125 ELSE 0.0 END,
+           |            mdate || '|' || id) AS w,
            |    count(DISTINCT mdate) AS nc
            |  FROM plots GROUP BY 1, 2),
            |prs AS (SELECT * FROM pairsAll WHERE nc > 1),

@@ -38,8 +38,10 @@ class EventsSchemaSpec extends SparkSuite {
     val tmp = s"$dir/_tmp"
     df.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(tmp)
-    val part = Files.list(Path.of(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(Path.of(tmp))
+    val part =
+      try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally listing.close()
     Files.move(part, Path.of(dir, "events.parquet"))
     dir
   }

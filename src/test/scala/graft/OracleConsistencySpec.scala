@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift guard for the oracle SQL's repeated fixture fragments.
+  *
+  * The synthetic indicator CTE (replaying `statusInputs`' `ind`
+  * generation) appears in several oracles (q113/q116/q118/q120 and the
+  * weighted q133/q134/q135/q137) in exactly three value variants:
+  * boolean `status`, raw `vs` (k/1000), and the 1/1024-snapped `x`.
+  * The copies must stay in lockstep with each other AND with the Spark
+  * fixture — editing one without the others silently breaks a
+  * different query's hash parity. This spec normalizes every `ind AS
+  * (...)` block out of the generated oracle SQL and pins the distinct
+  * set to the three canonical variants.
+  */
+class OracleConsistencySpec extends AnyFunSuite {
+
+  private def norm(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  private val indBlock =
+    "(?s)ind AS \\(.*?CROSS JOIN \\(VALUES \\(0\\),\\(1\\),\\(2\\),\\(3\\),\\(4\\)\\) j\\(j\\)\\)".r
+
+  test("every oracle's synthetic ind CTE is one of the three canonical variants") {
+    val blocks = SparkEntry.oracleSql.values.toSeq
+      .flatMap(sql => indBlock.findAllIn(sql).toSeq)
+      .map(norm)
+    assert(blocks.nonEmpty)
+    val canonical = Set(
+      // status variant (q113, q116, q133, q135)
+      norm("""ind AS (
+        SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+          'ind_' || j.j AS indicator,
+          CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+          CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+               ELSE ((p.ck * (j.j + 2)) % 5) % 2 = 1 END AS status
+        FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j))"""),
+      // raw verschilscore variant (q118, q120)
+      norm("""ind AS (
+        SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+          'ind_' || j.j AS indicator,
+          CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+          CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+               ELSE CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE) / 1000.0
+               END AS vs
+        FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j))"""),
+      // 1/1024-snapped variant (q134, q137)
+      norm("""ind AS (
+        SELECT p.id, p.habitattype, 'crit_' || (j.j % 2) AS criterium,
+          'ind_' || j.j AS indicator,
+          CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+          CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+               ELSE round((CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE)
+                           / 1000.0) * 1024) / 1024.0
+               END AS x
+        FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j))"""),
+      // 1e-6 fixed-point variant (q120 — integer micro-units for the
+      // unweighted paired-difference identity; no habitattype column,
+      // the pairing join supplies it)
+      norm("""ind AS (
+        SELECT p.id, 'crit_' || (j.j % 2) AS criterium,
+          'ind_' || j.j AS indicator,
+          CASE WHEN j.j < 2 THEN 'zb' ELSE 'b' END AS belang,
+          CASE WHEN (p.ck * (j.j + 2)) % 5 = 0 THEN NULL
+               ELSE CAST(floor(CAST((p.ck * (j.j + 4)) % 2001 - 1000 AS DOUBLE)
+                               / 1000.0 * 1000000.0 + 0.5) AS BIGINT)
+               END AS x6
+        FROM plots p CROSS JOIN (VALUES (0),(1),(2),(3),(4)) j(j))"""))
+    val stray = blocks.toSet -- canonical
+    assert(stray.isEmpty,
+      s"ind CTE copies drifted from the canonical variants: $stray")
+    assert(blocks.toSet.size == 4, s"expected 4 variants, got ${blocks.toSet}")
+  }
+
+  test("the pairing arg-pick key is uniform across all oracle CTEs") {
+    // every arg_min/arg_max in the status/trend oracles must order by
+    // the same visit key the engine uses (struct(date, id) rendered as
+    // mdate || '|' || id) — a divergent key breaks tie-handling parity
+    val argPick = "arg_(?:min|max)\\(([^)]*?), ([^)]+)\\)".r
+    val keys = SparkEntry.oracleSql.values.toSeq.flatMap(sql =>
+      argPick.findAllMatchIn(sql).map(_.group(2)).toSeq).toSet
+    assert(keys == Set("mdate || '|' || id"), s"divergent arg-pick keys: $keys")
+  }
+}
