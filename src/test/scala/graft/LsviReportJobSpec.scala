@@ -107,6 +107,42 @@ class LsviReportJobSpec extends SparkSuite {
     assert(badPlot === 0L)
   }
 
+  test("a second group (heath/inland dunes) runs end-to-end to the published _hs_id file set") {
+    // same composition, different rule data and suffix — proves the
+    // job is group-generic, not forests-shaped
+    val hDir = "/root/reference/processed/lsvi_mhq/heath_inland_dunes/result"
+    def readH(name: String): DataFrame = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$hDir/$name")
+    val hDetail = readH("lsvi_detail_hs_id.tsv").cache()
+    val hMeasurements = hDetail.select(
+      col("id"), col("type_analysis"), col("voorwaarde"), col("waarde"),
+      col("plot_type"),
+      col("waarde").cast("double").as("value_numeric"),
+      lit(null).cast("string").as("value_category"),
+      when(col("voorwaarde") === graft.lsvi.Versie3Heath.dynamicVoorwaarde,
+        col("referentiewaarde").cast("double")).as("ref_override"))
+      .distinct()
+    val hPlots = hDetail.select("id", "type_analysis", "survey",
+      "record_id_square", "record_id_circle", "type_observed").distinct()
+    val hMeta = readH("lsvi_plot_hs_id.tsv")
+      .select(col("id"), col("date").cast("int").as("date"), col("point_code"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"),
+        col("in_sac").cast("int").as("in_sac"))
+      .withColumn("passend_beheer",
+        when(abs(hash(col("point_code"))) % 5 < 3, "ja").otherwise("nee"))
+      .distinct()
+    val hOut =
+      java.nio.file.Files.createTempDirectory("lsvi-report-heath").toString
+    LsviReportJob.run(hPlots, hMeasurements,
+      graft.lsvi.Versie3Heath.rulesDf(spark), hMeta, hOut,
+      LsviReportJob.Config(suffix = "hs_id"))
+    val mine = new java.io.File(hOut).listFiles().map(_.getName).toSet
+    val pub = new java.io.File(hDir).listFiles().map(_.getName)
+      .filter(_.matches(".*_hs_id\\.(tsv|yml)")).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+  }
+
   test("the rw mode reproduces the streams-published file set with weighted estimators") {
     // the streams group publishes lsvi_plot + the nine design-weighted
     // reporting shapes as `*_rw` (no chain tables, no status_beheer);
