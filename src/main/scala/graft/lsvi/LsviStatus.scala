@@ -671,51 +671,48 @@ object LsviStatus {
         count(when(both && col("s1"), 1)).as("k1"),
         count(when(both && col("s1") && !col("s2"), 1)).as("b"),
         count(when(both && !col("s1") && col("s2"), 1)).as("c"))
-    val aCyc = level2.select(col("habitattype"), col("criterium"),
-        col("indicator"), col("belang"),
-        explode(array(
-          struct(lit("c_1").as("periode"), col("n1").as("n_obs"),
-            col("k1c").as("k")),
-          struct(lit("c_2").as("periode"), col("n2").as("n_obs"),
-            col("k2c").as("k")))).as("e"))
-      .select(col("habitattype"), col("e.periode").as("periode"),
-        col("criterium"), col("indicator"), col("belang"),
-        col("e.n_obs").as("n_obs"), col("e.k").as("n_gunstig"))
-      .where(col("n_obs") > 0)
-    val (alo, ahi) = wilson(col("n_gunstig"), col("n_obs"))
-    val aandeel = aCyc
-      .withColumn("parameter", lit("aandeel_gunstig"))
-      .withColumn("mean",
-        round(lit(100.0) * col("n_gunstig").cast("double") / col("n_obs"), 6))
-      .withColumn("llci", round(alo, 6))
-      .withColumn("ulci", round(ahi, 6))
-      .drop("n_gunstig")
-    val paired = level2.where(col("np") > 0)
-      .select(col("habitattype"), col("criterium"), col("indicator"),
-        col("belang"), col("np").as("n_obs"), col("k1"), col("b"), col("c"))
-    val nd = col("n_obs").cast("double")
+    // single-chain tail (r11): the earlier aandeel ∪ verschil union
+    // re-planned the whole pairing subtree per branch (4 scans /
+    // 8 shuffles at sf0.1); emitting all four output rows from ONE
+    // explode over the level-2 aggregate — final values computed
+    // inside the structs with the SAME expressions, rows without
+    // observations filtered on n_obs — halves the plan. Zero-count
+    // divisions yield ±Inf/NaN inside dropped structs, never thrown
+    // (double division, not integral).
+    val (alo1, ahi1) = wilson(col("k1c"), col("n1"))
+    val (alo2, ahi2) = wilson(col("k2c"), col("n2"))
+    val nd = col("np").cast("double")
     val bd = col("b").cast("double")
     val cd = col("c").cast("double")
     val d = lit(100.0) * (cd - bd) / nd
     val se = lit(100.0) * sqrt(bd + cd - pow(bd - cd, 2) / nd) / nd
     val a1 = lit(100.0) * col("k1").cast("double") / nd
-    val verschil = paired.select(col("habitattype"), lit("c_2").as("periode"),
-        col("criterium"), col("indicator"), col("belang"), col("n_obs"),
-        explode(array(
-          struct(lit("verschil_aandeel_gunstig_abs").as("parameter"),
-            round(d, 6).as("mean"),
-            round(d - lit(z975) * se, 6).as("llci"),
-            round(d + lit(z975) * se, 6).as("ulci")),
-          struct(lit("verschil_aandeel_gunstig_rel").as("parameter"),
-            when(a1 > 0.0, round(lit(100.0) * (cd - bd) / nd / a1 * 100.0, 6))
-              .as("mean"),
-            lit(null).cast("double").as("llci"),
-            lit(null).cast("double").as("ulci")))).as("p"))
-      .select(col("habitattype"), col("periode"), col("criterium"),
-        col("indicator"), col("belang"), col("n_obs"),
-        col("p.parameter").as("parameter"), col("p.mean").as("mean"),
-        col("p.llci").as("llci"), col("p.ulci").as("ulci"))
-    aandeel.unionByName(verschil)
+    def outRow(periode: String, parameter: String, nObs: Column,
+        mean: Column, llci: Column, ulci: Column) =
+      struct(lit(periode).as("periode"), lit(parameter).as("parameter"),
+        nObs.as("n_obs"), mean.cast("double").as("mean"),
+        llci.cast("double").as("llci"), ulci.cast("double").as("ulci"))
+    val rows = array(
+      outRow("c_1", "aandeel_gunstig", col("n1"),
+        round(lit(100.0) * col("k1c").cast("double") / col("n1"), 6),
+        round(alo1, 6), round(ahi1, 6)),
+      outRow("c_2", "aandeel_gunstig", col("n2"),
+        round(lit(100.0) * col("k2c").cast("double") / col("n2"), 6),
+        round(alo2, 6), round(ahi2, 6)),
+      outRow("c_2", "verschil_aandeel_gunstig_abs", col("np"),
+        round(d, 6), round(d - lit(z975) * se, 6),
+        round(d + lit(z975) * se, 6)),
+      outRow("c_2", "verschil_aandeel_gunstig_rel", col("np"),
+        when(a1 > 0.0, round(lit(100.0) * (cd - bd) / nd / a1 * 100.0, 6)),
+        lit(null).cast("double"), lit(null).cast("double")))
+    level2.select(col("habitattype"), col("criterium"), col("indicator"),
+        col("belang"),
+        explode(filter(rows, r => r.getField("n_obs") > 0)).as("e"))
+      .select(col("habitattype"), col("e.periode").as("periode"),
+        col("criterium"), col("indicator"), col("belang"),
+        col("e.n_obs").as("n_obs"), col("e.parameter").as("parameter"),
+        col("e.mean").as("mean"), col("e.llci").as("llci"),
+        col("e.ulci").as("ulci"))
   }
 
   // ---- reference-style Student-t reporting variants (driver-side
@@ -1209,27 +1206,11 @@ object LsviStatus {
         sum(when(both && col("s2"), w).otherwise(0.0)).as("swk2"),
         sum(when(both && col("s1") && !col("s2"), w).otherwise(0.0)).as("swb"),
         sum(when(both && !col("s1") && col("s2"), w).otherwise(0.0)).as("swc"))
-    val aCyc = level2.select(col("habitattype"), col("criterium"),
-        col("indicator"), col("belang"),
-        explode(array(
-          struct(lit("c_1").as("periode"), col("n1").as("n_obs"),
-            col("sw1").as("sw"), col("sw1sq").as("sw2"), col("swk1c").as("swk")),
-          struct(lit("c_2").as("periode"), col("n2").as("n_obs"),
-            col("sw2_").as("sw"), col("sw2sq").as("sw2"),
-            col("swk2c").as("swk")))).as("e"))
-      .select(col("habitattype"), col("e.periode").as("periode"),
-        col("criterium"), col("indicator"), col("belang"),
-        col("e.n_obs").as("n_obs"), col("e.sw").as("sw"),
-        col("e.sw2").as("sw2"), col("e.swk").as("swk"))
-      .where(col("n_obs") > 0)
-    val (alo, ahi) = wilsonEff(col("swk"), col("sw"), col("sw2"))
-    val aandeel = aCyc
-      .withColumn("parameter", lit("aandeel_gunstig"))
-      .withColumn("mean", round(lit(100.0) * col("swk") / col("sw"), 6))
-      .withColumn("llci", round(alo, 6))
-      .withColumn("ulci", round(ahi, 6))
-      .drop("sw", "sw2", "swk")
-    val paired = level2.where(col("np") > 0)
+    // single-chain tail (r11, same rationale as the unweighted shape):
+    // all four output rows from ONE explode over the level-2 aggregate,
+    // identical expressions, n_obs filter drops empty cells
+    val (alo1, ahi1) = wilsonEff(col("swk1c"), col("sw1"), col("sw1sq"))
+    val (alo2, ahi2) = wilsonEff(col("swk2c"), col("sw2_"), col("sw2sq"))
     // paired difference of the within-point change d ∈ {-1, 0, 1}:
     // mean_d = (Σw·c − Σw·b)/Σw, SE = sqrt(v_pop(d)/n_eff) — with unit
     // weights exactly the classic 100·sqrt(b+c−(b−c)²/n)/n Wald SE
@@ -1240,23 +1221,32 @@ object LsviStatus {
     val d = lit(100.0) * md
     val se = lit(100.0) * sqrt(vpop / neff)
     val p1 = col("swk1") / col("swp")
-    val verschil = paired.select(col("habitattype"), lit("c_2").as("periode"),
+    def outRow(periode: String, parameter: String, nObs: Column,
+        mean: Column, llci: Column, ulci: Column) =
+      struct(lit(periode).as("periode"), lit(parameter).as("parameter"),
+        nObs.as("n_obs"), mean.cast("double").as("mean"),
+        llci.cast("double").as("llci"), ulci.cast("double").as("ulci"))
+    val rows = array(
+      outRow("c_1", "aandeel_gunstig", col("n1"),
+        round(lit(100.0) * col("swk1c") / col("sw1"), 6),
+        round(alo1, 6), round(ahi1, 6)),
+      outRow("c_2", "aandeel_gunstig", col("n2"),
+        round(lit(100.0) * col("swk2c") / col("sw2_"), 6),
+        round(alo2, 6), round(ahi2, 6)),
+      outRow("c_2", "verschil_aandeel_gunstig_abs", col("np"),
+        round(d, 6), round(d - lit(z975) * se, 6),
+        round(d + lit(z975) * se, 6)),
+      outRow("c_2", "verschil_aandeel_gunstig_rel", col("np"),
+        when(p1 > 0.0, round(md / p1 * 100.0, 6)),
+        lit(null).cast("double"), lit(null).cast("double")))
+    level2.select(col("habitattype"), col("criterium"), col("indicator"),
+        col("belang"),
+        explode(filter(rows, r => r.getField("n_obs") > 0)).as("e"))
+      .select(col("habitattype"), col("e.periode").as("periode"),
         col("criterium"), col("indicator"), col("belang"),
-        col("np").as("n_obs"),
-        explode(array(
-          struct(lit("verschil_aandeel_gunstig_abs").as("parameter"),
-            round(d, 6).as("mean"),
-            round(d - lit(z975) * se, 6).as("llci"),
-            round(d + lit(z975) * se, 6).as("ulci")),
-          struct(lit("verschil_aandeel_gunstig_rel").as("parameter"),
-            when(p1 > 0.0, round(md / p1 * 100.0, 6)).as("mean"),
-            lit(null).cast("double").as("llci"),
-            lit(null).cast("double").as("ulci")))).as("p"))
-      .select(col("habitattype"), col("periode"), col("criterium"),
-        col("indicator"), col("belang"), col("n_obs"),
-        col("p.parameter").as("parameter"), col("p.mean").as("mean"),
-        col("p.llci").as("llci"), col("p.ulci").as("ulci"))
-    aandeel.unionByName(verschil)
+        col("e.n_obs").as("n_obs"), col("e.parameter").as("parameter"),
+        col("e.mean").as("mean"), col("e.llci").as("llci"),
+        col("e.ulci").as("ulci"))
   }
 
   /** Design-weighted [[trendIndexHq]]: paired habitat-quality index

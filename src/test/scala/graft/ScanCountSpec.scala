@@ -35,7 +35,10 @@ class ScanCountSpec extends SparkSuite {
   test("status/trend shapes stay single-chain") {
     assert(scanCount("q113_status_indicatoren") <= 2)
     assert(scanCount("q115_mc_nemar") <= 1)
-    assert(scanCount("q116_trend_indicatoren") <= 4)
+    // r11 single-chain tail: aandeel + verschil from ONE explode over
+    // the level-2 aggregate (was 4 scans / 8 shuffles as a union)
+    assert(scanCount("q116_trend_indicatoren") <= 2)
+    assert(shuffleCount("q116_trend_indicatoren") <= 4)
     assert(scanCount("q117_status_habitat") <= 1)
     assert(scanCount("q119_trend_index_hq") <= 1)
     assert(scanCount("q120_trend_index_ind") <= 2)
@@ -92,12 +95,10 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q133_status_indicatoren_weighted") <= 3)
     assert(scanCount("q134_index_ind_weighted") <= 2)
     assert(shuffleCount("q134_index_ind_weighted") <= 3)
-    // q135 mirrors q116's accepted two-branch union shape (aandeel +
-    // verschil both derive from the level-2 aggregate; local mode has
-    // no cross-branch exchange reuse): 4 scans / 8 shuffles, measured
-    // identical to the unweighted sibling
-    assert(scanCount("q135_trend_indicatoren_weighted") <= 4)
-    assert(shuffleCount("q135_trend_indicatoren_weighted") <= 8)
+    // q135 mirrors q116's r11 single-chain tail: 2 scans / 4 shuffles
+    // (was 4/8 as a two-branch union re-planning the pairing subtree)
+    assert(scanCount("q135_trend_indicatoren_weighted") <= 2)
+    assert(shuffleCount("q135_trend_indicatoren_weighted") <= 4)
     // q136/q137: single-chain cycle pivots like q119/q120 — the
     // weighted sums ride the same pairing aggregation
     assert(scanCount("q136_trend_index_hq_weighted") <= 1)
