@@ -676,12 +676,17 @@ object LsviStatus {
     // 8 shuffles at sf0.1); emitting all four output rows from ONE
     // explode over the level-2 aggregate — final values computed
     // inside the structs with the SAME expressions, rows without
-    // observations filtered on n_obs — halves the plan. Zero-count
-    // divisions yield ±Inf/NaN inside dropped structs, never thrown
-    // (double division, not integral).
-    val (alo1, ahi1) = wilson(col("k1c"), col("n1"))
-    val (alo2, ahi2) = wilson(col("k2c"), col("n2"))
-    val nd = col("np").cast("double")
+    // observations filtered on n_obs — halves the plan. Denominators
+    // are null-guarded (`when(n > 0, n)`): the structs are computed
+    // BEFORE the n_obs filter drops empty cells, and under ANSI mode
+    // (Spark 4 default) an unguarded zero division THROWS even for
+    // doubles; a null denominator propagates null instead, and the
+    // guarded value is identical for every surviving row.
+    val n1s = when(col("n1") > 0, col("n1"))
+    val n2s = when(col("n2") > 0, col("n2"))
+    val (alo1, ahi1) = wilson(col("k1c"), n1s)
+    val (alo2, ahi2) = wilson(col("k2c"), n2s)
+    val nd = when(col("np") > 0, col("np")).cast("double")
     val bd = col("b").cast("double")
     val cd = col("c").cast("double")
     val d = lit(100.0) * (cd - bd) / nd
@@ -694,10 +699,10 @@ object LsviStatus {
         llci.cast("double").as("llci"), ulci.cast("double").as("ulci"))
     val rows = array(
       outRow("c_1", "aandeel_gunstig", col("n1"),
-        round(lit(100.0) * col("k1c").cast("double") / col("n1"), 6),
+        round(lit(100.0) * col("k1c").cast("double") / n1s, 6),
         round(alo1, 6), round(ahi1, 6)),
       outRow("c_2", "aandeel_gunstig", col("n2"),
-        round(lit(100.0) * col("k2c").cast("double") / col("n2"), 6),
+        round(lit(100.0) * col("k2c").cast("double") / n2s, 6),
         round(alo2, 6), round(ahi2, 6)),
       outRow("c_2", "verschil_aandeel_gunstig_abs", col("np"),
         round(d, 6), round(d - lit(z975) * se, 6),
@@ -1024,8 +1029,12 @@ object LsviStatus {
     * degenerate all-gunstig / none-gunstig rendering follows the
     * unweighted [[wilson]]. */
   private def wilsonEff(swk: Column, sw: Column, sw2: Column): (Column, Column) = {
-    val neff = sw * sw / sw2
-    val p = swk / sw
+    // zero-total-weight groups (degenerate input) null-propagate
+    // instead of throwing under ANSI division; identical otherwise
+    val swS = when(sw =!= 0.0, sw)
+    val sw2S = when(sw2 =!= 0.0, sw2)
+    val neff = sw * sw / sw2S
+    val p = swk / swS
     val z2 = lit(z975 * z975)
     val den = lit(1.0) + z2 / neff
     val center = (p + z2 / (lit(2.0) * neff)) / den
@@ -1100,10 +1109,17 @@ object LsviStatus {
     * population variance — with unit weights that is algebraically the
     * unweighted z interval (z·s/√n with the sample sd). */
   private def weightedMeanCols(agg: DataFrame, base: String): DataFrame = {
-    val neff = col("sw") * col("sw") / col("sw2")
-    val m = col("swx") / col("sw")
-    val vpop = greatest(col("swx2") / col("sw") - m * m, lit(0.0))
-    val h = lit(z975) * sqrt(vpop / (neff - lit(1.0)))
+    // null-guard the denominators: zero total weight (degenerate
+    // input) and n_eff == 1 (a single effective observation, e.g. all
+    // weight on one row) would THROW under ANSI division; the guarded
+    // expressions null-propagate — mean/interval become NULL — and are
+    // identical for every non-degenerate group
+    val swS = when(col("sw") =!= 0.0, col("sw"))
+    val sw2S = when(col("sw2") =!= 0.0, col("sw2"))
+    val neff = col("sw") * col("sw") / sw2S
+    val m = col("swx") / swS
+    val vpop = greatest(col("swx2") / swS - m * m, lit(0.0))
+    val h = lit(z975) * sqrt(vpop / when(neff =!= 1.0, neff - lit(1.0)))
     agg
       .withColumn(s"${base}_mean", round(m, 6))
       .withColumn(s"${base}_llci",
@@ -1208,19 +1224,28 @@ object LsviStatus {
         sum(when(both && !col("s1") && col("s2"), w).otherwise(0.0)).as("swc"))
     // single-chain tail (r11, same rationale as the unweighted shape):
     // all four output rows from ONE explode over the level-2 aggregate,
-    // identical expressions, n_obs filter drops empty cells
-    val (alo1, ahi1) = wilsonEff(col("swk1c"), col("sw1"), col("sw1sq"))
-    val (alo2, ahi2) = wilsonEff(col("swk2c"), col("sw2_"), col("sw2sq"))
+    // identical expressions, n_obs filter drops empty cells. Weighted
+    // denominators carry the same null guards (`when(n > 0, sum)`) —
+    // computed pre-filter, an empty cell's zero sums would otherwise
+    // THROW under ANSI division.
+    val sw1s = when(col("n1") > 0, col("sw1"))
+    val sw1sqS = when(col("n1") > 0, col("sw1sq"))
+    val sw2s = when(col("n2") > 0, col("sw2_"))
+    val sw2sqS = when(col("n2") > 0, col("sw2sq"))
+    val (alo1, ahi1) = wilsonEff(col("swk1c"), sw1s, sw1sqS)
+    val (alo2, ahi2) = wilsonEff(col("swk2c"), sw2s, sw2sqS)
     // paired difference of the within-point change d ∈ {-1, 0, 1}:
     // mean_d = (Σw·c − Σw·b)/Σw, SE = sqrt(v_pop(d)/n_eff) — with unit
     // weights exactly the classic 100·sqrt(b+c−(b−c)²/n)/n Wald SE
-    val neff = col("swp") * col("swp") / col("swpsq")
-    val md = (col("swc") - col("swb")) / col("swp")
+    val swpS = when(col("np") > 0, col("swp"))
+    val swpsqS = when(col("np") > 0, col("swpsq"))
+    val neff = swpS * swpS / swpsqS
+    val md = (col("swc") - col("swb")) / swpS
     val vpop = greatest(
-      (col("swb") + col("swc")) / col("swp") - md * md, lit(0.0))
+      (col("swb") + col("swc")) / swpS - md * md, lit(0.0))
     val d = lit(100.0) * md
     val se = lit(100.0) * sqrt(vpop / neff)
-    val p1 = col("swk1") / col("swp")
+    val p1 = col("swk1") / swpS
     def outRow(periode: String, parameter: String, nObs: Column,
         mean: Column, llci: Column, ulci: Column) =
       struct(lit(periode).as("periode"), lit(parameter).as("parameter"),
@@ -1228,10 +1253,10 @@ object LsviStatus {
         llci.cast("double").as("llci"), ulci.cast("double").as("ulci"))
     val rows = array(
       outRow("c_1", "aandeel_gunstig", col("n1"),
-        round(lit(100.0) * col("swk1c") / col("sw1"), 6),
+        round(lit(100.0) * col("swk1c") / sw1s, 6),
         round(alo1, 6), round(ahi1, 6)),
       outRow("c_2", "aandeel_gunstig", col("n2"),
-        round(lit(100.0) * col("swk2c") / col("sw2_"), 6),
+        round(lit(100.0) * col("swk2c") / sw2s, 6),
         round(alo2, 6), round(ahi2, 6)),
       outRow("c_2", "verschil_aandeel_gunstig_abs", col("np"),
         round(d, 6), round(d - lit(z975) * se, 6),

@@ -292,6 +292,34 @@ class WeightedStatusSpec extends SparkSuite {
     }
   }
 
+  test("trendIndicatoren tolerates a cycle with no known statuses (ANSI zero-division guard)") {
+    // ind_dead is only ever scored on the second visit: n1 = 0 and
+    // np = 0 at level 2. The r11 single-chain tail computes every
+    // output struct BEFORE the n_obs filter, so unguarded zero
+    // denominators would THROW under ANSI (Spark 4 default) — the
+    // when(n > 0, n) guards must null-propagate instead and emit only
+    // the c_2 aandeel row.
+    val meta = Seq(
+      ("p1a", "HT", "pt1", 2010, 1, "gunstig", 1.0),
+      ("p1b", "HT", "pt1", 2020, 1, "ongunstig", 1.0),
+      ("p2a", "HT", "pt2", 2010, 0, "gunstig", 1.0),
+      ("p2b", "HT", "pt2", 2020, 0, "gunstig", 1.0))
+      .toDF("id", "habitattype", "point_code", "date", "in_sac", "lsvi", "one")
+    val ind = Seq(
+      ("p1a", "HT", "c", "ind_dead", "b", None: Option[Boolean]),
+      ("p1b", "HT", "c", "ind_dead", "b", Some(true)),
+      ("p2a", "HT", "c", "ind_dead", "b", None: Option[Boolean]),
+      ("p2b", "HT", "c", "ind_dead", "b", Some(false)))
+      .toDF("id", "type_analysis", "criterium", "indicator", "belang",
+        "status_indicator")
+    val un = LsviStatus.trendIndicatoren(ind, meta).collect()
+    assert(un.length == 1 && un.head.getAs[String]("periode") == "c_2")
+    assert(un.head.getAs[Double]("mean") == 50.0)
+    val w = LsviStatus.trendIndicatoren(ind, meta, "one").collect()
+    assert(w.length == 1 && w.head.getAs[String]("periode") == "c_2")
+    assert(w.head.getAs[Double]("mean") == 50.0)
+  }
+
   test("unit weights reduce every weighted overload to its unweighted sibling") {
     assertClose(LsviStatus.statusHabitat(plotMeta, "one"),
       LsviStatus.statusHabitat(plotMeta), 1e-6)
