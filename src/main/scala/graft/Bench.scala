@@ -74,8 +74,13 @@ object Bench {
     // ~12 chars/query keeps the ENTIRE line under ~1700 at 131 queries
     // (~20 queries of headroom); if the suite ever nears the window,
     // drop the "q" from the keys next (saves 1 char/query).
-    val qs = results.map { case (k, v) =>
-      val short = k.takeWhile(_ != '_')
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate qNNN bench prefixes would silently overwrite each other " +
+        "in the JSON map: " +
+        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", "))
+    val qs = results.zip(shortKeys).map { case ((_, v), short) =>
       "\"" + short + "\":" + f"$v%.2f"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

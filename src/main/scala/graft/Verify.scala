@@ -41,7 +41,20 @@ object Verify {
           Seq(s"VERIFY_ERROR: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(500)}")
             .toDF("verify_error").coalesce(1)
             .write.mode("overwrite").parquet(s"$outDir/$name")
-        } catch { case _: Throwable => () }
+        } catch { case e2: Throwable =>
+          // If even the marker write fails (e.g. the session itself is
+          // down), fall back to a non-Spark sentinel file so the result
+          // dir is never silently absent, and say so on stderr.
+          System.err.println(s"[verify] $name marker write ALSO failed: ${e2.getMessage}")
+          try {
+            Files.createDirectories(Paths.get(s"$outDir/$name"))
+            Files.writeString(Paths.get(s"$outDir/$name/VERIFY_ERROR.txt"),
+              s"query failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}\n" +
+                s"marker write failed: ${Option(e2.getMessage).getOrElse(e2.getClass.getName)}\n")
+          } catch { case e3: Throwable =>
+            System.err.println(s"[verify] $name sentinel write failed too: ${e3.getMessage}")
+          }
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -40,4 +40,40 @@ object Csv2 {
     df.coalesce(1).write.mode("overwrite")
       .option("sep", ";").option("header", "true")
       .csv(path)
+
+  /** Single-FILE `;`-CSV with TRUE decimal commas — the `write_csv2`
+    * output format of the published `*_dikdoodhout.csv` twins
+    * (`processed/lsvi_mhq/forests/result/status_dikdoodhout.csv`:
+    * `1,6114;1,0281;...`, nulls as `NA`). Double columns render
+    * `%.(digits)f` with a comma decimal mark; the frame is written
+    * pre-sorted by the caller. Result-table sized (dictionary rows),
+    * so the single-partition collapse is the S9 output contract, not
+    * a scale concern. */
+  def writeFile(df: DataFrame, file: String, digits: Int = 4,
+                naString: String = "NA"): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val out = df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case DoubleType => d.withColumn(f.name,
+          when(col(f.name).isNotNull,
+            translate(format_string(s"%.${digits}f", col(f.name)), ".", ",")))
+        case _ => d
+      }
+    }
+    val tmp = file + ".tmp"
+    out.coalesce(1).write.mode("overwrite")
+      .option("sep", ";").option("header", "true").option("nullValue", naString)
+      .csv(tmp)
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() =>
+          new IllegalStateException(s"no part file under $tmp"))
+      finally listing.close()
+    Files.createDirectories(Paths.get(file).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(file), StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(Paths.get(tmp))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
 }

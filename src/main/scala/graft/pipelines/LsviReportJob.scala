@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.io.Vc
+import graft.io.{Csv2, Vc}
 import graft.lsvi.{LsviForest, LsviStatus}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -47,6 +47,21 @@ object LsviReportJob {
                     weightCol: Option[String] = None,
                     tables: Option[Set[String]] = None)
 
+  /** A continuous per-visit measurement series published alongside the
+    * group (forests: the thick-dead-wood inventory behind
+    * `status_dikdoodhout` / `trend_dikdoodhout`). The frame is the
+    * FULL pooled analysis input (id, date, point_code, habitattype,
+    * habitatsubtype, value) rather than a chain join: the reference
+    * pools plots across schemes here (91E0_sf draws 47 of its 51
+    * points from the moneos estuary scheme, outside the forests
+    * chain), so the caller supplies the pooled set. */
+  case class Continuous(plots: DataFrame, indicator: String, voorwaarde: String)
+
+  /** The two continuous tables publish SUFFIX-LESS with a `write_csv2`
+    * CSV twin (`forests/result/status_dikdoodhout.{tsv,yml,csv}`),
+    * unlike every other table in the directory. */
+  private val continuousTables = Set("status_dikdoodhout", "trend_dikdoodhout")
+
   /** The streams `_rw` publication subset
     * (`processed/lsvi_mhq/streams/result/`): the plot table plus the
     * nine design-weighted reporting shapes — no chain tables, no
@@ -69,7 +84,8 @@ object LsviReportJob {
     * @return the written frames by published base name (suffix-free),
     *         for inspection and testing */
   def run(plots: DataFrame, measurements: DataFrame, rules: DataFrame,
-          meta: DataFrame, outDir: String, cfg: Config): Map[String, DataFrame] = {
+          meta: DataFrame, outDir: String, cfg: Config,
+          continuous: Option[Continuous] = None): Map[String, DataFrame] = {
     val detail = LsviForest.detail(plots, measurements, rules)
     val indicator = LsviForest.indicator(detail)
     val criterium = LsviForest.criterium(indicator)
@@ -132,22 +148,47 @@ object LsviReportJob {
         .getOrElse(LsviStatus.trendIndexInd(indicator, statusMeta))) ++
       (if (meta.columns.contains("passend_beheer"))
          Map("status_beheer" -> LsviStatus.statusBeheer(statusMeta))
-       else Map.empty[String, DataFrame])
+       else Map.empty[String, DataFrame]) ++
+      continuous.map(c => Map(
+        "status_dikdoodhout" ->
+          LsviStatus.statusContinuous(c.plots, c.indicator, c.voorwaarde),
+        "trend_dikdoodhout" ->
+          LsviStatus.trendContinuous(c.plots, c.indicator, c.voorwaarde)))
+        .getOrElse(Map.empty[String, DataFrame])
 
     val selected = cfg.tables
       .map(t => shapes.filter { case (name, _) => t(name) })
       .getOrElse(shapes)
     val labelled = selected.map { case (name, df) =>
-      // the published reporting tables lead with versie/schaal labels;
-      // the chain tables (lsvi_*) publish bare
-      name -> (if (name.startsWith("lsvi_")) df
-               else df.select(lit(cfg.versie).as("versie") +:
-                 lit(cfg.schaal).as("schaal") +: df.columns.map(col): _*))
+      name -> (
+        if (name.startsWith("lsvi_")) df // chain tables publish bare
+        else if (continuousTables(name))
+          // the continuous tables publish a different column order
+          // (versie, type_resultaat, schaal, indicator, voorwaarde, …)
+          // and the published trend table labels "Versie 3.0" where
+          // the status table says "Versie 3" — reference quirk, kept
+          {
+            val m = if (name == "status_dikdoodhout") "gemiddelde" else "verschil"
+            df.select(
+              lit(if (name == "trend_dikdoodhout") s"${cfg.versie}.0"
+                  else cfg.versie).as("versie"),
+              col("type_resultaat"), lit(cfg.schaal).as("schaal"),
+              col("indicator"), col("voorwaarde"), col("habitattype"),
+              col("habitatsubtype"), col("sbzh"), col("n_obs"),
+              col(m), col(s"${m}_llci"), col(s"${m}_ulci"))
+          }
+        // the other reporting tables lead with versie/schaal labels
+        else df.select(lit(cfg.versie).as("versie") +:
+          lit(cfg.schaal).as("schaal") +: df.columns.map(col): _*))
     }
 
     labelled.foreach { case (name, df) =>
       val keys = sortKeys(name).filter(df.columns.contains)
-      Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
+      if (continuousTables(name)) {
+        // suffix-less, plus the write_csv2 twin the reference publishes
+        Vc.write(df, s"$outDir/$name", keys)
+        Csv2.writeFile(df.orderBy(keys.map(col): _*), s"$outDir/$name.csv")
+      } else Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
     }
     labelled
   }
@@ -175,6 +216,10 @@ object LsviReportJob {
     case "trend_habitat" =>
       Seq("periode", "habitattype", "type_resultaat", "sbzh",
         "habitatsubtype", "parameter")
+    case "status_dikdoodhout" | "trend_dikdoodhout" =>
+      // from status_dikdoodhout.yml / trend_dikdoodhout.yml `sorting:`
+      Seq("habitattype", "type_resultaat", "sbzh", "habitatsubtype",
+        "indicator")
     case other =>
       throw new IllegalArgumentException(s"no published sort keys for '$other'")
   }

@@ -26,12 +26,21 @@ class EventsSchemaSpec extends SparkSuite {
     (4L, 1704070800000000L, 11L, "error", 3.0, """{"k": 2}"""))
 
   /** Write a single-FILE events.parquet (like the testdata layout) into a
-    * fresh dir; `ts` typed per `nanos`. Returns the dir. */
+    * fresh dir; `ts` typed per `enc`. The nanos case is a GENUINE parquet
+    * TIMESTAMP(NANOS) logical type written via parquet-mr ([[NanosParquet]])
+    * — Spark cannot produce one — so the `nanosAsLong` read path is
+    * exercised on a genuinely nanos-annotated column, not a simulated plain INT64.
+    * Returns the dir. */
   private def fixture(enc: String): String = {
     val dir = Files.createTempDirectory("graft-events").toString
+    if (enc == "nanos") {
+      NanosParquet.writeEvents(s"$dir/events.parquet",
+        rows.map { case (id, us, uid, et, v, p) => (id, us * 1000L, uid, et, v, p) },
+        spark.sparkContext.hadoopConfiguration)
+      return dir
+    }
     val base = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
     val df = enc match {
-      case "nanos" => base.withColumn("ts", col("us") * 1000L) // plain INT64 of nanos
       case "ntz" => base.withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
       case _ => base.withColumn("ts", timestamp_micros(col("us")))
     }

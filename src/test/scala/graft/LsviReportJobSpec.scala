@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * where they are published.
   *
   * `passend_beheer` is synthesized (the reference draws it from an
-  * unpublished management layer) so the `status_beheer` path runs; the
-  * continuous `*_dikdoodhout` shapes need the unpublished tree-level
-  * inventory and are fed separately ([[graft.lsvi.LsviStatus
-  * .statusContinuous]], q125/q126), so they are not part of the job's
-  * file-set contract.
+  * unpublished management layer) so the `status_beheer` path runs. The
+  * continuous `*_dikdoodhout` tables ARE part of the published forests
+  * directory (suffix-less, TSV + yml + a write_csv2 CSV twin): the job
+  * publishes them from a pooled forests+moneos analysis set (the same
+  * construction CensusShapesSpec validates row-for-row against the
+  * published n_obs; the measured value itself is outside the
+  * reference snapshot, so value columns are shape-level).
   */
 class LsviReportJobSpec extends SparkSuite {
   import spark.implicits._
@@ -53,25 +55,58 @@ class LsviReportJobSpec extends SparkSuite {
         when(abs(hash(col("point_code"))) % 5 < 3, "ja").otherwise("nee"))
       .distinct()
 
+  /** Pooled forest + moneos(91E0_sf) plot visits with a constant fake
+    * value — the same construction CensusShapesSpec validates against
+    * every published `*_dikdoodhout` row at n_obs level. */
+  private lazy val pooledPlots: DataFrame = {
+    val fs = readTsv("lsvi_plot_fs.tsv").select(
+      col("id"),
+      year(date_add(to_date(lit("1970-01-01")),
+        col("date").cast("int"))).as("date"),
+      col("point_code"), col("habitattype"), col("habitatsubtype"))
+    val mo = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv("/root/reference/processed/lsvi_mhq/moneos/result/lsvi_globaal_moneos.tsv")
+      .where(col("type_analysis") === "91E0_sf")
+      .select(col("id"),
+        year(to_date(substring_index(col("id"), "_", -1))).as("date"),
+        substring_index(col("id"), "_", 1).as("point_code"),
+        lit("91E0").as("habitattype"),
+        lit("91E0_sf").as("habitatsubtype"))
+    // the tree-level inventory does not cover 9110 (the published
+    // dikdoodhout tables have no 9110 row; statusContinuous drops
+    // unmeasured plots via value IS NOT NULL)
+    fs.unionByName(mo).withColumn("value",
+      when(col("habitattype") === "9110", lit(null).cast("double"))
+        .otherwise(lit(1.0)))
+  }
+
   private lazy val outDir =
     java.nio.file.Files.createTempDirectory("lsvi-report").toString
 
   private lazy val written = LsviReportJob.run(plots, measurements,
     graft.lsvi.Versie3Forests.rulesDf(spark), meta, outDir,
-    LsviReportJob.Config(suffix = "fs"))
+    LsviReportJob.Config(suffix = "fs"),
+    continuous = Some(LsviReportJob.Continuous(pooledPlots,
+      "hoeveelheid dik dood hout",
+      "aantal exemplaren dik dood hout per ha")))
 
-  test("the written file set matches the published _fs family exactly") {
+  test("the written file set matches the published forests directory exactly") {
     written.size // force the run
     val mine = new java.io.File(outDir).listFiles().map(_.getName).toSet
+    // the FULL published directory — the `_fs` family plus the
+    // suffix-less dikdoodhout tsv/yml/csv triples; `lsvi_plot_cd`
+    // belongs to the coastal-dunes group and is excluded
     val pub = new java.io.File(refDir).listFiles().map(_.getName)
-      .filter(_.matches(".*_fs\\.(tsv|yml)")).toSet
+      .filterNot(_.startsWith("lsvi_plot_cd.")).toSet
     assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
   }
 
   test("every sidecar carries the published sort keys (column-filtered)") {
     written.foreach { case (name, df) =>
+      val base = if (name.endsWith("_dikdoodhout")) name else s"${name}_fs"
       val yml = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(s"$outDir/${name}_fs.yml"))
+        java.nio.file.Paths.get(s"$outDir/$base.yml"))
       val expected = LsviReportJob.sortKeys(name)
         .filter(df.columns.contains)
       val sortingBlock = yml.split("sorting:\n")(1)
@@ -160,6 +195,43 @@ class LsviReportJobSpec extends SparkSuite {
     val pub = new java.io.File("/root/reference/processed/lsvi_mhq/streams/result")
       .listFiles().map(_.getName).toSet
     assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+  }
+
+  test("the written dikdoodhout tables replay the published analysis sets") {
+    written.size // force the run
+    val subSet = concat_ws("; ", sort_array(split(col("habitatsubtype"), "; ")))
+    for ((base, meanCol, versie) <- Seq(
+        ("status_dikdoodhout", "gemiddelde", "Versie 3"),
+        ("trend_dikdoodhout", "verschil", "Versie 3.0"))) {
+      val mine = spark.read
+        .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+        .csv(s"$outDir/$base.tsv")
+      val pub = readTsv(s"$base.tsv")
+      // published column ORDER and label quirks reproduce exactly
+      assert(mine.columns.toSeq === pub.columns.toSeq, base)
+      assert(mine.select("versie").distinct().collect().map(_.getString(0)).toSeq
+        === Seq(versie), base)
+      assert(mine.count() === pub.count(), base)
+      val j = pub
+        .select(col("type_resultaat"), col("habitattype"),
+          subSet.as("sub_set"), col("n_obs").cast("long").as("pub_n"),
+          col(s"${meanCol}_llci").isNull.as("pub_na"))
+        .join(mine.select(col("type_resultaat"), col("habitattype"),
+          subSet.as("sub_set"), col("n_obs").cast("long").as("n_obs"),
+          col(s"${meanCol}_llci").isNull.as("my_na")),
+          Seq("type_resultaat", "habitattype", "sub_set"), "left")
+      assert(j.where(col("n_obs").isNull).count() === 0, s"$base: missing rows")
+      assert(j.where(col("n_obs") =!= col("pub_n")).count() === 0, s"$base: n_obs")
+      assert(j.where(col("pub_na") =!= col("my_na")).count() === 0,
+        s"$base: interval NA rule")
+      // the CSV twin: same rows, true decimal commas, NA nulls
+      val csv = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(s"$outDir/$base.csv"))
+      assert(csv.size() - 1 === pub.count(), s"$base.csv rows")
+      assert(csv.get(0) === pub.columns.mkString(";"), s"$base.csv header")
+      assert(csv.stream().skip(1).anyMatch(_.matches(".*;\\d+,\\d{4}.*")),
+        s"$base.csv decimal commas")
+    }
   }
 
   test("the written status tables carry the validated stratum estimates") {

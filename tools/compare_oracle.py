@@ -14,11 +14,22 @@ import duckdb
 
 
 def canon(rows, cols):
+    import decimal
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def fmt(v):
+        # Coerce every real-number type through ONE formatter so a
+        # DECIMAL-typed oracle expression vs a DOUBLE Spark column hashes
+        # identically (Decimal('1.5') -> '1.500000', not '1.5').
+        if isinstance(v, bool):
+            return str(v)
+        if isinstance(v, (float, decimal.Decimal)):
+            return f"{float(v):.6f}"
+        return str(v)
+
     out = []
     for r in rows:
-        out.append(tuple(f"{r[i]:.6f}" if isinstance(r[i], float) else str(r[i])
-                         for i in order))
+        out.append(tuple(fmt(r[i]) for i in order))
     out.sort()
     return [c for c in sorted(cols)], out
 
