@@ -1156,6 +1156,35 @@ object SparkEntry {
             (expr("(date - 2010) div 3") + 1) * lit(0.25))),
         "weight")),
 
+    // ---- E2 publish round trip (q139): the LAST-MILE composition the
+    // per-shape queries cannot see — forest chain -> LsviReportJob ->
+    // Vc sorted-TSV write (yml sidecar, data_hash) -> Vc verified read.
+    // The read-back globaal subset is the hash-deterministic column
+    // set (verdict, counts, count-ratio aandeel); the verschilscore
+    // means stay in the written file but out of the compare (double
+    // avg is aggregation-order dependent — q103 pins those via its
+    // fixed-point twin). Oracle: q103's chain SQL wrapped in a column
+    // subset — any corruption in sort, sidecar, escaping or type
+    // restore breaks the hash. ----
+    "q139_report_publish_roundtrip" -> ((s, dir) => {
+      val (plots, m) = forestInputs(s, dir)
+      val meta = t(s, dir, "customer").select(
+        concat(lit("FP_"), col("c_custkey")).as("id"),
+        (lit(14610) + col("c_custkey") % 3650).cast("long").as("date"),
+        concat(lit("vbi_"), expr("c_custkey div 2")).as("point_code"),
+        lit(0.0).as("x"), lit(0.0).as("y"),
+        (col("c_custkey") % 2).cast("int").as("in_sac"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q139").toString
+      graft.pipelines.LsviReportJob.run(plots, m,
+        graft.lsvi.Versie3Forests.rulesDf(s), meta, out,
+        graft.pipelines.LsviReportJob.Config(suffix = "fs",
+          tables = Some(Set("lsvi_globaal"))))
+      graft.io.Vc.read(s, s"$out/lsvi_globaal_fs")
+        .select("id", "type_analysis", "status", "aggregatiemethode",
+          "n_zb_ongunstig", "aandeel_gunstig")
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -2027,6 +2056,11 @@ object SparkEntry {
         when(col("n_vs") > 0, col("d6").cast("double") / col("n_vs") / lit(1e6))
           .as("doelbereik_mean_ind"))
   }
+
+  /** q103's oracle SQL (the forest chain replay through the fixed-point
+    * globaal tail); q139 wraps it in a column subset. */
+  private lazy val forestGlobaalOracleSql: String =
+    forestOracleCtes.stripSuffix("\n") + lsviGlobaalSqlTail
 
   /** Forest globaal report (q103's body; q108 joins plot metadata). */
   private def forestGlobaal(s: SparkSession, dir: String): DataFrame = {
@@ -3982,8 +4016,16 @@ object SparkEntry {
         | theoretischmaximum, verschilscore
         |FROM d2""".stripMargin),
 
-    "q103_lsvi_forest_globaal" -> (forestOracleCtes.stripSuffix("\n") +
-      lsviGlobaalSqlTail),
+    "q103_lsvi_forest_globaal" -> forestGlobaalOracleSql,
+
+    // q139: the q103 chain SQL restricted to the hash-deterministic
+    // globaal columns — the Spark side produced them through the
+    // publish job's write -> verified-read round trip, so equality
+    // here gates the whole Vc TSV/sidecar/type-restore path.
+    "q139_report_publish_roundtrip" ->
+      ("SELECT id, type_analysis, status, aggregatiemethode, " +
+        "n_zb_ongunstig, aandeel_gunstig FROM (" +
+        forestGlobaalOracleSql + ") roundtrip"),
 
     "q107_lsvi_heath_globaal" -> (heathOracleCtes.stripSuffix("\n") +
       lsviGlobaalSqlTail),

@@ -120,45 +120,51 @@ object LsviReportJob {
         cfg.weightCol.map(col): _*)
 
     val w = cfg.weightCol
-    val shapes: Map[String, DataFrame] = Map(
+    // thunked: a cfg.tables subset run (streams mode, the q139
+    // round-trip gate) only plans the shapes it will write
+    val shapes: Map[String, () => DataFrame] = Map(
       // role/aggregate are engine plumbing, not published columns
-      "lsvi_detail" -> detail.drop("role", "aggregate"),
-      "lsvi_indicator" -> indicator,
-      "lsvi_criterium" -> criterium,
-      "lsvi_globaal" -> globaal,
-      "lsvi_plot" -> plot,
-      "status_indicatoren" -> w.map(LsviStatus.statusIndicatoren(indicator, statusMeta, _))
-        .getOrElse(LsviStatus.statusIndicatoren(indicator, statusMeta)),
-      "status_habitat" -> w.map(LsviStatus.statusHabitat(statusMeta, _))
-        .getOrElse(LsviStatus.statusHabitat(statusMeta)),
-      "index_hq" -> w.map(LsviStatus.indexHq(statusMeta, _))
-        .getOrElse(LsviStatus.indexHq(statusMeta)),
-      "index_ind" -> w.map(LsviStatus.indexInd(indicator, statusMeta, _))
-        .getOrElse(LsviStatus.indexInd(indicator, statusMeta)),
-      "mc_nemar" -> LsviStatus.mcNemar(
+      "lsvi_detail" -> (() => detail.drop("role", "aggregate")),
+      "lsvi_indicator" -> (() => indicator),
+      "lsvi_criterium" -> (() => criterium),
+      "lsvi_globaal" -> (() => globaal),
+      "lsvi_plot" -> (() => plot),
+      "status_indicatoren" -> (() =>
+        w.map(LsviStatus.statusIndicatoren(indicator, statusMeta, _))
+          .getOrElse(LsviStatus.statusIndicatoren(indicator, statusMeta))),
+      "status_habitat" -> (() => w.map(LsviStatus.statusHabitat(statusMeta, _))
+        .getOrElse(LsviStatus.statusHabitat(statusMeta))),
+      "index_hq" -> (() => w.map(LsviStatus.indexHq(statusMeta, _))
+        .getOrElse(LsviStatus.indexHq(statusMeta))),
+      "index_ind" -> (() => w.map(LsviStatus.indexInd(indicator, statusMeta, _))
+        .getOrElse(LsviStatus.indexInd(indicator, statusMeta))),
+      "mc_nemar" -> (() => LsviStatus.mcNemar(
         statusMeta.withColumn("weight",
-          w.map(col).getOrElse(lit(1.0)).cast("double"))),
-      "trend_indicatoren" -> w.map(LsviStatus.trendIndicatoren(indicator, statusMeta, _))
-        .getOrElse(LsviStatus.trendIndicatoren(indicator, statusMeta)),
-      "trend_habitat" -> w.map(LsviStatus.trendHabitat(statusMeta, _))
-        .getOrElse(LsviStatus.trendHabitat(statusMeta)),
-      "trend_index_hq" -> w.map(LsviStatus.trendIndexHq(statusMeta, _))
-        .getOrElse(LsviStatus.trendIndexHq(statusMeta)),
-      "trend_index_ind" -> w.map(LsviStatus.trendIndexInd(indicator, statusMeta, _))
-        .getOrElse(LsviStatus.trendIndexInd(indicator, statusMeta))) ++
+          w.map(col).getOrElse(lit(1.0)).cast("double")))),
+      "trend_indicatoren" -> (() =>
+        w.map(LsviStatus.trendIndicatoren(indicator, statusMeta, _))
+          .getOrElse(LsviStatus.trendIndicatoren(indicator, statusMeta))),
+      "trend_habitat" -> (() => w.map(LsviStatus.trendHabitat(statusMeta, _))
+        .getOrElse(LsviStatus.trendHabitat(statusMeta))),
+      "trend_index_hq" -> (() => w.map(LsviStatus.trendIndexHq(statusMeta, _))
+        .getOrElse(LsviStatus.trendIndexHq(statusMeta))),
+      "trend_index_ind" -> (() =>
+        w.map(LsviStatus.trendIndexInd(indicator, statusMeta, _))
+          .getOrElse(LsviStatus.trendIndexInd(indicator, statusMeta)))) ++
       (if (meta.columns.contains("passend_beheer"))
-         Map("status_beheer" -> LsviStatus.statusBeheer(statusMeta))
-       else Map.empty[String, DataFrame]) ++
+         Map("status_beheer" -> (() => LsviStatus.statusBeheer(statusMeta)))
+       else Map.empty[String, () => DataFrame]) ++
       continuous.map(c => Map(
-        "status_dikdoodhout" ->
-          LsviStatus.statusContinuous(c.plots, c.indicator, c.voorwaarde),
-        "trend_dikdoodhout" ->
-          LsviStatus.trendContinuous(c.plots, c.indicator, c.voorwaarde)))
-        .getOrElse(Map.empty[String, DataFrame])
+        "status_dikdoodhout" -> (() =>
+          LsviStatus.statusContinuous(c.plots, c.indicator, c.voorwaarde)),
+        "trend_dikdoodhout" -> (() =>
+          LsviStatus.trendContinuous(c.plots, c.indicator, c.voorwaarde))))
+        .getOrElse(Map.empty[String, () => DataFrame])
 
     val selected = cfg.tables
       .map(t => shapes.filter { case (name, _) => t(name) })
       .getOrElse(shapes)
+      .map { case (name, thunk) => name -> thunk() }
     val labelled = selected.map { case (name, df) =>
       name -> (
         if (name.startsWith("lsvi_")) df // chain tables publish bare

@@ -78,6 +78,39 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q129_trend_habitat_cycles") <= 4)
   }
 
+  test("dedup family keeps bounded scans and shuffles") {
+    // The suite's two slowest queries (q105/q106) and the LSH pair had
+    // no plan pins — only PlanGuardSpec's cartesian check. Bounds are
+    // the measured r12 shapes:
+    //   q45 minhash: one documents scan for signatures + band explode,
+    //     the band self-join probe side reuses it (broadcast), CC edges
+    //     resolve driver-side below the 2^20 cap — no shuffle exchange;
+    //   q46 blocked jaccard: shingle-set build + length-block self-join
+    //     (broadcast) + exact-verify;
+    //   q105 winnow canonical: fingerprint scan + broadcast doc->rep
+    //     resolve, no shuffle;
+    //   q106 dedup stream: batch tail only (the streaming replay runs
+    //     before this plan exists) — the cross-band min resolve over
+    //     the memory sink is pinned by shuffle count, scans are 0.
+    for ((q, s, sh) <- Seq(
+        ("q45_minhash_neardups", 1, 0),
+        ("q46_blocked_jaccard", 4, 0),
+        ("q105_winnow_canonical", 1, 0))) {
+      assert(scanCount(q) <= s, s"$q scans")
+      assert(shuffleCount(q) <= sh, s"$q shuffles")
+    }
+    info("dedup plan counts: " + Seq("q45_minhash_neardups",
+      "q46_blocked_jaccard", "q105_winnow_canonical")
+      .map(q => s"$q=${scanCount(q)}/${shuffleCount(q)}").mkString(", "))
+    // q106 invoked ONCE (its construction replays the stream); only the
+    // batch resolve tail is plannable here
+    val plan106 = SparkEntry.queries("q106_dedup_stream")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    val sh106 = "Exchange".r.findAllIn(plan106).size -
+      "BroadcastExchange".r.findAllIn(plan106).size
+    assert(sh106 <= 2, s"q106 resolve-tail shuffles: $sh106")
+  }
+
   test("weighted estimators plan like their unweighted siblings") {
     // the weighted overloads swap counts for Σw aggregates in the SAME
     // single-chain shape — still one scan, latest-per-point + stratum
