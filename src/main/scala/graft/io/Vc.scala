@@ -85,6 +85,28 @@ object Vc {
     if (s.nonEmpty && s.matches("[A-Za-z0-9_][A-Za-z0-9_ .\\-]*") && !s.endsWith(" ")) s
     else "'" + s.replace("'", "''") + "'"
 
+  /** Per-column sidecar blocks (class + attrs; factor level dicts). */
+  private def colBlocksOf(schema: StructType, factors: Seq[FactorDomain]): String = {
+    val byName = factors.map(f => f.name -> f).toMap
+    schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(dom) =>
+          val labels = dom.levels.map(l => s"  - ${yamlScalar(l)}").mkString("\n")
+          val index = dom.levels.indices.map(i => s"  - ${i + 1}").mkString("\n")
+          s"""${f.name}:
+             |  class: factor
+             |  labels:
+             |$labels
+             |  index:
+             |$index
+             |  ordered: ${if (dom.ordered) "yes" else "no"}""".stripMargin
+        case None =>
+          val (cls, attrs) = classOf(f.dataType)
+          (s"${f.name}:\n  class: $cls" +: attrs.map("  " + _)).mkString("\n")
+      }
+    }.mkString("\n")
+  }
+
   /** Write `df` as `<base>.tsv` + git2rdata-style `<base>.yml` sidecar.
     * Columns named in `factors` are validated against their level
     * dictionary BEFORE anything is written (git2rdata's write_vc errors
@@ -111,24 +133,7 @@ object Vc {
     Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
       .forEach(p => Files.deleteIfExists(p))
 
-    val byName = factors.map(f => f.name -> f).toMap
-    val colBlocks = df.schema.fields.map { f =>
-      byName.get(f.name) match {
-        case Some(dom) =>
-          val labels = dom.levels.map(l => s"  - ${yamlScalar(l)}").mkString("\n")
-          val index = dom.levels.indices.map(i => s"  - ${i + 1}").mkString("\n")
-          s"""${f.name}:
-             |  class: factor
-             |  labels:
-             |$labels
-             |  index:
-             |$index
-             |  ordered: ${if (dom.ordered) "yes" else "no"}""".stripMargin
-        case None =>
-          val (cls, attrs) = classOf(f.dataType)
-          (s"${f.name}:\n  class: $cls" +: attrs.map("  " + _)).mkString("\n")
-      }
-    }.mkString("\n")
+    val colBlocks = colBlocksOf(df.schema, factors)
     // metadata digest: any change to columns, classes, levels, sorting
     // or the NA convention changes `hash`; `data_hash` covers the TSV
     val descriptor = colBlocks + "\nsorting: " + sortKeys.mkString(",") +
@@ -277,14 +282,93 @@ object Vc {
       .sortWithinPartitions(sortKeys.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
-  /** Scale path: hive-style partitioned parquet (SURVEY.md §4
-    * "partition pruning — adopt: partition processed tables by
-    * source/mon_cycle"). Readers filtering on `partitionCols` scan only
-    * matching directories — verify with `prunesPartitions`. */
-  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String]): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  /** Order-independent distributed digest of `df` restricted to `cols`:
+    * the exact-decimal SUM of per-row xxhash64 over null-explicit JSON
+    * in sidecar column order. Any shard/partition layout of the same
+    * rows yields the same digest, so the verified-read contract (S5)
+    * survives the move from one sorted TSV to partitioned parquet. */
+  private def dataDigest(df: DataFrame, cols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{struct, sum, to_json, xxhash64}
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("ignoreNullFields", "false") // {"a":null} must differ from {}
+    val h = xxhash64(to_json(struct(cols.map(col): _*), opts))
+    val r = df.select(sum(h.cast(DecimalType(38, 0))).as("s")).head()
+    if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigIntegerExact.toString
+  }
+
+  /** Scale path: hive-style partitioned parquet twin of [[write]]
+    * (SURVEY.md §4 "partition pruning — adopt: partition processed
+    * tables by source/mon_cycle") with the SAME sidecar contract —
+    * column classes, factor dictionaries, sort key, `hash` over the
+    * descriptor and a `data_hash` that is order-independent
+    * ([[dataDigest]]) because parquet bytes are not canonical. The
+    * sidecar lives at `<dir>/_vc.yml` (underscore-prefixed, so scan
+    * file indexes ignore it). Readers filtering on `partitionCols`
+    * list only matching directories — `VcPartitionedSpec` pins the
+    * pruned file count, `prunesPartitions` checks a plan ad hoc. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
+                       sortKeys: Seq[String] = Nil,
+                       factors: Seq[FactorDomain] = Nil,
+                       naString: String = "NA"): Unit = {
+    factors.foreach { f => f.assertValid(df, f.name) }
+    val sorted =
+      if (sortKeys.nonEmpty) df.sortWithinPartitions(sortKeys.map(col): _*)
+      else df
+    sorted.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(dir)
+    val colBlocks = colBlocksOf(df.schema, factors)
+    val descriptor = colBlocks + "\nsorting: " + sortKeys.mkString(",") +
+      "\npartitioning: " + partitionCols.mkString(",") + "\nNA: " + naString
+    val yml =
+      s"""..generic:
+         |  git2rdata: 0.5.1
+         |  optimize: no
+         |  NA string: ${yamlScalar(naString)}
+         |  sorting:
+         |${sortKeys.map(k => s"  - $k").mkString("\n")}
+         |  partitioning:
+         |${partitionCols.map(k => s"  - $k").mkString("\n")}
+         |  hash: ${sha256(descriptor)}
+         |  data_hash: ${dataDigest(df, df.columns.toIndexedSeq)}
+         |$colBlocks
+         |""".stripMargin
+    Files.writeString(Paths.get(dir, "_vc.yml"), yml)
+  }
+
+  /** Verified read of a [[writePartitioned]] table: restores the
+    * sidecar column order and classes (the partition column comes back
+    * from directory names, so its sidecar class wins over inference),
+    * enforces factor dictionaries, and — when `verify` — recomputes
+    * [[dataDigest]] against the sidecar. `verify` is a full scan; at
+    * 100 TB leave it off on the hot path (or verify a partition slice)
+    * the same way the reference only re-hashes on explicit checks. */
+  def readPartitioned(spark: SparkSession, dir: String,
+                      verify: Boolean = true): DataFrame = {
+    val blocks = parseSidecar(Files.readString(Paths.get(dir, "_vc.yml")))
+    val generic = blocks.find(_._1 == "..generic").getOrElse(
+      throw new IllegalStateException(s"$dir/_vc.yml has no ..generic block"))
+    val cols = blocks.filterNot(_._1 == "..generic")
+    val raw = spark.read.parquet(dir)
+    val df = raw.select(cols.map { case (name, scalars, _) =>
+      col(name).cast(sparkTypeOf(scalars("class"), scalars)).as(name)
+    }: _*)
+    if (verify) {
+      val expected = generic._2.getOrElse("data_hash",
+        throw new IllegalStateException(s"$dir/_vc.yml has no data_hash"))
+      val actual = dataDigest(df, cols.map(_._1))
+      if (expected != actual) throw new IllegalStateException(
+        s"partitioned table $dir data digest $actual does not match " +
+          s"sidecar $expected")
+    }
+    val factorDomains = cols.collect {
+      case (name, scalars, lists) if scalars.get("class").contains("factor") =>
+        FactorDomain(name, lists.getOrElse("labels", Nil),
+          ordered = scalars.get("ordered").contains("yes"))
+    }
+    factorDomains.foreach(d => d.assertValid(df, d.name))
+    df
+  }
 
   /** True iff `df`'s scan carries a partition filter (pruning active). */
   def prunesPartitions(df: DataFrame): Boolean = {

@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.FactorDomain
+import graft.io.Vc
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The partitioned processed-table twin (SURVEY.md §4 adoption note:
+  * "partition processed tables by source/mon_cycle"): same sidecar
+  * contract as the single-file `Vc.write` (column classes, factor
+  * dictionaries, descriptor hash, data digest), hive partition layout,
+  * and — the point at 100 TB — a reader filter on the partition column
+  * must prune the FILE LISTING, not just evaluate per row. The pruning
+  * test asserts the scan's `numFiles` metric, i.e. the actual
+  * InMemoryFileIndex selection, with AQE disabled so the physical scan
+  * node is directly inspectable.
+  */
+class VcPartitionedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample = Seq(
+    (1L, 2010, "oak", Some(1.5)), (2L, 2010, "beech", Some(2.5)),
+    (3L, 2013, "oak", Some(0.5)), (4L, 2016, "pine", Some(3.25)),
+    (5L, 2016, "oak", Option.empty[Double]))
+    .toDF("plot_id", "mon_cycle", "species", "cover")
+
+  private lazy val dir = {
+    val d = java.nio.file.Files.createTempDirectory("vc-part").toString + "/tbl"
+    Vc.writePartitioned(sample, d, partitionCols = Seq("mon_cycle"),
+      sortKeys = Seq("plot_id"),
+      factors = Seq(FactorDomain("species", Seq("oak", "beech", "pine"))))
+    d
+  }
+
+  test("sidecar carries the write contract (classes, partitioning, factor levels)") {
+    val yml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_vc.yml"))
+    assert(yml.contains("partitioning:\n  - mon_cycle"))
+    assert(yml.contains("plot_id:\n  class: integer\n  bits: 64"))
+    assert(yml.contains("class: factor"))
+    assert(yml.contains("data_hash:"))
+  }
+
+  test("verified read restores sidecar order/classes and the data digest") {
+    val back = Vc.readPartitioned(spark, dir)
+    assert(back.columns.toSeq ===
+      Seq("plot_id", "mon_cycle", "species", "cover"))
+    assert(back.schema("mon_cycle").dataType === IntegerType)
+    assert(back.schema("plot_id").dataType === LongType)
+    assert(back.count() === 5)
+    assert(back.where(col("cover").isNull).count() === 1)
+  }
+
+  test("a tampered partition fails the digest loudly") {
+    val d2 = java.nio.file.Files.createTempDirectory("vc-part2").toString + "/tbl"
+    Vc.writePartitioned(sample, d2, partitionCols = Seq("mon_cycle"))
+    // drop a whole partition directory behind the sidecar's back
+    val gone = new java.io.File(s"$d2/mon_cycle=2013")
+    gone.listFiles().foreach(_.delete()); gone.delete()
+    val e = intercept[IllegalStateException](Vc.readPartitioned(spark, d2))
+    assert(e.getMessage.contains("does not match"))
+    // unverified read still opens (the documented 100 TB hot path);
+    // the deleted 2013 partition held one of the five rows
+    assert(Vc.readPartitioned(spark, d2, verify = false).count() === 4)
+  }
+
+  test("a mon_cycle filter prunes the file listing, not just rows") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        val plan = df.queryExecution.executedPlan
+        plan.execute().count() // run THIS plan object so its metrics populate
+        val scan = plan.collectLeaves().collectFirst {
+          case s: FileSourceScanExec => s
+        }.getOrElse(fail("no FileSourceScanExec leaf"))
+        scan.metrics("numFiles").value
+      }
+      val back = Vc.readPartitioned(spark, dir, verify = false)
+      val all = scanFiles(back)
+      val pruned = scanFiles(back.where(col("mon_cycle") === 2010))
+      assert(all >= 3, s"expected >=3 partition files, saw $all")
+      assert(pruned < all, s"filter did not prune: $pruned of $all files")
+      assert(Vc.prunesPartitions(back.where(col("mon_cycle") === 2010)))
+      assert(!Vc.prunesPartitions(back))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
