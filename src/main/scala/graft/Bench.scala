@@ -66,15 +66,15 @@ object Bench {
       val times = samples.collect { case (`name`, t) => t }.sorted
       name -> times(times.length / 2)
     }
-    // SHORT keys (the qNNN prefix, unambiguous — full names live in
-    // SparkEntry.queries) and 2-decimal seconds: the harness records
-    // only the last ~2000 chars of output and json-parses what it
-    // captured. With 120+ full-name entries the line exceeded the
-    // window every round (r10 "parsed": null, q01-q64 timings lost).
-    // ~12 chars/query keeps the ENTIRE line under ~1700 at 131 queries
-    // (~20 queries of headroom); if the suite ever nears the window,
-    // drop the "q" from the keys next (saves 1 char/query).
-    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    // SHORT keys (the qNNN prefix minus the constant "q" — "q139_x"
+    // -> "139"; full names live in SparkEntry.queries) and 2-decimal
+    // seconds: the harness records only the last ~2000 chars of output
+    // and json-parses what it captured. With 120+ full-name entries
+    // the line exceeded the window every round (r10 "parsed": null,
+    // q01-q64 timings lost); at 134 queries the q-prefixed form grew
+    // to ~1880 chars, so the "q" is dropped per the r11 plan —
+    // ~11 chars/query keeps the ENTIRE line under ~1750.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_').stripPrefix("q"))
     require(shortKeys.distinct.size == shortKeys.size,
       "duplicate qNNN bench prefixes would silently overwrite each other " +
         "in the JSON map: " +

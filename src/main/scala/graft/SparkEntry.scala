@@ -1052,6 +1052,18 @@ object SparkEntry {
       graft.lsvi.LsviStatus.trendContinuous(continuousInputs(s, dir),
         "hoeveelheid dik dood hout",
         "aantal exemplaren dik dood hout per ha")),
+    // q140/q141: the design-weighted continuous overloads — the
+    // published dikdoodhout values are design-weighted, completing the
+    // weighted family (q130-q137) for the continuous shapes. Same
+    // single-chain plan; Σw-moments ride the same aggregations.
+    "q140_status_continuous_weighted" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.statusContinuous(continuousInputs(s, dir),
+        "hoeveelheid dik dood hout",
+        "aantal exemplaren dik dood hout per ha", "weight")),
+    "q141_trend_continuous_weighted" -> ((s, dir) =>
+      graft.lsvi.LsviStatus.trendContinuous(continuousInputs(s, dir),
+        "hoeveelheid dik dood hout",
+        "aantal exemplaren dik dood hout per ha", "weight")),
     "q127_status_area_census" -> ((s, dir) =>
       graft.lsvi.LsviStatus.statusAreaCensus(censusPolys(s, dir, 1),
         Seq("indicator"))),
@@ -2437,7 +2449,12 @@ object SparkEntry {
       sub.as("habitatsubtype"),
       concat(lit("pt_"), col("pt")).as("point_code"),
       (lit(2010) + lit(10) * (col("ck") % 2)).as("date"),
-      (((col("ck") * 13) % 4001).cast("double") / 100.0).as("value"))
+      (((col("ck") * 13) % 4001).cast("double") / 100.0).as("value"),
+      // quarter-step per-visit design weight for the weighted
+      // overloads (q140/q141): products with the 1e-4 fixed-point
+      // values stay exact doubles, so the weighted sums are
+      // order-independent (ignored by the unweighted q125/q126)
+      (((col("ck") * 3) % 7 + 1).cast("double") * 0.25).as("weight"))
   }
 
   /** Synthetic visits for q129: 3-year-stepped dates (2010..2022)
@@ -2501,7 +2518,8 @@ object SparkEntry {
        |    'pt_' || pt AS point_code,
        |    2010 + 10 * (ck % 2) AS mdate,
        |    CAST(floor(CAST((ck * 13) % 4001 AS DOUBLE) / 100.0 * 10000.0
-       |      + 0.5) AS BIGINT) AS v4
+       |      + 0.5) AS BIGINT) AS v4,
+       |    CAST((ck * 3) % 7 + 1 AS DOUBLE) * 0.25 AS w
        |  FROM base),
        |latest AS (
        |  SELECT point_code, habitatsubtype,
@@ -2529,6 +2547,45 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'Habitattype', habitattype, subs, rn, rs1, rs2
       |  FROM multi WHERE nsub > 1)""".stripMargin
+
+  /** Weighted twin of [[continuousRollupSql]] over a `persubw` CTE
+    * carrying (n, Σw, Σw², Σw·v, Σw·v²); used by q140/q141. */
+  private val continuousRollupWeightedSql: String =
+    """multi AS (
+      |  SELECT habitattype, count(*) AS nsub,
+      |    CAST(sum(n) AS BIGINT) AS rn, sum(sw) AS rsw, sum(sw2) AS rsw2,
+      |    sum(swv) AS rswv, sum(swv2) AS rswv2,
+      |    string_agg(habitatsubtype, '; ' ORDER BY habitatsubtype) AS subs
+      |  FROM persubw GROUP BY 1),
+      |allr AS (
+      |  SELECT CASE WHEN m2.nsub > 1 THEN 'Habitatsubtype'
+      |           ELSE 'Habitattype' END AS type_resultaat,
+      |    p.habitattype, p.habitatsubtype, p.n, p.sw, p.sw2, p.swv, p.swv2
+      |  FROM persubw p JOIN multi m2 USING (habitattype)
+      |  UNION ALL
+      |  SELECT 'Habitattype', habitattype, subs, rn, rsw, rsw2, rswv, rswv2
+      |  FROM multi WHERE nsub > 1)""".stripMargin
+
+  /** Shared q140/q141 oracle tail: the Kish-n_eff z interval with the
+    * EXACT float shape of `LsviStatus.continuousShapeWeighted`
+    * (m = swv/sw/1e4; vpop = greatest(swv2/sw/1e8 − m², 0);
+    * h = z·sqrt(vpop/(n_eff − 1))). Positive fixture weights with
+    * n > 1 give n_eff > 1 strictly, so no zero-division guard is
+    * needed on either side. */
+  private def continuousWeightedSelectSql(meanCol: String, minN: Int): String = {
+    val z = graft.lsvi.LsviStatus.z975
+    val m = "swv / sw / 10000.0"
+    val h = s"$z * sqrt(greatest(swv2 / sw / 1.0e8 - ($m) * ($m), 0.0) / " +
+      "(sw * sw / sw2 - 1.0))"
+    s"""SELECT type_resultaat, habitattype, habitatsubtype,
+       |  'Binnen & Buiten' AS sbzh, n AS n_obs,
+       |  round($m, 6) AS $meanCol,
+       |  CASE WHEN n >= $minN THEN round($m - $h, 6) END AS ${meanCol}_llci,
+       |  CASE WHEN n >= $minN THEN round($m + $h, 6) END AS ${meanCol}_ulci,
+       |  'hoeveelheid dik dood hout' AS indicator,
+       |  'aantal exemplaren dik dood hout per ha' AS voorwaarde
+       |FROM allr""".stripMargin
+  }
 
   /** One census cycle for the q127/q128 oracles: polygons, the
     * stratum explode and the per-verdict area sums, suffixed by the
@@ -4756,6 +4813,49 @@ object SparkEntry {
          |  'aantal exemplaren dik dood hout per ha' AS voorwaarde
          |FROM allr""".stripMargin
     },
+
+    // q140/q141: the design-weighted continuous overloads — the
+    // latest-visit/pair selection carries the visit weight (arg_max by
+    // (date, id)), the roll-up sums the weighted partials, and the
+    // interval is the family's Kish-n_eff z form with the exact engine
+    // float shape. Quarter-step weights × fixed-point values keep all
+    // sums exact on both engines.
+    "q140_status_continuous_weighted" ->
+      (continuousOracleCtes +
+        s"""latestw AS (
+           |  SELECT point_code, habitatsubtype,
+           |    arg_max(v4, mdate || '|' || id) AS v,
+           |    arg_max(w, mdate || '|' || id) AS w,
+           |    arg_max(habitattype, mdate || '|' || id) AS habitattype
+           |  FROM m GROUP BY 1, 2),
+           |persubw AS (
+           |  SELECT habitattype, habitatsubtype, count(*) AS n,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * v) AS swv, sum(w * v * v) AS swv2
+           |  FROM latestw GROUP BY 1, 2),
+           |$continuousRollupWeightedSql
+           |${continuousWeightedSelectSql("gemiddelde", 2)}""".stripMargin),
+
+    "q141_trend_continuous_weighted" ->
+      (continuousOracleCtes +
+        s"""pairsw AS (
+           |  SELECT point_code, habitatsubtype,
+           |    arg_min(v4, mdate || '|' || id) AS v1,
+           |    arg_max(v4, mdate || '|' || id) AS v2,
+           |    arg_max(w, mdate || '|' || id) AS w,
+           |    arg_max(habitattype, mdate || '|' || id) AS habitattype,
+           |    count(DISTINCT mdate) AS ncd
+           |  FROM m GROUP BY 1, 2),
+           |pdw AS (
+           |  SELECT habitattype, habitatsubtype, w, v2 - v1 AS d
+           |  FROM pairsw WHERE ncd > 1),
+           |persubw AS (
+           |  SELECT habitattype, habitatsubtype, count(*) AS n,
+           |    sum(w) AS sw, sum(w * w) AS sw2,
+           |    sum(w * d) AS swv, sum(w * d * d) AS swv2
+           |  FROM pdw GROUP BY 1, 2),
+           |$continuousRollupWeightedSql
+           |${continuousWeightedSelectSql("verschil", 5)}""".stripMargin),
 
     // q127/q128: area-weighted census shares — exact binary-fraction
     // areas sum identically in both engines; the klasse CASE mirrors

@@ -843,6 +843,108 @@ object LsviStatus {
       .withColumn("voorwaarde", lit(voorwaarde))
   }
 
+  /** Design-weighted [[statusContinuous]]: the published dikdoodhout
+    * values are design-weighted means (the unweighted overload is the
+    * equal-weight z shape). The weighted sums (Σw, Σw², Σw·v, Σw·v²)
+    * ride the SAME latest-visit + per-subtype aggregation and the
+    * habitattype roll-up sums the weighted partials, so the plan shape
+    * is unchanged — one scan, exploded roll-up shard, dictionary tail.
+    * The weight rides the latest visit (arg-max by (date, id), like
+    * the value). Interval: Kish n_eff z bounds — at unit weights
+    * n_eff = n and the algebra reduces EXACTLY to the unweighted
+    * z·sd/√n (pinned by `CensusShapesSpec`). */
+  def statusContinuous(plots: DataFrame, indicator: String,
+      voorwaarde: String, weightCol: String): DataFrame = {
+    val v4 = floor(col("value") * 10000.0 + 0.5).cast("long")
+    val latest = plots.where(col("value").isNotNull)
+      .withColumn("v4", v4)
+      .groupBy("point_code", "habitatsubtype")
+      .agg(max_by(col("v4"), struct(col("date"), col("id"))).as("v"),
+        max_by(col(weightCol).cast("double"), struct(col("date"), col("id")))
+          .as("w"),
+        max_by(col("habitattype"), struct(col("date"), col("id")))
+          .as("habitattype"))
+    continuousShapeWeighted(weightedPerSub(latest, col("v")), "gemiddelde", 2)
+      .withColumn("indicator", lit(indicator))
+      .withColumn("voorwaarde", lit(voorwaarde))
+  }
+
+  /** Design-weighted [[trendContinuous]]: paired differences weighted
+    * by the pair's LATEST-visit weight (the trendIndicatoren
+    * convention), same single-chain shape as the unweighted overload. */
+  def trendContinuous(plots: DataFrame, indicator: String,
+      voorwaarde: String, weightCol: String): DataFrame = {
+    val v4 = floor(col("value") * 10000.0 + 0.5).cast("long")
+    val pairs = plots.where(col("value").isNotNull)
+      .withColumn("v4", v4)
+      .groupBy("point_code", "habitatsubtype")
+      .agg(min_by(col("v4"), struct(col("date"), col("id"))).as("v1"),
+        max_by(col("v4"), struct(col("date"), col("id"))).as("v2"),
+        max_by(col(weightCol).cast("double"), struct(col("date"), col("id")))
+          .as("w"),
+        max_by(col("habitattype"), struct(col("date"), col("id")))
+          .as("habitattype"),
+        countDistinct(col("date")).as("nc"))
+      .where(col("nc") > 1)
+      .withColumn("d", col("v2") - col("v1"))
+    continuousShapeWeighted(weightedPerSub(pairs, col("d")), "verschil", 5)
+      .withColumn("indicator", lit(indicator))
+      .withColumn("voorwaarde", lit(voorwaarde))
+  }
+
+  /** Per-subtype weighted sums over a fixed-point value column. */
+  private def weightedPerSub(rows: DataFrame, v: Column): DataFrame =
+    rows.groupBy("habitattype", "habitatsubtype")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w")).as("sw"), sum(col("w") * col("w")).as("sw2"),
+        sum(col("w") * v).as("swv"),
+        sum(col("w") * v * v).as("swv2"))
+
+  /** Weighted twin of [[continuousShape]]: same exploded roll-up single
+    * chain over (n, Σw, Σw², Σw·v, Σw·v²); mean = Σw·v/Σw (1e-4 fixed
+    * point), population variance from the weighted moments, Kish
+    * n_eff = (Σw)²/Σw² in the z interval. Denominator null-guards
+    * (zero Σw, n_eff = 1) are ANSI-safe and identity for positive
+    * weights — with w > 0 and n > 1, n_eff > 1 strictly, so the
+    * oracle SQL needs no matching guard. Bounds NULL below `minN`
+    * like the published NA rows. Fixture exactness: quarter-step
+    * weights × integer fixed-point values keep every weighted double
+    * sum exact, so the distributed aggregation is order-independent
+    * and the oracle compare hash-stable. */
+  private def continuousShapeWeighted(perSub: DataFrame, meanName: String,
+      minN: Int): DataFrame = {
+    val rows = perSub.select(col("habitattype"), col("habitatsubtype"),
+      col("n"), col("sw"), col("sw2"), col("swv"), col("swv2"),
+      explode(array(lit("sub"), lit("roll"))).as("role"))
+    val agg = rows.groupBy(col("habitattype"), col("role"),
+        when(col("role") === "sub", col("habitatsubtype")).otherwise("")
+          .as("subkey"))
+      .agg(sum(col("n")).as("n"), sum(col("sw")).as("sw"),
+        sum(col("sw2")).as("sw2"), sum(col("swv")).as("swv"),
+        sum(col("swv2")).as("swv2"), count(lit(1)).as("cnt"),
+        concat_ws("; ", sort_array(collect_set(col("habitatsubtype"))))
+          .as("subs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("habitattype")
+    val typed = agg
+      .withColumn("nsub", max(when(col("role") === "roll", col("cnt"))).over(w))
+      .where(col("role") === "sub" || col("nsub") > 1)
+    val swS = when(col("sw") =!= 0.0, col("sw"))
+    val sw2S = when(col("sw2") =!= 0.0, col("sw2"))
+    val neff = col("sw") * col("sw") / sw2S
+    val m = col("swv") / swS / lit(10000.0)
+    val vpop = greatest(col("swv2") / swS / lit(1.0e8) - m * m, lit(0.0))
+    val h = lit(z975) * sqrt(vpop / when(neff =!= 1.0, neff - lit(1.0)))
+    val ok = col("n") >= minN && col("n") > 1
+    typed.select(
+      when(col("role") === "roll" || col("nsub") === 1, "Habitattype")
+        .otherwise("Habitatsubtype").as("type_resultaat"),
+      col("habitattype"), col("subs").as("habitatsubtype"),
+      lit("Binnen & Buiten").as("sbzh"), col("n").as("n_obs"),
+      round(m, 6).as(meanName),
+      when(ok, round(m - h, 6)).as(s"${meanName}_llci"),
+      when(ok, round(m + h, 6)).as(s"${meanName}_ulci"))
+  }
+
   /** `trend_dikdoodhout` shape: paired first-vs-last difference of a
     * measured per-plot quantity per (point, habitatsubtype) — pairs
     * require both visits in the SAME subtype (the published 91E0

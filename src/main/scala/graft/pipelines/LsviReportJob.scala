@@ -154,12 +154,25 @@ object LsviReportJob {
       (if (meta.columns.contains("passend_beheer"))
          Map("status_beheer" -> (() => LsviStatus.statusBeheer(statusMeta)))
        else Map.empty[String, () => DataFrame]) ++
-      continuous.map(c => Map(
-        "status_dikdoodhout" -> (() =>
-          LsviStatus.statusContinuous(c.plots, c.indicator, c.voorwaarde)),
-        "trend_dikdoodhout" -> (() =>
-          LsviStatus.trendContinuous(c.plots, c.indicator, c.voorwaarde))))
-        .getOrElse(Map.empty[String, () => DataFrame])
+      continuous.map { c =>
+        // the continuous input carries its own per-visit weights (it
+        // pools schemes outside the chain); cfg.weightCol switches
+        // these shapes to the weighted overloads when that column is
+        // present on the pooled frame — the published dikdoodhout
+        // values are design-weighted (weights unpublished)
+        val cw = w.filter(c.plots.columns.contains)
+        Map(
+          "status_dikdoodhout" -> (() =>
+            cw.map(LsviStatus.statusContinuous(c.plots, c.indicator,
+                c.voorwaarde, _))
+              .getOrElse(LsviStatus.statusContinuous(c.plots, c.indicator,
+                c.voorwaarde))),
+          "trend_dikdoodhout" -> (() =>
+            cw.map(LsviStatus.trendContinuous(c.plots, c.indicator,
+                c.voorwaarde, _))
+              .getOrElse(LsviStatus.trendContinuous(c.plots, c.indicator,
+                c.voorwaarde))))
+      }.getOrElse(Map.empty[String, () => DataFrame])
 
     val selected = cfg.tables
       .map(t => shapes.filter { case (name, _) => t(name) })

@@ -96,6 +96,33 @@ class CensusShapesSpec extends SparkSuite {
       .count() === 0, "interval NA rule")
   }
 
+  test("weighted continuous overloads reduce exactly to unweighted at unit weights") {
+    // Kish n_eff = n at w = 1, and the weighted interval algebra
+    // collapses to z·sd/√n — the same closed form the unweighted shape
+    // computes through its fixed-point path, so the two overloads must
+    // agree to float noise on every row
+    val in = pooledPlots
+      .withColumn("value", (abs(hash(col("id"))) % 400).cast("double") / 16.0)
+      .withColumn("w", lit(1.0))
+    for ((uw, w) <- Seq(
+        (LsviStatus.statusContinuous(in, "i", "v"),
+         LsviStatus.statusContinuous(in, "i", "v", "w")),
+        (LsviStatus.trendContinuous(in, "i", "v"),
+         LsviStatus.trendContinuous(in, "i", "v", "w")))) {
+      val meanCol = uw.columns.find(c => c == "gemiddelde" || c == "verschil").get
+      val keys = Seq("type_resultaat", "habitattype", "habitatsubtype")
+      val j = uw.alias("u").join(w.alias("w"), keys).cache()
+      assert(j.count() === uw.count() && uw.count() === w.count())
+      assert(j.where(col("u.n_obs") =!= col("w.n_obs")).count() === 0)
+      for (c <- Seq(meanCol, s"${meanCol}_llci", s"${meanCol}_ulci")) {
+        val bad = j.where(
+          !(col(s"u.$c") <=> col(s"w.$c")) &&
+            abs(col(s"u.$c") - col(s"w.$c")) > 1e-9).count()
+        assert(bad === 0, s"$meanCol/$c diverges at unit weights")
+      }
+    }
+  }
+
   /** Rebuild one polygon per (stratum, verdict) from the published
     * Binnen and Habitattype rows (Buiten areas are the difference —
     * the tables publish no Buiten stratum), keyed by optional detail

@@ -142,5 +142,12 @@ class ScanCountSpec extends SparkSuite {
     // trade) with the weighted pairing — same bounds as q129
     assert(scanCount("q138_trend_habitat_cycles_weighted") <= 2)
     assert(shuffleCount("q138_trend_habitat_cycles_weighted") <= 4)
+    // q140/q141 (r12): the weighted continuous overloads keep the
+    // q125/q126 single-chain shape — Σw moments ride the same
+    // latest/pair aggregation and the same exploded roll-up
+    assert(scanCount("q140_status_continuous_weighted") <= 1)
+    assert(shuffleCount("q140_status_continuous_weighted") <= 4)
+    assert(scanCount("q141_trend_continuous_weighted") <= 1)
+    assert(shuffleCount("q141_trend_continuous_weighted") <= 5)
   }
 }
