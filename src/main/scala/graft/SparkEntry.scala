@@ -1197,6 +1197,26 @@ object SparkEntry {
           "n_zb_ongunstig", "aandeel_gunstig")
     }),
 
+    // ---- S5/S8 at scale (q142): the PARTITIONED versioned-table
+    // round trip — write events hive-partitioned by mon_cycle with the
+    // Vc sidecar + order-independent data digest, read back through
+    // the VERIFIED partitioned reader (digest recomputed), aggregate.
+    // Oracle replays the aggregate from the raw table, so sidecar
+    // type-restore, partition-column recovery from directory names,
+    // and the digest path are all hash-gated (the pruning itself is
+    // pinned by VcPartitionedSpec's numFiles assertion). ----
+    "q142_vc_partitioned_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-q142").toString + "/events_part"
+      val ev = t(s, dir, "events").withColumn("mon_cycle", year(col("ts")))
+      graft.io.Vc.writePartitioned(ev, out, Seq("mon_cycle"))
+      graft.io.Vc.readPartitioned(s, out)
+        .groupBy(col("mon_cycle"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"), 2)).as("value_cents"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3247,6 +3267,17 @@ object SparkEntry {
          |  SELECT p_partkey, $cx AS cx, $cy AS cy FROM part)
          |SELECT p_partkey, $interleave AS z FROM cells""".stripMargin
     },
+
+    // q142: the partitioned-Vc round trip must be value-invisible —
+    // the oracle aggregates the RAW events table; any loss in the
+    // partition write, directory-name type recovery, sidecar cast, or
+    // digest verification shows as a hash mismatch.
+    "q142_vc_partitioned_roundtrip" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS mon_cycle, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

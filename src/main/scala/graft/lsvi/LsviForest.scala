@@ -158,53 +158,74 @@ object LsviForest {
           col("aandeel_gunstig") > 50.0 && col("n_zb_ongunstig") === 0))
       .withColumn("aggregatiemethode", lit("RapportageHR"))
 
-  /** Criterium table (lsvi_criterium_fs shape; means unrounded). */
-  def criterium(indicator: DataFrame): DataFrame =
-    rapportageHr(indicator.groupBy("id", "type_analysis", "criterium")
+  /** Shared criterium-grain partials — counts plus (Σ verschilscore,
+    * n) and the doelbereik partial sum. ONE aggregation of the
+    * indicator grain that both [[criterium]] and [[globaal]] consume:
+    * globaal's plot rollup is a second, criterium-count-sized
+    * aggregation of these partials instead of a re-aggregation of the
+    * whole indicator subtree (the earlier perPlot ⋈ critMean join
+    * re-planned the rules/measurement chain twice — no cross-branch
+    * exchange reuse in local mode; same rationale as the fixed-point
+    * twin in SparkEntry, applied to the engine's double path;
+    * dev-measured q139 3.16s → 2.82s). Dividing Σ by count at the end
+    * is bit-identical to Spark's avg aggregate (same partial sums,
+    * same final division). */
+  private def critPartials(indicator: DataFrame): DataFrame =
+    indicator.groupBy("id", "type_analysis", "criterium")
       .agg(
         count(when(col("status_indicator").isNotNull, 1)).as("n_known"),
         count(when(col("status_indicator"), 1)).as("n_gunstig"),
         count(when(col("belang") === "zb" && !col("status_indicator"), 1))
           .as("n_zb_ongunstig"),
-        avg(col("verschilscore")).as("index_mean_ind"),
-        avg(when(col("verschilscore").isNotNull,
-            lit(1.0) + least(col("verschilscore"), lit(0.0))))
-          .as("doelbereik_mean_ind")))
+        sum(col("verschilscore")).as("svs"),
+        count(col("verschilscore")).as("nvs"),
+        sum(when(col("verschilscore").isNotNull,
+            lit(1.0) + least(col("verschilscore"), lit(0.0)))).as("sdb"))
+
+  /** Criterium table (lsvi_criterium_fs shape; means unrounded). */
+  def criterium(indicator: DataFrame): DataFrame =
+    rapportageHr(critPartials(indicator)
+      .withColumn("index_mean_ind",
+        when(col("nvs") > 0, col("svs") / col("nvs")))
+      .withColumn("doelbereik_mean_ind",
+        when(col("nvs") > 0, col("sdb") / col("nvs"))))
       .select(col("id"), col("type_analysis"), col("criterium"),
         col("status_agg").as("status_criterium"), col("aggregatiemethode"),
         col("n_zb_ongunstig"), col("aandeel_gunstig"), col("index_mean_ind"),
         col("doelbereik_mean_ind"))
 
   /** Globaal table (lsvi_globaal_fs shape): RapportageHR over all
-    * aggregated indicators plus the mean of the criterium means. */
-  def globaal(indicator: DataFrame, criterium: DataFrame): DataFrame = {
-    val perPlot = rapportageHr(indicator.groupBy("id", "type_analysis")
+    * aggregated indicators plus the mean of the criterium means —
+    * both grains out of ONE chained aggregation over [[critPartials]]
+    * (every indicator row belongs to exactly one criterium, so the
+    * plot counts are sums of the criterium partials, and the
+    * mean-of-means rides the same pass, keyed by (id, type_analysis):
+    * a plot scored as two subtypes — the heath 2330 / dune 2130 pairs
+    * share one id — must not pool its criterium means across types). */
+  def globaal(indicator: DataFrame): DataFrame =
+    rapportageHr(critPartials(indicator)
+      .groupBy("id", "type_analysis")
       .agg(
-        count(when(col("status_indicator").isNotNull, 1)).as("n_known"),
-        count(when(col("status_indicator"), 1)).as("n_gunstig"),
-        count(when(col("belang") === "zb" && !col("status_indicator"), 1))
-          .as("n_zb_ongunstig"),
-        avg(col("verschilscore")).as("index_mean_ind"),
-        avg(when(col("verschilscore").isNotNull,
-            lit(1.0) + least(col("verschilscore"), lit(0.0))))
-          .as("doelbereik_mean_ind")))
-    // keyed by (id, type_analysis): a plot scored as two subtypes (the
-    // heath 2330 / dune 2130 pairs share one id) must not pool its
-    // criterium means across the types
-    val critMean = criterium.groupBy("id", "type_analysis")
-      .agg(avg(col("index_mean_ind")).as("index_mean_crit"))
-    perPlot.join(critMean, Seq("id", "type_analysis"), "left_outer")
+        sum(col("n_known")).as("n_known"),
+        sum(col("n_gunstig")).as("n_gunstig"),
+        sum(col("n_zb_ongunstig")).as("n_zb_ongunstig"),
+        sum(col("svs")).as("svs"), sum(col("nvs")).as("n_vs"),
+        sum(col("sdb")).as("sdb"),
+        sum(when(col("nvs") > 0, col("svs") / col("nvs"))).as("scm"),
+        count(when(col("nvs") > 0, 1)).as("n_crit")))
       .select(col("id"), col("type_analysis"), col("status_agg").as("status"),
         col("aggregatiemethode"), col("n_zb_ongunstig"), col("aandeel_gunstig"),
-        col("index_mean_ind"), col("index_mean_crit"), col("doelbereik_mean_ind"))
-  }
+        when(col("n_vs") > 0, col("svs") / col("n_vs")).as("index_mean_ind"),
+        when(col("n_crit") > 0, col("scm") / col("n_crit"))
+          .as("index_mean_crit"),
+        when(col("n_vs") > 0, col("sdb") / col("n_vs"))
+          .as("doelbereik_mean_ind"))
 
   /** Full chain: (detail, indicator, criterium, globaal). */
   def score(plots: DataFrame, measurements: DataFrame, rules: DataFrame):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val d = detail(plots, measurements, rules)
     val i = indicator(d)
-    val c = criterium(i)
-    (d, i, c, globaal(i, c))
+    (d, i, criterium(i), globaal(i))
   }
 }

@@ -89,7 +89,7 @@ object LsviReportJob {
     val detail = LsviForest.detail(plots, measurements, rules)
     val indicator = LsviForest.indicator(detail)
     val criterium = LsviForest.criterium(indicator)
-    val globaal = LsviForest.globaal(indicator, criterium)
+    val globaal = LsviForest.globaal(indicator)
 
     // the published plot table: globaal ⋈ metadata, with the
     // habitattype/habitatsubtype split (subtypes roll up to their

@@ -104,7 +104,7 @@ class DunesMoneosSpec extends SparkSuite {
       !(col("m.status_criterium").cast("int") <=> col("p.status_criterium").cast("int")) ||
         col("m.n_zb_ongunstig") =!= col("p.n_zb_ongunstig").cast("long") ||
         critNumBad).count() === 0L)
-    val glob = LsviForest.globaal(ind, crit)
+    val glob = LsviForest.globaal(ind)
     val gj = glob.alias("m").join(pubGlob.alias("p"), Seq("id", "type_analysis"))
     assert(gj.count() === pubGlob.count())
     val globNumBad = Seq("aandeel_gunstig", "index_mean_ind", "doelbereik_mean_ind")

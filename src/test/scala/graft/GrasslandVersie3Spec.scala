@@ -114,7 +114,7 @@ class GrasslandVersie3Spec extends SparkSuite {
         col("m.n_zb_ongunstig") =!= col("p.n_zb_ongunstig").cast("long") ||
         numBad(Seq("aandeel_gunstig", "index_mean_ind", "doelbereik_mean_ind"))).count() === 0L)
 
-    val glob = LsviForest.globaal(engineInd, crit)
+    val glob = LsviForest.globaal(engineInd)
     val pubGlob = readTsv("lsvi_globaal_gr_bm.tsv")
     val gj = glob.alias("m").join(pubGlob.alias("p"), Seq("id", "type_analysis")).cache()
     assert(gj.count() === pubGlob.count())
