@@ -32,6 +32,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Temp dir for queries that materialize a table mid-query (q139,
+    * q142). The returned DataFrame is evaluated AFTER the query
+    * function returns, so the dir cannot be deleted inline; a JVM
+    * shutdown hook reaps every dir instead — repeated bench samples
+    * no longer accumulate table copies for the life of the machine. */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach { d =>
+        try
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        catch { case _: Throwable => () }
+      }))
+  }
+  private def tempResultDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d)
+    d
+  }
+
   /** Streaming read of the events table with the same schema-adaptive
     * `ts` normalization as the batch path (`Tables.normalizeEventsTs`):
     * the harness has generated events.ts both as INT64 TIMESTAMP(NANOS)
@@ -1186,8 +1208,7 @@ object SparkEntry {
         concat(lit("vbi_"), expr("c_custkey div 2")).as("point_code"),
         lit(0.0).as("x"), lit(0.0).as("y"),
         (col("c_custkey") % 2).cast("int").as("in_sac"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q139").toString
+      val out = tempResultDir("graft-q139")
       graft.pipelines.LsviReportJob.run(plots, m,
         graft.lsvi.Versie3Forests.rulesDf(s), meta, out,
         graft.pipelines.LsviReportJob.Config(suffix = "fs",
@@ -1206,8 +1227,7 @@ object SparkEntry {
     // and the digest path are all hash-gated (the pruning itself is
     // pinned by VcPartitionedSpec's numFiles assertion). ----
     "q142_vc_partitioned_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-q142").toString + "/events_part"
+      val out = tempResultDir("graft-q142") + "/events_part"
       val ev = t(s, dir, "events").withColumn("mon_cycle", year(col("ts")))
       graft.io.Vc.writePartitioned(ev, out, Seq("mon_cycle"))
       graft.io.Vc.readPartitioned(s, out)

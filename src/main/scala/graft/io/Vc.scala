@@ -320,6 +320,11 @@ object Vc {
     val colBlocks = colBlocksOf(df.schema, factors)
     val descriptor = colBlocks + "\nsorting: " + sortKeys.mkString(",") +
       "\npartitioning: " + partitionCols.mkString(",") + "\nNA: " + naString
+    // digest the files just WRITTEN (schema imposed, so partition
+    // values are not re-inferred from directory names): one upstream
+    // computation instead of two, and the digest covers what is
+    // actually on disk — a corrupted write fails its own sidecar
+    val back = df.sparkSession.read.schema(df.schema).parquet(dir)
     val yml =
       s"""..generic:
          |  git2rdata: 0.5.1
@@ -330,7 +335,7 @@ object Vc {
          |  partitioning:
          |${partitionCols.map(k => s"  - $k").mkString("\n")}
          |  hash: ${sha256(descriptor)}
-         |  data_hash: ${dataDigest(df, df.columns.toIndexedSeq)}
+         |  data_hash: ${dataDigest(back, df.columns.toIndexedSeq)}
          |$colBlocks
          |""".stripMargin
     Files.writeString(Paths.get(dir, "_vc.yml"), yml)
@@ -349,10 +354,15 @@ object Vc {
     val generic = blocks.find(_._1 == "..generic").getOrElse(
       throw new IllegalStateException(s"$dir/_vc.yml has no ..generic block"))
     val cols = blocks.filterNot(_._1 == "..generic")
-    val raw = spark.read.parquet(dir)
-    val df = raw.select(cols.map { case (name, scalars, _) =>
-      col(name).cast(sparkTypeOf(scalars("class"), scalars)).as(name)
-    }: _*)
+    // impose the sidecar schema on the read: partition-column values
+    // are then parsed per their declared class instead of re-inferred
+    // from directory names (inference would turn a STRING partition
+    // value "0123" into int 123 and corrupt the round trip)
+    val schema = StructType(cols.map { case (name, scalars, _) =>
+      StructField(name, sparkTypeOf(scalars("class"), scalars), nullable = true)
+    })
+    val raw = spark.read.schema(schema).parquet(dir)
+    val df = raw.select(cols.map { case (name, _, _) => col(name) }: _*)
     if (verify) {
       val expected = generic._2.getOrElse("data_hash",
         throw new IllegalStateException(s"$dir/_vc.yml has no data_hash"))

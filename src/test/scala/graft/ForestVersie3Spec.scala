@@ -155,7 +155,6 @@ class ForestVersie3Spec extends SparkSuite {
   }
 
   test("globaal: every published row matches") {
-    val crit = LsviForest.criterium(myIndicator)
     checkAgg(LsviForest.globaal(myIndicator), readTsv("lsvi_globaal_fs.tsv"),
       Seq("id", "type_analysis"), "status",
       Seq("aandeel_gunstig", "index_mean_ind", "index_mean_crit", "doelbereik_mean_ind"))

@@ -111,7 +111,6 @@ class HeathVersie3Spec extends SparkSuite {
   }
 
   test("globaal: all columns exact; index_mean_crit >= 97% (2330 anomaly)") {
-    val crit = LsviForest.criterium(myIndicator)
     val mine = LsviForest.globaal(myIndicator)
     val pub = readTsv("lsvi_globaal_hs_id.tsv")
     val joined = mine.alias("m").join(pub.alias("p"), Seq("id", "type_analysis")).cache()

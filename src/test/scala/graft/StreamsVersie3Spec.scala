@@ -125,7 +125,6 @@ class StreamsVersie3Spec extends SparkSuite {
   }
 
   test("plot level: lsvi / n_zb_ongunstig / aandeel_gunstig / index_mean_ind exact on all 164 rows") {
-    val crit = LsviForest.criterium(myInd)
     val mine = LsviForest.globaal(myInd)
     val joined = mine.alias("m").join(pubPlot.alias("p"), col("m.id") === col("p.id"))
     assert(joined.count() === 164L)

@@ -65,6 +65,19 @@ class VcPartitionedSpec extends SparkSuite {
     assert(Vc.readPartitioned(spark, d2, verify = false).count() === 4)
   }
 
+  test("string partition values survive the round trip (no type inference)") {
+    // directory-name inference would turn source=0123 into int 123;
+    // the sidecar schema imposed on the read must keep the raw string
+    val d3 = java.nio.file.Files.createTempDirectory("vc-part3").toString + "/tbl"
+    val df = Seq((1L, "0123", 1.5), (2L, "1e3", 2.5), (3L, "plain", 0.5))
+      .toDF("plot_id", "source", "cover")
+    Vc.writePartitioned(df, d3, partitionCols = Seq("source"))
+    val back = Vc.readPartitioned(spark, d3) // verify=true: digest must agree
+    assert(back.schema("source").dataType === StringType)
+    assert(back.orderBy("plot_id").select("source").collect().map(_.getString(0))
+      .toSeq === Seq("0123", "1e3", "plain"))
+  }
+
   test("a mon_cycle filter prunes the file listing, not just rows") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -18,12 +18,22 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def fmt(v):
-        # Coerce every real-number type through ONE formatter so a
-        # DECIMAL-typed oracle expression vs a DOUBLE Spark column hashes
+        # Coerce fractional types through ONE formatter so a DECIMAL-
+        # typed oracle expression vs a DOUBLE Spark column hashes
         # identically (Decimal('1.5') -> '1.500000', not '1.5').
+        # INTEGRAL Decimals (DuckDB HUGEINT/DECIMAL(38,0) sums of
+        # BIGINT) stay exact integer strings: going through float
+        # would lose exactness above 2^53 and mismatch a Spark BIGINT's
+        # plain '123'.
         if isinstance(v, bool):
             return str(v)
-        if isinstance(v, (float, decimal.Decimal)):
+        if isinstance(v, decimal.Decimal):
+            # scale-0 type (exponent >= 0) pairs with BIGINT; any
+            # fractional scale pairs with DOUBLE even if the value is
+            # integral (Decimal('1.0') must hash like 1.000000)
+            return (str(int(v)) if v.as_tuple().exponent >= 0
+                    else f"{float(v):.6f}")
+        if isinstance(v, float):
             return f"{float(v):.6f}"
         return str(v)
 
@@ -46,8 +56,20 @@ def main(outdir, sfdir):
                    if os.path.isdir(os.path.join(outdir, d)))
     n_pass = n_fail = n_noorc = 0
     for name in names:
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-        scols, srows = spark_rel.columns, spark_rel.fetchall()
+        # a result dir may hold no parquet at all (Verify's last-resort
+        # VERIFY_ERROR.txt sentinel when even the marker write failed) —
+        # report it as a FAIL instead of crashing the whole compare
+        try:
+            spark_rel = con.sql(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            scols, srows = spark_rel.columns, spark_rel.fetchall()
+        except Exception as e:
+            sentinel = os.path.join(outdir, name, "VERIFY_ERROR.txt")
+            detail = (open(sentinel).read().strip()
+                      if os.path.exists(sentinel) else str(e))
+            print(f"FAIL {name}: no readable result parquet: {detail}")
+            n_fail += 1
+            continue
         if "verify_error" in scols:
             print(f"FAIL {name}: VERIFY_ERROR marker: {srows[:1]}")
             n_fail += 1
