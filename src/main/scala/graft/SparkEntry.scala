@@ -1237,6 +1237,107 @@ object SparkEntry {
           count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- S4/S9 oracle gate (q143): the semicolon-CSV decimal-comma
+    // round trip — per-nation supplier balances written through
+    // Csv2.writeFile (single file, %.4f with COMMA decimal marks, the
+    // write_csv2 format of the published *_dikdoodhout.csv twins:
+    // processed/lsvi_mhq/forests/result/status_dikdoodhout.csv) and
+    // read back through Csv2.read's translate-and-cast path. The
+    // double is a cent-sum (exact at 2 decimals), so the 4-digit
+    // rendering is lossless; the oracle replays the aggregate from raw
+    // parquet, so any loss in comma formatting, header, null handling
+    // or the cast restore breaks the hash. ----
+    "q143_csv2_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val perNation = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          (sum(cents(col("s_acctbal"), 2)) / 100.0).as("acctbal_total"))
+        .orderBy("n_name")
+      val file = tempResultDir("graft-q143") + "/supplier_balance.csv"
+      graft.io.Csv2.writeFile(perNation, file)
+      graft.io.Csv2.read(s, file, StructType(Seq(
+        StructField("n_name", StringType),
+        StructField("n_suppliers", LongType),
+        StructField("acctbal_total", DoubleType))))
+    }),
+
+    // ---- S1/S2/J8 oracle gate (q144): the JDBC round trip — the
+    // nation/region dims loaded into an embedded Derby database (the
+    // engine DbDialectsSpec integrates the dialect registry against),
+    // then read back through JdbcQuerySource with the dimension join +
+    // aggregate PUSHED INTO the database — the reference's
+    // hand-written source-side SQL (query_fieldmap.Rmd:139-154).
+    // Columns are written UPPERCASE so the quoted identifiers Spark
+    // creates match Derby's unquoted (uppercased) references in the
+    // pushed query; the read lowercases like DialectQuerySource, and
+    // Derby's INTEGER COUNT widens to the oracle's BIGINT. ----
+    "q144_jdbc_roundtrip" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:q144;create=true"
+      val props = new java.util.Properties
+      t(s, dir, "nation").toDF("N_NATIONKEY", "N_NAME", "N_REGIONKEY")
+        .coalesce(1).write.mode("overwrite")
+        .option("createTableColumnTypes", "N_NAME VARCHAR(64)")
+        .jdbc(url, "nation", props)
+      t(s, dir, "region").toDF("R_REGIONKEY", "R_NAME")
+        .coalesce(1).write.mode("overwrite")
+        .option("createTableColumnTypes", "R_NAME VARCHAR(64)")
+        .jdbc(url, "region", props)
+      val pushed = graft.core.JdbcQuerySource(url,
+        "SELECT r.R_NAME, COUNT(*) AS N_NATIONS, MIN(n.N_NAME) AS FIRST_NATION " +
+          "FROM nation n JOIN region r ON n.N_REGIONKEY = r.R_REGIONKEY " +
+          "GROUP BY r.R_NAME").load(s)
+      pushed.toDF(pushed.columns.map(_.toLowerCase): _*)
+        .select(col("r_name"), col("n_nations").cast("long").as("n_nations"),
+          col("first_nation"))
+    }),
+
+    // ---- S3 oracle gate (q145): the INBOVEG survey facade driven
+    // over real JDBC — survey/recording/classification entities loaded
+    // into embedded Derby, registered as lowercase-normalized
+    // JdbcTableSources, and extracted through
+    // InbovegSource.classification (query_inboveg.Rmd:36-64; in
+    // production the broadcast survey scoping pushes IN-filters into
+    // the remote scan). The oracle replays the survey-scoped two-join
+    // chain from raw parquet. ----
+    "q145_inboveg_jdbc" -> ((s, dir) => {
+      val url = "jdbc:derby:memory:q145;create=true"
+      val props = new java.util.Properties
+      def lc(tbl: String) = graft.core.LowercaseSource(
+        graft.core.JdbcTableSource(url, tbl))
+      t(s, dir, "region").select(
+          col("r_regionkey").as("SURVEY_ID"),
+          concat(lit("HT"), col("r_regionkey")).as("NAME"))
+        .coalesce(1).write.mode("overwrite")
+        .option("createTableColumnTypes", "NAME VARCHAR(32)")
+        .jdbc(url, "inboveg_survey", props)
+      t(s, dir, "customer").select(
+          concat(lit("IV"), col("c_custkey")).as("RECORDING_GIVID"),
+          (col("c_custkey") % 5).cast("int").as("SURVEY_ID"),
+          col("c_name").as("USER_REFERENCE"))
+        .coalesce(1).write.mode("overwrite")
+        .option("createTableColumnTypes",
+          "RECORDING_GIVID VARCHAR(32), USER_REFERENCE VARCHAR(64)")
+        .jdbc(url, "inboveg_recording", props)
+      t(s, dir, "orders").select(
+          concat(lit("IV"), col("o_custkey")).as("RECORDING_GIVID"),
+          when(col("o_orderkey") % 3 === 0, "3260").otherwise("gh").as("CLASSIF"),
+          when(col("o_orderkey") % 2 === 0, "N2k").otherwise("BWK").as("ACTION_GROUP"),
+          col("o_orderpriority").as("LIST_NAME"),
+          (col("o_orderkey") % 100).cast("double").as("COVER"))
+        .coalesce(1).write.mode("overwrite")
+        .option("createTableColumnTypes",
+          "RECORDING_GIVID VARCHAR(32), CLASSIF VARCHAR(8), " +
+            "ACTION_GROUP VARCHAR(8), LIST_NAME VARCHAR(32)")
+        .jdbc(url, "inboveg_classification", props)
+      val reg = graft.core.SourceRegistry(Map(
+        "inboveg_survey" -> lc("inboveg_survey"),
+        "inboveg_recording" -> lc("inboveg_recording"),
+        "inboveg_classification" -> lc("inboveg_classification")))
+      graft.core.InbovegSource(reg, Seq("HT1", "HT3")).classification(s)
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3298,6 +3399,38 @@ object SparkEntry {
         | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // q143: the decimal-comma CSV round trip must be value-invisible —
+    // the oracle aggregates raw parquet; any loss in the %.4f comma
+    // rendering or the translate-and-cast restore breaks the hash.
+    "q143_csv2_roundtrip" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        | CAST(sum(CAST(round(s_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS acctbal_total
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    // q144: the Derby round trip must be value-invisible — the oracle
+    // replays the pushed-down join/aggregate from raw parquet.
+    "q144_jdbc_roundtrip" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        | min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    // q145: the survey-scoped INBOVEG extract chain replayed from raw
+    // parquet — survey dim from region, recordings from customer,
+    // classifications from orders, scoped to surveys HT1/HT3.
+    "q145_inboveg_jdbc" ->
+      """SELECT 'IV' || o_custkey AS recording_givid,
+        | 'HT' || r_regionkey AS survey,
+        | CASE WHEN o_orderkey % 3 = 0 THEN '3260' ELSE 'gh' END AS type_observed,
+        | CASE WHEN o_orderkey % 2 = 0 THEN 'N2k' ELSE 'BWK' END AS classif_type,
+        | o_orderpriority AS classif_key,
+        | CAST(o_orderkey % 100 AS DOUBLE) AS type_cover
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN region ON c_custkey % 5 = r_regionkey
+        |WHERE r_regionkey IN (1, 3)""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -45,6 +45,18 @@ final case class DialectQuerySource(db: String,
   }
 }
 
+/** Lowercase-normalizing wrapper: engines that uppercase unquoted
+  * identifiers (Derby, Firebird, Oracle) return shouting column names;
+  * the reference lowercases every extract the same way
+  * (`query_fieldmap.Rmd:156`) so downstream code is backend-agnostic.
+  * Pure rename — Catalyst still prunes/pushes through it. */
+final case class LowercaseSource(inner: Source) extends Source {
+  def load(spark: SparkSession): DataFrame = {
+    val df = inner.load(spark)
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+  }
+}
+
 /** S2: whole-table JDBC fetch (`sqlFetch` equivalent). */
 final case class JdbcTableSource(url: String, table: String,
                                  properties: Map[String, String] = Map.empty) extends Source {
