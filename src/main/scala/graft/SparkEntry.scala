@@ -1338,6 +1338,19 @@ object SparkEntry {
       graft.core.InbovegSource(reg, Seq("HT1", "HT3")).classification(s)
     }),
 
+    // ---- W4/W8 oracle gate (q146): group-wise any-flag kept on rows
+    // (the reference's per-plot `any(cond)` probes, e.g. the
+    // missing-plot checks at query_fieldmap.Rmd:1520-1546) — flag every
+    // order of a customer who ever placed an urgent order, then keep a
+    // deterministic row subset so the flag's row-preserving nature is
+    // hash-visible. ----
+    "q146_group_any_flag" -> ((s, dir) => {
+      Relational.withGroupAny(t(s, dir, "orders"), Seq("o_custkey"),
+          col("o_orderpriority") === "1-URGENT", "has_urgent")
+        .where(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "has_urgent")
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3431,6 +3444,14 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN region ON c_custkey % 5 = r_regionkey
         |WHERE r_regionkey IN (1, 3)""".stripMargin,
+
+    "q146_group_any_flag" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, has_urgent FROM (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey) = 1 AS has_urgent
+        |  FROM orders) t
+        |WHERE o_orderkey % 5 = 0""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

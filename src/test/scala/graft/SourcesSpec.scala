@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Csv2Source, JdbcQuerySource, JdbcTableSource, JsonLinesSource, OrcSource, ParquetSource, SourceRegistry}
+import graft.core.{Csv2Source, JdbcQuerySource, JdbcTableSource, JsonLinesSource, LowercaseSource, OrcSource, ParquetSource, SourceRegistry}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 import java.sql.DriverManager
@@ -28,6 +28,16 @@ class SourcesSpec extends SparkSuite {
     assert(got.columns.map(_.toLowerCase).toSeq === Seq("plot_id", "status", "area"))
     assert(got.count() === 3)
     assert(got.where($"STATUS" === "done").count() === 2)
+  }
+
+  test("LowercaseSource normalizes Derby's uppercased identifiers") {
+    import spark.implicits._
+    val reg = SourceRegistry(Map(
+      "plots" -> LowercaseSource(JdbcTableSource(derbyUrl, "plots"))))
+    val got = reg.load(spark, "plots")
+    // Derby returns PLOT_ID/STATUS/AREA; downstream code is lowercase
+    assert(got.columns.toSeq === Seq("plot_id", "status", "area"))
+    assert(got.where($"status" === "done").count() === 2)
   }
 
   test("S1 pushed-down JDBC query via registry") {
