@@ -41,11 +41,18 @@ object LsviReportJob {
     * @param tables    optional selection of base names to publish —
     *                  groups publish different subsets (forests: the
     *                  full chain + shapes; streams: `lsvi_plot` + the
-    *                  nine reporting shapes only); None = everything */
+    *                  nine reporting shapes only); None = everything
+    * @param plotTable published name AND grain of the plot table —
+    *                  `lsvi_plot` (point grain: point_code/x/y) or
+    *                  `lsvi_watersurface` (the standing-water group's
+    *                  watersurface grain: `code_watersurfaces`, no
+    *                  coordinates, no doelbereik column —
+    *                  `standing_water/result/lsvi_watersurface_sw.yml`) */
   case class Config(suffix: String, versie: String = "Versie 3",
                     schaal: String = "Vlaanderen",
                     weightCol: Option[String] = None,
-                    tables: Option[Set[String]] = None)
+                    tables: Option[Set[String]] = None,
+                    plotTable: String = "lsvi_plot")
 
   /** A continuous per-visit measurement series published alongside the
     * group (forests: the thick-dead-wood inventory behind
@@ -56,6 +63,27 @@ object LsviReportJob {
     * points from the moneos estuary scheme, outside the forests
     * chain), so the caller supplies the pooled set. */
   case class Continuous(plots: DataFrame, indicator: String, voorwaarde: String)
+
+  /** A fully-mapped (census) habitat published as habitattype-suffixed
+    * side tables NEXT TO the group set — coastal dunes publish
+    * `{status,trend}_{habitat,indicatoren}_2110` beside the `_cd`
+    * family, heath `status_{habitat,indicatoren}_5130` beside `_hs_id`
+    * (`processed/lsvi_mhq/{coastal_dunes,heath_inland_dunes}/result/`).
+    * Every polygon is assessed, so shares are area ratios
+    * ([[graft.lsvi.LsviStatus.statusAreaCensus]]/[[graft.lsvi.LsviStatus.trendAreaCensus]]),
+    * not sample estimates, and the file name carries the habitattype
+    * instead of the group suffix.
+    *
+    * Inputs are per-grain polygon frames (habitattype, in_sac,
+    * verdict ∈ {gunstig, ongunstig, onbekend}, area_ha[, date for
+    * trend]; the indicatoren grain adds criterium/indicator/belang);
+    * trend slots carry (earlier mapping, later mapping). Absent slots
+    * publish nothing — heath has no 5130 trend tables. */
+  case class Census(habitattype: String,
+                    statusHabitat: Option[DataFrame] = None,
+                    statusIndicatoren: Option[DataFrame] = None,
+                    trendHabitat: Option[(DataFrame, DataFrame)] = None,
+                    trendIndicatoren: Option[(DataFrame, DataFrame)] = None)
 
   /** The two continuous tables publish SUFFIX-LESS with a `write_csv2`
     * CSV twin (`forests/result/status_dikdoodhout.{tsv,yml,csv}`),
@@ -71,6 +99,15 @@ object LsviReportJob {
     "trend_indicatoren", "trend_habitat", "trend_index_hq",
     "trend_index_ind")
 
+  /** The standing-water `_sw` publication subset
+    * (`processed/lsvi_mhq/standing_water/result/`): the
+    * watersurface-grain plot table plus the ten reporting shapes — no
+    * chain tables. */
+  val standingWaterTables: Set[String] = Set("lsvi_watersurface",
+    "status_indicatoren", "status_habitat", "status_beheer", "index_hq",
+    "index_ind", "mc_nemar", "trend_indicatoren", "trend_habitat",
+    "trend_index_hq", "trend_index_ind")
+
   /** Run the full chain and write the result directory.
     *
     * @param plots        LSVI plot skeleton (id, type_analysis, survey,
@@ -85,34 +122,57 @@ object LsviReportJob {
     *         for inspection and testing */
   def run(plots: DataFrame, measurements: DataFrame, rules: DataFrame,
           meta: DataFrame, outDir: String, cfg: Config,
-          continuous: Option[Continuous] = None): Map[String, DataFrame] = {
+          continuous: Option[Continuous] = None,
+          census: Seq[Census] = Nil): Map[String, DataFrame] = {
     val detail = LsviForest.detail(plots, measurements, rules)
     val indicator = LsviForest.indicator(detail)
     val criterium = LsviForest.criterium(indicator)
     val globaal = LsviForest.globaal(indicator)
 
-    // the published plot table: globaal ⋈ metadata, with the
-    // habitattype/habitatsubtype split (subtypes roll up to their
-    // reporting type, e.g. 91E0_vc -> 91E0, 9130_end -> 9130)
-    val plot = globaal.join(meta, Seq("id"))
-      .select(Seq(col("id"), col("date"), col("point_code"), col("x"),
-        col("y"), col("in_sac"),
-        when(col("type_analysis").startsWith("91E0"), "91E0")
-          .when(col("type_analysis") === "9130_end", "9130")
-          .otherwise(col("type_analysis")).as("habitattype"),
-        col("type_analysis").as("habitatsubtype"),
-        when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
-        col("aggregatiemethode"), col("n_zb_ongunstig"),
-        col("aandeel_gunstig"), col("index_mean_ind"),
-        col("doelbereik_mean_ind")) ++
-        cfg.weightCol.map(col): _*)
+    // subtype -> reporting-type rollup (91E0_vc -> 91E0, 9130_end ->
+    // 9130, 2190_a -> 2190, 3130_aom -> 3130): the published pairs are
+    // uniformly "text before the first underscore"
+    val reportingType =
+      substring_index(col("type_analysis"), "_", 1).as("habitattype")
+
+    // the published plot table: globaal ⋈ metadata. Point grain
+    // publishes point_code/x/y + doelbereik; the standing-water
+    // watersurface grain publishes code_watersurfaces and stops at
+    // index_mean_ind (lsvi_watersurface_sw.yml column order).
+    val plot =
+      if (cfg.plotTable == "lsvi_watersurface")
+        globaal.join(meta, Seq("id"))
+          .select(Seq(col("id"), col("date"), col("code_watersurfaces"),
+            col("in_sac"), reportingType,
+            col("type_analysis").as("habitatsubtype"),
+            when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
+            col("aggregatiemethode"), col("n_zb_ongunstig"),
+            col("aandeel_gunstig"), col("index_mean_ind")) ++
+            cfg.weightCol.map(col): _*)
+      else
+        globaal.join(meta, Seq("id"))
+          .select(Seq(col("id"), col("date"), col("point_code"), col("x"),
+            col("y"), col("in_sac"), reportingType,
+            col("type_analysis").as("habitatsubtype"),
+            when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
+            col("aggregatiemethode"), col("n_zb_ongunstig"),
+            col("aandeel_gunstig"), col("index_mean_ind"),
+            col("doelbereik_mean_ind")) ++
+            cfg.weightCol.map(col): _*)
 
     // LsviStatus input grain: one row per (plot, analysis type) with
     // the verdict, quality index and design metadata; habitattype is
-    // the full analysis type like the published status strata
+    // the full analysis type like the published status strata. The
+    // watersurface grain's code doubles as the pairing key the
+    // estimators partition on (the reference revisits watersurfaces
+    // the way other groups revisit points).
+    val pointCode =
+      if (cfg.plotTable == "lsvi_watersurface")
+        col("code_watersurfaces").as("point_code")
+      else col("point_code")
     val statusMeta = globaal.join(meta, Seq("id"))
       .select(Seq(col("id"), col("type_analysis").as("habitattype"),
-        col("point_code"), col("date"), col("in_sac"),
+        pointCode, col("date"), col("in_sac"),
         when(col("status"), "gunstig").otherwise("ongunstig").as("lsvi"),
         col("index_mean_ind")) ++
         (if (meta.columns.contains("passend_beheer"))
@@ -120,6 +180,9 @@ object LsviReportJob {
         cfg.weightCol.map(col): _*)
 
     val w = cfg.weightCol
+    // census tables publish habitattype-suffixed (never group-suffixed)
+    val censusMaps = census.map(censusShapes)
+    val censusNames: Set[String] = censusMaps.flatMap(_.keys).toSet
     // thunked: a cfg.tables subset run (streams mode, the q139
     // round-trip gate) only plans the shapes it will write
     val shapes: Map[String, () => DataFrame] = Map(
@@ -128,7 +191,7 @@ object LsviReportJob {
       "lsvi_indicator" -> (() => indicator),
       "lsvi_criterium" -> (() => criterium),
       "lsvi_globaal" -> (() => globaal),
-      "lsvi_plot" -> (() => plot),
+      cfg.plotTable -> (() => plot),
       "status_indicatoren" -> (() =>
         w.map(LsviStatus.statusIndicatoren(indicator, statusMeta, _))
           .getOrElse(LsviStatus.statusIndicatoren(indicator, statusMeta))),
@@ -172,7 +235,8 @@ object LsviReportJob {
                 c.voorwaarde, _))
               .getOrElse(LsviStatus.trendContinuous(c.plots, c.indicator,
                 c.voorwaarde))))
-      }.getOrElse(Map.empty[String, () => DataFrame])
+      }.getOrElse(Map.empty[String, () => DataFrame]) ++
+      censusMaps.flatten.toMap
 
     val selected = cfg.tables
       .map(t => shapes.filter { case (name, _) => t(name) })
@@ -207,9 +271,64 @@ object LsviReportJob {
         // suffix-less, plus the write_csv2 twin the reference publishes
         Vc.write(df, s"$outDir/$name", keys)
         Csv2.writeFile(df.orderBy(keys.map(col): _*), s"$outDir/$name.csv")
-      } else Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
+      } else if (censusNames(name))
+        // the habitattype IS the suffix (status_habitat_2110)
+        Vc.write(df, s"$outDir/$name", keys)
+      else Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
     }
     labelled
+  }
+
+  /** The published census side tables of one fully-mapped habitat,
+    * keyed by their habitattype-suffixed names. Column layouts follow
+    * the published files exactly — the reference's two census habitats
+    * publish DIFFERENT selections of the same estimator output (2110
+    * leads with the midpoint share; 5130's habitat table renames the
+    * pessimistic/optimistic bounds to `aandeel_gunstig_min/_max` and
+    * its indicatoren table appends the full share+bounds triple) —
+    * so the layout dispatches on habitattype, new census habitats
+    * defaulting to the 2110 layout. */
+  private def censusShapes(c: Census): Map[String, () => DataFrame] = {
+    val det = Seq("criterium", "indicator", "belang")
+    val keys = Seq("type_resultaat", "habitattype", "sbzh").map(col)
+    val opp = Seq("opp_gunstig_ha", "opp_ongunstig_ha", "opp_onbekend_ha")
+      .map(col)
+    def statusHabitatLayout(df: DataFrame): DataFrame = c.habitattype match {
+      case "5130" => df.select(keys ++
+        Seq(col("aandeel_gunstig_llci").as("aandeel_gunstig_min"),
+          col("aandeel_gunstig_ulci").as("aandeel_gunstig_max"),
+          col("beoordeling")) ++ opp: _*)
+      case _ => df.select(keys ++ (col("beoordeling") +: opp) :+
+        col("aandeel_gunstig"): _*)
+    }
+    def statusIndLayout(df: DataFrame): DataFrame = c.habitattype match {
+      case "5130" => df.select(keys ++
+        Seq(col("criterium"), col("indicator"), col("beoordeling")) ++ opp ++
+        Seq(col("belang"), col("aandeel_gunstig"),
+          col("aandeel_gunstig_llci"), col("aandeel_gunstig_ulci")): _*)
+      case _ => df.select(keys ++
+        Seq(col("criterium"), col("indicator"), col("aandeel_gunstig"),
+          col("beoordeling")) ++ opp :+ col("belang"): _*)
+    }
+    // trendAreaCensus already emits the published habitat-grain order;
+    // the indicatoren grain moves belang to the end
+    def trendIndLayout(df: DataFrame): DataFrame =
+      df.select(keys ++
+        Seq(col("criterium"), col("indicator"), col("parameter"),
+          col("mean"), col("klasse"), col("jaar_min"), col("jaar_max"),
+          col("verschil_jaar"), col("belang")): _*)
+    Seq(
+      c.statusHabitat.map(p => s"status_habitat_${c.habitattype}" ->
+        (() => statusHabitatLayout(LsviStatus.statusAreaCensus(p)))),
+      c.statusIndicatoren.map(p => s"status_indicatoren_${c.habitattype}" ->
+        (() => statusIndLayout(LsviStatus.statusAreaCensus(p, det)))),
+      c.trendHabitat.map { case (c1, c2) =>
+        s"trend_habitat_${c.habitattype}" ->
+          (() => LsviStatus.trendAreaCensus(c1, c2)) },
+      c.trendIndicatoren.map { case (c1, c2) =>
+        s"trend_indicatoren_${c.habitattype}" ->
+          (() => trendIndLayout(LsviStatus.trendAreaCensus(c1, c2, det))) }
+    ).flatten.toMap
   }
 
   /** Published sort keys per base name (from the reference yml
@@ -221,6 +340,13 @@ object LsviReportJob {
     case "lsvi_criterium" => Seq("id", "type_analysis", "criterium")
     case "lsvi_globaal" => Seq("id", "type_analysis")
     case "lsvi_plot" => Seq("habitattype", "habitatsubtype", "date", "point_code")
+    case "lsvi_watersurface" =>
+      // lsvi_watersurface_sw.yml `sorting:`
+      Seq("habitattype", "habitatsubtype", "date", "code_watersurfaces")
+    // census side tables (sorting: from status_habitat_2110.yml etc.)
+    case n if n.matches("(status|trend)_habitat_\\d+.*") => Seq("type_resultaat")
+    case n if n.matches("(status|trend)_indicatoren_\\d+.*") =>
+      Seq("type_resultaat", "indicator")
     case "status_indicatoren" =>
       Seq("habitattype", "type_resultaat", "sbzh", "habitatsubtype",
         "criterium", "indicator")

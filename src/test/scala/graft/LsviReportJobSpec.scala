@@ -142,9 +142,11 @@ class LsviReportJobSpec extends SparkSuite {
     assert(badPlot === 0L)
   }
 
-  test("a second group (heath/inland dunes) runs end-to-end to the published _hs_id file set") {
+  test("a second group (heath/inland dunes) runs end-to-end to the FULL published directory incl. the 5130 census sides") {
     // same composition, different rule data and suffix — proves the
-    // job is group-generic, not forests-shaped
+    // job is group-generic, not forests-shaped; the fully-mapped 5130
+    // juniper scrub publishes as habitattype-suffixed census side
+    // tables beside the _hs_id family (no 5130 trend tables exist)
     val hDir = "/root/reference/processed/lsvi_mhq/heath_inland_dunes/result"
     def readH(name: String): DataFrame = spark.read
       .option("sep", "\t").option("header", "true").option("nullValue", "NA")
@@ -171,11 +173,184 @@ class LsviReportJobSpec extends SparkSuite {
       java.nio.file.Files.createTempDirectory("lsvi-report-heath").toString
     LsviReportJob.run(hPlots, hMeasurements,
       graft.lsvi.Versie3Heath.rulesDf(spark), hMeta, hOut,
-      LsviReportJob.Config(suffix = "hs_id"))
+      LsviReportJob.Config(suffix = "hs_id"),
+      census = Seq(LsviReportJob.Census("5130",
+        statusHabitat = Some(CensusFixtures.polysFrom(
+          readH("status_habitat_5130.tsv"), Nil)),
+        statusIndicatoren = Some(CensusFixtures.polysFrom(
+          readH("status_indicatoren_5130.tsv"),
+          Seq("criterium", "indicator", "belang"))))))
     val mine = new java.io.File(hOut).listFiles().map(_.getName).toSet
-    val pub = new java.io.File(hDir).listFiles().map(_.getName)
-      .filter(_.matches(".*_hs_id\\.(tsv|yml)")).toSet
+    val pub = new java.io.File(hDir).listFiles().map(_.getName).toSet
     assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+    // the published 5130 column layouts reproduce exactly (the
+    // habitat table renames the interval bounds to *_min/_max; the
+    // indicatoren table appends the share + bounds triple)
+    for (t <- Seq("status_habitat_5130.tsv", "status_indicatoren_5130.tsv"))
+      assert(spark.read.option("sep", "\t").option("header", "true")
+        .csv(s"$hOut/$t").columns.toSeq === readH(t).columns.toSeq, t)
+  }
+
+  test("the coastal-dunes group publishes the full _cd directory incl. the 2110 census status AND trend sides") {
+    val cdDir = "/root/reference/processed/lsvi_mhq/coastal_dunes/result"
+    def readCd(name: String): DataFrame = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$cdDir/$name")
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    val cdDetail = readCd("lsvi_detail_cd.tsv").cache()
+    val cdMeasurements = cdDetail.select(
+      col("id"), col("type_analysis"), col("voorwaarde"), col("waarde"),
+      col("plot_type"),
+      when(col("waarde").rlike(numRe), col("waarde").cast("double"))
+        .as("value_numeric"),
+      when(!col("waarde").rlike(numRe), col("waarde")).as("value_category"))
+      .distinct()
+    val cdPlots = cdDetail.select("id", "type_analysis", "survey",
+      "record_id_square", "record_id_circle", "type_observed").distinct()
+    val cdMeta = readCd("lsvi_plot_cd.tsv")
+      .select(col("id"), col("date").cast("int").as("date"), col("point_code"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"),
+        col("in_sac").cast("int").as("in_sac"))
+      .withColumn("passend_beheer",
+        when(abs(hash(col("point_code"))) % 5 < 3, "ja").otherwise("nee"))
+      .distinct()
+    val det = Seq("criterium", "indicator", "belang")
+    val sh = CensusFixtures.polysFrom(readCd("status_habitat_2110.tsv"), Nil)
+      .cache()
+    val si = CensusFixtures.polysFrom(
+      readCd("status_indicatoren_2110.tsv"), det).cache()
+    // the trend slots need two dated mappings; content fidelity of the
+    // difference/klasse algebra is CensusShapesSpec's charge — here the
+    // same census re-dated exercises the publication path
+    val cdOut =
+      java.nio.file.Files.createTempDirectory("lsvi-report-cd").toString
+    LsviReportJob.run(cdPlots, cdMeasurements,
+      graft.lsvi.Versie3Dunes.rulesDf(spark), cdMeta, cdOut,
+      LsviReportJob.Config(suffix = "cd"),
+      census = Seq(LsviReportJob.Census("2110",
+        statusHabitat = Some(sh), statusIndicatoren = Some(si),
+        trendHabitat = Some((sh.withColumn("date", lit(2017)),
+          sh.withColumn("date", lit(2023)))),
+        trendIndicatoren = Some((si.withColumn("date", lit(2017)),
+          si.withColumn("date", lit(2023)))))))
+    val mine = new java.io.File(cdOut).listFiles().map(_.getName).toSet
+    val pub = new java.io.File(cdDir).listFiles().map(_.getName).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+    // written census values reproduce the published table (the
+    // reconstruction round-trips areas exactly; shares to 1e-3)
+    val mineSh = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$cdOut/status_habitat_2110.tsv")
+    val pubSh = readCd("status_habitat_2110.tsv")
+    assert(mineSh.columns.toSeq === pubSh.columns.toSeq)
+    val j = mineSh.alias("m").join(pubSh.alias("p"),
+      Seq("type_resultaat", "sbzh"))
+    assert(j.count() === pubSh.count())
+    assert(j.where(
+      abs(col("m.aandeel_gunstig").cast("double") -
+        col("p.aandeel_gunstig").cast("double")) > 1e-3 ||
+      col("m.beoordeling") =!= col("p.beoordeling") ||
+      abs(col("m.opp_gunstig_ha").cast("double") -
+        col("p.opp_gunstig_ha").cast("double")) > 1e-6).count() === 0)
+    // the trend tables carry the published column orders
+    for (t <- Seq("trend_habitat_2110.tsv", "trend_indicatoren_2110.tsv"))
+      assert(spark.read.option("sep", "\t").option("header", "true")
+        .csv(s"$cdOut/$t").columns.toSeq === readCd(t).columns.toSeq, t)
+  }
+
+  test("the grassland/marsh group publishes the full _gr_bm directory (the default table set)") {
+    val gDir = "/root/reference/processed/lsvi_mhq/grassland_marsh/result"
+    def readG(name: String): DataFrame = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$gDir/$name")
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    val gDetail = readG("lsvi_detail_gr_bm.tsv").cache()
+    val gMeasurements = gDetail.select(
+      col("id"), col("type_analysis"), col("voorwaarde"), col("waarde"),
+      col("plot_type"),
+      when(col("waarde").rlike(numRe), col("waarde").cast("double"))
+        .as("value_numeric"),
+      when(!col("waarde").rlike(numRe), col("waarde")).as("value_category"),
+      when(col("voorwaarde") === graft.lsvi.Versie3Grasslands.dynamicVoorwaarde,
+        col("referentiewaarde").cast("double")).as("ref_override"))
+      .distinct()
+    val gPlots = gDetail.select("id", "type_analysis", "survey",
+      "record_id_square", "record_id_circle", "type_observed").distinct()
+    val gMeta = readG("lsvi_plot_gr_bm.tsv")
+      .select(col("id"), col("date").cast("int").as("date"), col("point_code"),
+        col("x").cast("double").as("x"), col("y").cast("double").as("y"),
+        col("in_sac").cast("int").as("in_sac"))
+      .withColumn("passend_beheer",
+        when(abs(hash(col("point_code"))) % 5 < 3, "ja").otherwise("nee"))
+      .distinct()
+    val gOut =
+      java.nio.file.Files.createTempDirectory("lsvi-report-gr").toString
+    LsviReportJob.run(gPlots, gMeasurements,
+      graft.lsvi.Versie3Grasslands.rulesDf(spark), gMeta, gOut,
+      LsviReportJob.Config(suffix = "gr_bm"))
+    val mine = new java.io.File(gOut).listFiles().map(_.getName).toSet
+    val pub = new java.io.File(gDir).listFiles().map(_.getName).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+  }
+
+  test("the moneos group publishes its chain-only subset") {
+    // the estuary scheme publishes just the four chain tables
+    // (`processed/lsvi_mhq/moneos/result/`): tables= drives the subset
+    val mDir = "/root/reference/processed/lsvi_mhq/moneos/result"
+    def readM(name: String): DataFrame = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$mDir/$name")
+    val numRe = "^-?[0-9]+(\\.[0-9]+)?$"
+    val mDetail = readM("lsvi_detail_moneos.tsv").cache()
+    val mMeasurements = mDetail.select(
+      col("id"), col("type_analysis"), col("voorwaarde"), col("waarde"),
+      col("plot_type"),
+      when(col("waarde").rlike(numRe), col("waarde").cast("double"))
+        .as("value_numeric"),
+      when(!col("waarde").rlike(numRe), col("waarde")).as("value_category"))
+      .distinct()
+    val mPlots = mDetail.select("id", "type_analysis", "survey",
+      "record_id_square", "record_id_circle", "type_observed").distinct()
+    val mMeta = mPlots.select(col("id")).distinct()
+      .withColumn("date", lit(19500))
+      .withColumn("point_code", substring_index(col("id"), "_", 1))
+      .withColumn("x", lit(0.0)).withColumn("y", lit(0.0))
+      .withColumn("in_sac", lit(1))
+    val mOut =
+      java.nio.file.Files.createTempDirectory("lsvi-report-mo").toString
+    LsviReportJob.run(mPlots, mMeasurements,
+      graft.lsvi.Versie3Moneos.rulesDf(spark), mMeta, mOut,
+      LsviReportJob.Config(suffix = "moneos", tables = Some(Set(
+        "lsvi_detail", "lsvi_indicator", "lsvi_criterium", "lsvi_globaal"))))
+    val mine = new java.io.File(mOut).listFiles().map(_.getName).toSet
+    val pub = new java.io.File(mDir).listFiles().map(_.getName).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+  }
+
+  test("the sw mode publishes the standing-water watersurface file set") {
+    // the standing-water group publishes the plot table at the
+    // WATERSURFACE grain (code_watersurfaces, no coordinates, no
+    // doelbereik) plus the ten reporting shapes — no chain tables
+    val swDir = "/root/reference/processed/lsvi_mhq/standing_water/result"
+    val swOut =
+      java.nio.file.Files.createTempDirectory("lsvi-report-sw").toString
+    val metaWs = meta
+      .withColumnRenamed("point_code", "code_watersurfaces")
+      .drop("x", "y")
+    LsviReportJob.run(plots, measurements,
+      graft.lsvi.Versie3Forests.rulesDf(spark), metaWs, swOut,
+      LsviReportJob.Config(suffix = "sw",
+        plotTable = "lsvi_watersurface",
+        tables = Some(LsviReportJob.standingWaterTables)))
+    val mine = new java.io.File(swOut).listFiles().map(_.getName).toSet
+    val pub = new java.io.File(swDir).listFiles().map(_.getName).toSet
+    assert(mine === pub, s"missing: ${pub -- mine}; extra: ${mine -- pub}")
+    // the watersurface grain's column order matches the published table
+    val mineWs = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$swOut/lsvi_watersurface_sw.tsv")
+    val pubWs = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$swDir/lsvi_watersurface_sw.tsv")
+    assert(mineWs.columns.toSeq === pubWs.columns.toSeq)
   }
 
   test("the rw mode reproduces the streams-published file set with weighted estimators") {
