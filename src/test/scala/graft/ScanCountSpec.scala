@@ -46,6 +46,14 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q122_status_beheer") <= 1)
   }
 
+  test("the group-any window plans one scan and one shuffle") {
+    // q146: per-customer window (1 exchange), deterministic row-subset
+    // filter applied after it — a rewrite through a join or a second
+    // aggregation would show here
+    assert(scanCount("q146_group_any_flag") <= 1)
+    assert(shuffleCount("q146_group_any_flag") <= 1)
+  }
+
   test("new shape/pipeline queries keep bounded shuffle counts") {
     // q121: pairing agg (countDistinct = 2-phase) + strata agg;
     // q122: latest agg + beheer agg + window; q123: only the final
