@@ -1351,6 +1351,23 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "has_urgent")
     }),
 
+    // ---- distributed k-means corpus clustering (Ann.lloydCluster):
+    // full-corpus Lloyd with per-document cluster ids — the curation
+    // counterpart of the IVF quantizer. HASH-EXACT despite float
+    // embeddings: distances rank via the floor(d*1e6+0.5) idiom with
+    // id tiebreaks and centroid updates snap to 2^-20 fixed point
+    // before summing, so both engines derive bit-equal centroids. The
+    // per-cluster dist_micros sum gates the full assignment geometry,
+    // not just the counts. ----
+    "q147_kmeans_clusters" -> ((s, dir) => {
+      Ann.lloydCluster(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .groupBy(col("cluster").cast("int").as("cluster_id"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("vec_id")).as("id_sum"),
+          sum(col("dist_micros")).as("dist_micros"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3452,6 +3469,47 @@ object SparkEntry {
         |      OVER (PARTITION BY o_custkey) = 1 AS has_urgent
         |  FROM orders) t
         |WHERE o_orderkey % 5 = 0""".stripMargin,
+
+    // q147: two Lloyd iterations replayed — init from the 8 lowest
+    // ids, fixed-point distance ranking (floor(d*1e6+0.5), id
+    // tiebreak), 2^-20-snapped integer coordinate sums for the update
+    // (order-independent -> bit-equal centroids), reassign, aggregate.
+    "q147_kmeans_clusters" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d0) t
+        |       WHERE rk = 1),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |upd AS (SELECT a0.cid, ex.dim,
+        |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |          count(*) AS n
+        |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+        |       FROM upd GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c1),
+        |a1 AS (SELECT vec_id, cid, dm FROM (
+        |         SELECT vec_id, cid, dm,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d1) t
+        |       WHERE rk = 1)
+        |SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_points,
+        |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(dm) AS BIGINT) AS dist_micros
+        |FROM a1 GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -164,6 +164,71 @@ object Ann {
     centroids
   }
 
+  /** Distributed Lloyd k-means over the FULL corpus — per-vector
+    * cluster ids for corpus curation (cluster-balanced mixtures,
+    * diversity sampling), NOT a sampled coarse quantizer like
+    * [[trainCentroids]] (which deliberately avoids distributed updates
+    * because a 16-cell quantizer doesn't need the full corpus; an
+    * assignment for EVERY document does). Each iteration is one corpus
+    * scan plus one dictionary-sized exchange: the update's
+    * groupBy(cluster, dim) is map-side combined, so the shuffle carries
+    * k×dim partial sums per partition — never vectors — and the k×dim
+    * collected centroid state is bounded driver data like the IVF
+    * sample cap.
+    *
+    * Cross-engine determinism (the q147 oracle): centroids init from
+    * the k lowest ids; squared-L2 distances rank through the
+    * floor(d*1e6+0.5) fixed-point idiom with centroid-id tiebreak, and
+    * the update snaps coordinates to 2^-20 fixed point BEFORE summing —
+    * integer sums are accumulation-order independent, so both engines
+    * derive bit-equal centroids (the float coordinate times 2^20 is
+    * exact in a double, so the snap itself is engine-invariant).
+    * Empty clusters drop out keeping ORIGINAL ids (no reindexing).
+    *
+    * Returns one row per vector: (vec_id, cluster, dist_micros) where
+    * dist_micros is the winning squared distance in 1e-6 units. */
+  def lloydCluster(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+
+    var centroids: Seq[(Int, Seq[Double])] =
+      e.orderBy(col("vec_id").asc).limit(k)
+        .select(col("v")).as[Seq[Double]].collect().toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }
+
+    def assigned(): DataFrame = {
+      val dists = centroids.map { case (cid, c) =>
+        val d = aggregate(
+          zip_with(col("v"), typedLit(c), (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (acc, x) => acc + x)
+        struct(floor(d * 1e6 + lit(0.5)).cast("long").as("dm"),
+          lit(cid).as("cid"))
+      }
+      e.withColumn("best", element_at(array_sort(array(dists: _*)), 1))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cluster"), col("best.dm").as("dist_micros"))
+    }
+
+    for (_ <- 1 until iters) {
+      val upd = assigned()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim")
+        .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // k×dim rows — bounded driver state
+      centroids = upd.map(r => (r.getInt(0),
+          (r.getInt(1), r.getLong(2) / (r.getLong(3) * 1048576.0))))
+        .groupBy(_._1).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.map(_._2).sortBy(_._1).map(_._2).toSeq) }
+        .sortBy(_._1)
+    }
+    assigned().drop("v")
+  }
+
   /** LSH-bucketed top-k: candidates limited to signature-band collisions
     * (bands of `bandBits` bits from a `bits`-bit hyperplane signature —
     * multi-band probing recovers recall lost to single-bucket LSH). */

@@ -78,4 +78,27 @@ class RecallSpec extends SparkSuite {
     // exact-verify step means every emitted pair is a true pair
     assert((lsh -- exact).isEmpty, s"false positives: ${(lsh -- exact).take(5)}")
   }
+
+  test("q147 lloydCluster separates planted blobs and keeps empty-cluster ids stable") {
+    // two far-apart blobs, seeds 0..3 drawn alternately from both:
+    // seeds 0 and 2 are IDENTICAL (every even point is exactly 0), so
+    // the id tiebreak sends the whole even blob to cluster 0 and
+    // cluster 2 empties — it must drop out WITHOUT renumbering the
+    // survivors; the odd blob has within-blob variance and may keep
+    // both of its seeds, but never mixes with the even blob
+    val rows = (0 until 40).map { i =>
+      val v = if (i % 2 == 0) 0.0f else 100.0f + (i % 5) * 0.01f
+      (i.toLong, Array.fill(4)(v))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Ann.lloydCluster(df, "vec_id", "embedding", k = 4, iters = 3)
+      .select(col("vec_id").cast("long"), col("cluster").cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val evenClusters = got.filter(_._1 % 2 == 0).values.toSet
+    val oddClusters = got.filter(_._1 % 2 == 1).values.toSet
+    assert(evenClusters === Set(0), s"tie must break to the lowest id: $evenClusters")
+    assert(oddClusters.subsetOf(Set(1, 3)), s"odd blob leaked: $oddClusters")
+    // the emptied duplicate seed is GONE and ids were not reindexed
+    assert(!got.values.toSet.contains(2), "empty cluster should drop out")
+  }
 }

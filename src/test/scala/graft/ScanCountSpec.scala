@@ -46,6 +46,14 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q122_status_beheer") <= 1)
   }
 
+  test("the k-means final assignment plans one scan and one shuffle") {
+    // q147: the iteration updates run eagerly at construction (bounded
+    // k×dim collects); the RETURNED plan is one embeddings scan with
+    // the broadcast-centroid argmin fused in, plus the stats groupBy
+    assert(scanCount("q147_kmeans_clusters") <= 1)
+    assert(shuffleCount("q147_kmeans_clusters") <= 1)
+  }
+
   test("the group-any window plans one scan and one shuffle") {
     // q146: per-customer window (1 exchange), deterministic row-subset
     // filter applied after it — a rewrite through a join or a second
