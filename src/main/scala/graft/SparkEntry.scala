@@ -1368,6 +1368,24 @@ object SparkEntry {
           sum(col("dist_micros")).as("dist_micros"))
     }),
 
+    // ---- SemDeDup semantic dedup (Dedup.semanticDedup): q147's
+    // deterministic k-means partitions the embedding space, then
+    // within-cluster cosine >= 0.40 against any better-ranked cluster
+    // mate (rank = distance-to-centroid, id) marks semantic dups. The
+    // pair join is an equi-join on the cluster id — never all-pairs.
+    // HASH-EXACT: snapped-integer dots/norms + a fixed IEEE double op
+    // sequence make both engines' similarities bit-equal; the dup/kept
+    // id sums gate the full flag assignment, not just the counts. ----
+    "q148_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 8, iters = 2, tauMicros = 400000L)
+        .groupBy(col("cluster").cast("int").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"),
+          sum(when(col("is_dup"), col("vec_id"))).as("dup_id_sum"),
+          sum(when(!col("is_dup"), col("vec_id"))).as("kept_id_sum"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3510,6 +3528,72 @@ object SparkEntry {
         |  CAST(sum(vec_id) AS BIGINT) AS id_sum,
         |  CAST(sum(dm) AS BIGINT) AS dist_micros
         |FROM a1 GROUP BY 1""".stripMargin,
+
+    // q148: q147's two-iteration Lloyd CTE replayed verbatim through
+    // a1, then SemDeDup's within-cluster pairing: rank by (distance to
+    // final centroid, id); a doc is a dup when its fixed-point cosine
+    // to ANY better-ranked cluster mate reaches 400000 (0.40 in 1e-6
+    // units). Dots/norms are exact integer sums over 2^-20-snapped
+    // coordinates; the cosine double op sequence (dot / (sqrt·sqrt),
+    // ×1e6, +0.5, floor) matches the Spark expression exactly.
+    "q148_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d0) t
+        |       WHERE rk = 1),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |upd AS (SELECT a0.cid, ex.dim,
+        |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |          count(*) AS n
+        |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+        |       FROM upd GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c1),
+        |a1 AS (SELECT vec_id, cid, dm FROM (
+        |         SELECT vec_id, cid, dm,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d1) t
+        |       WHERE rk = 1),
+        |sv AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1048576.0 + 0.5) AS BIGINT)) AS sv
+        |       FROM e),
+        |n2 AS (SELECT vec_id,
+        |         CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS n2
+        |       FROM sv),
+        |rnk AS (SELECT vec_id, cid,
+        |          row_number() OVER (PARTITION BY cid ORDER BY dm, vec_id) AS rk
+        |        FROM a1),
+        |dups AS (SELECT DISTINCT y.vec_id
+        |         FROM rnk x JOIN rnk y ON x.cid = y.cid AND x.rk < y.rk
+        |         JOIN sv xs ON xs.vec_id = x.vec_id
+        |         JOIN sv ys ON ys.vec_id = y.vec_id
+        |         JOIN n2 xn ON xn.vec_id = x.vec_id
+        |         JOIN n2 yn ON yn.vec_id = y.vec_id
+        |         WHERE xn.n2 > 0 AND yn.n2 > 0
+        |           AND CAST(floor(CAST(list_sum(list_transform(
+        |                 list_zip(xs.sv, ys.sv), p -> p[1]*p[2])) AS DOUBLE)
+        |               / (sqrt(CAST(xn.n2 AS DOUBLE)) * sqrt(CAST(yn.n2 AS DOUBLE)))
+        |               * 1e6 + 0.5) AS BIGINT) >= 400000)
+        |SELECT CAST(a1.cid AS INTEGER) AS cluster_id, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN a1.vec_id END) AS BIGINT) AS dup_id_sum,
+        |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
+        |FROM a1 LEFT JOIN dups d ON d.vec_id = a1.vec_id
+        |GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

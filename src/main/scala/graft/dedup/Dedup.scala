@@ -422,4 +422,62 @@ object Dedup {
       .distinct()
     canonicalFromEdges(embeddings, idCol, edges)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-partition the embedding space with the
+    * same deterministic Lloyd as the clustering operator
+    * ([[graft.similarity.Ann.lloydCluster]]), then WITHIN each cluster
+    * mark a document as a semantic duplicate when its cosine similarity
+    * to any better-ranked cluster mate reaches `tauMicros` (cosine in
+    * 1e-6 fixed point). Rank = (distance to the final centroid, id), so
+    * the document closest to its centroid always survives — the paper's
+    * keep-the-cluster-representative policy with a deterministic
+    * tiebreak.
+    *
+    * Scale shape: candidate pairs exist only INSIDE a cluster, so the
+    * pair generation is an equi-join on the cluster id — never
+    * all-pairs. The per-cluster quadratic cost is the method's contract
+    * (k scales with corpus size to bound cluster width, exactly as in
+    * the paper's 50k-cluster runs); each document's snapped vector
+    * shuffles once per join side on the cluster key, and the rank
+    * window reuses that same partitioning.
+    *
+    * Cross-engine determinism (the q148 oracle): coordinates snap to
+    * 2^-20 fixed point, so dot products and squared norms are exact
+    * integer sums (order-independent); the cosine is then formed with a
+    * fixed IEEE double op sequence — dot / (sqrt(n2_a)·sqrt(n2_b)) —
+    * and compared in 1e-6 fixed point, so both engines compute
+    * bit-equal similarities. Zero vectors never pair (n2 > 0 guard on
+    * both sides) rather than producing NaN cosines.
+    *
+    * Returns one row per document: (vec_id, cluster, is_dup). */
+  def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int, tauMicros: Long): DataFrame = {
+    val assigned = graft.similarity.Ann
+      .lloydCluster(embeddings, idCol, vecCol, k, iters, keepVec = true)
+      .withColumn("sv", transform(col("v"),
+        x => floor(x * lit(1048576.0) + lit(0.5)).cast("long")))
+      .withColumn("n2", aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("dist_micros"), col("vec_id"))))
+      .select("vec_id", "cluster", "sv", "n2", "rk")
+    val a = assigned.select(col("cluster"), col("vec_id").as("a_id"),
+      col("sv").as("a_sv"), col("n2").as("a_n2"), col("rk").as("a_rk"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
+      col("sv").as("b_sv"), col("n2").as("b_n2"), col("rk").as("b_rk"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("a_rk") < col("b_rk") && col("a_n2") > 0 && col("b_n2") > 0)
+      .withColumn("dot", aggregate(zip_with(col("a_sv"), col("b_sv"), _ * _),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("sim_micros",
+        floor(col("dot").cast("double")
+          / (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))
+          * lit(1e6) + lit(0.5)).cast("long"))
+      .where(col("sim_micros") >= tauMicros)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -186,9 +186,12 @@ object Ann {
     * Empty clusters drop out keeping ORIGINAL ids (no reindexing).
     *
     * Returns one row per vector: (vec_id, cluster, dist_micros) where
-    * dist_micros is the winning squared distance in 1e-6 units. */
+    * dist_micros is the winning squared distance in 1e-6 units; with
+    * `keepVec` the double-cast vector rides along as `v` so a consumer
+    * (e.g. [[graft.dedup.Dedup.semanticDedup]]) avoids a second corpus
+    * scan + re-join just to recover the payload. */
   def lloydCluster(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int): DataFrame = {
+                   k: Int, iters: Int, keepVec: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).as("vec_id"),
@@ -226,7 +229,7 @@ object Ann {
           (cid, rows.map(_._2).sortBy(_._1).map(_._2).toSeq) }
         .sortBy(_._1)
     }
-    assigned().drop("v")
+    if (keepVec) assigned() else assigned().drop("v")
   }
 
   /** LSH-bucketed top-k: candidates limited to signature-band collisions

@@ -101,4 +101,31 @@ class RecallSpec extends SparkSuite {
     // the emptied duplicate seed is GONE and ids were not reindexed
     assert(!got.values.toSet.contains(2), "empty cluster should drop out")
   }
+
+  test("q148 semanticDedup keeps one representative per tight blob, never pairs zero vectors") {
+    // two orthogonal tight blobs (within-blob cosine ~1, cross-blob ~0)
+    // plus a zero vector: with tau=0.9 every blob member except the
+    // one closest to its centroid is a semantic dup; the zero vector
+    // must be flagged kept (n2 > 0 guard), not crash the cosine
+    val rows =
+      (0 until 8 by 2).map(i => (i.toLong, Array(1.0f, 0.01f * i, 0.0f, 0.0f))) ++
+      (1 until 8 by 2).map(i => (i.toLong, Array(0.0f, 0.0f, 1.0f, 0.01f * i))) ++
+      Seq((8L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "embedding", "vec_id",
+        k = 2, iters = 2, tauMicros = 900000L)
+      .select(col("vec_id").cast("long"), col("cluster").cast("int"), col("is_dup"))
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length === 9)
+    val even = got.filter(r => r._1 % 2 == 0 && r._1 < 8)
+    val odd = got.filter(r => r._1 % 2 == 1)
+    assert(even.map(_._2).toSet.size === 1 && odd.map(_._2).toSet.size === 1,
+      s"blobs must not split: $even / $odd")
+    assert(even.map(_._2).toSet != odd.map(_._2).toSet, "blobs must not merge")
+    // exactly one survivor per blob — the rest are semantic dups
+    assert(even.count(!_._3) === 1, s"even blob survivors: ${even.mkString(",")}")
+    assert(odd.count(!_._3) === 1, s"odd blob survivors: ${odd.mkString(",")}")
+    // the zero vector is kept: cosine to it is undefined, never >= tau
+    assert(got.find(_._1 == 8L).exists(!_._3), "zero vector must be kept")
+  }
 }

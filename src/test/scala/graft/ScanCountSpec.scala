@@ -52,6 +52,13 @@ class ScanCountSpec extends SparkSuite {
     // the broadcast-centroid argmin fused in, plus the stats groupBy
     assert(scanCount("q147_kmeans_clusters") <= 1)
     assert(shuffleCount("q147_kmeans_clusters") <= 1)
+    // q148 SemDeDup rides q147's assignment three ways (flag-join left
+    // side + both pair-join sides), each with its own cluster-keyed
+    // exchange; the pair generation must stay an equi-join on the
+    // cluster id — an all-pairs rewrite would explode the scan or
+    // shuffle count (and PlanGuardSpec rejects the cartesian)
+    assert(scanCount("q148_semantic_dedup") <= 3)
+    assert(shuffleCount("q148_semantic_dedup") <= 6)
   }
 
   test("the group-any window plans one scan and one shuffle") {
