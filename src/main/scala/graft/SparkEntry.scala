@@ -1386,6 +1386,24 @@ object SparkEntry {
           sum(when(!col("is_dup"), col("vec_id"))).as("kept_id_sum"))
     }),
 
+    // ---- distributed linear quality-probe training
+    // (ml.LinearProbe): 2 full-batch GD steps on y = label % 2 with
+    // the rational sigmoid (IEEE-exact — no libm exp), then score the
+    // corpus with the final weights. HASH-EXACT: snapped 2^-20 inputs
+    // make the per-dimension gradients exact integer sums, so both
+    // engines derive bit-equal weights; the per-label score sums gate
+    // the whole trajectory, not just the final predictions. ----
+    "q149_linear_probe" -> ((s, dir) => {
+      graft.ml.LinearProbe.scored(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label", iters = 2, lr = 4.0)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(col("score_micros")).as("score_micros_sum"),
+          sum(when(col("pred") === (col("label") % 2 === 1), 1L)
+            .otherwise(0L)).as("n_correct"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3594,6 +3612,57 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.vec_id IS NULL THEN a1.vec_id END) AS BIGINT) AS kept_id_sum
         |FROM a1 LEFT JOIN dups d ON d.vec_id = a1.vec_id
         |GROUP BY 1""".stripMargin,
+
+    // q149: two unrolled full-batch GD steps on the 2^-20-snapped
+    // inputs (trailing 1.0 = bias feature). Iteration 1 uses the exact
+    // simplification of zero weights: z = 0, s = 0.5, r = 0.5 - y —
+    // bit-equal to the engine's generic evaluation. Gradients are
+    // exact BIGINT sums; weight updates replay the engine's IEEE op
+    // sequence (g / (n·2^20), times lr, subtract); DuckDB's 1-based
+    // lambda index/list indexing stay internally consistent. The pred
+    // predicate is z >= 0 on BOTH sides (s >= 0.5 could diverge by one
+    // rounding ulp at z ~ 0).
+    "q149_linear_probe" ->
+      """WITH e AS (SELECT vec_id, label, CAST(label % 2 AS DOUBLE) AS y,
+        |    list_concat(list_transform(embedding,
+        |      x -> floor(CAST(x AS DOUBLE)*1048576.0 + 0.5)/1048576.0),
+        |      [CAST(1.0 AS DOUBLE)]) AS xs
+        |  FROM embeddings),
+        |ex1 AS (SELECT y,
+        |          unnest(list_transform(xs, (x, i) -> {'dim': i, 'x': x}),
+        |                 recursive := true)
+        |        FROM e),
+        |g1 AS (SELECT dim,
+        |         sum(CAST(floor((0.5 - y)*x*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex1 GROUP BY dim),
+        |w1 AS (SELECT list(0.0 - 4.0*(CAST(g AS DOUBLE)/(n*1048576.0)) ORDER BY dim) AS w
+        |       FROM g1),
+        |r2 AS (SELECT e.vec_id, e.y, e.xs,
+        |         (0.5 + z/(2.0*(1.0 + abs(z)))) - e.y AS r
+        |       FROM (SELECT e.*, list_sum(list_transform(list_zip(e.xs, w1.w),
+        |               p -> p[1]*p[2])) AS z
+        |             FROM e, w1) e),
+        |ex2 AS (SELECT r,
+        |          unnest(list_transform(xs, (x, i) -> {'dim': i, 'x': x}),
+        |                 recursive := true)
+        |        FROM r2),
+        |g2 AS (SELECT dim,
+        |         sum(CAST(floor(r*x*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex2 GROUP BY dim),
+        |w2 AS (SELECT list(w1.w[g2.dim] - 4.0*(CAST(g2.g AS DOUBLE)/(g2.n*1048576.0))
+        |                   ORDER BY g2.dim) AS w
+        |       FROM g2, w1),
+        |sc AS (SELECT e.vec_id, e.label, e.y,
+        |         list_sum(list_transform(list_zip(e.xs, w2.w), p -> p[1]*p[2])) AS z
+        |       FROM e, w2)
+        |SELECT label, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN z >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+        |  CAST(sum(CAST(floor((0.5 + z/(2.0*(1.0 + abs(z))))*1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS score_micros_sum,
+        |  CAST(sum(CASE WHEN (z >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |FROM sc GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -1,0 +1,76 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed linear quality-probe training — the classifier-training
+  * counterpart of [[graft.similarity.Ann.lloydCluster]]'s k-means: a
+  * corpus-curation pipeline scores documents with a cheap linear model
+  * over their embeddings (quality probes, fastText-style domain
+  * filters), and at 100 TB the training loop must be the same shape as
+  * every other operator here — one corpus scan per iteration plus a
+  * dictionary-sized exchange, with the (dim+1)-vector of weights as
+  * bounded driver state.
+  *
+  * Full-batch gradient descent on a LINEAR probe with the rational
+  * sigmoid link s(z) = 0.5 + z / (2·(1+|z|)). The rational link is
+  * deliberate: unlike exp-based logistic it evaluates with only
+  * +,·,/,abs — IEEE-deterministic in every engine — so the whole
+  * training trajectory is reproducible cross-engine (Math.exp is NOT
+  * correctly rounded and differs between libm implementations, which
+  * would cascade through the weight updates and break hash parity).
+  *
+  * Cross-engine determinism (the q149 oracle), extending the q147
+  * recipe from centroids to gradients: input coordinates snap to the
+  * 2^-20 grid (exactly representable doubles, so the snap itself is
+  * engine-invariant); each iteration's gradient contribution
+  * floor(r·x·2^20 + 0.5) is an exact BIGINT, so the per-dimension sums
+  * are accumulation-order independent; the weight update
+  * w_d − lr·(g_d / (n·2^20)) is a fixed IEEE double op sequence on
+  * exact integers. Both engines therefore derive bit-equal weights at
+  * every iteration, and the final scores gate the full geometry.
+  *
+  * Scale shape per iteration: the gradient groupBy(dim) after the
+  * posexplode is map-side combined, so the shuffle carries dim+1
+  * partial sums per partition — never rows or vectors; the bias rides
+  * as a constant trailing 1.0 feature so one explode covers it. */
+object LinearProbe {
+
+  /** Train `iters` full-batch GD steps on target y = label % 2, then
+    * score every document with the final weights. Returns one row per
+    * document: (vec_id, label, score_micros, pred) where score_micros
+    * is the rational-sigmoid score in 1e-6 units and pred ⇔ z ≥ 0
+    * (the same predicate the oracle uses — comparing s ≥ 0.5 instead
+    * could diverge by one rounding ulp at z ≈ 0). */
+  def scored(df: DataFrame, vecCol: String, idCol: String, labelCol: String,
+             iters: Int, lr: Double): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+      (col(labelCol) % 2).cast("double").as("y"),
+      concat(transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)) / lit(1048576.0)),
+        array(lit(1.0))).as("xs"))
+    // dim+1 from the schema-side probe row (bounded, like the IVF
+    // sample cap); the corpus itself is never collected
+    val width = e.select(size(col("xs"))).head().getInt(0)
+    var w: Seq[Double] = Seq.fill(width)(0.0)
+
+    def z = aggregate(zip_with(col("xs"), typedLit(w), (x, ww) => x * ww),
+      lit(0.0), (acc, x) => acc + x)
+    def s = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+    for (_ <- 1 to iters) {
+      val grad = e.withColumn("r", s - col("y"))
+        .select(col("r"), posexplode(col("xs")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(sum(floor(col("r") * col("x") * lit(1048576.0) + lit(0.5))
+          .cast("long")).as("g"), count(lit(1)).as("n"))
+        .collect() // dim+1 rows — bounded driver state
+      val n = grad.head.getLong(2).toDouble
+      val byDim = grad.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      w = w.indices.map(d => w(d) - lr * (byDim(d).toDouble / (n * 1048576.0)))
+    }
+    e.select(col("vec_id"), col("label"),
+      floor(s * lit(1e6) + lit(0.5)).cast("long").as("score_micros"),
+      (z >= lit(0.0)).as("pred"))
+  }
+}

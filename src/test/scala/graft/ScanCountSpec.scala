@@ -59,6 +59,12 @@ class ScanCountSpec extends SparkSuite {
     // shuffle count (and PlanGuardSpec rejects the cartesian)
     assert(scanCount("q148_semantic_dedup") <= 3)
     assert(shuffleCount("q148_semantic_dedup") <= 6)
+    // q149 linear probe: the GD iterations run eagerly at construction
+    // (dim+1 bounded collects, one corpus scan each); the RETURNED
+    // plan is one embeddings scan scored with broadcast weights plus
+    // the per-label groupBy
+    assert(scanCount("q149_linear_probe") <= 1)
+    assert(shuffleCount("q149_linear_probe") <= 1)
   }
 
   test("the group-any window plans one scan and one shuffle") {
