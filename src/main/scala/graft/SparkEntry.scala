@@ -1404,6 +1404,18 @@ object SparkEntry {
             .otherwise(0L)).as("n_correct"))
     }),
 
+    // ---- cluster-balanced coreset selection (Curate.coresetSample):
+    // the 20 most-central documents of each learned k-means cell —
+    // geometry-aware diversity sampling over q147's deterministic
+    // clustering. HASH-EXACT: the (dist_micros, id) rank is integer
+    // arithmetic end to end. ----
+    "q150_coreset_sample" -> ((s, dir) => {
+      graft.curation.Curate.coresetSample(t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2, perCluster = 20)
+        .select(col("vec_id"), col("cluster").cast("int").as("cluster_id"),
+          col("dist_micros"), col("rk"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3663,6 +3675,48 @@ object SparkEntry {
         |    AS score_micros_sum,
         |  CAST(sum(CASE WHEN (z >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // q150: q147's Lloyd CTE replayed verbatim through a1, then the
+    // per-cluster (dist_micros, id) rank keeps the 20 most-central
+    // documents of each cell — integer arithmetic end to end.
+    "q150_coreset_sample" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d0) t
+        |       WHERE rk = 1),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |upd AS (SELECT a0.cid, ex.dim,
+        |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |          count(*) AS n
+        |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+        |       FROM upd GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c1),
+        |a1 AS (SELECT vec_id, cid, dm FROM (
+        |         SELECT vec_id, cid, dm,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d1) t
+        |       WHERE rk = 1)
+        |SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+        |  dm AS dist_micros, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT vec_id, cid, dm,
+        |        row_number() OVER (PARTITION BY cid ORDER BY dm, vec_id) AS rk
+        |      FROM a1) t
+        |WHERE rk <= 20""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

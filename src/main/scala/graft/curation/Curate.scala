@@ -237,4 +237,32 @@ object Curate {
       .select(col(idCol), col(domainCol), col("quality"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** Cluster-balanced coreset selection: the geometry-aware sibling of
+    * [[domainQuota]] — strata are LEARNED k-means cells
+    * ([[graft.similarity.Ann.lloydCluster]], the q147 deterministic
+    * Lloyd), not a metadata column, and the quota keeps the
+    * `perCluster` documents CLOSEST to their centroid (ties by id).
+    * This is the standard cluster-proportional coreset/diversity
+    * sample for training-data curation: every region of embedding
+    * space contributes equally, and within a region the most central
+    * (prototypical) documents win.
+    *
+    * Scale shape: lloydCluster's per-iteration dictionary exchange,
+    * then ONE shuffle on the cluster id for the rank window; k scales
+    * with corpus size so cells stay bounded, and the window is
+    * O(cell·log m) per partition. Fully deterministic → oracle-exact
+    * (q150 replays the Lloyd CTE + row_number in DuckDB). */
+  def coresetSample(embeddings: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int, perCluster: Int): DataFrame = {
+    // lloydCluster normalizes the id column's name to vec_id; restore
+    // the caller's name on the way out
+    val byCluster = Window.partitionBy("cluster")
+      .orderBy(col("dist_micros").asc, col("vec_id").asc)
+    graft.similarity.Ann.lloydCluster(embeddings, idCol, vecCol, k, iters)
+      .withColumn("rk", row_number().over(byCluster))
+      .where(col("rk") <= perCluster)
+      .select(col("vec_id").as(idCol), col("cluster"), col("dist_micros"),
+        col("rk").cast("int").as("rk"))
+  }
 }

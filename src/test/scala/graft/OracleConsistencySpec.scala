@@ -73,17 +73,19 @@ class OracleConsistencySpec extends AnyFunSuite {
     assert(blocks.toSet.size == 4, s"expected 4 variants, got ${blocks.toSet}")
   }
 
-  test("q148's oracle replays q147's Lloyd CTE verbatim") {
-    // the SemDeDup oracle must rank within the SAME final assignment
-    // q147 checks; the shared CTE prefix (e .. a1) is pinned to stay in
-    // lockstep — editing the k-means replay in one oracle but not the
-    // other silently breaks the untouched query's hash parity
+  test("the q148/q150 oracles replay q147's Lloyd CTE verbatim") {
+    // SemDeDup and the coreset sample must rank within the SAME final
+    // assignment q147 checks; the shared CTE prefix (e .. a1) is
+    // pinned to stay in lockstep — editing the k-means replay in one
+    // oracle but not the others silently breaks an untouched query's
+    // hash parity
     val lloyd = "(?s)WITH e AS \\(.*?a1 AS \\(.*?WHERE rk = 1\\)".r
-    val q147 = norm(lloyd.findFirstIn(SparkEntry.oracleSql("q147_kmeans_clusters"))
-      .getOrElse(fail("q147 oracle lost its Lloyd CTE")))
-    val q148 = norm(lloyd.findFirstIn(SparkEntry.oracleSql("q148_semantic_dedup"))
-      .getOrElse(fail("q148 oracle lost its Lloyd CTE")))
-    assert(q147 == q148, "q147/q148 Lloyd CTE copies drifted apart")
+    val ctes = Seq("q147_kmeans_clusters", "q148_semantic_dedup",
+        "q150_coreset_sample")
+      .map(q => q -> norm(lloyd.findFirstIn(SparkEntry.oracleSql(q))
+        .getOrElse(fail(s"$q oracle lost its Lloyd CTE"))))
+    assert(ctes.map(_._2).distinct.size == 1,
+      s"Lloyd CTE copies drifted apart across ${ctes.map(_._1)}")
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

@@ -65,6 +65,10 @@ class ScanCountSpec extends SparkSuite {
     // the per-label groupBy
     assert(scanCount("q149_linear_probe") <= 1)
     assert(shuffleCount("q149_linear_probe") <= 1)
+    // q150 coreset sample: the assignment scan plus one cluster-keyed
+    // exchange for the rank window
+    assert(scanCount("q150_coreset_sample") <= 1)
+    assert(shuffleCount("q150_coreset_sample") <= 2)
   }
 
   test("the group-any window plans one scan and one shuffle") {
