@@ -1416,6 +1416,15 @@ object SparkEntry {
           col("dist_micros"), col("rk"))
     }),
 
+    // ---- leakage-safe split (Curate.leakageSafeSplit): the
+    // train/val/test assignment is a hash of the EXACT-DEDUP canonical
+    // id, so duplicate texts can never straddle the eval boundary —
+    // q40's fingerprint window composed with q82's hash-split
+    // arithmetic. ----
+    "q151_leakage_safe_split" -> ((s, dir) =>
+      graft.curation.Curate.leakageSafeSplit(t(s, dir, "documents"))
+        .select("doc_id", "canonical_id", "bucket", "split")),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3717,6 +3726,22 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY cid ORDER BY dm, vec_id) AS rk
         |      FROM a1) t
         |WHERE rk <= 20""".stripMargin,
+
+    // q151: q40's fingerprint-window canonical id feeding q82's
+    // md5-prefix bucket arithmetic, keyed on the canonical id.
+    "q151_leakage_safe_split" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ) AS canonical_id
+        |  FROM documents)
+        |SELECT doc_id, canonical_id,
+        |  CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM canon""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

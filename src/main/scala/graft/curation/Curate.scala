@@ -238,6 +238,25 @@ object Curate {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Leakage-safe dataset split: the split is a function of the
+    * EXACT-DEDUP GROUP, not the document — every copy of a duplicated
+    * text lands in the same train/val/test bucket, so no evaluation
+    * example has a training-set twin (the dedup-aware split hygiene
+    * rule; splitting by raw doc id silently leaks duplicates across
+    * the boundary). Composes
+    * [[graft.dedup.Dedup.exactCanonicalIds]] (one fingerprint-window
+    * shuffle) with [[hashSplit]] keyed on the canonical id (map-side
+    * hash arithmetic, no further shuffle) — the same growing-corpus
+    * stability contract as hashSplit: adding documents never
+    * reassigns an existing group. */
+  def leakageSafeSplit(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id",
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val canon = graft.dedup.Dedup.exactCanonicalIds(df, textCol, idCol)
+    hashSplit(canon, "canonical_id", trainPct, valPct)
+      .select(col(idCol), col("canonical_id"), col("bucket"), col("split"))
+  }
+
   /** Cluster-balanced coreset selection: the geometry-aware sibling of
     * [[domainQuota]] — strata are LEARNED k-means cells
     * ([[graft.similarity.Ann.lloydCluster]], the q147 deterministic

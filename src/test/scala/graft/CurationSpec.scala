@@ -1,5 +1,6 @@
 package graft
 
+import graft.curation.Curate
 import graft.pipelines.Curation
 import org.apache.spark.sql.functions._
 
@@ -43,5 +44,31 @@ class CurationSpec extends SparkSuite {
     val pruned = Curation.withNearDupPruning(docs, curated, threshold = 0.9)
       .select("doc_id").as[Long].collect().toSet
     assert(pruned === Set(1L, 9L))
+  }
+
+  test("leakage-safe split keeps every exact-dup group in one split") {
+    // 40 distinct texts, each duplicated under 3 different ids (with
+    // whitespace/case noise the fingerprint normalizes away) — a raw
+    // id-hash split would scatter most triples across splits; the
+    // canonical-id split must never split a group
+    val docs = (0 until 120).map { i =>
+      val g = i % 40
+      val noise = i / 40 match {
+        case 0 => s"Group $g body text shared content"
+        case 1 => s"  group $g BODY   text shared content "
+        case _ => s"GROUP $g body text SHARED content"
+      }
+      (i.toLong, noise)
+    }.toDF("doc_id", "text")
+    val got = Curate.leakageSafeSplit(docs)
+      .select(col("canonical_id").cast("long"), col("split"))
+      .as[(Long, String)].collect()
+    assert(got.length === 120)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perGroup.size === 40, s"expected 40 dedup groups: ${perGroup.size}")
+    assert(perGroup.values.forall(_.size == 1),
+      s"groups straddle splits: ${perGroup.filter(_._2.size > 1).take(3)}")
+    // and the splits are actually used (not all one bucket)
+    assert(got.map(_._2).toSet.size >= 2)
   }
 }
