@@ -1425,6 +1425,23 @@ object SparkEntry {
       graft.curation.Curate.leakageSafeSplit(t(s, dir, "documents"))
         .select("doc_id", "canonical_id", "bucket", "split")),
 
+    // ---- dominant principal direction via deterministic power
+    // iteration (ml.Spectral): the "all-but-the-top" embedding
+    // post-processing step — mean-center, two power steps from the
+    // all-ones start, project onto the unit direction. HASH-EXACT via
+    // the q147/q149 fixed-point recipe; the per-label signed and
+    // absolute projection sums gate both the direction and its sign.
+    // ----
+    "q152_dominant_direction" -> ((s, dir) => {
+      graft.ml.Spectral.dominantProjection(t(s, dir, "embeddings"),
+          "embedding", "vec_id", "label", iters = 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("proj_micros")).as("proj_micros_sum"),
+          sum(abs(col("proj_micros"))).as("abs_proj_micros_sum"),
+          sum(when(col("proj_micros") >= 0, 1L).otherwise(0L)).as("n_pos"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3742,6 +3759,57 @@ object SparkEntry {
         |       WHEN CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM canon""".stripMargin,
+
+    // q152: mean-center on exact integer sums, two unrolled power
+    // steps (step 1 uses the exact all-ones simplification c·1 = c, so
+    // dot = list_sum(cs)), then the unit projection. The update
+    // floor(c·dot·2^20 + 0.5) is an exact BIGINT sum; the norm is an
+    // in-order list_sum matching the engine's left fold.
+    "q152_dominant_direction" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> floor(CAST(x AS DOUBLE)*1048576.0 + 0.5)/1048576.0) AS xs
+        |  FROM embeddings),
+        |exm AS (SELECT unnest(list_transform(xs, (x, i) -> {'dim': i, 'x': x}),
+        |                      recursive := true)
+        |        FROM e),
+        |ms AS (SELECT dim, sum(CAST(floor(x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM exm GROUP BY dim),
+        |mu AS (SELECT list(CAST(s AS DOUBLE)/(n*1048576.0) ORDER BY dim) AS m FROM ms),
+        |cc AS (SELECT e.vec_id, e.label,
+        |         list_transform(list_zip(e.xs, mu.m), p -> p[1]-p[2]) AS cs
+        |       FROM e, mu),
+        |d1 AS (SELECT vec_id, label, cs, list_sum(cs) AS dot FROM cc),
+        |ex1 AS (SELECT dot,
+        |          unnest(list_transform(cs, (x, i) -> {'dim': i, 'c': x}),
+        |                 recursive := true)
+        |        FROM d1),
+        |g1 AS (SELECT dim, sum(CAST(floor(c*dot*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex1 GROUP BY dim),
+        |v1 AS (SELECT list(CAST(g AS DOUBLE)/(n*1048576.0) ORDER BY dim) AS v FROM g1),
+        |d2 AS (SELECT cc.vec_id, cc.label, cc.cs,
+        |         list_sum(list_transform(list_zip(cc.cs, v1.v), p -> p[1]*p[2])) AS dot
+        |       FROM cc, v1),
+        |ex2 AS (SELECT dot,
+        |          unnest(list_transform(cs, (x, i) -> {'dim': i, 'c': x}),
+        |                 recursive := true)
+        |        FROM d2),
+        |g2 AS (SELECT dim, sum(CAST(floor(c*dot*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex2 GROUP BY dim),
+        |v2 AS (SELECT list(CAST(g AS DOUBLE)/(n*1048576.0) ORDER BY dim) AS v FROM g2),
+        |nv AS (SELECT sqrt(list_sum(list_transform(v2.v, x -> x*x))) AS nrm FROM v2),
+        |sc AS (SELECT cc.vec_id, cc.label,
+        |         CAST(floor(list_sum(list_transform(list_zip(cc.cs, v2.v),
+        |             p -> p[1]*p[2]))/nv.nrm*1e6 + 0.5) AS BIGINT) AS pm
+        |       FROM cc, v2, nv)
+        |SELECT label, count(*) AS n_docs,
+        |  CAST(sum(pm) AS BIGINT) AS proj_micros_sum,
+        |  CAST(sum(abs(pm)) AS BIGINT) AS abs_proj_micros_sum,
+        |  CAST(sum(CASE WHEN pm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |FROM sc GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -69,6 +69,11 @@ class ScanCountSpec extends SparkSuite {
     // exchange for the rank window
     assert(scanCount("q150_coreset_sample") <= 1)
     assert(shuffleCount("q150_coreset_sample") <= 2)
+    // q152 dominant direction: the mean/power collects run eagerly at
+    // construction; the returned plan projects with broadcast
+    // direction state — one scan, one per-label groupBy exchange
+    assert(scanCount("q152_dominant_direction") <= 1)
+    assert(shuffleCount("q152_dominant_direction") <= 1)
   }
 
   test("the group-any window plans one scan and one shuffle") {
