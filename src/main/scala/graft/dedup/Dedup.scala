@@ -239,10 +239,12 @@ object Dedup {
   def winnowNearDups(docs: DataFrame, textCol: String, idCol: String,
                      k: Int = 16, t: Int = 8, minShared: Int = 2,
                      maxDf: Int = 50): DataFrame = {
+    // array_distinct dedups intra-doc repeats MAP-SIDE (winnowing only
+    // drops consecutive duplicate picks), so (id, fp) is already
+    // unique after the explode — no corpus-wide distinct shuffle
     val fps = docs.select(col(idCol).as("id"),
-        explode(graft.functions.HashFunctions
-          .winnowFingerprint(col(textCol), k, t)).as("fp"))
-      .distinct()
+      explode(array_distinct(graft.functions.HashFunctions
+        .winnowFingerprint(col(textCol), k, t))).as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("fp")
     val pruned = fps.join(rare, Seq("fp"), "left_semi")
@@ -266,10 +268,11 @@ object Dedup {
   def winnowCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
                          k: Int = 16, t: Int = 8, minShared: Int = 2,
                          maxDf: Int = 50): DataFrame = {
+    // array_distinct dedups intra-doc repeats MAP-SIDE — see
+    // [[winnowNearDups]]; the corpus-wide distinct shuffle is gone
     val fps = docs.select(col(idCol).as("id"),
-        explode(graft.functions.HashFunctions
-          .winnowFingerprint(col(textCol), k, t)).as("fp"))
-      .distinct()
+      explode(array_distinct(graft.functions.HashFunctions
+        .winnowFingerprint(col(textCol), k, t))).as("fp"))
     // ONE aggregation yields both the stop-fingerprint df and the
     // bucket representative — a window over fp would sort the whole
     // (id, fp) stream per fingerprint; the hash groupBy + hash join
