@@ -1442,6 +1442,24 @@ object SparkEntry {
           sum(when(col("proj_micros") >= 0, 1L).otherwise(0L)).as("n_pos"))
     }),
 
+    // ---- REAL PCM audio decode (functions.PcmWindowFeatures): the
+    // multimodal audio path with no stub — little-endian int16
+    // samples from the binary payload, per-window RMS / zero
+    // crossings / peak as a codegen'd native expression. HASH-EXACT:
+    // integer sample arithmetic plus one deterministic sqrt; the
+    // oracle re-parses the same bytes through hex(). ----
+    "q153_pcm_features" -> ((s, dir) => {
+      val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "audio")
+      media.select(col("media_id"),
+          explode(graft.functions.MediaFunctions
+            .pcmWindowFeatures(col("media"), 256)).as("w"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("w.rms_micros")).as("rms_micros_sum"),
+          sum(col("w.zero_crossings").cast("long")).as("zero_crossings"),
+          max(col("w.peak")).cast("int").as("peak"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3810,6 +3828,42 @@ object SparkEntry {
         |  CAST(sum(abs(pm)) AS BIGINT) AS abs_proj_micros_sum,
         |  CAST(sum(CASE WHEN pm >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
         |FROM sc GROUP BY 1""".stripMargin,
+
+    // q153: re-parse the UTF-8 payload as little-endian int16 PCM
+    // through hex() — byte 2i is the low byte (positions 4i+1..4i+2 of
+    // the hex string), byte 2i+1 the high byte — then replay the
+    // window features: RMS = floor(sqrt(Σs²/cnt)·1e6 + 0.5) (exact
+    // integer sums, one deterministic sqrt), zero crossings between
+    // consecutive samples within a window (window starts excluded via
+    // i % 256 = 0), peak = max |s|. A trailing odd byte is ignored
+    // (octet_length // 2), zero-sample docs vanish on both sides.
+    "q153_pcm_features" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |             octet_length(encode(text)) // 2 AS n
+        |           FROM documents),
+        |sm AS (SELECT doc_id, i,
+        |         CAST(('0x' || substr(h, 4*i + 3, 2) || substr(h, 4*i + 1, 2))
+        |              AS INTEGER) AS v
+        |       FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM m) t),
+        |sg AS (SELECT doc_id, i, i // 256 AS win,
+        |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        |       FROM sm),
+        |zcs AS (SELECT doc_id, i, win, s,
+        |          CASE WHEN i % 256 <> 0
+        |                 AND (s >= 0) <>
+        |                     (lag(s) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+        |               THEN 1 ELSE 0 END AS z
+        |        FROM sg),
+        |wn AS (SELECT doc_id, win,
+        |         CAST(floor(sqrt(CAST(sum(CAST(s AS BIGINT)*s) AS DOUBLE)
+        |                         / count(*)) * 1e6 + 0.5) AS BIGINT) AS rms,
+        |         sum(z) AS zc, max(abs(s)) AS pk
+        |       FROM zcs GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, count(*) AS n_windows,
+        |  CAST(sum(rms) AS BIGINT) AS rms_micros_sum,
+        |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
+        |  CAST(max(pk) AS INTEGER) AS peak
+        |FROM wn GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -269,4 +269,34 @@ class IoMediaStreamSpec extends SparkSuite {
       Seq("user_id", "event_type")).as[(Long, String)].collect().toSet
     assert(batch === streamed)
   }
+
+  test("PcmWindowFeatures: exact features on a hand-computed square wave") {
+    import graft.functions.MediaFunctions
+    // 600 samples of a +1000/-1000 square wave flipping every sample:
+    // RMS is exactly 1000 in every window, every step is a zero
+    // crossing (255 within a full 256 window, 87 within the 88-sample
+    // tail), peak 1000; plus a short ramp payload and an odd trailing
+    // byte that must be ignored
+    def le16(s: Int): Array[Byte] =
+      Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)
+    val square = (0 until 600).flatMap(i =>
+      le16(if (i % 2 == 0) 1000 else -1000)).toArray
+    val ramp = (0 until 10).flatMap(i => le16(i * 100)).toArray :+ 0x7F.toByte
+    val df = Seq((1L, square), (2L, ramp)).toDF("media_id", "media")
+    val got = df.select(col("media_id"),
+        explode(MediaFunctions.pcmWindowFeatures(col("media"), 256)).as("w"))
+      .select(col("media_id").cast("long"), col("w.win").cast("int"),
+        col("w.rms_micros").cast("long"), col("w.zero_crossings").cast("int"),
+        col("w.peak").cast("int"))
+      .as[(Long, Int, Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 0, 1000000000L, 255, 1000),
+      (1L, 1, 1000000000L, 255, 1000),
+      (1L, 2, 1000000000L, 87, 1000)))
+    // ramp: 10 samples 0,100,...,900 — rms = sqrt(285000/10)*1e6,
+    // no sign change, peak 900; the odd 0x7F byte contributes nothing
+    val rampRow = got.filter(_._1 == 2L)
+    assert(rampRow === Seq((2L, 0,
+      math.floor(math.sqrt(285000.0) * 1e6 + 0.5).toLong, 0, 900)))
+  }
 }

@@ -74,6 +74,9 @@ class ScanCountSpec extends SparkSuite {
     // direction state — one scan, one per-label groupBy exchange
     assert(scanCount("q152_dominant_direction") <= 1)
     assert(shuffleCount("q152_dominant_direction") <= 1)
+    // q153 PCM features: map-only decode + explode, one per-doc groupBy
+    assert(scanCount("q153_pcm_features") <= 1)
+    assert(shuffleCount("q153_pcm_features") <= 1)
   }
 
   test("the group-any window plans one scan and one shuffle") {
