@@ -1460,6 +1460,18 @@ object SparkEntry {
           max(col("w.peak")).cast("int").as("peak"))
     }),
 
+    // ---- BPE merge induction (text.Bpe): 6 frequency-ranked merges
+    // learned from the frequency-weighted word vocabulary — the corpus
+    // is scanned ONCE into the cached vocab; each round is a
+    // dictionary-sized pair count + a 1-row collect + a map-side
+    // greedy merge (codegen'd BpeApplyMerge). No SQL oracle: the
+    // sequential greedy re-segmentation between rounds is not
+    // expressible without per-word recursion — BpeSpec pins the merge
+    // sequence against a local reference instead (rows-only check
+    // covers the 6-row merge table). ----
+    "q154_bpe_merges" -> ((s, dir) =>
+      graft.text.Bpe.merges(t(s, dir, "documents"), "text", rounds = 6)),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,

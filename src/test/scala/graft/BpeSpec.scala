@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.Bpe
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Gates for the BPE merge induction (q154 is rows-only — the
+  * sequential greedy re-segmentation between rounds has no SQL
+  * oracle): a hand-computed fixture pins the exact merge sequence and
+  * tie-breaks, and a randomized property cross-checks the distributed
+  * trainer against a local reference implementation. */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Local reference: word-frequency BPE with (count desc, pair asc)
+    * tie-break and greedy left-to-right merge application. */
+  private def localBpe(words: Map[String, Long],
+                       rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce(w => w._1.map(_.toString).toVector)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((r, l, rr, n))
+        vocab = vocab.groupMapReduce { case (syms, _) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              b += l + rr; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          b.result()
+        }(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("q154 merge sequence matches a hand-computed corpus with ties") {
+    // "aaab" x3, "abab" x2: round 1 counts aa=6, ab=7, ba=2 -> merge
+    // (a,b) n=7; round 2 on {[a,a,ab] x3, [ab,ab] x2} counts aa=3,
+    // a-ab=3, ab-ab=2 -> the 3-3 tie breaks lexicographically to
+    // (a,a); round 3 merges (aa,ab) n=3
+    val docs = Seq((1L, "aaab aaab abab"), (2L, "aaab abab"))
+      .toDF("doc_id", "text")
+    val got = Bpe.merges(docs, "text", rounds = 3)
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("merged"), col("pair_count").cast("long"))
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    val ref = localBpe(Map("aaab" -> 3L, "abab" -> 2L), 3)
+    assert(got.map(r => (r._1, r._2, r._3, r._5)) === ref)
+    assert(got.head._2 == "a" && got.head._3 == "b" && got.head._5 == 7L)
+    assert(got.forall(r => r._4 == r._2 + r._3))
+  }
+
+  test("distributed merges match the local reference on random corpora") {
+    val genWords = Gen.listOfN(8,
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+    val prop = Prop.forAll(genWords) { ws =>
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val got = Bpe.merges(docs, "text", rounds = 4)
+        .select(col("rank").cast("int"), col("left"), col("right"),
+          col("pair_count").cast("long"))
+        .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+      got == localBpe(ws.groupMapReduce(identity)(_ => 1L)(_ + _), 4)
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop).passed)
+  }
+
+  test("segment applies the learned merges greedily per word") {
+    val docs = Seq((1L, "abab aab")).toDF("doc_id", "text")
+    val toks = Bpe.segment(docs, "text", "doc_id", Seq(("a", "b"), ("ab", "ab")))
+      .select(col("token")).as[String].collect().toSeq
+    assert(toks === Seq("abab", "a", "ab"))
+  }
+}
