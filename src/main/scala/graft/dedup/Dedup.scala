@@ -141,25 +141,25 @@ object Dedup {
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
-    val banded = sigs.select(col("id"),
+    // the representative's SIGNATURE rides the bucket window (the
+    // embeddingCanonicalIds stance): one payload shuffle partitioned
+    // by bucket, and the signature-agreement prefilter (slack 0.1,
+    // same contract as minhashNearDups) runs map-side right after the
+    // window — the signatures are computed ONCE, never re-joined
+    // (the previous two sigs re-joins recomputed the minhash pass
+    // twice more over the corpus)
+    val banded = sigs.select(col("id"), col("sig"),
         explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    // candidate (doc, bucket representative) edges: <= bands per doc
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
     val byBucket = Window.partitionBy("band", "bucket")
+    val estimate = HashFunctions.signatureAgreement(col("rep.sig"), col("sig"))
     val edges = banded
-      .withColumn("rep", min(col("id")).over(byBucket))
-      .where(col("id") =!= col("rep"))
-      .select(col("rep").as("id_a"), col("id").as("id_b"))
-      .distinct()
-    // signature-agreement prefilter (slack 0.1, same contract as
-    // minhashNearDups) before the exact token-set verification
-    val estimate = HashFunctions.signatureAgreement(col("sig_a"), col("sig_b"))
-    val prefiltered = edges
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("rep", min(struct(col("id"), col("sig"))).over(byBucket))
+      .where(col("id") =!= col("rep.id"))
       .where(estimate >= threshold - 0.1)
-      .select("id_a", "id_b")
-    val verified = verifyJaccard(prefiltered, docs, textCol, idCol, threshold, shingleSize)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val verified = verifyJaccard(edges, docs, textCol, idCol, threshold, shingleSize)
     canonicalFromEdges(docs, idCol, verified)
   }
 
