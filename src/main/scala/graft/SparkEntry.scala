@@ -1472,6 +1472,34 @@ object SparkEntry {
     "q154_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.merges(t(s, dir, "documents"), "text", rounds = 6)),
 
+    // ---- E2E curation funnel (q155): the whole LLM-curation flow as
+    // ONE correctness-gated composition — exact dedup (q40's
+    // fingerprint canonical), semantic dedup (q148's SemDeDup flags
+    // over the embedding twin), quality gate (q41's token count), and
+    // the leakage-safe split (q151's canonical-id hash) — per-split
+    // doc/id/token sums gate every stage's geometry at once, the way
+    // q139 gates the publication tail. ----
+    "q155_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sem = Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding",
+          "vec_id", k = 8, iters = 2, tauMicros = 400000L)
+        .select(col("vec_id").as("doc_id"), col("is_dup"))
+      val canon = Dedup.exactCanonicalIds(docs, "text", "doc_id")
+        .select("doc_id", "canonical_id")
+      val funnel = docs
+        .join(canon, "doc_id")
+        .join(sem, Seq("doc_id"), "left")
+        .where(col("doc_id") === col("canonical_id"))
+        .where(!coalesce(col("is_dup"), lit(false)))
+        .where(Text.tokenCount(col("text")) >= 30)
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+      graft.curation.Curate.hashSplit(funnel, "canonical_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_tokens").cast("long")).as("token_sum"))
+    }),
+
     // ---- E1 heath structure variables (query_fieldmap.Rmd:417-431):
     // melt the BMS-scale class columns to long form (R5 exclusion melt),
     // separate the "CODE - description" dictionary (R4), patch KW->KB,
@@ -3876,6 +3904,85 @@ object SparkEntry {
         |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
         |  CAST(max(pk) AS INTEGER) AS peak
         |FROM wn GROUP BY 1""".stripMargin,
+
+    // q155: the curation funnel assembled from pinned fragments —
+    // q148's full SemDeDup CTE (Lloyd prefix in lockstep), q40's
+    // fingerprint canonical, q41's token count, q82's md5-bucket split
+    // keyed on the canonical id.
+    "q155_curation_funnel" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d0) t
+        |       WHERE rk = 1),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |upd AS (SELECT a0.cid, ex.dim,
+        |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |          count(*) AS n
+        |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+        |       FROM upd GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c1),
+        |a1 AS (SELECT vec_id, cid, dm FROM (
+        |         SELECT vec_id, cid, dm,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d1) t
+        |       WHERE rk = 1),
+        |sv AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1048576.0 + 0.5) AS BIGINT)) AS sv
+        |       FROM e),
+        |n2 AS (SELECT vec_id,
+        |         CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS n2
+        |       FROM sv),
+        |rnk AS (SELECT vec_id, cid,
+        |          row_number() OVER (PARTITION BY cid ORDER BY dm, vec_id) AS rk
+        |        FROM a1),
+        |dups AS (SELECT DISTINCT y.vec_id
+        |         FROM rnk x JOIN rnk y ON x.cid = y.cid AND x.rk < y.rk
+        |         JOIN sv xs ON xs.vec_id = x.vec_id
+        |         JOIN sv ys ON ys.vec_id = y.vec_id
+        |         JOIN n2 xn ON xn.vec_id = x.vec_id
+        |         JOIN n2 yn ON yn.vec_id = y.vec_id
+        |         WHERE xn.n2 > 0 AND yn.n2 > 0
+        |           AND CAST(floor(CAST(list_sum(list_transform(
+        |                 list_zip(xs.sv, ys.sv), p -> p[1]*p[2])) AS DOUBLE)
+        |               / (sqrt(CAST(xn.n2 AS DOUBLE)) * sqrt(CAST(yn.n2 AS DOUBLE)))
+        |               * 1e6 + 0.5) AS BIGINT) >= 400000),
+        |canon AS (
+        |  SELECT doc_id, text,
+        |    min(doc_id) OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ) AS canonical_id
+        |  FROM documents),
+        |funnel AS (
+        |  SELECT c.doc_id, c.canonical_id,
+        |    len(string_split_regex(trim(c.text), '\s+')) AS n_tokens
+        |  FROM canon c LEFT JOIN dups d ON d.vec_id = c.doc_id
+        |  WHERE c.doc_id = c.canonical_id AND d.vec_id IS NULL
+        |    AND len(string_split_regex(trim(c.text), '\s+')) >= 30),
+        |sp AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM funnel)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_tokens) AS BIGINT) AS token_sum
+        |FROM sp GROUP BY 1""".stripMargin,
 
     "q94_vc_incremental_append" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

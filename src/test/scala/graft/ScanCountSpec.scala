@@ -77,6 +77,11 @@ class ScanCountSpec extends SparkSuite {
     // q153 PCM features: map-only decode + explode, one per-doc groupBy
     assert(scanCount("q153_pcm_features") <= 1)
     assert(shuffleCount("q153_pcm_features") <= 1)
+    // q155 curation funnel: q148's three embeddings scans + docs twice
+    // (canon window broadcast side + the funnel probe side); a rewrite
+    // that re-plans the SemDeDup subtree again would show here
+    assert(scanCount("q155_curation_funnel") <= 5)
+    assert(shuffleCount("q155_curation_funnel") <= 8)
   }
 
   test("the group-any window plans one scan and one shuffle") {
