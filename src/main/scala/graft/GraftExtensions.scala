@@ -39,6 +39,12 @@ object GraftExtensions {
       s"$what must be a numeric literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
@@ -54,7 +60,11 @@ object GraftExtensions {
     "rings_area" -> (es => graft.geo.RingsArea(es(0))),
     "bbox_cells" -> (es => graft.geo.RingsBboxCells(es(0), doubleArg(es(1), "cellSize"))),
     "lambert72_to_wgs84" -> (es => CrsTransform(es(0), es(1), toWgs84 = true)),
-    "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)))
+    "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)),
+    "pcm_windows" -> (es => graft.functions.PcmWindowFeatures(es(0),
+      intArg(es(1), "window"))),
+    "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
+      stringArg(es(1), "left"), stringArg(es(2), "right"))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -31,6 +31,17 @@ class ExtensionsSpec extends SparkSuite {
     val wgs = spark.sql("SELECT lambert72_to_wgs84(150000.0D, 170000.0D) AS p")
       .selectExpr("p.lon", "p.lat").as[(Double, Double)].collect().head
     assert(wgs._1 > 4.2 && wgs._1 < 4.5 && wgs._2 > 50.7 && wgs._2 < 50.9)
+
+    // r12 additions: PCM window features and the BPE merge pass
+    val pcm = spark.sql(
+      "SELECT pcm_windows(CAST(encode('aa', 'UTF-8') AS BINARY), 256) AS w")
+      .selectExpr("w[0].peak", "w[0].zero_crossings").as[(Int, Int)].collect().head
+    assert(pcm === ((0x6161, 0))) // one sample: 'a'=0x61 lo and hi
+
+    val bpe = spark.sql(
+      "SELECT bpe_apply_merge(array('a','b','a'), 'a', 'b') AS m")
+      .as[Seq[String]].collect().head
+    assert(bpe === Seq("ab", "a"))
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
