@@ -1479,6 +1479,17 @@ object SparkEntry {
     // the leakage-safe split (q151's canonical-id hash) — per-split
     // doc/id/token sums gate every stage's geometry at once, the way
     // q139 gates the publication tail. ----
+    // ---- contrastive triplet mining (Curate.contrastiveTriplets):
+    // positives from SemDeDup's qualifying pairs (better-ranked doc =
+    // anchor), hard-ish negative = the most-central doc of the
+    // lowest-id other cluster — training-data prep for embedding
+    // models, fully deterministic → hash-exact. ----
+    "q156_contrastive_triplets" -> ((s, dir) =>
+      graft.curation.Curate.contrastiveTriplets(t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2, tauMicros = 400000L)
+        .select(col("cluster").cast("int").as("cluster_id"), col("id_a"),
+          col("id_b"), col("sim_micros"), col("neg_id"))),
+
     "q155_curation_funnel" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sem = Dedup.semanticDedup(t(s, dir, "embeddings"), "embedding",
@@ -3904,6 +3915,71 @@ object SparkEntry {
         |  CAST(sum(zc) AS BIGINT) AS zero_crossings,
         |  CAST(max(pk) AS INTEGER) AS peak
         |FROM wn GROUP BY 1""".stripMargin,
+
+    // q156: q148's Lloyd CTE through rnk, pairs with the sim in the
+    // SELECT (filtered in the outer), cluster representatives ranked
+    // by cluster id for the deterministic negative pick.
+    "q156_contrastive_triplets" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c0.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c0),
+        |a0 AS (SELECT vec_id, cid FROM (
+        |         SELECT vec_id, cid,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d0) t
+        |       WHERE rk = 1),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |upd AS (SELECT a0.cid, ex.dim,
+        |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+        |          count(*) AS n
+        |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+        |       FROM upd GROUP BY cid),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+        |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+        |       FROM e, c1),
+        |a1 AS (SELECT vec_id, cid, dm FROM (
+        |         SELECT vec_id, cid, dm,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+        |         FROM d1) t
+        |       WHERE rk = 1),
+        |sv AS (SELECT vec_id,
+        |         list_transform(v, x -> CAST(floor(x*1048576.0 + 0.5) AS BIGINT)) AS sv
+        |       FROM e),
+        |n2 AS (SELECT vec_id,
+        |         CAST(list_sum(list_transform(sv, x -> x*x)) AS BIGINT) AS n2
+        |       FROM sv),
+        |rnk AS (SELECT vec_id, cid,
+        |          row_number() OVER (PARTITION BY cid ORDER BY dm, vec_id) AS rk
+        |        FROM a1),
+        |reps AS (SELECT cid, vec_id AS rep_id,
+        |           row_number() OVER (ORDER BY cid) AS o
+        |         FROM rnk WHERE rk = 1),
+        |prs AS (SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b,
+        |          CAST(floor(CAST(list_sum(list_transform(
+        |              list_zip(xs.sv, ys.sv), p -> p[1]*p[2])) AS DOUBLE)
+        |            / (sqrt(CAST(xn.n2 AS DOUBLE)) * sqrt(CAST(yn.n2 AS DOUBLE)))
+        |            * 1e6 + 0.5) AS BIGINT) AS sim_micros
+        |        FROM rnk x JOIN rnk y ON x.cid = y.cid AND x.rk < y.rk
+        |        JOIN sv xs ON xs.vec_id = x.vec_id
+        |        JOIN sv ys ON ys.vec_id = y.vec_id
+        |        JOIN n2 xn ON xn.vec_id = x.vec_id
+        |        JOIN n2 yn ON yn.vec_id = y.vec_id
+        |        WHERE xn.n2 > 0 AND yn.n2 > 0),
+        |q AS (SELECT * FROM prs WHERE sim_micros >= 400000)
+        |SELECT CAST(q.cid AS INTEGER) AS cluster_id, q.id_a, q.id_b, q.sim_micros,
+        |  CASE WHEN q.cid = (SELECT cid FROM reps WHERE o = 1)
+        |       THEN (SELECT rep_id FROM reps WHERE o = 2)
+        |       ELSE (SELECT rep_id FROM reps WHERE o = 1) END AS neg_id
+        |FROM q""".stripMargin,
 
     // q155: the curation funnel assembled from pinned fragments —
     // q148's full SemDeDup CTE (Lloyd prefix in lockstep), q40's

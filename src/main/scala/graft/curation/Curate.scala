@@ -238,6 +238,34 @@ object Curate {
         col("rk").cast("int").as("rk"))
   }
 
+  /** Contrastive-triplet mining for embedding-model training data:
+    * positives are SemDeDup's qualifying within-cluster pairs
+    * ([[graft.dedup.Dedup.semanticDupPairs]] — the better-ranked doc
+    * is the anchor), and the hard-ish negative is the most-central
+    * document (rank 1) of the lowest-id OTHER cluster — deterministic,
+    * so the whole triplet table is oracle-exact. The negative lookup
+    * is driver state (k cluster representatives, the centroid-dictionary
+    * stance), applied map-side; nothing new shuffles beyond the pair
+    * machinery. Returns (cluster, id_a, id_b, sim_micros, neg_id);
+    * with fewer than two non-empty clusters neg_id is null. */
+  def contrastiveTriplets(embeddings: DataFrame, vecCol: String, idCol: String,
+                          k: Int, iters: Int, tauMicros: Long): DataFrame = {
+    val (assigned, pairs) = graft.dedup.Dedup
+      .semanticRankedPairs(embeddings, vecCol, idCol, k, iters, tauMicros)
+    val reps = assigned.where(col("rk") === 1)
+      .select(col("cluster"), col("vec_id"))
+      .collect() // k rows — bounded driver state
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val negExpr =
+      if (reps.length < 2) lit(null).cast("long")
+      else {
+        val (c1, rep1) = reps(0)
+        val rep2 = reps(1)._2
+        when(col("cluster") === c1, lit(rep2)).otherwise(lit(rep1))
+      }
+    pairs.withColumn("neg_id", negExpr)
+  }
+
   /** Leakage-safe dataset split: the split is a function of the
     * EXACT-DEDUP GROUP, not the document — every copy of a duplicated
     * text lands in the same train/val/test bucket, so no evaluation

@@ -456,6 +456,29 @@ object Dedup {
     * Returns one row per document: (vec_id, cluster, is_dup). */
   def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
                     k: Int, iters: Int, tauMicros: Long): DataFrame = {
+    val (assigned, pairs) =
+      semanticRankedPairs(embeddings, vecCol, idCol, k, iters, tauMicros)
+    val dups = pairs.select(col("id_b").as("vec_id")).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Pair-level SemDeDup output: every within-cluster pair whose
+    * fixed-point cosine reaches `tauMicros`, with the better-ranked
+    * doc as `id_a` — the positive-pair miner for contrastive training
+    * data (see [[graft.curation.Curate.contrastiveTriplets]]). Same
+    * machinery and determinism contract as [[semanticDedup]]. */
+  def semanticDupPairs(embeddings: DataFrame, vecCol: String, idCol: String,
+                       k: Int, iters: Int, tauMicros: Long): DataFrame =
+    semanticRankedPairs(embeddings, vecCol, idCol, k, iters, tauMicros)._2
+
+  /** Shared SemDeDup core: the ranked assignment and the qualifying
+    * within-cluster pairs (cluster, id_a, id_b, sim_micros). */
+  private[graft] def semanticRankedPairs(
+      embeddings: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int, tauMicros: Long): (DataFrame, DataFrame) = {
     val assigned = graft.similarity.Ann
       .lloydCluster(embeddings, idCol, vecCol, k, iters, keepVec = true)
       .withColumn("sv", transform(col("v"),
@@ -468,7 +491,7 @@ object Dedup {
       col("sv").as("a_sv"), col("n2").as("a_n2"), col("rk").as("a_rk"))
     val b = assigned.select(col("cluster"), col("vec_id").as("b_id"),
       col("sv").as("b_sv"), col("n2").as("b_n2"), col("rk").as("b_rk"))
-    val dups = a.join(b, Seq("cluster"))
+    val pairs = a.join(b, Seq("cluster"))
       .where(col("a_rk") < col("b_rk") && col("a_n2") > 0 && col("b_n2") > 0)
       .withColumn("dot", aggregate(zip_with(col("a_sv"), col("b_sv"), _ * _),
         lit(0L), (acc, x) => acc + x))
@@ -477,10 +500,8 @@ object Dedup {
           / (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))
           * lit(1e6) + lit(0.5)).cast("long"))
       .where(col("sim_micros") >= tauMicros)
-      .select(col("b_id").as("vec_id")).distinct()
-    assigned
-      .join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .select(col("cluster"), col("a_id").as("id_a"), col("b_id").as("id_b"),
+        col("sim_micros"))
+    (assigned, pairs)
   }
 }

@@ -81,7 +81,8 @@ class OracleConsistencySpec extends AnyFunSuite {
     // hash parity
     val lloyd = "(?s)WITH e AS \\(.*?a1 AS \\(.*?WHERE rk = 1\\)".r
     val ctes = Seq("q147_kmeans_clusters", "q148_semantic_dedup",
-        "q150_coreset_sample", "q155_curation_funnel")
+        "q150_coreset_sample", "q155_curation_funnel",
+        "q156_contrastive_triplets")
       .map(q => q -> norm(lloyd.findFirstIn(SparkEntry.oracleSql(q))
         .getOrElse(fail(s"$q oracle lost its Lloyd CTE"))))
     assert(ctes.map(_._2).distinct.size == 1,

@@ -82,6 +82,10 @@ class ScanCountSpec extends SparkSuite {
     // that re-plans the SemDeDup subtree again would show here
     assert(scanCount("q155_curation_funnel") <= 5)
     assert(shuffleCount("q155_curation_funnel") <= 8)
+    // q156 triplets: the pair join's two assignment sides (the reps
+    // collect runs eagerly at construction); neg pick is a literal
+    assert(scanCount("q156_contrastive_triplets") <= 3)
+    assert(shuffleCount("q156_contrastive_triplets") <= 6)
   }
 
   test("the group-any window plans one scan and one shuffle") {
