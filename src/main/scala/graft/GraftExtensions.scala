@@ -63,6 +63,7 @@ object GraftExtensions {
     "wgs84_to_lambert72" -> (es => CrsTransform(es(0), es(1), toWgs84 = false)),
     "pcm_windows" -> (es => graft.functions.PcmWindowFeatures(es(0),
       intArg(es(1), "window"))),
+    "long_dot" -> (es => graft.functions.LongDot(es(0), es(1))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
       stringArg(es(1), "left"), stringArg(es(2), "right"))))
 

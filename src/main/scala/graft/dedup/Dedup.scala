@@ -483,7 +483,7 @@ object Dedup {
       .lloydCluster(embeddings, idCol, vecCol, k, iters, keepVec = true)
       .withColumn("sv", transform(col("v"),
         x => floor(x * lit(1048576.0) + lit(0.5)).cast("long")))
-      .withColumn("n2", aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("n2", VectorFunctions.longDot(col("sv"), col("sv")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cluster").orderBy(col("dist_micros"), col("vec_id"))))
       .select("vec_id", "cluster", "sv", "n2", "rk")
@@ -493,8 +493,7 @@ object Dedup {
       col("sv").as("b_sv"), col("n2").as("b_n2"), col("rk").as("b_rk"))
     val pairs = a.join(b, Seq("cluster"))
       .where(col("a_rk") < col("b_rk") && col("a_n2") > 0 && col("b_n2") > 0)
-      .withColumn("dot", aggregate(zip_with(col("a_sv"), col("b_sv"), _ * _),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", VectorFunctions.longDot(col("a_sv"), col("b_sv")))
       .withColumn("sim_micros",
         floor(col("dot").cast("double")
           / (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double")))

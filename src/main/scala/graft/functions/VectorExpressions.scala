@@ -76,6 +76,56 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact integer dot product of two `array<long>` columns — the
+  * SemDeDup family's hot inner loop (2^-20-snapped dots and squared
+  * norms). Replaces the `aggregate(zip_with(...))` higher-order
+  * formulation, which Catalyst evaluates interpreted per element with
+  * lambda-closure allocation — as a JOIN CONDITION that interpreter
+  * ran once per candidate pair (millions of times per cluster join);
+  * the fused codegen loop makes the pair verification CPU-bound on
+  * the multiply itself. Exact BIGINT sums are order-independent, so
+  * the oracle contract is untouched. NULL on length mismatch. */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    java.lang.Long.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH signature of an `array<float>` vector: bit p is
   * the sign of the dot product with a deterministic Rademacher (+-1)
   * hyperplane derived from xxhash64 — no stored plane matrix, so the
@@ -132,4 +182,8 @@ object VectorFunctions {
   /** Column API: `bits`-bit hyperplane LSH signature of an array<float>. */
   def hyperplaneLsh(v: Column, bits: Int): Column =
     GraftBridge.column(HyperplaneLsh(GraftBridge.expression(v), bits))
+
+  /** Column API: exact integer dot product of two array<long> columns. */
+  def longDot(a: Column, b: Column): Column =
+    GraftBridge.column(LongDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

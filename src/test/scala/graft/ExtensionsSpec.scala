@@ -42,6 +42,10 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT bpe_apply_merge(array('a','b','a'), 'a', 'b') AS m")
       .as[Seq[String]].collect().head
     assert(bpe === Seq("ab", "a"))
+
+    val dot = spark.sql(
+      "SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d").as[Long].collect().head
+    assert(dot === 31L)
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
