@@ -126,6 +126,107 @@ case class LongDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sequential-fold dot product of two `array<double>` columns — the
+  * training loops' per-row z = x·w. Bit-identical to the
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation it replaces
+  * (same left-to-right IEEE op sequence: acc + (a_i·b_i)), which is
+  * what the DuckDB oracles' in-order `list_sum` mirrors — the fused
+  * codegen loop only removes the per-element lambda interpretation.
+  * NULL on length mismatch. */
+case class DoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "double_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DoubleDot =
+    copy(left = l, right = r)
+}
+
+/** Squared-L2 distance in 1e-6 fixed point between an `array<double>`
+  * vector and a (typically literal) centroid — the Lloyd assignment's
+  * hot loop, evaluated k times per row. Bit-identical to the
+  * `floor(aggregate(zip_with(v, c, (x,cc) => (x-cc)²), 0.0, _+_)·1e6
+  * + 0.5)` formulation it replaces (same left fold, same final floor),
+  * so the q147-family oracles are untouched. NULL on length mismatch. */
+case class SquaredL2Micros(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "squared_l2_micros"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i)
+      d += t * t
+      i += 1
+    }
+    java.lang.Long.valueOf(math.floor(d * 1e6 + 0.5).toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $t = $a.getDouble($i) - $b.getDouble($i);
+         |    $d += $t * $t;
+         |  }
+         |  ${ev.value} = (long) Math.floor($d * 1.0E6 + 0.5);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SquaredL2Micros =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH signature of an `array<float>` vector: bit p is
   * the sign of the dot product with a deterministic Rademacher (+-1)
   * hyperplane derived from xxhash64 — no stored plane matrix, so the
@@ -186,4 +287,12 @@ object VectorFunctions {
   /** Column API: exact integer dot product of two array<long> columns. */
   def longDot(a: Column, b: Column): Column =
     GraftBridge.column(LongDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: sequential-fold dot of two array<double> columns. */
+  def doubleDot(a: Column, b: Column): Column =
+    GraftBridge.column(DoubleDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: squared-L2 distance in 1e-6 fixed point. */
+  def squaredL2Micros(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredL2Micros(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

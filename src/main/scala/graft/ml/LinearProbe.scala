@@ -54,8 +54,7 @@ object LinearProbe {
     val width = e.select(size(col("xs"))).head().getInt(0)
     var w: Seq[Double] = Seq.fill(width)(0.0)
 
-    def z = aggregate(zip_with(col("xs"), typedLit(w), (x, ww) => x * ww),
-      lit(0.0), (acc, x) => acc + x)
+    def z = graft.functions.VectorFunctions.doubleDot(col("xs"), typedLit(w))
     def s = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
 
     for (_ <- 1 to iters) {

@@ -53,9 +53,8 @@ object Spectral {
     var v: Seq[Double] = Seq.fill(width)(1.0)
     for (_ <- 1 to iters) {
       val rows = e
-        .withColumn("dot", aggregate(
-          zip_with(centered, typedLit(v), (c, vv) => c * vv),
-          lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot",
+          graft.functions.VectorFunctions.doubleDot(centered, typedLit(v)))
         .select(col("dot"), posexplode(centered).as(Seq("dim", "c")))
         .groupBy("dim")
         .agg(sum(floor(col("c") * col("dot") * lit(1048576.0) + lit(0.5))
@@ -68,8 +67,7 @@ object Spectral {
     // unit-normalize at projection time; the left-fold norm matches the
     // oracle's in-order list_sum (same IEEE op sequence)
     val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
-    val proj = aggregate(zip_with(centered, typedLit(v), (c, vv) => c * vv),
-      lit(0.0), (acc, x) => acc + x)
+    val proj = graft.functions.VectorFunctions.doubleDot(centered, typedLit(v))
     e.select(col("vec_id"), col("label"),
       floor(proj / lit(norm) * lit(1e6) + lit(0.5)).cast("long").as("proj_micros"))
   }

@@ -203,11 +203,11 @@ object Ann {
         .map { case (v, i) => (i, v) }
 
     def assigned(): DataFrame = {
+      // native fused loop (VectorFunctions.squaredL2Micros) — the
+      // aggregate(zip_with(...)) form ran interpreted k times per row
       val dists = centroids.map { case (cid, c) =>
-        val d = aggregate(
-          zip_with(col("v"), typedLit(c), (x, cc) => (x - cc) * (x - cc)),
-          lit(0.0), (acc, x) => acc + x)
-        struct(floor(d * 1e6 + lit(0.5)).cast("long").as("dm"),
+        struct(
+          VectorFunctions.squaredL2Micros(col("v"), typedLit(c)).as("dm"),
           lit(cid).as("cid"))
       }
       e.withColumn("best", element_at(array_sort(array(dists: _*)), 1))
