@@ -46,6 +46,16 @@ class ExtensionsSpec extends SparkSuite {
     val dot = spark.sql(
       "SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d").as[Long].collect().head
     assert(dot === 31L)
+
+    val ddot = spark.sql(
+      "SELECT double_dot(array(0.5D, 2.0D), array(4.0D, 0.25D)) AS d")
+      .as[Double].collect().head
+    assert(ddot === 2.5)
+
+    val l2 = spark.sql(
+      "SELECT squared_l2_micros(array(1.0D, 2.0D), array(1.0D, 0.5D)) AS d")
+      .as[Long].collect().head
+    assert(l2 === 2250000L)
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
