@@ -35,6 +35,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match zip_with NULL propagation
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -61,13 +62,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $xi = (double) $a.getFloat($i);
          |    final double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  final double $denom = Math.sqrt($na) * Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / $denom; }
+         |  if (!${ev.isNull}) {
+         |    final double $denom = Math.sqrt($na) * Math.sqrt($nb);
+         |    if ($denom == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / $denom; }
+         |  }
          |}
        """.stripMargin
     })
@@ -99,7 +103,11 @@ case class LongDot(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0L
     var i = 0
-    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match zip_with NULL propagation
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     java.lang.Long.valueOf(dot)
   }
 
@@ -115,6 +123,7 @@ case class LongDot(left: Expression, right: Expression)
          |} else {
          |  long $dot = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += $a.getLong($i) * $b.getLong($i);
          |  }
          |  ${ev.value} = $dot;
@@ -147,7 +156,11 @@ case class DoubleDot(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match zip_with NULL propagation
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     java.lang.Double.valueOf(dot)
   }
 
@@ -163,6 +176,7 @@ case class DoubleDot(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  ${ev.value} = $dot;
@@ -195,6 +209,7 @@ case class SquaredL2Micros(left: Expression, right: Expression)
     var d = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // match zip_with NULL propagation
       val t = x.getDouble(i) - y.getDouble(i)
       d += t * t
       i += 1
@@ -215,6 +230,7 @@ case class SquaredL2Micros(left: Expression, right: Expression)
          |} else {
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    final double $t = $a.getDouble($i) - $b.getDouble($i);
          |    $d += $t * $t;
          |  }
@@ -259,14 +275,35 @@ object HyperplaneLsh {
   @inline private def rademacher(p: Int, i: Int): Double =
     if ((XXH64.hashLong(p.toLong * 1000003L + i, 7L) & 1L) == 1L) 1.0 else -1.0
 
+  // the plane depends only on (p, i) — cache it per (bits, dim) per
+  // JVM so the hot loop is a plain multiply-accumulate instead of
+  // bits*dim xxhash64 calls PER ROW (the dominant CPU cost of the LSH
+  // bucketing pass at scale); determinism is unchanged, the cache is
+  // a handful of dim-sized arrays, and no broadcast state is needed
+  private val planes =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def plane(bits: Int, n: Int): Array[Double] =
+    planes.computeIfAbsent((bits.toLong << 32) | n.toLong, _ => {
+      val out = new Array[Double](bits * n)
+      var p = 0
+      while (p < bits) {
+        var i = 0
+        while (i < n) { out(p * n + i) = rademacher(p, i); i += 1 }
+        p += 1
+      }
+      out
+    })
+
   def signature(x: ArrayData, bits: Int): Long = {
     val n = x.numElements()
+    val pl = plane(bits, n)
     var out = 0L
     var p = 0
     while (p < bits) {
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += x.getFloat(i).toDouble * rademacher(p, i); i += 1 }
+      while (i < n) { dot += x.getFloat(i).toDouble * pl(p * n + i); i += 1 }
       if (dot > 0.0) out |= (1L << p)
       p += 1
     }

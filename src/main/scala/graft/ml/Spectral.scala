@@ -48,14 +48,18 @@ object Spectral {
     val mu: Seq[Double] = muRows.map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1).map { case (_, s) => s.toDouble / (nD * 1048576.0) }.toSeq
 
+    // materialized once per row per scan — as a def the interpreted
+    // zip_with would be instantiated twice in the same select (the dot
+    // AND the posexplode), doubling per-element lambda work
     def centered = zip_with(col("xs"), typedLit(mu), (x, m) => x - m)
 
     var v: Seq[Double] = Seq.fill(width)(1.0)
     for (_ <- 1 to iters) {
       val rows = e
+        .withColumn("cs", centered)
         .withColumn("dot",
-          graft.functions.VectorFunctions.doubleDot(centered, typedLit(v)))
-        .select(col("dot"), posexplode(centered).as(Seq("dim", "c")))
+          graft.functions.VectorFunctions.doubleDot(col("cs"), typedLit(v)))
+        .select(col("dot"), posexplode(col("cs")).as(Seq("dim", "c")))
         .groupBy("dim")
         .agg(sum(floor(col("c") * col("dot") * lit(1048576.0) + lit(0.5))
           .cast("long")).as("g"), count(lit(1)).as("n"))
@@ -65,10 +69,16 @@ object Spectral {
         .map { case (_, g) => g.toDouble / (n * 1048576.0) }.toSeq
     }
     // unit-normalize at projection time; the left-fold norm matches the
-    // oracle's in-order list_sum (same IEEE op sequence)
+    // oracle's in-order list_sum (same IEEE op sequence). A degenerate
+    // corpus (all documents identical, or a shrinking direction hitting
+    // the quantization floor) yields an all-zero v: emit NULL
+    // projections rather than NaN/0 (NaN would crash the long cast
+    // under ANSI and silently read as a real zero otherwise).
     val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
     val proj = graft.functions.VectorFunctions.doubleDot(centered, typedLit(v))
-    e.select(col("vec_id"), col("label"),
-      floor(proj / lit(norm) * lit(1e6) + lit(0.5)).cast("long").as("proj_micros"))
+    val projMicros =
+      if (norm == 0.0) lit(null).cast("long")
+      else floor(proj / lit(norm) * lit(1e6) + lit(0.5)).cast("long")
+    e.select(col("vec_id"), col("label"), projMicros.as("proj_micros"))
   }
 }

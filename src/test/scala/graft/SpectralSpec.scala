@@ -36,6 +36,20 @@ class SpectralSpec extends SparkSuite {
       s"projection magnitude collapsed: ${projs.head} .. ${projs.last}")
   }
 
+  test("a degenerate corpus yields NULL projections, not NaN or fake zeros") {
+    // all documents identical -> centered vectors all zero -> the
+    // power iteration's direction collapses to zero; the projection
+    // must surface as NULL (a NaN would crash the long cast under
+    // ANSI mode and read as a real 0 otherwise)
+    val flat = (0 until 6).map(i => (i.toLong, 0, Array(0.25f, -0.5f, 0.75f, 0.125f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Spectral.dominantProjection(flat, "embedding", "vec_id", "label",
+        iters = 2)
+      .select(col("proj_micros")).collect()
+    assert(got.length === 6)
+    assert(got.forall(_.isNullAt(0)), s"expected all-NULL projections: ${got.toSeq}")
+  }
+
   test("the direction is deterministic under repartitioning") {
     def run() = Spectral
       .dominantProjection(line.repartition(5), "embedding", "vec_id", "label",
