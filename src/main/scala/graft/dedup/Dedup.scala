@@ -27,24 +27,33 @@ object Dedup {
       min(col(idCol)).over(Window.partitionBy("fingerprint")))
   }
 
-  /** Candidate pairs from MinHash banding (LSH): signature of `bands*rowsPerBand`
-    * hashes over word `shingleSize`-grams, split into bands; docs sharing
-    * any band bucket become a candidate pair (id_a < id_b). */
-  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+  /** Shared MinHash banding pipeline (the [[hyperplaneBanded]] stance
+    * for token signatures): (id, sig, band, bucket) with band bucket =
+    * hash of the band's slice of the `bands*rowsPerBand`-hash signature
+    * over word `shingleSize`-grams. Callers drop `sig` when they don't
+    * carry it into the verify. */
+  private def minhashBanded(docs: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int, bands: Int,
+                            rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val toks = Text.tokens(col(textCol))
     val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
     val sigs = docs.select(
       col(idCol).as("id"),
       HashFunctions.minhashSignature(units, k).as("sig"))
-    // band bucket = hash of the band's slice of the signature
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
-    val banded = sigs.select(
-      col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    sigs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Candidate pairs from MinHash banding (LSH): docs sharing any band
+    * bucket become a candidate pair (id_a < id_b). */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val banded = minhashBanded(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .select("id", "band", "bucket")
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -87,17 +96,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleSize: Int = 1,
                       bands: Int = 2, rowsPerBand: Int = 16): DataFrame = {
-    val k = bands * rowsPerBand
-    val toks = Text.tokens(col(textCol))
-    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
-    val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.minhashSignature(units, k).as("sig"))
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded = minhashBanded(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
     val l = banded.as("l")
     val r = banded.as("r")
     val estimate = HashFunctions.signatureAgreement(col("sig_a"), col("sig_b"))
@@ -133,14 +132,6 @@ object Dedup {
   def minhashCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
                           threshold: Double, shingleSize: Int = 1,
                           bands: Int = 2, rowsPerBand: Int = 16): DataFrame = {
-    val k = bands * rowsPerBand
-    val toks = Text.tokens(col(textCol))
-    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
-    val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.minhashSignature(units, k).as("sig"))
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bucket")))
     // the representative's SIGNATURE rides the bucket window (the
     // embeddingCanonicalIds stance): one payload shuffle partitioned
     // by bucket, and the signature-agreement prefilter (slack 0.1,
@@ -148,9 +139,7 @@ object Dedup {
     // window — the signatures are computed ONCE, never re-joined
     // (the previous two sigs re-joins recomputed the minhash pass
     // twice more over the corpus)
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded = minhashBanded(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
     val byBucket = Window.partitionBy("band", "bucket")
     val estimate = HashFunctions.signatureAgreement(col("rep.sig"), col("sig"))
     val edges = banded
@@ -191,9 +180,19 @@ object Dedup {
         coalesce(col("component"), col("id")).as("canonical_id"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signature, candidates share one of
-    * four 16-bit bands (guarantees recall for Hamming distance <= 3),
-    * verified by exact Hamming <= maxHamming. */
+  /** Shared SimHash banding: (id, sig, band, bucket) over the four
+    * 16-bit bands of the 64-bit signature. */
+  private def simhashBanded(docs: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      HashFunctions.simhash64(Text.tokens(col(textCol))).as("sig"))
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
+    sigs.select(col("id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+  }
+
   /** SimHash near-dup canonical ids — the O(n)-output form of
     * [[simhashNearDups]] (same stance as [[minhashCanonicalIds]]):
     * candidate edges run doc -> bucket representative (`min(id)` per
@@ -205,14 +204,7 @@ object Dedup {
     * to their cluster minimum in one run. */
   def simhashCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.simhash64(Text.tokens(col(textCol))).as("sig"))
-    val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded = simhashBanded(docs, textCol, idCol)
     // min(struct(id, sig)) orders lexicographically by field order ->
     // the bucket representative AND its signature in one window pass
     val byBucket = Window.partitionBy("band", "bucket")
@@ -260,9 +252,13 @@ object Dedup {
     * [[winnowNearDups]] (same stance as the MinHash/SimHash canonical
     * forms): per surviving fingerprint the candidate edge runs
     * doc -> fingerprint representative (min id), so a boilerplate
-    * bucket contributes O(bucket) edges, never O(bucket²); an edge
-    * verifies when the doc shares at least `minShared` fingerprints
-    * with its representative, and verified edges resolve through the
+    * bucket contributes O(bucket) edges, never O(bucket²). Each
+    * candidate pair then verifies on its TRUE shared-fingerprint
+    * count — the full |fps(doc) ∩ fps(rep)| over surviving
+    * fingerprints, exactly [[winnowNearDups]]' count for that pair —
+    * not just the fingerprints whose bucket minimum happens to be
+    * this rep (counting only those undercounts and silently missed
+    * pairs the pair form catches). Verified edges resolve through the
     * shared connected-components closure so chains A~B~C discovered
     * via different fingerprints collapse to one cluster minimum. */
   def winnowCanonicalIds(docs: DataFrame, textCol: String, idCol: String,
@@ -280,26 +276,31 @@ object Dedup {
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)
-      .select("fp", "rep")
-    val edges = fps.join(rare, Seq("fp"))
+    // candidate doc->rep pairs (O(docs × fps-per-doc), never bucket²),
+    // then the true intersection size per pair via the candidate docs'
+    // surviving-fingerprint SETS (the verifyJaccard stance — two
+    // id-keyed joins carrying one array each, instead of re-exploding
+    // the fingerprint stream per pair)
+    val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
+    val cand = fps.join(rare.select("fp", "rep"), Seq("fp"))
       .where(col("id") =!= col("rep"))
-      .groupBy(col("rep").as("id_a"), col("id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val edges = cand
+      .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
+      .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))
+      .where(size(array_intersect(col("set_a"), col("set_b"))) >= minShared)
       .select("id_a", "id_b")
     canonicalFromEdges(docs, idCol, edges)
   }
 
+  /** SimHash near-dup pairs: 64-bit signature, candidates share one of
+    * four 16-bit bands (guarantees recall for Hamming distance <= 3),
+    * verified by exact Hamming <= maxHamming. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      HashFunctions.simhash64(Text.tokens(col(textCol))).as("sig"))
-    val bandStructs = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket")))
-    val banded = sigs.select(col("id"), col("sig"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val banded = simhashBanded(docs, textCol, idCol)
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,

@@ -173,6 +173,27 @@ class TextAndDedupSpec extends SparkSuite {
     assert(canon(4L) === 4L)
   }
 
+  test("winnowCanonicalIds counts the TRUE pair intersection, not per-rep splits") {
+    // doc 1 owns only region S2, so S2's fingerprint rep is 1 while
+    // S1's rep is 2 — docs 2 and 3 share BOTH regions, but their
+    // shared fingerprints split across reps 1 and 2. The per-rep
+    // grouping undercounted (each rep saw < minShared) and silently
+    // missed the 2~3 pair the pair form finds; the intersection count
+    // per candidate pair must link them.
+    val s1 = "quaint harbor lanterns glow " * 3  // long: many shared fps
+    val s2 = "mossy cellar doorway oak"          // barely >= t+k-1 = 23 bytes
+    val docs = Seq(
+      (1L, s"solo prologue. $s2"),
+      (2L, s"$s1 midline. $s2"),
+      (3L, s"$s1 midline. $s2 epilogue"))
+      .toDF("doc_id", "text")
+    val canon = Dedup.winnowCanonicalIds(docs, "text", "doc_id",
+        k = 16, t = 8, minShared = 4, maxDf = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(canon(2L) === canon(3L), s"2~3 must link: $canon")
+    assert(canon(2L) === 2L, s"cluster minimum is 2: $canon")
+  }
+
   test("embeddingCanonicalIds groups identical vectors, one row per id") {
     val dup = Seq(0.6f, 0.8f, 0.0f, 0.0f)
     val docs = Seq(
