@@ -290,7 +290,8 @@ object Dedup {
     val edges = cand
       .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
       .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))
-      .where(size(array_intersect(col("set_a"), col("set_b"))) >= minShared)
+      .where(JaccardFunctions.longIntersectCount(col("set_a"), col("set_b"))
+        >= minShared)
       .select("id_a", "id_b")
     canonicalFromEdges(docs, idCol, edges)
   }

@@ -56,6 +56,11 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT squared_l2_micros(array(1.0D, 2.0D), array(1.0D, 0.5D)) AS d")
       .as[Long].collect().head
     assert(l2 === 2250000L)
+
+    val ic = spark.sql(
+      "SELECT long_intersect_count(array(3L, 1L, 2L, 2L), array(2L, 3L, 9L)) AS c")
+      .as[Int].collect().head
+    assert(ic === 2)
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
