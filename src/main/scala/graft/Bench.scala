@@ -24,12 +24,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: JVM + codegen + parquet footer caches across the three
-    // main code-path families (relational aggs, text/jaccard, vectors)
+    // main code-path families (relational aggs, text/jaccard, vectors).
+    // Its wall time is REPORTED ("warmup_sec") so rounds can separate
+    // ambient JVM/host shifts from per-query regressions — a hot round
+    // and a cold round differ in warmup first.
+    val w0 = System.nanoTime()
     Seq("q01_pricing_summary", "q46_blocked_jaccard", "q50_ann_bruteforce")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => }
       }
+    val warmupSec = (System.nanoTime() - w0) / 1e9
 
     // median of 5 INTERLEAVED passes per query: the local VM host shows
     // not only per-run noise spikes but multi-minute whole-host stalls
@@ -44,6 +49,10 @@ object Bench {
     // dev aid: SPARK_GRAFT_BENCH_ONLY=regex restricts the query set (the
     // harness never sets it, so driver runs always cover everything)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    // dev aid: SPARK_GRAFT_BENCH_MAX=138 restricts to qNNN <= 138 (the
+    // round-over-round bisect runs an older round's exact query subset
+    // on the current tree; the harness never sets it)
+    val maxQ = sys.env.get("SPARK_GRAFT_BENCH_MAX").map(_.toInt)
     // NUMERIC qNNN order, not alphabetical: the harness keeps only the
     // last ~2000 chars of the output line, and alphabetical order put
     // q100+ (each round's NEW queries — the figures a judge needs most)
@@ -55,6 +64,7 @@ object Bench {
     }
     val queries = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .filter { case (name, _) => maxQ.forall(qnum(name) <= _) }
     val samples = (1 to runs).flatMap { _ =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -87,7 +97,7 @@ object Bench {
     val sfLabel = new java.io.File(sfDir).getName
     // "total_sec" is duplicated at the END of the line as a belt-and-
     // braces for any capture window that still clips the head.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","runs":$runs,"total_sec":$total%.3f}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","runs":$runs,"warmup_sec":$warmupSec%.1f,"total_sec":$total%.3f}""")
     spark.stop()
   }
 }

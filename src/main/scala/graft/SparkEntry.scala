@@ -1464,13 +1464,32 @@ object SparkEntry {
     // learned from the frequency-weighted word vocabulary — the corpus
     // is scanned ONCE into the cached vocab; each round is a
     // dictionary-sized pair count + a 1-row collect + a map-side
-    // greedy merge (codegen'd BpeApplyMerge). No SQL oracle: the
-    // sequential greedy re-segmentation between rounds is not
-    // expressible without per-word recursion — BpeSpec pins the merge
-    // sequence against a local reference instead (rows-only check
-    // covers the 6-row merge table). ----
+    // greedy merge (codegen'd BpeApplyMerge). HASH-EXACT: the DuckDB
+    // oracle UNROLLS the six rounds (the r12 "needs per-word
+    // recursion" note was wrong — fixed-round unrolling needs none):
+    // per round a pair count over the exploded (word, pos, sym) state,
+    // the same (count desc, l, r) top-1, and the greedy non-overlapping
+    // left-to-right application via window functions (a candidate
+    // chain can only arise for l==r runs, where the odd row_number
+    // parity within each consecutive-candidate island is exactly the
+    // greedy choice). BpeSpec still pins tie-breaks + deep (256-round)
+    // runs against a local reference. ----
     "q154_bpe_merges" -> ((s, dir) =>
       graft.text.Bpe.merges(t(s, dir, "documents"), "text", rounds = 6)),
+
+    // ---- BPE segmentation (text.Bpe.segment): the APPLY half of the
+    // tokenizer — six fixed merges (the ones q154 learns at sf0.01,
+    // frozen as explicit parameters so the two queries gate the two
+    // halves independently) applied greedily to every word of every
+    // document, reduced to the corpus token histogram. Map-side only
+    // until the final aggregate: one pass per merge over the exploded
+    // token stream, no shuffle before the groupBy. ----
+    "q157_bpe_segment" -> ((s, dir) =>
+      graft.text.Bpe.segment(t(s, dir, "documents"), "text", "doc_id",
+          SparkEntry.bpeFixedMerges)
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("doc_id")).as("n_docs"))),
 
     // ---- E2E curation funnel (q155): the whole LLM-curation flow as
     // ONE correctness-gated composition — exact dedup (q40's
@@ -3541,10 +3560,116 @@ object SparkEntry {
         |FROM gl g LEFT JOIN critmean cm
         |  ON g.id = cm.id AND g.type_analysis = cm.type_analysis""".stripMargin
 
+  /** The fixed merge list q157 applies (the six merges q154 learns at
+    * sf0.01, frozen as explicit parameters — q157 gates the APPLY half
+    * of BPE independently of the learner). */
+  val bpeFixedMerges: Seq[(String, String)] =
+    Seq(("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("m", "er"))
+
+  /** One greedy non-overlapping left-to-right merge application of the
+    * pair in scope, as DuckDB window SQL over an exploded
+    * (partition-keys…, pos, sym) state. The only way two candidate
+    * starts can be adjacent is an l==r run ("aaaa" under (a,a) has
+    * candidates at 1,2,3), where greedy keeps every other one — i.e.
+    * the odd row_number parity within each consecutive-candidate
+    * island (islands via the pos - row_number gaps trick). A consumed
+    * position is one whose predecessor was a kept candidate
+    * (lag(kept)); survivors are re-numbered. `lSql`/`rSql` are SQL
+    * expressions for the pair (literals for q157, the top_k row for
+    * q154). */
+  private def bpeApplyMergeSql(k: Int, prev: String, keys: String,
+                               fromExtra: String, lSql: String,
+                               rSql: String): String =
+    s"""cand_$k AS (
+       |  SELECT s.*,
+       |         (s.sym = $lSql AND
+       |          lead(s.sym) OVER (PARTITION BY $keys ORDER BY s.pos) = $rSql) AS cand
+       |  FROM $prev s$fromExtra),
+       |grp_$k AS (
+       |  SELECT *, CASE WHEN cand THEN
+       |      pos - row_number() OVER (PARTITION BY $keys, cand ORDER BY pos)
+       |    END AS grp
+       |  FROM cand_$k),
+       |seg_$k AS MATERIALIZED (
+       |  SELECT * EXCLUDE (pos, sym, cand, grp, kept, prev_kept, lead_sym),
+       |         row_number() OVER (PARTITION BY $keys ORDER BY pos) AS pos,
+       |         CASE WHEN kept THEN sym || lead_sym ELSE sym END AS sym
+       |  FROM (SELECT *,
+       |          lag(kept, 1, false) OVER (PARTITION BY $keys ORDER BY pos) AS prev_kept,
+       |          lead(sym) OVER (PARTITION BY $keys ORDER BY pos) AS lead_sym
+       |        FROM (SELECT *,
+       |                cand AND (row_number() OVER (PARTITION BY $keys, grp ORDER BY pos) % 2 = 1) AS kept
+       |              FROM grp_$k) kk)
+       |  WHERE NOT prev_kept)""".stripMargin
+
+  /** q154's oracle: the 6 learning rounds UNROLLED — per round a pair
+    * count over the exploded per-word symbol state, the (n desc, l, r)
+    * top-1 (DuckDB varchar comparison is memcmp, same as Spark's
+    * UTF8String binary order), and the greedy merge application. */
+  private def bpeMergeOracleSql(rounds: Int): String = {
+    val head =
+      """WITH vocab AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |seg_0 AS MATERIALIZED (
+        |  SELECT word, freq, i AS pos, chars[i] AS sym
+        |  FROM (SELECT word, freq, regexp_split_to_array(word, '') AS chars FROM vocab),
+        |       unnest(generate_series(1, len(chars))) AS gs(i))""".stripMargin
+    val perRound = (1 to rounds).map { k =>
+      s"""pairs_$k AS (
+         |  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS n
+         |  FROM seg_${k - 1} a JOIN seg_${k - 1} b
+         |    ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |top_$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM pairs_$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |""".stripMargin +
+        bpeApplyMergeSql(k, s"seg_${k - 1}", "word", s" CROSS JOIN top_$k t",
+          "t.l", "t.r")
+    }
+    val sel = (1 to rounds).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right", l || r AS merged, n AS pair_count FROM top_$k""")
+      .mkString(" UNION ALL ")
+    (head +: perRound).mkString(",\n") + s"\nSELECT * FROM ($sel) ORDER BY rank"
+  }
+
+  /** q157's oracle: the fixed merges applied (same unrolled machinery,
+    * pair literals instead of a learned top-1) to the exploded
+    * (doc_id, word-index, pos, sym) corpus state, reduced to the
+    * token histogram. */
+  private def bpeSegmentOracleSql(ms: Seq[(String, String)]): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT doc_id, i AS widx, ws[i] AS word
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |       unnest(generate_series(1, len(ws))) AS gs(i)
+        |  WHERE length(ws[i]) > 0),
+        |seg_0 AS MATERIALIZED (
+        |  SELECT doc_id, widx, i AS pos, chars[i] AS sym
+        |  FROM (SELECT doc_id, widx, regexp_split_to_array(word, '') AS chars FROM words),
+        |       unnest(generate_series(1, len(chars))) AS gs(i))""".stripMargin
+    def lit(x: String) = "'" + x.replace("'", "''") + "'"
+    val perRound = ms.zipWithIndex.map { case ((l, r), i) =>
+      bpeApplyMergeSql(i + 1, s"seg_$i", "doc_id, widx", "", lit(l), lit(r))
+    }
+    (head +: perRound).mkString(",\n") +
+      s"""
+         |SELECT sym AS token, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM seg_${ms.size} GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
+    // q154/q157: the BPE learner and the BPE segmenter, both via the
+    // unrolled greedy-merge window machinery (generators above).
+    "q154_bpe_merges" -> bpeMergeOracleSql(6),
+    "q157_bpe_segment" -> bpeSegmentOracleSql(bpeFixedMerges),
     // q99: replay Layout.zvalue — quantize each dimension to an 8-bit
     // cell (scale by 2^bits, clamp the top cell; identical IEEE double
     // ops in both engines), then interleave via unrolled shift/mask

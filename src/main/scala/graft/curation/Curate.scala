@@ -252,16 +252,22 @@ object Curate {
                           k: Int, iters: Int, tauMicros: Long): DataFrame = {
     val (assigned, pairs) = graft.dedup.Dedup
       .semanticRankedPairs(embeddings, vecCol, idCol, k, iters, tauMicros)
+    // id read GENERICALLY (r.get) and re-injected via lit(anyRef):
+    // idCol is caller-typed (long in the driver queries, but int or
+    // string ids must not ClassCastException here — only the cluster
+    // column's int type is this module's own contract)
     val reps = assigned.where(col("rk") === 1)
       .select(col("cluster"), col("vec_id"))
       .collect() // k rows — bounded driver state
-      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .map(r => (r.getInt(0), r.get(1))).sortBy(_._1)
+    val idType = pairs.schema("id_a").dataType
     val negExpr =
-      if (reps.length < 2) lit(null).cast("long")
+      if (reps.length < 2) lit(null).cast(idType)
       else {
         val (c1, rep1) = reps(0)
         val rep2 = reps(1)._2
-        when(col("cluster") === c1, lit(rep2)).otherwise(lit(rep1))
+        when(col("cluster") === c1, lit(rep2).cast(idType))
+          .otherwise(lit(rep1).cast(idType))
       }
     pairs.withColumn("neg_id", negExpr)
   }

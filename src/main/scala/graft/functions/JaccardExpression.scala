@@ -84,7 +84,11 @@ object JaccardSimilarity {
   * sets) — sort-merge count without materializing the intersection
   * array that `size(array_intersect(...))` builds per row; the winnow
   * canonical verify's hot predicate. NULL-safe: null elements are
-  * skipped, null arrays propagate NULL. */
+  * skipped, null arrays propagate NULL. NOTE this INTENTIONALLY
+  * diverges from `size(array_intersect(l, r))`, which counts a null
+  * present on both sides as one common element — fingerprint arrays
+  * (this kernel's contract) cannot contain nulls, so reuse against
+  * null-bearing arrays must account for the difference. */
 case class LongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 

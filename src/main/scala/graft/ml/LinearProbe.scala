@@ -49,9 +49,19 @@ object LinearProbe {
       concat(transform(col(vecCol),
           x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)) / lit(1048576.0)),
         array(lit(1.0))).as("xs"))
-    // dim+1 from the schema-side probe row (bounded, like the IVF
-    // sample cap); the corpus itself is never collected
-    val width = e.select(size(col("xs"))).head().getInt(0)
+    // dim+1 from a one-row probe aggregate (bounded, like the IVF
+    // sample cap); the corpus itself is never collected. The probe
+    // also guards the two inputs the iteration silently mis-handles:
+    // an empty corpus (head() on nothing) and ragged vector widths
+    // (the gradient's per-dim count would diverge from the global n
+    // this implementation — and the DuckDB oracle — assume uniform).
+    val probe = e.agg(count(lit(1)).as("c"), min(size(col("xs"))).as("mn"),
+      max(size(col("xs"))).as("mx")).head()
+    require(probe.getLong(0) > 0L, "LinearProbe: empty input DataFrame")
+    require(probe.getInt(1) == probe.getInt(2),
+      s"LinearProbe: ragged embedding widths ${probe.getInt(1)}..${probe.getInt(2)} " +
+        "— uniform vector width required (per-dim n would silently diverge)")
+    val width = probe.getInt(2)
     var w: Seq[Double] = Seq.fill(width)(0.0)
 
     def z = graft.functions.VectorFunctions.doubleDot(col("xs"), typedLit(w))

@@ -35,7 +35,16 @@ object Spectral {
       transform(col(vecCol),
         x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)) / lit(1048576.0))
         .as("xs"))
-    val width = e.select(size(col("xs"))).head().getInt(0)
+    // one-row probe: width plus the guards the iteration assumes (an
+    // empty corpus would throw a bare NoSuchElementException; ragged
+    // widths would silently mix per-dim counts into the mean)
+    val probe = e.agg(count(lit(1)).as("c"), min(size(col("xs"))).as("mn"),
+      max(size(col("xs"))).as("mx")).head()
+    require(probe.getLong(0) > 0L, "Spectral: empty input DataFrame")
+    require(probe.getInt(1) == probe.getInt(2),
+      s"Spectral: ragged embedding widths ${probe.getInt(1)}..${probe.getInt(2)} " +
+        "— uniform vector width required")
+    val width = probe.getInt(2)
 
     // mean from exact integer sums (the snapped x times 2^20 is the
     // integer k_d itself, so the snap-before-sum is lossless here)

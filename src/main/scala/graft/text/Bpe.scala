@@ -37,20 +37,42 @@ object Bpe {
     * pair_count) — rank 1 is the most frequent pair before any merge,
     * rank k counts pairs AFTER the first k-1 merges were applied
     * greedily left-to-right (the standard sequential-merge
-    * semantics). Stops early if no pair remains. */
-  def merges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    * semantics). Stops early if no pair remains.
+    *
+    * Lineage stays BOUNDED at real vocabulary scale (32k merges): the
+    * per-round projection chain over the cached vocab is truncated
+    * every `checkpointEvery` rounds via an eager `localCheckpoint`
+    * (plan becomes a LogicalRDD — analysis/codegen cost per round is
+    * O(checkpointEvery), not O(r)), and the PREVIOUS checkpoint's
+    * blocks are freed once the new one is materialized, so at most
+    * one extra vocab-sized copy is ever live. */
+  def merges(docs: DataFrame, textCol: String, rounds: Int,
+             checkpointEvery: Int = 64): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val spark = docs.sparkSession
     val vocab = docs
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(chars(col("word")).as("syms"), col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // id of the live checkpoint's cached RDD (bounded-state bookkeeping:
+    // localCheckpoint persists at the RDD layer, where Dataset.unpersist
+    // cannot reach — freed via SparkContext by id)
+    var liveCheckpoint: Option[Int] = None
     try {
       var syms = vocab
       val acc = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
+        if (r % checkpointEvery == 0) {
+          val before = spark.sparkContext.getPersistentRDDs.keySet
+          syms = syms.localCheckpoint(true) // eager: materializes now
+          val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+          liveCheckpoint.foreach(id =>
+            spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          liveCheckpoint = added.headOption
+        }
         val top = syms
           .select(col("freq"), explode(arrays_zip(
             slice(col("syms"), lit(1), size(col("syms")) - 1),
@@ -72,7 +94,11 @@ object Bpe {
       }
       import spark.implicits._
       acc.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
-    } finally vocab.unpersist()
+    } finally {
+      vocab.unpersist()
+      liveCheckpoint.foreach(id =>
+        spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    }
   }
 
   /** Greedy left-to-right segmentation of every document's words under

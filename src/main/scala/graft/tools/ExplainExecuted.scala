@@ -25,8 +25,13 @@ object ExplainExecuted {
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         val t0 = System.nanoTime()
-        df.count()
-        println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        // Execute THIS QueryExecution (df.count() would build and run a
+        // separate aggregate QE, leaving df's own plan un-executed — it
+        // would print AdaptiveSparkPlan isFinalPlan=false, the PRE-AQE
+        // plan). collect() drives df.queryExecution itself, so the
+        // printed plan is what AQE actually ran.
+        val nRows = df.collect().length
+        println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.2fs ($nRows rows)")
         println(df.queryExecution.executedPlan.toString)
       } catch { case e: Throwable => println(s"failed: ${e.getMessage}") }
     }

@@ -4,11 +4,14 @@ import graft.text.Bpe
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-/** Gates for the BPE merge induction (q154 is rows-only — the
-  * sequential greedy re-segmentation between rounds has no SQL
-  * oracle): a hand-computed fixture pins the exact merge sequence and
-  * tie-breaks, and a randomized property cross-checks the distributed
-  * trainer against a local reference implementation. */
+/** Gates for the BPE merge induction (q154/q157 are oracle-gated
+  * hash-exact since r13 — the driver unrolls the rounds in DuckDB):
+  * a hand-computed fixture pins the exact merge sequence and
+  * tie-breaks, a randomized property cross-checks the distributed
+  * trainer against a local reference implementation, and a deep
+  * (256-round) run proves the lineage-truncation path (localCheckpoint
+  * every `checkpointEvery` rounds) changes nothing and keeps the plan
+  * depth bounded. */
 class BpeSpec extends SparkSuite {
   import spark.implicits._
 
@@ -77,6 +80,35 @@ class BpeSpec extends SparkSuite {
     }
     assert(SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop).passed)
+  }
+
+  test("256-round run matches the local reference with bounded lineage") {
+    // A corpus rich enough to survive 256 merges: 64 deterministic
+    // pseudo-random words (LCG — no Random: repeatable) of length 24
+    // over {a..f}, each word distinct so merged symbols keep forming
+    // fresh pairs for hundreds of rounds. checkpointEvery = 16 forces
+    // 16 truncations; the merge list must equal the no-checkpoint
+    // local reference EXACTLY, proving truncation is semantics-free.
+    var seed = 12345L
+    def nextInt(n: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % n).toInt + n) % n
+    }
+    val words = (1 to 64).map(_ =>
+      (1 to 24).map(_ => ('a' + nextInt(6)).toChar).mkString)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val got = Bpe.merges(docs, "text", rounds = 256, checkpointEvery = 16)
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("pair_count").cast("long"))
+      .as[(Int, String, String, Long)].collect().sortBy(_._1).toSeq
+    val ref = localBpe(words.groupMapReduce(identity)(_ => 1L)(_ + _), 256)
+    assert(got.size === ref.size)
+    assert(got === ref)
+    // no leaked blocks: merges() frees the vocab cache AND the live
+    // checkpoint on exit (16 truncations happened; at most one extra
+    // vocab copy was ever live)
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore)
   }
 
   test("segment applies the learned merges greedily per word") {

@@ -23,8 +23,7 @@ class EntryContractSpec extends AnyFunSuite {
     "q54_ann_ivf",           // approximate, recall-gated (RecallSpec)
     "q93_sketch_stats",      // sketches, error-bound (TemporalSketchSpec)
     "q105_winnow_canonical", // xxhash64 fingerprints (TextAndDedupSpec)
-    "q106_dedup_stream",     // xxhash64 minhash state (DedupStreamSpec)
-    "q154_bpe_merges")       // sequential greedy re-segmentation (BpeSpec)
+    "q106_dedup_stream")     // xxhash64 minhash state (DedupStreamSpec)
 
   test("every oracleSql key names an implemented query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
