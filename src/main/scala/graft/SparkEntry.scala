@@ -1491,6 +1491,87 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("doc_id")).as("n_docs"))),
 
+    // ---- data-questions ROI overlay (data_heide_groot_schietveld.Rmd:
+    // 31-46 + data_questions.Rmd:54-70): the LAST reference entry point
+    // without an end-to-end gate — REAL shapefile read (S6, the 3260
+    // sampling frame's 255 stream-segment polylines) → vertex-derived
+    // envelope (WkbEnvelope) → rectangular ROI rings → st_join-style
+    // PIP overlay of measurement points (grid-cell bucketed broadcast
+    // join, the J11 path) with the link_mhq coalesce idiom → the
+    // check_paired two-level visit summary plus per-stratum frame
+    // totals (exact integer sums) and a sampling-intensity ratio.
+    // The DuckDB oracle replays it over RoiFixture3260 — the SAME
+    // shapefile parsed by an INDEPENDENT Python struct-unpacker — so a
+    // reader bug (coordinate order, record skipping, dbf decode) is a
+    // visible mismatch, not a replayed one. ----
+    "q158_roi_overlay" -> ((s, dir) => {
+      val base = "/root/reference/processed/3260_steekproefkader/" +
+        "steekproefkader_3260_v1_7_strata"
+      val roi = graft.geo.Shapefile.read(s, base)
+        .select(col("objectid_1").as("segment_id"), col("sbz"),
+          col("shape_leng"),
+          graft.geo.WkbFunctions.wkbEnvelope(col("geometry")).as("env"))
+        .where(col("env").isNotNull)
+        .select(col("segment_id"), col("sbz"), col("shape_leng"),
+          col("env.xmin").as("x0"), col("env.ymin").as("y0"),
+          col("env.xmax").as("x1"), col("env.ymax").as("y1"))
+      val rings = roi.select(col("segment_id"), col("sbz"),
+        array(struct(col("x0").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y0").as("y")),
+          struct(col("x1").as("x"), col("y1").as("y")),
+          struct(col("x0").as("x"), col("y1").as("y"))).as("ring"))
+      // refpoints: deterministic Lambert-72 coords inside the frame's
+      // window; measurements: one row per order, visit date =
+      // o_orderdate, link_mhq = the user_reference-else-db_ref idiom
+      val refpoints = t(s, dir, "customer").select(
+        col("c_custkey").as("plot_id"),
+        (lit(33000.0) + (col("c_custkey") * 37 % 1009).cast("double")
+          / lit(1009.0) * lit(224100.0)).as("x"),
+        (lit(157400.0) + (col("c_custkey") * 61 % 997).cast("double")
+          / lit(997.0) * lit(86100.0)).as("y"))
+      val meas = t(s, dir, "orders").select(
+          col("o_custkey").as("plot_id"),
+          col("o_orderdate").as("date_assessment"),
+          when(col("o_custkey") % 3 === 0,
+            concat(lit("REF_"), col("o_custkey"))).as("user_reference"),
+          concat(lit("DB_"), col("o_orderkey")).as("db_ref"))
+        .withColumn("link_mhq",
+          coalesce(col("user_reference"), col("db_ref")))
+        .join(refpoints, "plot_id")
+      val hits = graft.geo.GeoJoin.pointInPolygonJoin(
+        meas, rings, "x", "y", "ring", cellSize = 4096.0)
+      val perPlot = hits.groupBy(col("sbz"), col("plot_id"))
+        .agg(count_distinct(col("date_assessment")).as("n_visits"),
+          count_distinct(col("link_mhq")).as("n_links_plot"))
+      val visits = perPlot.groupBy("sbz").agg(
+        sum(col("n_visits")).as("n_records"),
+        count(lit(1)).as("n_plots"),
+        sum(when(col("n_visits") >= 2, 1L).otherwise(0L)).as("n_repeated_plots"),
+        sum(col("n_links_plot")).as("n_links"))
+      val frame = roi.groupBy("sbz").agg(
+        count(lit(1)).as("n_segments"),
+        sum(floor(col("shape_leng") * lit(1e6) + lit(0.5)).cast("long"))
+          .as("length_micros"),
+        sum(floor((col("x1") - col("x0")) * (col("y1") - col("y0"))
+          * lit(100.0) + lit(0.5)).cast("long")).as("bbox_area_dm2"))
+      frame.join(visits, Seq("sbz"), "left")
+        .withColumn("points_per_km_micros",
+          floor(col("n_records").cast("double")
+            / (col("length_micros").cast("double") / lit(1.0e9))
+            * lit(1e6) + lit(0.5)).cast("long"))
+    }),
+
+    // ---- product-quantization codes (Ann.pqCodes): m=4 per-subspace
+    // Lloyd codebooks over the 64-dim embeddings (k=4 codes each,
+    // 2 iterations) — the memory-bounded ANN compression layout.
+    // HASH-EXACT: the oracle unrolls the per-subspace Lloyd exactly
+    // like q147's, over v[lo:hi] slices. One corpus scan + one k×dim
+    // map-side-combined exchange per iteration; the returned
+    // per-vector plan is map-only (broadcast codebooks, no shuffle). ----
+    "q159_pq_codes" -> ((s, dir) =>
+      graft.similarity.Ann.pqCodes(t(s, dir, "embeddings"), "vec_id",
+        "embedding", m = 4, k = 4, iters = 2)),
+
     // ---- E2E curation funnel (q155): the whole LLM-curation flow as
     // ONE correctness-gated composition — exact dedup (q40's
     // fingerprint canonical), semantic dedup (q148's SemDeDup flags
@@ -3662,14 +3743,112 @@ object SparkEntry {
          |FROM seg_${ms.size} GROUP BY 1""".stripMargin
   }
 
+  /** q159's oracle: q147's two-iteration Lloyd CTE instantiated once
+    * per PQ subspace over the v[lo:hi] slice (same init-from-lowest-ids,
+    * same fixed-point distance rank, same 2^-20 integer update), the m
+    * final assignments joined back per vector. */
+  private def pqOracleSql(m: Int, k: Int, dim: Int): String = {
+    require(dim % m == 0)
+    val sub = dim / m
+    val perSub = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+         |c0_$s AS (SELECT vec_id AS cid, v AS cv FROM e_$s WHERE vec_id < $k),
+         |d0_$s AS (SELECT e_$s.vec_id, c0_$s.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip(e_$s.v, c0_$s.cv),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |       FROM e_$s, c0_$s),
+         |a0_$s AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+         |         FROM d0_$s) t
+         |       WHERE rk = 1),
+         |ex_$s AS (SELECT vec_id,
+         |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+         |                recursive := true)
+         |       FROM e_$s),
+         |upd_$s AS (SELECT a0_$s.cid, ex_$s.dim,
+         |          sum(CAST(floor(ex_$s.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+         |          count(*) AS n
+         |        FROM ex_$s JOIN a0_$s USING (vec_id) GROUP BY 1, 2),
+         |c1_$s AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+         |       FROM upd_$s GROUP BY cid),
+         |d1_$s AS (SELECT e_$s.vec_id, c1_$s.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip(e_$s.v, c1_$s.cv),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |       FROM e_$s, c1_$s),
+         |a1_$s AS (SELECT vec_id, cid, dm FROM (
+         |         SELECT vec_id, cid, dm,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+         |         FROM d1_$s) t
+         |       WHERE rk = 1)""".stripMargin
+    }
+    val joins = (1 until m).map(s => s"JOIN a1_$s USING (vec_id)").mkString(" ")
+    val codes = (0 until m).map(s =>
+      s"CAST(a1_$s.cid AS INTEGER) AS code_$s").mkString(", ")
+    val err = (0 until m).map(s => s"a1_$s.dm").mkString(" + ")
+    ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+      "           FROM embeddings),\n" +
+      perSub.mkString(",\n") +
+      s"\nSELECT a1_0.vec_id, $codes, CAST($err AS BIGINT) AS err_micros" +
+      s"\nFROM a1_0 $joins")
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
+    // q159: per-subspace Lloyd (generator above)
+    "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     // q154/q157: the BPE learner and the BPE segmenter, both via the
     // unrolled greedy-merge window machinery (generators above).
     "q154_bpe_merges" -> bpeMergeOracleSql(6),
     "q157_bpe_segment" -> bpeSegmentOracleSql(bpeFixedMerges),
+
+    // q158: the ROI overlay replayed over the INDEPENDENTLY-parsed
+    // shapefile fixture (strict-inequality interval PIP mirrors the
+    // ray-cast for points never exactly on a boundary, the q61/q76
+    // convention); same two-level visit summary and exact integer
+    // frame sums, same left-join tail.
+    "q158_roi_overlay" ->
+      s"""WITH roi AS (SELECT * FROM ${graft.geo.RoiFixture3260.valuesSql}),
+         |pts AS (
+         |  SELECT c_custkey AS plot_id,
+         |    33000.0 + CAST((c_custkey * 37) % 1009 AS DOUBLE) / 1009.0 * 224100.0 AS x,
+         |    157400.0 + CAST((c_custkey * 61) % 997 AS DOUBLE) / 997.0 * 86100.0 AS y
+         |  FROM customer),
+         |meas AS (
+         |  SELECT o_custkey AS plot_id, o_orderdate AS date_assessment,
+         |    COALESCE(CASE WHEN o_custkey % 3 = 0 THEN 'REF_' || o_custkey END,
+         |             'DB_' || o_orderkey) AS link_mhq
+         |  FROM orders),
+         |hits AS (
+         |  SELECT roi.sbz, m.plot_id, m.date_assessment, m.link_mhq
+         |  FROM meas m JOIN pts USING (plot_id) JOIN roi
+         |    ON pts.x > roi.xmin AND pts.x < roi.xmax
+         |   AND pts.y > roi.ymin AND pts.y < roi.ymax),
+         |per_plot AS (
+         |  SELECT sbz, plot_id,
+         |    CAST(count(DISTINCT date_assessment) AS BIGINT) AS n_visits,
+         |    CAST(count(DISTINCT link_mhq) AS BIGINT) AS n_links_plot
+         |  FROM hits GROUP BY 1, 2),
+         |visits AS (
+         |  SELECT sbz, CAST(sum(n_visits) AS BIGINT) AS n_records,
+         |    CAST(count(*) AS BIGINT) AS n_plots,
+         |    CAST(sum(CASE WHEN n_visits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated_plots,
+         |    CAST(sum(n_links_plot) AS BIGINT) AS n_links
+         |  FROM per_plot GROUP BY 1),
+         |frame AS (
+         |  SELECT sbz, CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(sum(CAST(floor(shape_leng * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS length_micros,
+         |    CAST(sum(CAST(floor((xmax - xmin) * (ymax - ymin) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS bbox_area_dm2
+         |  FROM roi GROUP BY 1)
+         |SELECT f.sbz, f.n_segments, f.length_micros, f.bbox_area_dm2,
+         |  v.n_records, v.n_plots, v.n_repeated_plots, v.n_links,
+         |  CAST(floor(CAST(v.n_records AS DOUBLE)
+         |    / (CAST(f.length_micros AS DOUBLE) / 1000000000.0)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS points_per_km_micros
+         |FROM frame f LEFT JOIN visits v ON f.sbz = v.sbz""".stripMargin,
     // q99: replay Layout.zvalue — quantize each dimension to an 8-bit
     // cell (scale by 2^bits, clamp the top cell; identical IEEE double
     // ops in both engines), then interleave via unrolled shift/mask

@@ -205,6 +205,33 @@ object Wkb {
       new GenericArrayData(xs.indices.map(i => InternalRow(xs(i), ys(i))).toArray[Any])
     }.toArray[Any])
   }
+
+  /** Envelope (xmin, ymin, xmax, ymax) over every vertex of every
+    * chain/ring of the geometry — computed from the COORDINATES, never
+    * a stored header bbox, so it is definitionally consistent with the
+    * decoded vertices (the `st_bbox` idiom the data-question overlays
+    * use to turn a stream segment into a rectangular ROI). Null for
+    * malformed/empty. */
+  def envelopeRow(bytes: Array[Byte]): InternalRow = {
+    val rings = decodeRings(bytes)
+    if (rings == null || rings.isEmpty) return null
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    var r = 0
+    while (r < rings.length) {
+      val (xs, ys) = rings(r)
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) < xmin) xmin = xs(i)
+        if (xs(i) > xmax) xmax = xs(i)
+        if (ys(i) < ymin) ymin = ys(i)
+        if (ys(i) > ymax) ymax = ys(i)
+        i += 1
+      }
+      r += 1
+    }
+    if (xmin > xmax) null else InternalRow(xmin, ymin, xmax, ymax)
+  }
 }
 
 /** wkb_to_ring(binary) -> array<struct<x double, y double>> or NULL. */
@@ -246,10 +273,35 @@ case class WkbToRings(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WkbToRings = copy(child = c)
 }
 
+/** wkb_envelope(binary) -> struct<xmin,ymin,xmax,ymax double> or NULL —
+  * vertex-derived bbox of any supported geometry (POINT / LINESTRING /
+  * POLYGON / MULTILINESTRING / MULTIPOLYGON); the data-question ROI
+  * rectangles come from this over the stream-segment polylines. */
+case class WkbEnvelope(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("xmin", DoubleType), StructField("ymin", DoubleType),
+    StructField("xmax", DoubleType), StructField("ymax", DoubleType)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "wkb_envelope"
+
+  override def nullSafeEval(v: Any): Any =
+    Wkb.envelopeRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.geo.Wkb.envelopeRow($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(c: Expression): WkbEnvelope = copy(child = c)
+}
+
 object WkbFunctions {
   def wkbToRing(c: Column): Column =
     GraftBridge.column(WkbToRing(GraftBridge.expression(c)))
 
   def wkbToRings(c: Column): Column =
     GraftBridge.column(WkbToRings(GraftBridge.expression(c)))
+
+  def wkbEnvelope(c: Column): Column =
+    GraftBridge.column(WkbEnvelope(GraftBridge.expression(c)))
 }

@@ -182,20 +182,24 @@ object Versie3 {
       .where(col("var_code") =!= "VZuSS")
     val parsed = Inboveg.loqAdjusted(Inboveg.parseStructureValues(sc))
     val vereisten = invoervereistenDf(spark).select("var_code", "voorwaarde")
-    val num = parsed.where(col("is_numeric"))
+    // SINGLE CHAIN over `parsed` (one numeric + one class-coded stream
+    // used to union, re-planning the habitat-join subtree — and its
+    // base scans — twice; r13): the class dictionary rides as one
+    // broadcast left join keyed (var_code, class value), numeric rows
+    // pass through it unmatched, and the branch choice collapses into
+    // a `when`. A class-coded row with no dictionary match drops, a
+    // numeric row never does — exactly the old inner/`where` split.
+    val cm = classMapDf(spark).withColumnRenamed("var_code", "cm_var_code")
+    parsed
+      .join(broadcast(cm),
+        col("var_code") === col("cm_var_code") &&
+          trim(col("value")) === col("class_value"), "left_outer")
+      .where(col("is_numeric") || col("mapped_numeric").isNotNull)
       .join(broadcast(vereisten), Seq("var_code"))
       .select(col("id"), col("habitattype"), col("voorwaarde"),
-        col("value_adjusted").as("value_numeric"),
+        when(col("is_numeric"), col("value_adjusted"))
+          .otherwise(col("mapped_numeric")).as("value_numeric"),
         lit(null).cast("string").as("value_category"))
-    val cls = parsed.where(!col("is_numeric"))
-      .join(broadcast(classMapDf(spark)),
-        Seq("var_code"))
-      .where(trim(col("value")) === col("class_value"))
-      .join(broadcast(vereisten), Seq("var_code"))
-      .select(col("id"), col("habitattype"), col("voorwaarde"),
-        col("mapped_numeric").as("value_numeric"),
-        lit(null).cast("string").as("value_category"))
-    num.unionByName(cls)
   }
 
   /** data_soortenkenmerken (HT31xx_LSVI.Rmd:169-185): canonicalized

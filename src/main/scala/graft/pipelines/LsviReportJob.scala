@@ -47,12 +47,23 @@ object LsviReportJob {
     *                  `lsvi_watersurface` (the standing-water group's
     *                  watersurface grain: `code_watersurfaces`, no
     *                  coordinates, no doelbereik column —
-    *                  `standing_water/result/lsvi_watersurface_sw.yml`) */
+    *                  `standing_water/result/lsvi_watersurface_sw.yml`)
+    * @param partitionBy opt-in 100×-scale routing: base table names
+    *                  mapped to partition columns publish through
+    *                  [[graft.io.Vc.writePartitioned]] (hive layout +
+    *                  order-independent digest + pruning-capable
+    *                  sidecar) instead of the single-file contract.
+    *                  The reference's own directories are single-file
+    *                  by contract, so the default is empty; a
+    *                  plot-grain table that outgrows one file (the
+    *                  lsvi_plot family is the only one that scales
+    *                  with plot count) is the intended customer. */
   case class Config(suffix: String, versie: String = "Versie 3",
                     schaal: String = "Vlaanderen",
                     weightCol: Option[String] = None,
                     tables: Option[Set[String]] = None,
-                    plotTable: String = "lsvi_plot")
+                    plotTable: String = "lsvi_plot",
+                    partitionBy: Map[String, Seq[String]] = Map.empty)
 
   /** A continuous per-visit measurement series published alongside the
     * group (forests: the thick-dead-wood inventory behind
@@ -267,14 +278,20 @@ object LsviReportJob {
 
     labelled.foreach { case (name, df) =>
       val keys = sortKeys(name).filter(df.columns.contains)
-      if (continuousTables(name)) {
-        // suffix-less, plus the write_csv2 twin the reference publishes
-        Vc.write(df, s"$outDir/$name", keys)
+      // continuous + census tables publish suffix-less / habitattype-
+      // suffixed (the habitattype IS the suffix: status_habitat_2110)
+      val target =
+        if (continuousTables(name) || censusNames(name)) s"$outDir/$name"
+        else s"$outDir/${name}_${cfg.suffix}"
+      cfg.partitionBy.get(name) match {
+        case Some(pcols) =>
+          Vc.writePartitioned(df, target, pcols,
+            sortKeys = keys.filterNot(pcols.contains))
+        case None => Vc.write(df, target, keys)
+      }
+      if (continuousTables(name))
+        // plus the write_csv2 twin the reference publishes
         Csv2.writeFile(df.orderBy(keys.map(col): _*), s"$outDir/$name.csv")
-      } else if (censusNames(name))
-        // the habitattype IS the suffix (status_habitat_2110)
-        Vc.write(df, s"$outDir/$name", keys)
-      else Vc.write(df, s"$outDir/${name}_${cfg.suffix}", keys)
     }
     labelled
   }

@@ -232,6 +232,90 @@ object Ann {
     if (keepVec) assigned() else assigned().drop("v")
   }
 
+  /** Product-quantization codes (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search", IEEE TPAMI 33(1)): the
+    * vector is split into `m` contiguous subspaces and each subspace
+    * gets its own `k`-centroid Lloyd codebook, so a `dim`-double
+    * vector compresses to `m` small codes — the memory-bounded ANN
+    * layout at 100 TB (codes live in RAM, full vectors only rescore
+    * finalists).
+    *
+    * Scale shape — the SAME as [[lloydCluster]] even though m
+    * codebooks train at once: per iteration ONE corpus scan; the
+    * exchange carries (sub, cid, dim)-keyed integer partial sums
+    * (map-side combined, m·k·(dim/m) = k·dim rows — never vectors);
+    * driver state is the m codebooks (k·dim doubles). The returned
+    * per-vector plan is map-only: broadcast codebooks fused into m
+    * argmins, no shuffle.
+    *
+    * Determinism (the house recipe, so the DuckDB oracle is
+    * hash-exact): init = sub-vectors of the k lowest-id vectors;
+    * distances ranked on floor(d²·1e6 + 0.5) with cid tiebreak
+    * ([[graft.functions.VectorFunctions.squaredL2Micros]], the same
+    * left-to-right IEEE fold as the oracle's list_sum); updates are
+    * 2^-20-snapped integer coordinate sums (order-independent);
+    * empty cells drop out keeping original ids. Returns one row per
+    * vector: (vec_id, code_0..code_{m-1}, err_micros) where
+    * err_micros is the summed winning squared distance over the m
+    * subspaces — the total quantization error in 1e-6 units. */
+  def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probe = e.agg(count(lit(1)).as("c"), min(size(col("v"))).as("mn"),
+      max(size(col("v"))).as("mx")).head()
+    require(probe.getLong(0) > 0L, "pqCodes: empty input DataFrame")
+    require(probe.getInt(1) == probe.getInt(2),
+      s"pqCodes: ragged vector widths ${probe.getInt(1)}..${probe.getInt(2)}")
+    val dim = probe.getInt(1)
+    require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def sv(s: Int) = slice(col("v"), s * sub + 1, sub)
+
+    var books: Seq[Seq[(Int, Seq[Double])]] = {
+      val rows = e.orderBy(col("vec_id").asc).limit(k)
+        .select(col("v")).as[Seq[Double]].collect().toSeq
+      (0 until m).map(s => rows.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(s * sub, (s + 1) * sub)) })
+    }
+
+    def assigned(): DataFrame =
+      (0 until m).foldLeft(e) { (df, s) =>
+        val dists = books(s).map { case (cid, c) =>
+          struct(VectorFunctions.squaredL2Micros(sv(s), typedLit(c)).as("dm"),
+            lit(cid).as("cid"))
+        }
+        df.withColumn(s"best_$s", element_at(array_sort(array(dists: _*)), 1))
+      }
+
+    for (_ <- 1 until iters) {
+      val upd = assigned()
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("sub"), col(s"best_$s.cid").as("cid"),
+            sv(s).as("sv"))): _*)).as("g"))
+        .select(col("g.sub"), col("g.cid"),
+          posexplode(col("g.sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cid", "dim")
+        .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // k×dim rows across all m books — bounded driver state
+      books = (0 until m).map { s =>
+        upd.filter(_.getInt(0) == s).toSeq
+          .map(r => (r.getInt(1),
+            (r.getInt(2), r.getLong(3) / (r.getLong(4) * 1048576.0))))
+          .groupBy(_._1).toSeq
+          .map { case (cid, rows) =>
+            (cid, rows.map(_._2).sortBy(_._1).map(_._2)) }
+          .sortBy(_._1)
+      }
+    }
+    assigned().select(col("vec_id") +:
+      (0 until m).map(s => col(s"best_$s.cid").as(s"code_$s")) :+
+      (0 until m).map(s => col(s"best_$s.dm")).reduce(_ + _).as("err_micros"): _*)
+  }
+
   /** LSH-bucketed top-k: candidates limited to signature-band collisions
     * (bands of `bandBits` bits from a `bits`-bit hyperplane signature —
     * multi-band probing recovers recall lost to single-bucket LSH). */

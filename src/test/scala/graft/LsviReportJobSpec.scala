@@ -429,4 +429,40 @@ class LsviReportJobSpec extends SparkSuite {
       .count()
     assert(bad === 0L)
   }
+
+  test("opt-in partitionBy publishes a pruning-capable partitioned twin") {
+    // the 100x-scale publish path: the plot table (the only published
+    // table whose size scales with plot count) routed through
+    // Vc.writePartitioned by habitattype; same chain, same rows as the
+    // single-file contract, but the file listing prunes under a
+    // habitattype filter (VcPartitionedSpec pins the IO mechanics —
+    // this pins the JOB-level routing)
+    written.size // force the single-file baseline run
+    val pOut = java.nio.file.Files.createTempDirectory("lsvi-report-part").toString
+    LsviReportJob.run(plots, measurements,
+      graft.lsvi.Versie3Forests.rulesDf(spark), meta, pOut,
+      LsviReportJob.Config(suffix = "fs",
+        tables = Some(Set("lsvi_plot")),
+        partitionBy = Map("lsvi_plot" -> Seq("habitattype"))))
+    assert(new java.io.File(pOut).listFiles().map(_.getName).toSet
+      === Set("lsvi_plot_fs"))
+    val nParts = new java.io.File(s"$pOut/lsvi_plot_fs").listFiles()
+      .count(_.getName.startsWith("habitattype="))
+    assert(nParts >= 2, s"expected >=2 habitattype partitions, saw $nParts")
+    // verified read restores sidecar order and matches the single-file
+    // twin row-for-row
+    val back = graft.io.Vc.readPartitioned(spark, s"$pOut/lsvi_plot_fs")
+    val single = spark.read
+      .option("sep", "\t").option("header", "true").option("nullValue", "NA")
+      .csv(s"$outDir/lsvi_plot_fs.tsv")
+    assert(back.columns.toSeq === single.columns.toSeq)
+    assert(back.count() === single.count())
+    val singleTyped = single.select(back.schema.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    val mismatches = back.exceptAll(singleTyped).count()
+    assert(mismatches === 0L, s"$mismatches rows differ from the single-file twin")
+    // a habitattype filter prunes the partition listing
+    assert(graft.io.Vc.prunesPartitions(
+      back.where(col("habitattype") === "9110")))
+  }
 }

@@ -75,6 +75,43 @@ class MlPropertySpec extends SparkSuite {
     assert(passes(prop, 40))
   }
 
+  test("pqCodes equals independent per-subspace lloydCluster runs") {
+    // the fused m-codebook trainer (one scan updates every book) must
+    // be indistinguishable from training each subspace alone with the
+    // single-book Lloyd — different code path, same math; err_micros
+    // must be the sum of the per-subspace winning distances
+    val genPq: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(4, 20)
+      subDim <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(2 * subDim, Gen.chooseNum(-1.0f, 1.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val prop = Prop.forAll(genPq) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val m = 2
+      val sub = rows.head._2.length / m
+      val k = math.min(3, rows.length)
+      val got = graft.similarity.Ann.pqCodes(df, "vec_id", "embedding",
+          m = m, k = k, iters = 2)
+        .select(col("vec_id"), col("code_0").cast("int"),
+          col("code_1").cast("int"), col("err_micros").cast("long"))
+        .as[(Long, Int, Int, Long)].collect().sortBy(_._1).toSeq
+      val solo = (0 until m).map { s =>
+        val sliced = rows.map { case (id, v) =>
+          (id, v.slice(s * sub, (s + 1) * sub)) }.toDF("vec_id", "embedding")
+        graft.similarity.Ann.lloydCluster(sliced, "vec_id", "embedding",
+            k = k, iters = 2)
+          .select(col("vec_id"), col("cluster").cast("int"),
+            col("dist_micros").cast("long"))
+          .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      }
+      got.forall { case (id, c0, c1, err) =>
+        solo(0)(id)._1 == c0 && solo(1)(id)._1 == c1 &&
+          solo(0)(id)._2 + solo(1)(id)._2 == err
+      }
+    }
+    assert(passes(prop, 20))
+  }
+
   test("linear probe matches a local full-batch reference trajectory") {
     val prop = Prop.forAll(genCorpus) { rows =>
       val df = rows.toDF("vec_id", "label", "embedding")

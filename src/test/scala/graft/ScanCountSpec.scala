@@ -30,6 +30,16 @@ class ScanCountSpec extends SparkSuite {
     assert(scanCount("q103_lsvi_forest_globaal") <= 2)
     assert(scanCount("q107_lsvi_heath_globaal") <= 2)
     assert(scanCount("q112_lsvi_streams_globaal") <= 3)
+    // q78: the one globaal query on the *Versie3* ruleset — flagged
+    // unpinned in r12 when its bench figure rode the ambient shift
+    // (r13 bisect: 1.49s run alone vs r11's 1.54s, no code
+    // regression). The plan audit DID find waste: prepareVoorwaarden's
+    // num/cls union re-planned the habitat-join subtree twice (6 base
+    // scans); the r13 single-chain rewrite brings it to 4 — one per
+    // logical input stream (habitat twice: voorwaarden + sleutelsoort
+    // branches), which is the reference's own table topology.
+    assert(scanCount("q78_lsvi_v3_globaal") <= 4)
+    assert(shuffleCount("q78_lsvi_v3_globaal") <= 4)
   }
 
   test("status/trend shapes stay single-chain") {
@@ -86,6 +96,12 @@ class ScanCountSpec extends SparkSuite {
     // collect runs eagerly at construction); neg pick is a literal
     assert(scanCount("q156_contrastive_triplets") <= 3)
     assert(shuffleCount("q156_contrastive_triplets") <= 6)
+    // q159 PQ codes: the training iterations run eagerly at
+    // construction (one scan + one k×dim exchange each); the RETURNED
+    // per-vector plan is map-only — broadcast codebooks fused into m
+    // argmins, ZERO shuffles
+    assert(scanCount("q159_pq_codes") <= 1)
+    assert(shuffleCount("q159_pq_codes") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {

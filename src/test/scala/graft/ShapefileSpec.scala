@@ -195,6 +195,26 @@ class ShapefileSpec extends SparkSuite {
     assert(df.where(col("sbz") === "buiten").count() > 0)
   }
 
+  test("wkb_envelope: vertex-derived bbox across geometry types") {
+    // LineString: bbox of the chain
+    val ls = Wkb.encodeLineString(Array(3.0, -1.0, 2.5), Array(0.0, 4.0, -2.0))
+    // MultiPolygon: bbox over all parts/rings
+    val mp = Wkb.encodeMultiPolygon(Seq(
+      Seq((Array(0.0, 2.0, 2.0, 0.0), Array(0.0, 0.0, 2.0, 2.0))),
+      Seq((Array(5.0, 7.0, 7.0), Array(5.0, 5.0, 9.0)))))
+    val rows = Seq((1, ls), (2, mp), (3, Array[Byte](9, 9)))
+      .toDF("id", "wkb")
+      .select(col("id"), graft.geo.WkbFunctions.wkbEnvelope(col("wkb")).as("e"))
+      .orderBy("id")
+      .select(col("id"), col("e.xmin"), col("e.ymin"), col("e.xmax"), col("e.ymax"))
+      .collect()
+    assert(rows(0).getDouble(1) === -1.0 && rows(0).getDouble(2) === -2.0 &&
+      rows(0).getDouble(3) === 3.0 && rows(0).getDouble(4) === 4.0)
+    assert(rows(1).getDouble(1) === 0.0 && rows(1).getDouble(2) === 0.0 &&
+      rows(1).getDouble(3) === 7.0 && rows(1).getDouble(4) === 9.0)
+    assert(rows(2).isNullAt(1)) // malformed -> NULL, never a task failure
+  }
+
   test("shapefile feeds the distributed PIP join path end-to-end") {
     val base = writeLayer(
       Seq(polygonRecord(Seq(outerCw, holeCcw))),
