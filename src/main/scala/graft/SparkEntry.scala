@@ -1572,6 +1572,18 @@ object SparkEntry {
       graft.similarity.Ann.pqCodes(t(s, dir, "embeddings"), "vec_id",
         "embedding", m = 4, k = 4, iters = 2)),
 
+    // ---- PQ asymmetric-distance search (Ann.pqSearchTopK): q50's
+    // exact top-k replayed through the q159 codes — the corpus is
+    // scored against each vector's RECONSTRUCTION (query-to-centroid
+    // subspace distances, summed), the memory-bounded search path.
+    // Same no-shuffle scored cross-product + partial top-k shape as
+    // q50; fully deterministic → hash-exact. ----
+    "q160_pq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.pqSearchTopK(e.where(col("vec_id") < 5), e,
+        "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 5)
+    }),
+
     // ---- E2E curation funnel (q155): the whole LLM-curation flow as
     // ONE correctness-gated composition — exact dedup (q40's
     // fingerprint canonical), semantic dedup (q148's SemDeDup flags
@@ -3743,11 +3755,12 @@ object SparkEntry {
          |FROM seg_${ms.size} GROUP BY 1""".stripMargin
   }
 
-  /** q159's oracle: q147's two-iteration Lloyd CTE instantiated once
-    * per PQ subspace over the v[lo:hi] slice (same init-from-lowest-ids,
-    * same fixed-point distance rank, same 2^-20 integer update), the m
-    * final assignments joined back per vector. */
-  private def pqOracleSql(m: Int, k: Int, dim: Int): String = {
+  /** Shared PQ training CTEs (q159/q160): q147's two-iteration Lloyd
+    * CTE instantiated once per PQ subspace over the v[lo:hi] slice
+    * (same init-from-lowest-ids, same fixed-point distance rank, same
+    * 2^-20 integer update). Exposes per subspace `a1_s` (final codes +
+    * dm) and `c1_s` (final codebook). */
+  private def pqTrainCtes(m: Int, k: Int, dim: Int): String = {
     require(dim % m == 0)
     val sub = dim / m
     val perSub = (0 until m).map { s =>
@@ -3783,23 +3796,60 @@ object SparkEntry {
          |         FROM d1_$s) t
          |       WHERE rk = 1)""".stripMargin
     }
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+      "           FROM embeddings),\n" + perSub.mkString(",\n")
+  }
+
+  /** q159's oracle: the m final assignments joined back per vector. */
+  private def pqOracleSql(m: Int, k: Int, dim: Int): String = {
     val joins = (1 until m).map(s => s"JOIN a1_$s USING (vec_id)").mkString(" ")
     val codes = (0 until m).map(s =>
       s"CAST(a1_$s.cid AS INTEGER) AS code_$s").mkString(", ")
     val err = (0 until m).map(s => s"a1_$s.dm").mkString(" + ")
-    ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
-      "           FROM embeddings),\n" +
-      perSub.mkString(",\n") +
+    pqTrainCtes(m, k, dim) +
       s"\nSELECT a1_0.vec_id, $codes, CAST($err AS BIGINT) AS err_micros" +
-      s"\nFROM a1_0 $joins")
+      s"\nFROM a1_0 $joins"
+  }
+
+  /** q160's oracle: ADC search — per subspace the query slice is
+    * scored against each corpus vector's ASSIGNED centroid (a1_s join
+    * c1_s on cid), per-subspace floor'd micros summed, (adc, id)
+    * ranked per query. */
+  private def pqSearchOracleSql(m: Int, k: Int, dim: Int,
+                                nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    val scoreCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""s_$s AS (SELECT q.query_id, a1_$s.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(q.qv[$lo:$hi], c1_$s.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM a1_$s JOIN c1_$s USING (cid), q)""".stripMargin
+    }
+    val joins = (1 until m).map(s =>
+      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
+    pqTrainCtes(m, k, dim) +
+      s""",
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |${scoreCtes.mkString(",\n")},
+         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM s_0 $joins
+         |        WHERE query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, adc_micros, CAST(rk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |      FROM adc) t
+         |WHERE rk <= $topK""".stripMargin
   }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
-    // q159: per-subspace Lloyd (generator above)
+    // q159/q160: per-subspace Lloyd + ADC search (generators above)
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
+    "q160_pq_search" -> pqSearchOracleSql(m = 4, k = 4, dim = 64,
+      nQueries = 5, topK = 5),
     // q154/q157: the BPE learner and the BPE segmenter, both via the
     // unrolled greedy-merge window machinery (generators above).
     "q154_bpe_merges" -> bpeMergeOracleSql(6),

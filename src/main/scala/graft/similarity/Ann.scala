@@ -260,19 +260,32 @@ object Ann {
     * subspaces — the total quantization error in 1e-6 units. */
   def pqCodes(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int, k: Int, iters: Int): DataFrame = {
+    val (e, books, sub) = pqTrain(corpus, idCol, vecCol, m, k, iters)
+    val a = pqAssigned(e, books, sub)
+    a.select(col("vec_id") +:
+      (0 until m).map(s => col(s"best_$s.cid").as(s"code_$s")) :+
+      (0 until m).map(s => col(s"best_$s.dm")).reduce(_ + _).as("err_micros"): _*)
+  }
+
+  /** The trained PQ state: (normalized corpus, per-subspace codebooks,
+    * subspace width). Codebooks are DRIVER state (k·dim doubles);
+    * training cost = `iters` × (one corpus scan + one k×dim map-side-
+    * combined exchange). See [[pqCodes]] for the determinism recipe. */
+  private def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                      m: Int, k: Int, iters: Int)
+      : (DataFrame, Seq[Seq[(Int, Seq[Double])]], Int) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val probe = e.agg(count(lit(1)).as("c"), min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
-    require(probe.getLong(0) > 0L, "pqCodes: empty input DataFrame")
+    require(probe.getLong(0) > 0L, "pqTrain: empty input DataFrame")
     require(probe.getInt(1) == probe.getInt(2),
-      s"pqCodes: ragged vector widths ${probe.getInt(1)}..${probe.getInt(2)}")
+      s"pqTrain: ragged vector widths ${probe.getInt(1)}..${probe.getInt(2)}")
     val dim = probe.getInt(1)
-    require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val sub = dim / m
-    def sv(s: Int) = slice(col("v"), s * sub + 1, sub)
 
     var books: Seq[Seq[(Int, Seq[Double])]] = {
       val rows = e.orderBy(col("vec_id").asc).limit(k)
@@ -281,27 +294,18 @@ object Ann {
         (i, v.slice(s * sub, (s + 1) * sub)) })
     }
 
-    def assigned(): DataFrame =
-      (0 until m).foldLeft(e) { (df, s) =>
-        val dists = books(s).map { case (cid, c) =>
-          struct(VectorFunctions.squaredL2Micros(sv(s), typedLit(c)).as("dm"),
-            lit(cid).as("cid"))
-        }
-        df.withColumn(s"best_$s", element_at(array_sort(array(dists: _*)), 1))
-      }
-
     for (_ <- 1 until iters) {
-      val upd = assigned()
-        .select(explode(array((0 until m).map(s =>
+      val upd = pqAssigned(e, books, sub)
+        .select(explode(array(books.indices.map(s =>
           struct(lit(s).as("sub"), col(s"best_$s.cid").as("cid"),
-            sv(s).as("sv"))): _*)).as("g"))
+            slice(col("v"), s * sub + 1, sub).as("sv"))): _*)).as("g"))
         .select(col("g.sub"), col("g.cid"),
           posexplode(col("g.sv")).as(Seq("dim", "x")))
         .groupBy("sub", "cid", "dim")
         .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
           count(lit(1)).as("n"))
         .collect() // k×dim rows across all m books — bounded driver state
-      books = (0 until m).map { s =>
+      books = books.indices.map { s =>
         upd.filter(_.getInt(0) == s).toSeq
           .map(r => (r.getInt(1),
             (r.getInt(2), r.getLong(3) / (r.getLong(4) * 1048576.0))))
@@ -311,9 +315,74 @@ object Ann {
           .sortBy(_._1)
       }
     }
-    assigned().select(col("vec_id") +:
-      (0 until m).map(s => col(s"best_$s.cid").as(s"code_$s")) :+
-      (0 until m).map(s => col(s"best_$s.dm")).reduce(_ + _).as("err_micros"): _*)
+    (e, books, sub)
+  }
+
+  /** One fused per-subspace argmin pass: adds `best_s` =
+    * struct(dm, cid) of the winning code per subspace (codegen'd
+    * [[graft.functions.VectorFunctions.squaredL2Micros]] per centroid,
+    * min by (dm, cid)). */
+  private def pqAssigned(e: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+                         sub: Int): DataFrame =
+    books.indices.foldLeft(e) { (df, s) =>
+      val dists = books(s).map { case (cid, c) =>
+        struct(VectorFunctions.squaredL2Micros(
+            slice(col("v"), s * sub + 1, sub), typedLit(c)).as("dm"),
+          lit(cid).as("cid"))
+      }
+      df.withColumn(s"best_$s", element_at(array_sort(array(dists: _*)), 1))
+    }
+
+  /** PQ asymmetric-distance (ADC) top-k search (Jégou et al. 2011 §IV):
+    * the corpus is scored through its PQ codes only — the approximate
+    * squared distance of query q to vector x is Σ_s ‖q_s − c_{s,code_s(x)}‖²,
+    * the distance to x's RECONSTRUCTION — so at 100 TB the scan reads
+    * m bytes of codes per vector instead of dim doubles, and the
+    * query-side subspace distances are computed once per (query,
+    * centroid), not per corpus row.
+    *
+    * Plan shape = [[bruteForceTopK]]'s: the scored cross-product never
+    * shuffles (queries broadcast); each partition keeps its local
+    * top-k per query (sorted-truncate aggregate, map-side combinable);
+    * the global rank runs over partitions × k survivors. Fully
+    * deterministic (trained books + integer ADC + (adc, id) ties) →
+    * oracle hash-exact. Returns (query_id, neighbor_id, adc_micros,
+    * rank), self-matches excluded. */
+  def pqSearchTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String,
+                   m: Int, k: Int, iters: Int, topK: Int): DataFrame = {
+    val (e, books, sub) = pqTrain(corpus, idCol, vecCol, m, k, iters)
+    val coded = pqAssigned(e, books, sub)
+      .select(col("vec_id").as("neighbor_id") +:
+        books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    // per-subspace centroid dictionary as a map literal: codes are
+    // original cids (empty cells drop out), so element_at by code —
+    // never positional indexing
+    val adc = books.indices.map { s =>
+      val bookMap = typedLit(books(s).toMap)
+      VectorFunctions.squaredL2Micros(
+        slice(col("qv"), s * sub + 1, sub),
+        element_at(bookMap, col(s"code_$s")))
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_micros", adc)
+      .select("query_id", "neighbor_id", "adc_micros")
+    val partial = scored
+      .withColumn("__part", spark_partition_id())
+      .groupBy("query_id", "__part")
+      .agg(slice(array_sort(collect_list(
+        struct(col("adc_micros"), col("neighbor_id")))), 1, topK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col("t.adc_micros").as("adc_micros"))
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_micros").asc, col("neighbor_id").asc)))
+      .where(col("rank") <= topK)
   }
 
   /** LSH-bucketed top-k: candidates limited to signature-band collisions

@@ -112,6 +112,41 @@ class MlPropertySpec extends SparkSuite {
     assert(passes(prop, 20))
   }
 
+  test("ADC search reduces to exact snapped distances when n <= k") {
+    // with every vector its own Lloyd cell the reconstruction is the
+    // 2^-20-snapped vector itself, so the ADC ranking must equal a
+    // local exact ranking computed with the same per-subspace
+    // left-fold + floor — the strongest identity the quantizer admits
+    val genSmall: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(2, 4)
+      subDim <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(2 * subDim, Gen.chooseNum(-1.0f, 1.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val prop = Prop.forAll(genSmall) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val m = 2
+      val sub = rows.head._2.length / m
+      val got = graft.similarity.Ann.pqSearchTopK(
+          df.where(col("vec_id") === 0L), df, "vec_id", "embedding",
+          m = m, k = 4, iters = 2, topK = rows.length)
+        .select(col("neighbor_id").cast("long"), col("adc_micros").cast("long"),
+          col("rank").cast("int"))
+        .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+      val q = rows.head._2.map(_.toDouble)
+      val exact = rows.tail.map { case (id, x) =>
+        val adc = (0 until m).map { s =>
+          val d2 = (s * sub until (s + 1) * sub).foldLeft(0.0) { (acc, i) =>
+            val diff = q(i) - snap(x(i)); acc + diff * diff
+          }
+          math.floor(d2 * 1e6 + 0.5).toLong
+        }.sum
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }
+      got.map(r => (r._1, r._2)) == exact
+    }
+    assert(passes(prop, 20))
+  }
+
   test("linear probe matches a local full-batch reference trajectory") {
     val prop = Prop.forAll(genCorpus) { rows =>
       val df = rows.toDF("vec_id", "label", "embedding")

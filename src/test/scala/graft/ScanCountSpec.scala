@@ -102,6 +102,11 @@ class ScanCountSpec extends SparkSuite {
     // argmins, ZERO shuffles
     assert(scanCount("q159_pq_codes") <= 1)
     assert(shuffleCount("q159_pq_codes") === 0)
+    // q160 ADC search: corpus scan + broadcast queries scan; the
+    // scored cross-product never shuffles — only the partial top-k
+    // aggregate and the global rank window exchange
+    assert(scanCount("q160_pq_search") <= 2)
+    assert(shuffleCount("q160_pq_search") <= 3)
   }
 
   test("the group-any window plans one scan and one shuffle") {
