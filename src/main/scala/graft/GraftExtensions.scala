@@ -67,6 +67,7 @@ object GraftExtensions {
     "double_dot" -> (es => graft.functions.DoubleDot(es(0), es(1))),
     "long_intersect_count" -> (es => graft.functions.LongIntersectCount(es(0), es(1))),
     "squared_l2_micros" -> (es => graft.functions.SquaredL2Micros(es(0), es(1))),
+    "vec_sub" -> (es => graft.functions.VecSub(es(0), es(1))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
       stringArg(es(1), "left"), stringArg(es(2), "right"))))
 

@@ -1584,6 +1584,75 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 5)
     }),
 
+    // ---- duplicated-substring spans (Dedup.dupSpanStats): Lee et al.
+    // 2022 substring dedup at 8-token-window granularity — a span whose
+    // exact text occurs >1 time corpus-wide marks a duplicated region;
+    // per-doc span/dup counts + the ≤20% keep gate. ONE corpus scan;
+    // the (key,id) grouping map-side-combines within-doc repeats, the
+    // corpus total rides a whole-partition window on the key. ----
+    "q161_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanStats(t(s, dir, "documents"), "text", "doc_id",
+        w = 8, maxDupPerMille = 200)),
+
+    // ---- IVFADC (Ann.ivfPqSearchTopK): coarse quantizer routes to
+    // inverted lists, PQ codebooks on the RESIDUALS compress inside
+    // each list, queries probe their 2 nearest cells only — the full
+    // Jégou et al. two-level ANN at 100 TB scale. Corpus pipeline is
+    // one scan / zero shuffles; probed queries broadcast into the
+    // cell join. Fully deterministic → hash-exact. ----
+    "q162_ivfpq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.ivfPqSearchTopK(e.where(col("vec_id") < 4), e,
+        "vec_id", "embedding", kc = 4, m = 4, k = 4, iters = 2,
+        nprobe = 2, topK = 5)
+    }),
+
+    // ---- IVFADC + exact re-rank (Ann.ivfPqSearchRerank): ADC picks a
+    // 10-deep shortlist per query from the m-byte codes; only the
+    // finalists are re-scored against their FULL vectors (the bare-id
+    // shortlist broadcasts into the corpus scan — the corpus never
+    // shuffles for the exact pass). The standard two-stage retrieval
+    // at 100 TB. Fully deterministic → hash-exact. ----
+    "q164_ivfpq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.ivfPqSearchRerank(e.where(col("vec_id") < 4), e,
+        "vec_id", "embedding", kc = 4, m = 4, k = 4, iters = 2,
+        nprobe = 2, shortlist = 10, topK = 5)
+    }),
+
+    // ---- S7 GeoPackage end-to-end gate: the REAL standing-water
+    // cycle-2 design layer (design_watersurfaces/, the GDAL-produced
+    // .gpkg the reference reads with st_read) through the pure-Scala
+    // SQLite walk + GPKG-header strip + vertex-fold WkbEnvelope, then
+    // the design summary per (area_class, sac): polygon counts, GRTS
+    // rank sums, bbox areas, measured fraction, and the multi-type
+    // split (R4 over 'a; b' type_all lists — bounded habitat-type
+    // domain, so the distinct-flatten aggregate is k-sized). The
+    // oracle replays against GpkgFixtureStandingWater, the same file
+    // read by Python's sqlite3 with GDAL's own blob-header envelopes —
+    // an independent parser AND an independent envelope source. ----
+    "q163_gpkg_design" -> ((s, dir) => {
+      val path = "/root/reference/processed/design_watersurfaces/" +
+        "mhq_standingwater_cycle2_2024-04-17.gpkg"
+      val w = graft.geo.GeoPackage
+        .read(s, path, "mhq_standingwater_cycle2_2024-04-17")
+        .select(col("grts_ranking"), col("area_class"), col("sac"),
+          col("type_all"), col("biotic_measurement"),
+          graft.geo.WkbFunctions.wkbEnvelope(col("geom")).as("env"))
+      w.groupBy("area_class", "sac")
+        .agg(
+          count(lit(1)).as("n_polygons"),
+          sum(col("grts_ranking")).as("rank_sum"),
+          sum(floor((col("env.xmax") - col("env.xmin"))
+            * (col("env.ymax") - col("env.ymin"))
+            * lit(100.0) + lit(0.5)).cast("long")).as("bbox_area_dm2"),
+          sum(when(col("biotic_measurement").isNotNull, 1L).otherwise(0L))
+            .as("n_measured"),
+          size(array_distinct(flatten(
+            collect_list(split(col("type_all"), lit("; "))))))
+            .cast("long").as("n_types"))
+    }),
+
     // ---- E2E curation funnel (q155): the whole LLM-curation flow as
     // ONE correctness-gated composition — exact dedup (q40's
     // fingerprint canonical), semantic dedup (q148's SemDeDup flags
@@ -3760,12 +3829,19 @@ object SparkEntry {
     * (same init-from-lowest-ids, same fixed-point distance rank, same
     * 2^-20 integer update). Exposes per subspace `a1_s` (final codes +
     * dm) and `c1_s` (final codebook). */
-  private def pqTrainCtes(m: Int, k: Int, dim: Int): String = {
+  private def pqTrainCtes(m: Int, k: Int, dim: Int): String =
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+      "           FROM embeddings),\n" + pqSubCtes(m, k, dim, src = "e")
+
+  /** The m per-subspace Lloyd CTE chains (no WITH header) over any
+    * source CTE exposing (vec_id, v) — `src = "e"` for q159/q160's
+    * direct PQ, `src = "res"` for q162's residual PQ. */
+  private def pqSubCtes(m: Int, k: Int, dim: Int, src: String): String = {
     require(dim % m == 0)
     val sub = dim / m
     val perSub = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = (s + 1) * sub
-      s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM e),
+      s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
          |c0_$s AS (SELECT vec_id AS cid, v AS cv FROM e_$s WHERE vec_id < $k),
          |d0_$s AS (SELECT e_$s.vec_id, c0_$s.cid,
          |         CAST(floor(list_sum(list_transform(list_zip(e_$s.v, c0_$s.cv),
@@ -3796,8 +3872,7 @@ object SparkEntry {
          |         FROM d1_$s) t
          |       WHERE rk = 1)""".stripMargin
     }
-    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
-      "           FROM embeddings),\n" + perSub.mkString(",\n")
+    perSub.mkString(",\n")
   }
 
   /** q159's oracle: the m final assignments joined back per vector. */
@@ -3842,11 +3917,160 @@ object SparkEntry {
          |WHERE rk <= $topK""".stripMargin
   }
 
+  /** q162's oracle: IVFADC — q147's full-dim Lloyd CTE verbatim as the
+    * coarse quantizer (c0..a1), residuals = v − final coarse centroid,
+    * the per-subspace Lloyd chains instantiated over `res`, then the
+    * probed-cell ADC: each query ranks the kc cells on its
+    * micros-floored distance, keeps `nprobe`, forms its per-cell
+    * residual, and scores ONLY vectors assigned to probed cells. */
+  private def ivfPqSearchOracleSql(kc: Int, m: Int, k: Int, dim: Int,
+                                   nQueries: Int, nprobe: Int,
+                                   topK: Int): String =
+    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe) +
+      s"""
+         |SELECT query_id, neighbor_id, adc_micros, CAST(rk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |      FROM adc) t
+         |WHERE rk <= $topK""".stripMargin
+
+  /** q164's oracle: the q162 ADC CTEs select an `shortlist`-deep
+    * candidate set per query; the finalists alone are re-scored with
+    * the EXACT full-vector distance and re-ranked. */
+  private def ivfPqRerankOracleSql(kc: Int, m: Int, k: Int, dim: Int,
+                                   nQueries: Int, nprobe: Int,
+                                   shortlist: Int, topK: Int): String =
+    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe) +
+      s""",
+         |short AS (SELECT query_id, neighbor_id
+         |          FROM (SELECT *, row_number() OVER (
+         |                  PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |                FROM adc) t
+         |          WHERE rk <= $shortlist),
+         |rr AS (SELECT short.query_id, short.neighbor_id,
+         |         CAST(floor(list_sum(list_transform(list_zip(q.qv, e.v),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT)
+         |           AS exact_micros
+         |       FROM short JOIN e ON e.vec_id = short.neighbor_id
+         |         JOIN q ON q.query_id = short.query_id)
+         |SELECT query_id, neighbor_id, exact_micros, CAST(rk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY exact_micros, neighbor_id) rk
+         |      FROM rr) t
+         |WHERE rk <= $topK""".stripMargin
+
+  /** Shared q162/q164 CTE chain: coarse Lloyd → residuals →
+    * per-subspace PQ → probe → per-subspace ADC scores → `adc`. */
+  private def ivfPqAdcCtes(kc: Int, m: Int, k: Int, dim: Int,
+                           nQueries: Int, nprobe: Int): String = {
+    val sub = dim / m
+    val coarse =
+      s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kc),
+         |d0 AS (SELECT e.vec_id, c0.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |       FROM e, c0),
+         |a0 AS (SELECT vec_id, cid FROM (
+         |         SELECT vec_id, cid,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+         |         FROM d0) t
+         |       WHERE rk = 1),
+         |ex AS (SELECT vec_id,
+         |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+         |                recursive := true)
+         |       FROM e),
+         |upd AS (SELECT a0.cid, ex.dim,
+         |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+         |          count(*) AS n
+         |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
+         |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+         |       FROM upd GROUP BY cid),
+         |d1 AS (SELECT e.vec_id, c1.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |       FROM e, c1),
+         |a1 AS (SELECT vec_id, cid, dm FROM (
+         |         SELECT vec_id, cid, dm,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
+         |         FROM d1) t
+         |       WHERE rk = 1),
+         |res AS (SELECT e.vec_id, a1.cid AS gcell,
+         |          list_transform(list_zip(e.v, c1.cv), p -> p[1]-p[2]) AS v
+         |        FROM e JOIN a1 USING (vec_id) JOIN c1 ON a1.cid = c1.cid)""".stripMargin
+    val scoreCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""s_$s AS (SELECT probe.query_id, res.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(probe.qr[$lo:$hi], c1_$s.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM probe JOIN res ON probe.gcell = res.gcell
+         |    JOIN a1_$s ON a1_$s.vec_id = res.vec_id
+         |    JOIN c1_$s ON c1_$s.cid = a1_$s.cid)""".stripMargin
+    }
+    val joins = (1 until m).map(s =>
+      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
+    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+      "           FROM embeddings),\n" + coarse + ",\n" +
+      pqSubCtes(m, k, dim, src = "res") +
+      s""",
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |qd AS (SELECT q.query_id, q.qv, c1.cid AS gcell, c1.cv AS gcv,
+         |         CAST(floor(list_sum(list_transform(list_zip(q.qv, c1.cv),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS gdm
+         |       FROM q, c1),
+         |probe AS (SELECT query_id, gcell,
+         |            list_transform(list_zip(qv, gcv), p -> p[1]-p[2]) AS qr
+         |          FROM (SELECT *, row_number() OVER (
+         |                  PARTITION BY query_id ORDER BY gdm, gcell) rk
+         |                FROM qd) t
+         |          WHERE rk <= $nprobe),
+         |${scoreCtes.mkString(",\n")},
+         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM s_0 $joins
+         |        WHERE query_id <> neighbor_id)""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
     * for LSH/signature queries whose bucketing is xxhash-based (rows-only
     * check there; their EXACT verifiers q46/q53 are oracle-checked). */
   def oracleSql: Map[String, String] = Map(
     // q159/q160: per-subspace Lloyd + ADC search (generators above)
+    "q161_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        |  SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS span
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)
+        |  WHERE len(ts) >= 8),
+        |kd AS (SELECT span, doc_id, count(*) AS cnt FROM sp GROUP BY 1, 2),
+        |tot AS (SELECT span, sum(cnt) AS total FROM kd GROUP BY 1)
+        |SELECT kd.doc_id,
+        |  CAST(sum(kd.cnt) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN tot.total > 1 THEN kd.cnt ELSE 0 END) AS BIGINT)
+        |    AS dup_spans,
+        |  sum(CASE WHEN tot.total > 1 THEN kd.cnt ELSE 0 END) * 1000
+        |    <= 200 * sum(kd.cnt) AS keep
+        |FROM kd JOIN tot ON kd.span = tot.span
+        |GROUP BY kd.doc_id""".stripMargin,
+
+    "q162_ivfpq_search" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+    "q164_ivfpq_rerank" -> ivfPqRerankOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, shortlist = 10, topK = 5),
+
+    "q163_gpkg_design" ->
+      s"""WITH gpkg AS (SELECT * FROM ${graft.geo.GpkgFixtureStandingWater.valuesSql})
+         |SELECT area_class, CAST(sac AS BIGINT) AS sac,
+         |  count(*) AS n_polygons,
+         |  CAST(sum(grts_ranking) AS BIGINT) AS rank_sum,
+         |  CAST(sum(CAST(floor((xmax - xmin) * (ymax - ymin) * 100.0 + 0.5)
+         |    AS BIGINT)) AS BIGINT) AS bbox_area_dm2,
+         |  CAST(sum(CASE WHEN biotic IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_measured,
+         |  CAST(len(list_distinct(flatten(list(string_split(type_all, '; ')))))
+         |    AS BIGINT) AS n_types
+         |FROM gpkg GROUP BY 1, 2""".stripMargin,
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q160_pq_search" -> pqSearchOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),

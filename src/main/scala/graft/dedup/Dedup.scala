@@ -505,4 +505,64 @@ object Dedup {
         col("sim_micros"))
     (assigned, pairs)
   }
+
+  /** Exact duplicated-substring statistics at token-window granularity —
+    * the substring-dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * re-expressed relationally instead of via their suffix array: every
+    * length-`w` token window of a document is a span; a span whose exact
+    * text occurs more than once CORPUS-WIDE (including twice within one
+    * document) marks a duplicated region. Returns one row per document
+    * with at least one span: (id, n_spans, dup_spans, keep) where
+    * `keep` = dup_spans·1000 ≤ maxDupPerMille·n_spans. Documents shorter
+    * than `w` tokens have no spans and are dropped (a doc too short to
+    * contain a window carries no substring-dup evidence either way).
+    *
+    * Scale shape: ONE scan of the corpus explodes to (span_key, id)
+    * tuples; grouping to (key, id) happens with map-side combine (the
+    * within-doc repeat count collapses before the shuffle), the corpus
+    * total per key rides a whole-partition window on the key (no second
+    * scan, no join back to the exploded set), and the final per-doc
+    * rollup shuffles only (id, cnt, total) triples. No payload is ever
+    * shuffled twice and no per-key state is collected (hot boilerplate
+    * spans stay distributed — there is no collect_list).
+    *
+    * `hashed = true` is the 100 TB path: the shuffle key becomes
+    * xxhash64(span) (8 bytes) instead of the ~`w`-word string. Output is
+    * identical barring 64-bit collisions (conservative direction: a
+    * collision can only overcount dup_spans). The oracle-gated query
+    * uses `hashed = false` for cross-engine exactness;
+    * [[graft.DupSpanSpec]] pins the two variants equal on real data.
+    *
+    * Skew: a boilerplate span present in millions of documents makes
+    * one hot key in the window stage — bounded in WIDTH (its rows are
+    * (key, id, cnt) triples, never payloads) but not in count, and
+    * window skew is not AQE-splittable. A boilerplate-heavy corpus
+    * should pre-filter stop-spans before calling; the structural fix
+    * (per-key totals via a second groupBy + broadcast of the dup-key
+    * Bloom filter) costs an extra pass and is not warranted until a
+    * profile shows the hot key. */
+  def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                   w: Int, maxDupPerMille: Int,
+                   hashed: Boolean = false): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
+    val toks = Text.tokens(col(textCol))
+    val spansCol = when(size(toks) >= w,
+        transform(sequence(lit(1), size(toks) - lit(w - 1)),
+          i => array_join(slice(toks, i, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val spans = docs
+      .select(col(idCol).as(idCol), explode(spansCol).as("span"))
+      .select(col(idCol),
+        (if (hashed) xxhash64(col("span")) else col("span")).as("key"))
+    val perKeyDoc = spans.groupBy("key", idCol).agg(count(lit(1)).as("cnt"))
+    val withTotal = perKeyDoc.withColumn("total",
+      sum("cnt").over(Window.partitionBy("key")))
+    withTotal.groupBy(idCol)
+      .agg(
+        sum("cnt").as("n_spans"),
+        sum(when(col("total") > 1, col("cnt")).otherwise(lit(0L))).as("dup_spans"))
+      .withColumn("keep",
+        col("dup_spans") * lit(1000L) <= lit(maxDupPerMille.toLong) * col("n_spans"))
+  }
 }

@@ -188,6 +188,62 @@ case class DoubleDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Elementwise difference of two `array<double>` vectors — the
+  * residual step of IVF-PQ (vector minus its coarse centroid, Jégou et
+  * al. 2011 §V). Bit-identical to the `zip_with(a, b, (x,y) => x-y)`
+  * formulation (plain IEEE subtract per element), but codegen'd: the
+  * residual runs once per corpus row in the IVF-PQ encode path, so the
+  * interpreted higher-order form would put a lambda in the hot loop.
+  * NULL on length mismatch or any null element. */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      out(i) = x.getDouble(i) - y.getDouble(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val arr = ctx.freshName("arr")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final double[] $arr = new double[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $arr[$i] = $a.getDouble($i) - $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSub =
+    copy(left = l, right = r)
+}
+
 /** Squared-L2 distance in 1e-6 fixed point between an `array<double>`
   * vector and a (typically literal) centroid — the Lloyd assignment's
   * hot loop, evaluated k times per row. Bit-identical to the
@@ -332,4 +388,8 @@ object VectorFunctions {
   /** Column API: squared-L2 distance in 1e-6 fixed point. */
   def squaredL2Micros(a: Column, b: Column): Column =
     GraftBridge.column(SquaredL2Micros(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: elementwise difference of two array<double> columns. */
+  def vecSub(a: Column, b: Column): Column =
+    GraftBridge.column(VecSub(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -192,6 +192,17 @@ object Ann {
     * scan + re-join just to recover the payload. */
   def lloydCluster(corpus: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, keepVec: Boolean = false): DataFrame = {
+    val a = lloydTrain(corpus, idCol, vecCol, k, iters)._1
+    if (keepVec) a else a.drop("v")
+  }
+
+  /** [[lloydCluster]] plus the trained state: (final assignment with
+    * the vector riding along as `v`, final centroids). The centroids
+    * are what IVF-PQ's residual step needs ([[ivfPqSearchTopK]]) —
+    * driver state, k·dim doubles. */
+  private[graft] def lloydTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                                k: Int, iters: Int)
+      : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).as("vec_id"),
@@ -229,7 +240,7 @@ object Ann {
           (cid, rows.map(_._2).sortBy(_._1).map(_._2).toSeq) }
         .sortBy(_._1)
     }
-    if (keepVec) assigned() else assigned().drop("v")
+    (assigned(), centroids)
   }
 
   /** Product-quantization codes (Jégou et al. 2011, "Product
@@ -412,5 +423,136 @@ object Ann {
         round(VectorFunctions.cosineSim(col("query_vec"), col("neighbor_vec")), 6))
       .select("query_id", "neighbor_id", "cosine")
     ranked(scored, k)
+  }
+
+  /** IVFADC (Jégou et al. 2011 §V): the full 100 TB ANN architecture —
+    * a coarse `kc`-cell quantizer routes each vector to an inverted
+    * list; a PQ codebook trained on the RESIDUAL (vector minus its
+    * coarse centroid) compresses it to `m` codes inside the list; a
+    * query probes only its `nprobe` nearest cells and ADC-scores the
+    * vectors in them against the query's per-cell residual.
+    *
+    * Plan shape: the corpus pipeline is ONE scan, ZERO shuffles —
+    * coarse assign (kc fused argmins), residual ([[graft.functions.
+    * VectorFunctions.vecSub]], codegen'd), PQ argmins, all map-side
+    * with broadcast driver state (kc·dim + m·k·dim/m doubles); the
+    * probed queries broadcast into a hash join on the cell id, so the
+    * scored candidate set is the probed lists only — at scale, with
+    * the codes written cell-partitioned, the probe is partition
+    * pruning and the scan reads m bytes per candidate instead of dim
+    * floats. Top-k = partial per-partition truncate + global rank
+    * ([[bruteForceTopK]]'s shape). Training cost: `iters` coarse +
+    * `iters` PQ corpus scans, each with one k×dim map-side-combined
+    * exchange (eager, at construction).
+    *
+    * Determinism: the house recipe end-to-end — coarse and PQ Lloyd
+    * both init from lowest-id (sub)vectors, rank on micros-floored
+    * distances with cid tiebreaks; residuals are plain IEEE subtracts
+    * of exact-rational centroids, identical in DuckDB's
+    * `p[1]-p[2]` — so the whole two-level pipeline is oracle
+    * hash-exact. Returns (query_id, neighbor_id, adc_micros, rank),
+    * self-matches excluded; `rank` orders by (adc_micros,
+    * neighbor_id) within the probed candidates. */
+  def ivfPqSearchTopK(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      kc: Int, m: Int, k: Int, iters: Int,
+                      nprobe: Int, topK: Int): DataFrame = {
+    val (scored, _, _) =
+      ivfPqScored(queries, corpus, idCol, vecCol, kc, m, k, iters, nprobe)
+    rankTopK(scored, "adc_micros", topK)
+  }
+
+  /** IVFADC + exact re-rank — the standard two-stage retrieval (Jégou
+    * et al. 2011 §VII): ADC selects a `shortlist` per query cheaply
+    * from the m-byte codes; only the finalists are re-scored against
+    * their FULL vectors. At 100 TB the exact pass touches
+    * nQueries·shortlist vectors instead of the corpus: the shortlist
+    * (bare id pairs) broadcasts into a hash join against the corpus
+    * scan — the corpus never shuffles and only finalist rows survive
+    * the join. Deterministic end-to-end ((adc, id) shortlist ties,
+    * (exact, id) final ties) → oracle hash-exact. Returns (query_id,
+    * neighbor_id, exact_micros, rank). */
+  def ivfPqSearchRerank(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String,
+                        kc: Int, m: Int, k: Int, iters: Int,
+                        nprobe: Int, shortlist: Int, topK: Int): DataFrame = {
+    val (scored, q, e) =
+      ivfPqScored(queries, corpus, idCol, vecCol, kc, m, k, iters, nprobe)
+    val short = rankTopK(scored, "adc_micros", shortlist)
+      .select("query_id", "neighbor_id")
+    val exact = e.join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("exact_micros",
+        VectorFunctions.squaredL2Micros(col("qv"), col("v")))
+      .select("query_id", "neighbor_id", "exact_micros")
+    exact.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("exact_micros").asc, col("neighbor_id").asc)))
+      .where(col("rank") <= topK)
+  }
+
+  /** [[bruteForceTopK]]'s partial-then-global top-k tail over an
+    * arbitrary scored column: per-partition sorted truncate (map-side
+    * combinable), global rank over partitions × k survivors. */
+  private def rankTopK(scored: DataFrame, valueCol: String,
+                       topK: Int): DataFrame = {
+    val partial = scored
+      .withColumn("__part", spark_partition_id())
+      .groupBy("query_id", "__part")
+      .agg(slice(array_sort(collect_list(
+        struct(col(valueCol), col("neighbor_id")))), 1, topK).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
+        col(s"t.$valueCol").as(valueCol))
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col(valueCol).asc, col("neighbor_id").asc)))
+      .where(col("rank") <= topK)
+  }
+
+  /** Shared IVFADC core: (ADC-scored candidates, probed-query vectors,
+    * normalized corpus vectors). See [[ivfPqSearchTopK]] for the plan
+    * shape and determinism contract. */
+  private def ivfPqScored(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          kc: Int, m: Int, k: Int, iters: Int,
+                          nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (assignedFull, cents) = lloydTrain(corpus, idCol, vecCol, kc, iters)
+    val centMap = typedLit(cents.toMap)
+    val res = assignedFull.select(col("vec_id"), col("cluster").as("gcell"),
+      VectorFunctions.vecSub(col("v"), element_at(centMap, col("cluster"))).as("r"))
+    val (_, books, sub) = pqTrain(res, "vec_id", "r", m, k, iters)
+    val coded = pqAssigned(res.select(col("vec_id"), col("gcell"),
+        col("r").as("v")), books, sub)
+      .select(col("vec_id").as("neighbor_id") +: col("gcell") +:
+        books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
+
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val gdists = cents.map { case (cid, c) =>
+      struct(VectorFunctions.squaredL2Micros(col("qv"), typedLit(c)).as("gdm"),
+        lit(cid).as("gcell"))
+    }
+    val probes = q
+      .withColumn("p", explode(slice(array_sort(array(gdists: _*)), 1, nprobe)))
+      .select(col("query_id"), col("p.gcell").as("gcell"),
+        VectorFunctions.vecSub(col("qv"),
+          element_at(centMap, col("p.gcell"))).as("qr"))
+
+    val adc = books.indices.map { s =>
+      VectorFunctions.squaredL2Micros(
+        slice(col("qr"), s * sub + 1, sub),
+        element_at(typedLit(books(s).toMap), col(s"code_$s")))
+    }.reduce(_ + _)
+    val scored = coded.join(broadcast(probes), Seq("gcell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_micros", adc)
+      .select("query_id", "neighbor_id", "adc_micros")
+    // fresh normalized corpus for the exact-rerank join — a plain
+    // (vec_id, v) scan without the coarse-assign argmin work
+    val e = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    (scored, q, e)
   }
 }

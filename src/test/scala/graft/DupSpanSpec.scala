@@ -1,0 +1,69 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.Row
+
+/** Duplicated-substring spans (Lee et al. 2022 substring dedup at
+  * token-window granularity, `Dedup.dupSpanStats`, q161). */
+class DupSpanSpec extends SparkSuite {
+  import spark.implicits._
+
+  // d1/d2 share the 4-token run "a b c d"; d3 repeats its own window
+  // twice; d4 is unique; d5 is too short for any window.
+  private def fixture = Seq(
+    (1L, "a b c d x1 y1"),
+    (2L, "z2 a b c d w2"),
+    (3L, "p q r s k p q r s k"),
+    (4L, "u1 u2 u3 u4 u5 u6"),
+    (5L, "t1 t2")
+  ).toDF("doc_id", "text")
+
+  private def stats(w: Int, hashed: Boolean = false) =
+    Dedup.dupSpanStats(fixture, "text", "doc_id", w = w,
+        maxDupPerMille = 200, hashed = hashed)
+      .orderBy("doc_id").collect().toSeq
+
+  test("cross-doc and within-doc duplicated windows are counted") {
+    // w=4: d1 spans = {abcd, bcdx1, cdx1y1}; d2 = {z2abc, abcd, bcdw2}
+    // -> "a b c d" total 2 -> one dup span each. d3 (10 toks, 7 spans):
+    // "p q r s k ..." has NO repeated 4-window? "p q r s" occurs at
+    // pos 1 and pos 6 -> spans at 1 and 6 identical ("p q r s"? no —
+    // 4-windows: pos6 = "p q r s" (toks 6-9) yes). Windows of d3:
+    // [pqrs, qrsk, rskp, skpq, kpqr, pqrs, qrsk] -> "p q r s" x2 and
+    // "q r s k" x2 -> 4 dup positions.
+    val rows = stats(4)
+    assert(rows.map(_.getLong(0)) === Seq(1L, 2L, 3L, 4L))
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) === 3 && byId(1L).getLong(2) === 1)
+    assert(byId(2L).getLong(1) === 3 && byId(2L).getLong(2) === 1)
+    assert(byId(3L).getLong(1) === 7 && byId(3L).getLong(2) === 4)
+    assert(byId(4L).getLong(1) === 3 && byId(4L).getLong(2) === 0)
+  }
+
+  test("keep gate compares in exact integer arithmetic") {
+    val byId = stats(4).map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // d1/d2: 1/3 dup = 333‰ > 200‰ -> drop; d3: 4/7 -> drop; d4 keep.
+    assert(byId(1L) === false && byId(2L) === false)
+    assert(byId(3L) === false && byId(4L) === true)
+  }
+
+  test("documents shorter than the window are dropped") {
+    assert(!stats(4).exists(_.getLong(0) == 5L))
+    // w larger than every doc -> empty result, not a failure
+    assert(Dedup.dupSpanStats(fixture, "text", "doc_id", w = 99,
+      maxDupPerMille = 200).count() === 0)
+  }
+
+  test("hashed (xxhash64 shuffle-key) variant is output-identical") {
+    val plain = stats(8)
+    val h = stats(8, hashed = true)
+    assert(plain === h)
+    // and on the real sf0.001 documents table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200, hashed = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}

@@ -61,6 +61,11 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT long_intersect_count(array(3L, 1L, 2L, 2L), array(2L, 3L, 9L)) AS c")
       .as[Int].collect().head
     assert(ic === 2)
+
+    val vs = spark.sql(
+      "SELECT vec_sub(array(1.5D, 2.0D), array(0.5D, 3.0D)) AS r")
+      .as[Seq[Double]].collect().head
+    assert(vs === Seq(1.0, -1.0))
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {

@@ -213,4 +213,78 @@ class MlPropertySpec extends SparkSuite {
     }
     assert(passes(prop, 40))
   }
+
+  test("IVF-PQ with one coarse cell equals PQ search on mean-centered input") {
+    // kc = 1 collapses the coarse quantizer to the (snapped-sum) mean,
+    // every vector lands in the single list, and the residual PQ must
+    // be EXACTLY a direct pqSearchTopK over the pre-centered corpus —
+    // a cross-path identity through lloydTrain + VecSub + pqTrain
+    val genSmall: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(4, 12)
+      subDim <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(2 * subDim, Gen.chooseNum(-1.0f, 1.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val prop = Prop.forAll(genSmall) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val m = 2
+      val got = graft.similarity.Ann.ivfPqSearchTopK(
+          df.where(col("vec_id") < 2), df, "vec_id", "embedding",
+          kc = 1, m = m, k = 3, iters = 2, nprobe = 1, topK = 4)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("adc_micros").cast("long"), col("rank").cast("int"))
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+      // local single-cell centroid after one update: snapped coordinate
+      // sums over the raw cast-to-double input (lloydTrain's recipe)
+      val n = rows.length
+      val dim = rows.head._2.length
+      val c = Array.tabulate(dim) { i =>
+        rows.map(r => math.floor(r._2(i).toDouble * 1048576.0 + 0.5).toLong).sum
+          .toDouble / (n * 1048576.0)
+      }
+      val centered = rows.map { case (id, v) =>
+        (id, v.map(_.toDouble).zip(c).map { case (a, b) => a - b }) }
+      val refDf = centered.toDF("vec_id", "embedding")
+      val ref = graft.similarity.Ann.pqSearchTopK(
+          refDf.where(col("vec_id") < 2), refDf, "vec_id", "embedding",
+          m = m, k = 3, iters = 2, topK = 4)
+        .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+          col("adc_micros").cast("long"), col("rank").cast("int"))
+        .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+      got == ref
+    }
+    assert(passes(prop, 15))
+  }
+
+  test("full-probe rerank with a corpus-wide shortlist is the exact L2 ranking") {
+    // nprobe = kc scores every vector; shortlist = n keeps them all;
+    // the exact pass then MUST reproduce a plain local L2 ranking over
+    // the raw cast-to-double vectors (no snapping in the exact stage) —
+    // the rerank stage's whole point is recovering exactness that the
+    // quantizer gave up
+    val genSmall: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(4, 12)
+      subDim <- Gen.chooseNum(1, 3)
+      rows <- Gen.listOfN(n, Gen.listOfN(2 * subDim, Gen.chooseNum(-1.0f, 1.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val prop = Prop.forAll(genSmall) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val n = rows.length
+      val got = graft.similarity.Ann.ivfPqSearchRerank(
+          df.where(col("vec_id") === 0L), df, "vec_id", "embedding",
+          kc = 2, m = 2, k = 3, iters = 2, nprobe = 2,
+          shortlist = n, topK = n)
+        .select(col("neighbor_id").cast("long"),
+          col("exact_micros").cast("long"), col("rank").cast("int"))
+        .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+      val q = rows.head._2.map(_.toDouble)
+      val exact = rows.tail.map { case (id, x) =>
+        val d2 = x.indices.foldLeft(0.0) { (acc, i) =>
+          val d = q(i) - x(i).toDouble; acc + d * d
+        }
+        (id, math.floor(d2 * 1e6 + 0.5).toLong)
+      }.sortBy { case (id, d2) => (d2, id) }
+      got.map(r => (r._1, r._2)) == exact
+    }
+    assert(passes(prop, 15))
+  }
 }

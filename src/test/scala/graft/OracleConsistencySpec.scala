@@ -87,6 +87,14 @@ class OracleConsistencySpec extends AnyFunSuite {
         .getOrElse(fail(s"$q oracle lost its Lloyd CTE"))))
     assert(ctes.map(_._2).distinct.size == 1,
       s"Lloyd CTE copies drifted apart across ${ctes.map(_._1)}")
+    // q162's coarse chain is the same CTE shape but parameterized
+    // kc=4 (vs the family's k=8) and keeps dm through a1, so it is
+    // pinned structurally: substituting the init size must recover
+    // q147's chain verbatim
+    val ivf = lloyd.findFirstIn(SparkEntry.oracleSql("q162_ivfpq_search"))
+      .getOrElse(fail("q162 oracle lost its coarse Lloyd CTE"))
+    assert(norm(ivf.replace("vec_id < 4", "vec_id < 8")) == ctes.head._2,
+      "q162 coarse Lloyd chain drifted from q147's shape")
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

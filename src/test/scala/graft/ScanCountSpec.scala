@@ -107,6 +107,26 @@ class ScanCountSpec extends SparkSuite {
     // aggregate and the global rank window exchange
     assert(scanCount("q160_pq_search") <= 2)
     assert(shuffleCount("q160_pq_search") <= 3)
+    // q161 dup spans: ONE corpus scan (the exploded span set is never
+    // recomputed or joined back); exchanges = (key,id) group with
+    // map-side combine + key window + per-doc rollup
+    assert(scanCount("q161_dup_spans") <= 1)
+    assert(shuffleCount("q161_dup_spans") <= 3)
+    // q162 IVFADC: training eager at construction; the returned plan
+    // is corpus scan + queries scan, coarse assign/residual/PQ codes
+    // all map-side, probed queries BROADCAST into the cell join —
+    // shuffles are only the partial top-k + global rank (q160's tail)
+    assert(scanCount("q162_ivfpq_search") <= 2)
+    assert(shuffleCount("q162_ivfpq_search") <= 3)
+    // q164 rerank: q162's two scans + one extra CORPUS scan and one
+    // extra (tiny) QUERIES scan for the exact pass — deliberately NOT
+    // threading qv through the ADC candidate set, which would widen
+    // the one genuinely large intermediate by dim doubles per row;
+    // shortlist and queries broadcast into the corpus scan, so the
+    // corpus still never shuffles; exchanges = partial top-k +
+    // shortlist rank + final rank windows
+    assert(scanCount("q164_ivfpq_rerank") <= 4)
+    assert(shuffleCount("q164_ivfpq_rerank") <= 3)
   }
 
   test("the group-any window plans one scan and one shuffle") {
