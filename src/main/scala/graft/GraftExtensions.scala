@@ -68,6 +68,7 @@ object GraftExtensions {
     "long_intersect_count" -> (es => graft.functions.LongIntersectCount(es(0), es(1))),
     "squared_l2_micros" -> (es => graft.functions.SquaredL2Micros(es(0), es(1))),
     "vec_sub" -> (es => graft.functions.VecSub(es(0), es(1))),
+    "word_spans" -> (es => graft.functions.WordSpans(es(0), intArg(es(1), "w"))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
       stringArg(es(1), "left"), stringArg(es(2), "right"))))
 

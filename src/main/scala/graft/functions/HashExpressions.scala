@@ -106,6 +106,30 @@ object HashKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Every `w`-token window of `toks` joined with single spaces — the
+    * span unit of substring dedup. One pass, tokens read once; empty
+    * result (not null) below `w` tokens; null on null elements. */
+  def wordSpans(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val ts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (toks.isNullAt(i)) return null
+      ts(i) = toks.getUTF8String(i)
+      i += 1
+    }
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Any](n - w + 1)
+    var s = 0
+    while (s <= n - w) {
+      out(s) = UTF8String.concatWs(sep,
+        java.util.Arrays.copyOfRange(ts, s, s + w): _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** simhash64(array<string>) -> bigint. */
@@ -217,9 +241,41 @@ case class WinnowFingerprint(child: Expression, k: Int, t: Int)
     copy(child = c)
 }
 
+/** word_spans(tokens, w) -> array<string>: every w-token window joined
+  * with single spaces — the span unit of substring dedup
+  * ([[graft.dedup.Dedup.dupSpanStats]], Lee et al. 2022 at token-window
+  * grain). Replaces the `transform(sequence(1, n-w+1), i ->
+  * array_join(slice(toks, i, w), " "))` formulation: Catalyst
+  * evaluates higher-order lambdas interpreted AND re-evaluates the
+  * child token array per lambda element, so a split-fed `toks` re-ran
+  * the regex split once per window position (O(n·w) regex work per
+  * document — measured 4-6s of a 5s q161 at sf0.1). Here the tokens
+  * materialize once and each span is one concatWs. */
+case class WordSpans(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"window must be >= 1 token, got $w")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_spans"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordSpans(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.wordSpans($c, $w);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): WordSpans =
+    copy(child = c)
+}
+
 object HashFunctions {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  def wordSpans(tokens: Column, w: Int): Column =
+    GraftBridge.column(WordSpans(GraftBridge.expression(tokens), w))
 
   def winnowFingerprint(text: Column, k: Int, t: Int): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expression(text), k, t))

@@ -66,6 +66,13 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT vec_sub(array(1.5D, 2.0D), array(0.5D, 3.0D)) AS r")
       .as[Seq[Double]].collect().head
     assert(vs === Seq(1.0, -1.0))
+
+    val ws = spark.sql(
+      "SELECT word_spans(array('a','b','c','d'), 3) AS s")
+      .as[Seq[String]].collect().head
+    assert(ws === Seq("a b c", "b c d"))
+    assert(spark.sql("SELECT word_spans(array('a','b'), 3) AS s")
+      .as[Seq[String]].collect().head === Seq.empty)
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
