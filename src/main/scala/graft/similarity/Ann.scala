@@ -381,19 +381,7 @@ object Ann {
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_micros", adc)
       .select("query_id", "neighbor_id", "adc_micros")
-    val partial = scored
-      .withColumn("__part", spark_partition_id())
-      .groupBy("query_id", "__part")
-      .agg(slice(array_sort(collect_list(
-        struct(col("adc_micros"), col("neighbor_id")))), 1, topK).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
-        col("t.adc_micros").as("adc_micros"))
-    partial
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("adc_micros").asc, col("neighbor_id").asc)))
-      .where(col("rank") <= topK)
+    rankTopK(scored, "adc_micros", topK)
   }
 
   /** LSH-bucketed top-k: candidates limited to signature-band collisions

@@ -85,12 +85,15 @@ object Text {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Word n-gram shingles as strings ("w1 w2 ... wn"); fewer than n
-    * tokens -> single shingle of the whole text. */
+    * tokens -> single shingle of the whole text. The >= n branch runs
+    * the codegen'd [[graft.functions.WordSpans]] kernel — the previous
+    * transform/slice lambda re-evaluated the split-fed token array per
+    * window position (interpreted, O(tokens·n) regex work per doc; the
+    * q161 postmortem in SURVEY.md), which taxed every MinHash
+    * signature pass built on shingles. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) <= n, array(array_join(toks, " ")))
-      .otherwise(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(graft.functions.HashFunctions.wordSpans(toks, n))
 
   // --- PII scrubbing -------------------------------------------------
   // Pattern subset chosen to evaluate identically under Java regex
