@@ -1855,6 +1855,15 @@ object SparkEntry {
         weights = Map("en" -> 2.5, "de" -> 1.5, "es" -> 1.0,
           "fr" -> 0.8, "zh" -> 0.3))),
 
+    // ---- temperature-flattened mixture (Curate.temperatureCopies):
+    // α=0.5 — per-group weight derived from the corpus histogram
+    // (w_g = N·n_g^α / (n_g·Σn^α)), realized as q83's hash-Bernoulli
+    // copy counts. sqrt chains keep n^α correctly rounded (pow isn't),
+    // the cross-group Σn^α is a snapped integer sum → hash-exact. ----
+    "q165_temperature_mixture" -> ((s, dir) =>
+      graft.curation.Curate.temperatureCopies(
+        t(s, dir, "documents"), alphaQuarters = 2)),
+
     // ---- per-domain quality quota: best k docs per source by the
     // composite quality score, deterministic id tiebreak ----
     "q84_domain_quota" -> ((s, dir) =>
@@ -6967,6 +6976,25 @@ object SparkEntry {
         |  FROM weighted)
         |SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_no
         |FROM counted WHERE n_copies >= 1""".stripMargin,
+
+    "q165_temperature_mixture" ->
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |ga AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM g),
+        |tot AS (SELECT sum(n) AS nn,
+        |          sum(CAST(floor(a*1048576.0 + 0.5) AS BIGINT)) AS s FROM ga),
+        |wd AS (SELECT d.doc_id, d.lang,
+        |         (CAST(tot.nn AS DOUBLE) * ga.a * 1048576.0)
+        |           / (CAST(ga.n AS DOUBLE) * CAST(tot.s AS DOUBLE)) AS w
+        |       FROM documents d JOIN ga ON d.lang = ga.lang, tot),
+        |c AS (SELECT doc_id, lang, round(w, 6) AS weight,
+        |        CAST(floor(w) AS INTEGER) +
+        |          CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |                 / CAST(4294967296 AS DOUBLE) < w - floor(w)
+        |               THEN 1 ELSE 0 END AS n_copies
+        |      FROM wd)
+        |SELECT doc_id, lang, weight,
+        |  CAST(unnest(range(1, n_copies + 1)) AS INTEGER) AS copy_no
+        |FROM c WHERE n_copies >= 1""".stripMargin,
 
     "q84_domain_quota" ->
       """WITH scored AS (

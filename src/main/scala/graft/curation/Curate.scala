@@ -83,6 +83,67 @@ object Curate {
     * copy. Map-side only: the weight lookup is a literal CASE (or a
     * broadcast join for big weight tables) and the explode produces at
     * most ceil(w) rows per input row — no shuffle at any size. */
+  /** Temperature-flattened mixture (the multilingual sampling of
+    * XLM-R/mT5, arXiv:1901.07291 §3.1, arXiv:2010.11934 §3.2): target
+    * share q_g ∝ n_g^α pushes probability mass from head to tail
+    * groups; realized as deterministic per-doc copy counts with
+    * [[mixtureCopies]]' hash-Bernoulli residual, but the weight is
+    * derived FROM THE CORPUS ITSELF:
+    *   w_g = q_g · N / n_g,  q_g = n_g^α / Σ_h n_h^α
+    * so the expected output stays N rows while group g's share moves
+    * from n_g/N to q_g.
+    *
+    * Cross-engine determinism: α is restricted to quarters (1→0.25,
+    * 2→0.5, 3→0.75) so n^α is a chain of IEEE sqrt's (each correctly
+    * rounded by spec) and at most one multiply — a fixed op sequence
+    * any engine reproduces bit-exactly, where a general pow() is NOT
+    * correctly rounded and breaks hash parity; the cross-group
+    * Σ n^α snaps to 2^-20 fixed point (exact integer sum) per the
+    * house recipe.
+    *
+    * Scale: ONE eager histogram aggregation collects g rows (the
+    * group domain — driver state bounded by definition, the trainer
+    * pattern of [[graft.similarity.Ann.lloydCluster]]); the weights
+    * then ride a literal map into a map-only emit over a single scan
+    * (q83's shape) — no shuffle of the corpus at any size.
+    * java.lang.Math.sqrt/floor and the fixed multiply/divide order
+    * are the same correctly-rounded IEEE ops the engines run, so the
+    * driver-computed weights stay bit-identical to the oracle's. */
+  def temperatureCopies(df: DataFrame, alphaQuarters: Int,
+                        groupCol: String = "lang",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 3,
+      s"alphaQuarters must be 1..3 (alpha = 0.25/0.5/0.75), got $alphaQuarters")
+    def alphaPow(n: Double): Double = alphaQuarters match {
+      case 1 => math.sqrt(math.sqrt(n))
+      case 2 => math.sqrt(n)
+      case 3 => math.sqrt(n) * math.sqrt(math.sqrt(n))
+    }
+    val hist = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect() // g rows — the group domain, bounded driver state
+      .map(r => (r.get(0).asInstanceOf[String], r.getLong(1)))
+    val nn = hist.map(_._2).sum
+    val s = hist
+      .map(t => math.floor(alphaPow(t._2.toDouble) * 1048576.0 + 0.5).toLong)
+      .sum
+    val wMap = hist.map { case (g, n) =>
+      g -> (nn.toDouble * alphaPow(n.toDouble) * 1048576.0) /
+        (n.toDouble * s.toDouble)
+    }.toMap
+    val w = element_at(typedLit(wMap), col(groupCol))
+    val frac =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+    df.select(col(idCol), col(groupCol))
+      .withColumn("w", w)
+      .withColumn("n_copies",
+        floor(col("w")).cast("int") +
+          when(frac < col("w") - floor(col("w")), 1).otherwise(0))
+      .where(col("n_copies") >= 1)
+      .select(col(idCol), col(groupCol), round(col("w"), 6).as("weight"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+  }
+
   def mixtureCopies(df: DataFrame, weights: Map[String, Double],
                     groupCol: String = "lang",
                     idCol: String = "doc_id",

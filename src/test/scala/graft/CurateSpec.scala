@@ -71,6 +71,53 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("temperatureCopies flattens the mixture toward the tail groups") {
+    // 80/16/4 head/mid/tail split; α = 0.5 must raise the tail share
+    // toward sqrt-proportional and keep E[output] = N
+    val docs = (0 until 80).map(i => (i.toLong, "head")) ++
+      (80 until 96).map(i => (i.toLong, "mid")) ++
+      (96 until 100).map(i => (i.toLong, "tail"))
+    val df = docs.toDF("doc_id", "lang")
+    val out = Curate.temperatureCopies(df, alphaQuarters = 2)
+      .groupBy("lang").agg(count(lit(1)).as("c"), first("weight").as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // target shares: sqrt(80):sqrt(16):sqrt(4) = 8.944:4:2 → tail
+    // q=2/14.944=13.4% of 100 ≈ 13 copies from 4 docs (w≈3.35)
+    assert(out("tail")._2 > 3.0 && out("tail")._2 < 3.7)
+    assert(out("head")._2 < 1.0)
+    assert(out("tail")._1 >= 10) // realized tail copies ≈ 13
+    val total = out.values.map(_._1).sum
+    assert(total >= 85 && total <= 115, s"expected ~100 copies, got $total")
+  }
+
+  test("temperatureCopies: quarter-power chains and realized counts are exact") {
+    val df = ((0 until 9).map(i => (i.toLong, "a")) ++
+      Seq((9L, "b"))).toDF("doc_id", "lang")
+    // α = 3/4: a-group a9 = sqrt(9)*sqrt(sqrt(9)) = 3*sqrt(3)
+    val a9 = math.sqrt(9.0) * math.sqrt(math.sqrt(9.0))
+    val a1 = 1.0
+    val s = math.floor(a9 * 1048576.0 + 0.5).toLong +
+      math.floor(a1 * 1048576.0 + 0.5).toLong
+    def w(n: Long, a: Double): Double =
+      (10.0 * a * 1048576.0) / (n.toDouble * s.toDouble)
+    val rows = Curate.temperatureCopies(df, alphaQuarters = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    // per-doc realized copies must equal the documented hash rule
+    (0L to 9L).foreach { id =>
+      val (n, a) = if (id < 9) (9L, a9) else (1L, a1)
+      val wi = w(n, a)
+      val frac = md5Bucket(s"$id:mix").toDouble / 4294967296.0
+      val expect = wi.toInt + (if (frac < wi - math.floor(wi)) 1 else 0)
+      assert(byDoc.get(id).map(_.length).getOrElse(0) === expect,
+        s"doc $id: expected $expect copies of w=$wi")
+      if (expect > 0)
+        assert(byDoc(id).head._3 ===
+          BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("shuffled: partition-order concatenation is the global md5-key order") {
     val df = (0L until 500L).toDF("doc_id")
     val parts = Curate.shuffled(df, seed = 7L, nPartitions = 6)

@@ -127,6 +127,11 @@ class ScanCountSpec extends SparkSuite {
     // shortlist rank + final rank windows
     assert(scanCount("q164_ivfpq_rerank") <= 4)
     assert(shuffleCount("q164_ivfpq_rerank") <= 3)
+    // q165 temperature mixture: the histogram collects eagerly at
+    // construction (g rows); the returned plan is q83's — one scan,
+    // literal weight map, map-only explode, ZERO shuffles
+    assert(scanCount("q165_temperature_mixture") <= 1)
+    assert(shuffleCount("q165_temperature_mixture") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {
