@@ -83,6 +83,16 @@ object Curate {
     * copy. Map-side only: the weight lookup is a literal CASE (or a
     * broadcast join for big weight tables) and the explode produces at
     * most ceil(w) rows per input row — no shuffle at any size. */
+  def mixtureCopies(df: DataFrame, weights: Map[String, Double],
+                    groupCol: String = "lang",
+                    idCol: String = "doc_id",
+                    defaultWeight: Double = 1.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    bernoulliCopies(df, w, groupCol, idCol, keepWeight = false)
+  }
+
   /** Temperature-flattened mixture (the multilingual sampling of
     * XLM-R/mT5, arXiv:1901.07291 §3.1, arXiv:2010.11934 §3.2): target
     * share q_g ∝ n_g^α pushes probability mass from head to tail
@@ -130,39 +140,30 @@ object Curate {
       g -> (nn.toDouble * alphaPow(n.toDouble) * 1048576.0) /
         (n.toDouble * s.toDouble)
     }.toMap
-    val w = element_at(typedLit(wMap), col(groupCol))
-    val frac =
-      conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))), 1, 8),
-        16, 10).cast("long").cast("double") / lit(4294967296.0)
-    df.select(col(idCol), col(groupCol))
-      .withColumn("w", w)
-      .withColumn("n_copies",
-        floor(col("w")).cast("int") +
-          when(frac < col("w") - floor(col("w")), 1).otherwise(0))
-      .where(col("n_copies") >= 1)
-      .select(col(idCol), col(groupCol), round(col("w"), 6).as("weight"),
-        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+    bernoulliCopies(df.select(col(idCol), col(groupCol)),
+      element_at(typedLit(wMap), col(groupCol)), groupCol, idCol,
+      keepWeight = true)
   }
 
-  def mixtureCopies(df: DataFrame, weights: Map[String, Double],
-                    groupCol: String = "lang",
-                    idCol: String = "doc_id",
-                    defaultWeight: Double = 1.0): DataFrame = {
-    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
-      when(col(groupCol) === k, lit(v)).otherwise(acc)
-    }
-    // hash fraction in [0,1): first 8 md5 hex digits / 2^32. The ":mix"
-    // salt decorrelates it from hashSplit's bucket for the same id.
+  /** Shared hash-Bernoulli copy realization (q83/q165): n_copies =
+    * floor(w) + [frac < w - floor(w)] with frac the first 8 md5 hex
+    * digits of "id:mix" / 2^32 — the ":mix" salt decorrelates it from
+    * hashSplit's bucket for the same id. One output row per copy;
+    * `keepWeight` adds round(w, 6) as a `weight` column. */
+  private def bernoulliCopies(df: DataFrame, w: Column, groupCol: String,
+                              idCol: String, keepWeight: Boolean): DataFrame = {
     val frac =
       conv(substring(md5(concat(col(idCol).cast("string"), lit(":mix"))), 1, 8),
         16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val cols = (Seq(col(idCol), col(groupCol)) ++
+      (if (keepWeight) Seq(round(col("w"), 6).as("weight")) else Nil)) :+
+      explode(sequence(lit(1), col("n_copies"))).as("copy_no")
     df.withColumn("w", w)
       .withColumn("n_copies",
         floor(col("w")).cast("int") +
           when(frac < col("w") - floor(col("w")), 1).otherwise(0))
       .where(col("n_copies") >= 1)
-      .select(col(idCol), col(groupCol),
-        explode(sequence(lit(1), col("n_copies"))).as("copy_no"))
+      .select(cols: _*)
   }
 
   /** Deterministic global shuffle for training order: every row gets

@@ -2,6 +2,7 @@ package graft
 
 import graft.dedup.Dedup
 import org.apache.spark.sql.Row
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Duplicated-substring spans (Lee et al. 2022 substring dedup at
   * token-window granularity, `Dedup.dupSpanStats`, q161). */
@@ -59,11 +60,42 @@ class DupSpanSpec extends SparkSuite {
     val h = stats(8, hashed = true)
     assert(plain === h)
     // and on the real sf0.001 documents table
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val a = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200)
       .orderBy("doc_id").collect().toSeq
     val b = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200, hashed = true)
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
+  }
+
+  test("dupSpanStats matches a local sliding-window reference on random corpora") {
+    // small vocab forces cross-doc window collisions; the local
+    // reference is plain Scala sliding(w) + a corpus-wide histogram
+    val genCorpus: Gen[Seq[(Long, List[String])]] = for {
+      n <- Gen.chooseNum(1, 10)
+      docs <- Gen.listOfN(n,
+        Gen.chooseNum(0, 12).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))
+    } yield docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks) }
+    val w = 3
+    val prop = Prop.forAll(genCorpus) { docs =>
+      val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.dupSpanStats(df, "text", "doc_id", w, 500)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      val perDoc = docs.map { case (id, toks) =>
+        id -> toks.sliding(w).filter(_.length == w).map(_.mkString(" ")).toList }
+      val totals = perDoc.flatMap(_._2).groupBy(identity).map {
+        case (s, l) => s -> l.size }
+      val expect = perDoc.filter(_._2.nonEmpty).map { case (id, spans) =>
+        val dup = spans.count(s => totals(s) > 1).toLong
+        id -> (spans.size.toLong, dup, dup * 1000 <= 500L * spans.size)
+      }.toMap
+      got == expect
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
   }
 }
