@@ -1620,6 +1620,15 @@ object SparkEntry {
         nprobe = 2, shortlist = 10, topK = 5)
     }),
 
+    // ---- SQ8 scalar quantization (Ann.sq8Stats): per-dim affine
+    // byte codes — the 4x compression tier below PQ; per-dim min/max
+    // trains in one scan (dim-row driver state), returned plan is
+    // map-only off broadcast literals with the native LongDot /
+    // SquaredL2Micros kernels. Hash-exact. ----
+    "q166_sq8_quantize" -> ((s, dir) =>
+      graft.similarity.Ann.sq8Stats(t(s, dir, "embeddings"),
+        "vec_id", "embedding")),
+
     // ---- S7 GeoPackage end-to-end gate: the REAL standing-water
     // cycle-2 design layer (design_watersurfaces/, the GDAL-produced
     // .gpkg the reference reads with st_read) through the pure-Scala
@@ -4067,6 +4076,28 @@ object SparkEntry {
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
     "q164_ivfpq_rerank" -> ivfPqRerankOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, shortlist = 10, topK = 5),
+
+    "q166_sq8_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |ex AS (SELECT vec_id,
+        |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
+        |                recursive := true)
+        |       FROM e),
+        |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+        |cr AS (SELECT ex.vec_id, ex.dim, ex.x, mm.mn,
+        |         (mm.mx - mm.mn) / 255.0 AS sc,
+        |         CASE WHEN mm.mx = mm.mn THEN 0
+        |              ELSE least(255, greatest(0, CAST(floor((ex.x - mm.mn)
+        |                / ((mm.mx - mm.mn) / 255.0) + 0.5) AS BIGINT))) END AS c
+        |       FROM ex JOIN mm USING (dim)),
+        |pe AS (SELECT vec_id, dim, c,
+        |         (x - (mn + c * sc)) * (x - (mn + c * sc)) AS e2
+        |       FROM cr)
+        |SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+        |  CAST(floor(list_sum(list(e2 ORDER BY dim)) * 1e6 + 0.5) AS BIGINT)
+        |    AS err_micros
+        |FROM pe GROUP BY vec_id""".stripMargin,
 
     "q163_gpkg_design" ->
       s"""WITH gpkg AS (SELECT * FROM ${graft.geo.GpkgFixtureStandingWater.valuesSql})

@@ -479,6 +479,52 @@ object Ann {
       .where(col("rank") <= topK)
   }
 
+  /** SQ8 scalar quantization (the Faiss `SQ8` layout — e.g. Jégou et
+    * al. 2011 §II compare against it as the uniform-quantizer
+    * baseline): each dimension is affinely mapped to one byte,
+    * code_d = round((x_d − min_d)/Δ_d) with Δ_d = (max_d − min_d)/255,
+    * so a dim-float vector stores in dim bytes — the cheap 4×
+    * compression tier below PQ's m bytes.
+    *
+    * Scale shape: the per-dim (min, max) train is ONE scan with a
+    * dim-row map-side-combined exchange, collected as dim-sized
+    * driver state (the trainer pattern); the returned per-vector plan
+    * is map-only — codes/reconstruction from broadcast literals, the
+    * error through the native [[graft.functions.VectorFunctions
+    * .squaredL2Micros]]. Returns (vec_id, code_sum, err_micros):
+    * exact integer code sum and the 1e-6 fixed-point reconstruction
+    * error. Deterministic end-to-end (min/max are exact, the affine
+    * map is a fixed IEEE op sequence, clamps written identically in
+    * the oracle) → hash-exact. Constant dimensions (Δ_d = 0) code to
+    * 0 and reconstruct exactly. */
+  def sq8Stats(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val mm = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect() // dim rows — bounded driver state
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = mm.map(_._2).toSeq
+    val scales = mm.map { case (_, mn, mx) => (mx - mn) / 255.0 }.toSeq
+    val minsLit = typedLit(mins)
+    val scalesLit = typedLit(scales)
+    val codes = transform(col("v"), (x, i) =>
+      when(element_at(scalesLit, i + 1) === 0.0, lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((x - element_at(minsLit, i + 1))
+            / element_at(scalesLit, i + 1) + lit(0.5)).cast("long")))))
+    val recon = transform(col("codes"), (c, i) =>
+      element_at(minsLit, i + 1)
+        + c.cast("double") * element_at(scalesLit, i + 1))
+    val ones = typedLit(Seq.fill(mins.size)(1L))
+    e.withColumn("codes", codes)
+      .withColumn("code_sum", VectorFunctions.longDot(col("codes"), ones))
+      .withColumn("err_micros",
+        VectorFunctions.squaredL2Micros(col("v"), recon))
+      .select("vec_id", "code_sum", "err_micros")
+  }
+
   /** [[bruteForceTopK]]'s partial-then-global top-k tail over an
     * arbitrary scored column: per-partition sorted truncate (map-side
     * combinable), global rank over partitions × k survivors. */

@@ -287,4 +287,39 @@ class MlPropertySpec extends SparkSuite {
     }
     assert(passes(prop, 15))
   }
+
+  test("SQ8 stats equal an exact local replication of the affine map") {
+    val genSmall: Gen[Seq[(Long, Array[Float])]] = for {
+      n <- Gen.chooseNum(2, 16)
+      dim <- Gen.chooseNum(1, 6)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-2.0f, 2.0f)))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    val prop = Prop.forAll(genSmall) { rows =>
+      val df = rows.toDF("vec_id", "embedding")
+      val got = graft.similarity.Ann.sq8Stats(df, "vec_id", "embedding")
+        .select(col("vec_id").cast("long"), col("code_sum").cast("long"),
+          col("err_micros").cast("long"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val dim = rows.head._2.length
+      val mn = Array.tabulate(dim)(d => rows.map(_._2(d).toDouble).min)
+      val mx = Array.tabulate(dim)(d => rows.map(_._2(d).toDouble).max)
+      val sc = Array.tabulate(dim)(d => (mx(d) - mn(d)) / 255.0)
+      rows.forall { case (id, v) =>
+        var cs = 0L
+        var e2 = 0.0
+        (0 until dim).foreach { d =>
+          val x = v(d).toDouble
+          val c = if (mx(d) == mn(d)) 0L
+            else math.min(255L, math.max(0L,
+              math.floor((x - mn(d)) / sc(d) + 0.5).toLong))
+          val r = mn(d) + c.toDouble * sc(d)
+          cs += c
+          val t = x - r
+          e2 += t * t
+        }
+        got(id) == ((cs, math.floor(e2 * 1e6 + 0.5).toLong))
+      }
+    }
+    assert(passes(prop, 30))
+  }
 }

@@ -132,6 +132,10 @@ class ScanCountSpec extends SparkSuite {
     // literal weight map, map-only explode, ZERO shuffles
     assert(scanCount("q165_temperature_mixture") <= 1)
     assert(shuffleCount("q165_temperature_mixture") === 0)
+    // q166 SQ8: min/max train eager at construction (dim rows);
+    // returned plan is map-only off broadcast literals
+    assert(scanCount("q166_sq8_quantize") <= 1)
+    assert(shuffleCount("q166_sq8_quantize") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {
