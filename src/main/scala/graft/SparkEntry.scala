@@ -1620,6 +1620,25 @@ object SparkEntry {
         nprobe = 2, shortlist = 10, topK = 5)
     }),
 
+    // ---- retrieval-stack E2E composition (q155's analogue for ANN):
+    // IVFADC probe → exact rerank → join the hits back to the
+    // documents table for the serving payload — the whole two-stage
+    // retrieval flow as ONE gated composition. The hit set is tiny
+    // and BROADCASTS into the documents scan (the corpus never
+    // shuffles at any stage of the stack). Hash-exact. ----
+    "q167_retrieval_e2e" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val hits = graft.similarity.Ann.ivfPqSearchRerank(
+        e.where(col("vec_id") < 4), e, "vec_id", "embedding",
+        kc = 4, m = 4, k = 4, iters = 2, nprobe = 2,
+        shortlist = 10, topK = 3)
+      t(s, dir, "documents")
+        .select(col("doc_id").as("neighbor_id"), col("lang"), col("n_chars"))
+        .join(broadcast(hits), Seq("neighbor_id"))
+        .select("query_id", "rank", "neighbor_id", "exact_micros",
+          "lang", "n_chars")
+    }),
+
     // ---- SQ8 scalar quantization (Ann.sq8Stats): per-dim affine
     // byte codes — the 4x compression tier below PQ; per-dim min/max
     // trains in one scan (dim-row driver state), returned plan is
@@ -4076,6 +4095,16 @@ object SparkEntry {
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
     "q164_ivfpq_rerank" -> ivfPqRerankOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, shortlist = 10, topK = 5),
+
+    "q167_retrieval_e2e" -> {
+      val rerank = ivfPqRerankOracleSql(kc = 4, m = 4, k = 4, dim = 64,
+        nQueries = 4, nprobe = 2, shortlist = 10, topK = 3)
+      s"""SELECT h.query_id, h.rank, h.neighbor_id, h.exact_micros,
+         |  d.lang, d.n_chars
+         |FROM (
+         |$rerank
+         |) h JOIN documents d ON d.doc_id = h.neighbor_id""".stripMargin
+    },
 
     "q166_sq8_quantize" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

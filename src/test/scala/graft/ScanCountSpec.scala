@@ -136,6 +136,10 @@ class ScanCountSpec extends SparkSuite {
     // returned plan is map-only off broadcast literals
     assert(scanCount("q166_sq8_quantize") <= 1)
     assert(shuffleCount("q166_sq8_quantize") === 0)
+    // q167 retrieval E2E: q164's plan + the documents scan the tiny
+    // hit set broadcasts into — no new shuffles
+    assert(scanCount("q167_retrieval_e2e") <= 5)
+    assert(shuffleCount("q167_retrieval_e2e") <= 3)
   }
 
   test("the group-any window plans one scan and one shuffle") {
