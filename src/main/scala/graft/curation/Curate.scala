@@ -132,6 +132,14 @@ object Curate {
     val hist = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
       .collect() // g rows — the group domain, bounded driver state
       .map(r => (r.get(0).asInstanceOf[String], r.getLong(1)))
+    // a null group would become a null map key, which the typedLit map
+    // literal rejects (or element_at silently drops those docs) —
+    // unlike mixtureCopies there is no caller-supplied default weight
+    // to route nulls through, so fail loudly instead of losing rows
+    require(!hist.exists(_._1 == null),
+      s"temperatureCopies: null $groupCol values present " +
+        s"(${hist.collectFirst { case (null, n) => n }.getOrElse(0L)} rows); " +
+        "filter them out or fill a sentinel group before sampling")
     val nn = hist.map(_._2).sum
     val s = hist
       .map(t => math.floor(alphaPow(t._2.toDouble) * 1048576.0 + 0.5).toLong)

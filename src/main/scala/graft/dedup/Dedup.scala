@@ -537,14 +537,18 @@ object Dedup {
     * Skew: a boilerplate span present in millions of documents makes
     * one hot key in the window stage — bounded in WIDTH (its rows are
     * (key, id, cnt) triples, never payloads) but not in count, and
-    * window skew is not AQE-splittable. A boilerplate-heavy corpus
-    * should pre-filter stop-spans before calling; the structural fix
-    * (per-key totals via a second groupBy + broadcast of the dup-key
-    * Bloom filter) costs an extra pass and is not warranted until a
-    * profile shows the hot key. */
+    * window skew is not AQE-splittable. `totalsViaJoin = true` is the
+    * boilerplate-heavy escape hatch: per-key totals via a second
+    * map-side-combined groupBy joined back on the key — one extra
+    * exchange of (key, total) pairs, but a sort-merge join that AQE's
+    * skew-join CAN split where the window's hot partition cannot be.
+    * Same output ([[graft.DupSpanSpec]] pins the variants equal);
+    * default stays the window (one exchange) until a profile shows
+    * the hot key. */
   def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
                    w: Int, maxDupPerMille: Int,
-                   hashed: Boolean = false): DataFrame = {
+                   hashed: Boolean = false,
+                   totalsViaJoin: Boolean = false): DataFrame = {
     require(w >= 2, s"window must span at least 2 tokens, got $w")
     // native span kernel (HashKernels.wordSpans): the transform/slice/
     // array_join formulation re-ran the tokenizing split once per
@@ -557,8 +561,12 @@ object Dedup {
       .select(col(idCol),
         (if (hashed) xxhash64(col("span")) else col("span")).as("key"))
     val perKeyDoc = spans.groupBy("key", idCol).agg(count(lit(1)).as("cnt"))
-    val withTotal = perKeyDoc.withColumn("total",
-      sum("cnt").over(Window.partitionBy("key")))
+    val withTotal =
+      if (totalsViaJoin)
+        perKeyDoc.join(
+          perKeyDoc.groupBy("key").agg(sum("cnt").as("total")), Seq("key"))
+      else perKeyDoc.withColumn("total",
+        sum("cnt").over(Window.partitionBy("key")))
     withTotal.groupBy(idCol)
       .agg(
         sum("cnt").as("n_spans"),

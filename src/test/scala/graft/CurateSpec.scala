@@ -90,6 +90,17 @@ class CurateSpec extends SparkSuite {
     assert(total >= 85 && total <= 115, s"expected ~100 copies, got $total")
   }
 
+  test("temperatureCopies fails loudly on null group values") {
+    // a null lang would become a null map-literal key (rejected by
+    // Catalyst) or silently drop docs via element_at — must be a
+    // clear error instead
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a"))
+      .toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException](
+      Curate.temperatureCopies(df, alphaQuarters = 2))
+    assert(e.getMessage.contains("null lang"))
+  }
+
   test("temperatureCopies: quarter-power chains and realized counts are exact") {
     val df = ((0 until 9).map(i => (i.toLong, "a")) ++
       Seq((9L, "b"))).toDF("doc_id", "lang")

@@ -68,6 +68,22 @@ class DupSpanSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("totalsViaJoin (AQE-splittable skew path) is output-identical") {
+    val viaWindow = stats(4)
+    val viaJoin = Dedup.dupSpanStats(fixture, "text", "doc_id", w = 4,
+        maxDupPerMille = 200, totalsViaJoin = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaWindow === viaJoin)
+    // and on the real sf0.001 documents table
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.dupSpanStats(docs, "text", "doc_id", 8, 200,
+        totalsViaJoin = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("dupSpanStats matches a local sliding-window reference on random corpora") {
     // small vocab forces cross-doc window collisions; the local
     // reference is plain Scala sliding(w) + a corpus-wide histogram
