@@ -102,10 +102,26 @@ object Bpe {
   }
 
   /** Greedy left-to-right segmentation of every document's words under
-    * a learned merge list — one map-side pass per merge over the
-    * tokenized corpus (no shuffle; merges are expression literals). */
+    * a learned merge list — ONE map-side projection over the tokenized
+    * corpus (no shuffle): the FULL ranked merge list ships as a single
+    * reference object into the codegen'd [[BpeSegmentAll]] kernel,
+    * which replays the rank-order greedy passes per word. A 32k-merge
+    * production vocabulary is one expression, not a 32k-deep
+    * projection chain — analysis/codegen cost is O(1) in the merge
+    * count ([[graft.BpeSpec]] pins the plan bounded at 1k merges and
+    * the output identical to the per-merge fold of [[segmentFold]]). */
   def segment(docs: DataFrame, textCol: String, idCol: String,
-              merges: Seq[(String, String)]): DataFrame = {
+              merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .select(col(idCol),
+        explode(BpeFunctions.applyMerges(chars(col("word")), merges)).as("token"))
+
+  /** The reference formulation of [[segment]]: one [[BpeApplyMerge]]
+    * projection per merge. Semantically identical (property-pinned);
+    * kept as the oracle for the fused kernel — its per-merge plan
+    * depth makes it the NON-scale path at real vocabulary sizes. */
+  private[graft] def segmentFold(docs: DataFrame, textCol: String, idCol: String,
+                                 merges: Seq[(String, String)]): DataFrame = {
     val base = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
       .select(col(idCol), chars(col("word")).as("syms"))
     val merged = merges.foldLeft(base) { case (df, (l, r)) =>
@@ -135,6 +151,60 @@ object BpeKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** The FULL ranked merge list applied in one call: for each merge in
+    * rank order, one greedy left-to-right non-overlapping pass —
+    * exactly `merges.foldLeft(applyMerge)`, fused so a 32k-merge
+    * vocabulary is a single kernel invocation instead of a 32k-deep
+    * expression chain. A present-symbol set skips merges whose sides
+    * cannot occur in this word (typical words touch a handful of the
+    * 32k ranks), so the common cost is O(ranks) set probes + O(word)
+    * work for the few applicable ranks. The set only ever GROWS
+    * (consumed symbols stay as stale entries) — a stale hit costs one
+    * wasted scan pass, never wrong output. */
+  def applyMerges(arr: ArrayData, lefts: Array[UTF8String],
+                  rights: Array[UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2 || lefts.length == 0) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getUTF8String(i); i += 1 }
+      return new GenericArrayData(out)
+    }
+    val cur = new Array[UTF8String](n)
+    val present = new java.util.HashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n) {
+      cur(i) = arr.getUTF8String(i)
+      present.add(cur(i))
+      i += 1
+    }
+    var len = n
+    var m = 0
+    while (m < lefts.length && len > 1) {
+      val l = lefts(m); val r = rights(m)
+      if (present.contains(l) && present.contains(r)) {
+        var read = 0; var write = 0
+        while (read < len) {
+          if (read + 1 < len && l.equals(cur(read)) && r.equals(cur(read + 1))) {
+            cur(write) = UTF8String.concat(l, r)
+            present.add(cur(write))
+            read += 2
+          } else {
+            cur(write) = cur(read)
+            read += 1
+          }
+          write += 1
+        }
+        len = write
+      }
+      m += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = cur(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** bpe_apply_merge(syms, left, right) -> array<string>: one greedy
@@ -162,7 +232,42 @@ case class BpeApplyMerge(child: Expression, left: String, right: String)
     copy(child = c)
 }
 
+/** bpe_segment_all(syms) -> array<string>: the ENTIRE ranked merge
+  * list in one greedy rank-order replay (see [[BpeKernels
+  * .applyMerges]]); the two UTF8String side arrays ship once as
+  * codegen reference objects, so plan size and analysis cost are
+  * independent of the vocabulary size. */
+case class BpeSegmentAll(child: Expression, lefts: Seq[String], rights: Seq[String])
+    extends UnaryExpression {
+  require(lefts.length == rights.length,
+    s"ragged merge list: ${lefts.length} lefts vs ${rights.length} rights")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment_all"
+
+  private lazy val leftU = lefts.map(UTF8String.fromString).toArray
+  private lazy val rightU = rights.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernels.applyMerges(v.asInstanceOf[ArrayData], leftU, rightU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = classOf[Array[UTF8String]].getName.stripSuffix(";")
+      .replace("[L", "") + "[]"
+    val lRef = ctx.addReferenceObj("bpeLefts", leftU, cls)
+    val rRef = ctx.addReferenceObj("bpeRights", rightU, cls)
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.BpeKernels.applyMerges($c, $lRef, $rRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeSegmentAll =
+    copy(child = c)
+}
+
 object BpeFunctions {
   def applyMerge(syms: Column, left: String, right: String): Column =
     GraftBridge.column(BpeApplyMerge(GraftBridge.expression(syms), left, right))
+
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeSegmentAll(GraftBridge.expression(syms),
+      merges.map(_._1), merges.map(_._2)))
 }

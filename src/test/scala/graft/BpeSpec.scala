@@ -117,4 +117,49 @@ class BpeSpec extends SparkSuite {
       .select(col("token")).as[String].collect().toSeq
     assert(toks === Seq("abab", "a", "ab"))
   }
+
+  test("fused segment kernel is identical to the per-merge fold on random input") {
+    // random corpora AND random merge lists, including merges of merged
+    // symbols, l==r runs ("aaa" greediness), and inapplicable ranks
+    val genCase = for {
+      ws <- Gen.listOfN(6, Gen.chooseNum(0, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString)))
+      ms <- Gen.listOfN(6, Gen.zip(
+        Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc"),
+        Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")))
+    } yield (ws.filter(_.nonEmpty), ms)
+    val prop = Prop.forAll(genCase) { case (ws, ms) =>
+      val docs = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val fused = Bpe.segment(docs, "text", "doc_id", ms)
+        .select("token").as[String].collect().toSeq
+      val fold = Bpe.segmentFold(docs, "text", "doc_id", ms)
+        .select("token").as[String].collect().toSeq
+      fused == fold
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop).passed)
+  }
+
+  test("segment plan stays bounded at production merge counts (1k merges)") {
+    // the per-merge fold builds one projection per merge (a 32k-merge
+    // tokenizer = a 32k-deep expression chain); the fused kernel must
+    // keep the analyzed plan O(1) in the merge count — compare plan
+    // text sizes at 16 vs 1024 merges and pin near-equality
+    val merges1k = (1 to 1024).map(i => (s"s$i", s"t$i"))
+    val docs = Seq((1L, "abc abd")).toDF("doc_id", "text")
+    def planChars(ms: Seq[(String, String)]): Int =
+      Bpe.segment(docs, "text", "doc_id", ms)
+        .queryExecution.optimizedPlan.toString.length
+    val small = planChars(merges1k.take(16))
+    val big = planChars(merges1k)
+    assert(big <= small + 256,
+      s"plan grew with the merge count: $small chars @16 vs $big @1024")
+    // and the kernel still evaluates (no codegen blowup): a word made
+    // of mergeable pairs under a 1024-rank list segments correctly
+    val deep = (("a", "b") +: (1 to 1023).map(i => (s"s$i", s"t$i")))
+    val toks = Bpe.segment(Seq((1L, "abab ab")).toDF("doc_id", "text"),
+        "text", "doc_id", deep)
+      .select("token").as[String].collect().toSeq
+    assert(toks === Seq("ab", "ab", "ab"))
+  }
 }
