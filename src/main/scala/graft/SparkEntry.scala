@@ -1639,6 +1639,28 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- tokenizer-stack E2E composition (q155/q167's pattern for
+    // the tokenizer family): BPE merge induction (q154) → corpus
+    // segmentation under the LEARNED merges through the fused
+    // single-projection kernel (q157's apply half) → per-doc token
+    // counts → fixed token-budget sequence packing (q88's two-pass
+    // offsets, no single-partition window). The learned merge list is
+    // driver state (6 rows) shipped once into the segment kernel; the
+    // corpus never shuffles before the per-doc count. Hash-exact —
+    // the oracle learns the merges itself with q154's unrolled CTEs
+    // and applies them with q157's machinery. ----
+    "q168_tokenizer_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val learned = graft.text.Bpe.merges(docs, "text", rounds = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = graft.text.Bpe.segment(docs, "text", "doc_id", learned)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      graft.curation.Curate.packBudget(counts, costCol = "n_tokens",
+          budget = 512L, seed = 42L, nPartitions = 8)
+        .select(col("doc_id"), col("n_tokens"), col("bin"))
+    }),
+
     // ---- SQ8 scalar quantization (Ann.sq8Stats): per-dim affine
     // byte codes — the 4x compression tier below PQ; per-dim min/max
     // trains in one scan (dim-row driver state), returned plan is
@@ -3778,18 +3800,18 @@ object SparkEntry {
     * q154). */
   private def bpeApplyMergeSql(k: Int, prev: String, keys: String,
                                fromExtra: String, lSql: String,
-                               rSql: String): String =
-    s"""cand_$k AS (
+                               rSql: String, p: String = ""): String =
+    s"""${p}cand_$k AS (
        |  SELECT s.*,
        |         (s.sym = $lSql AND
        |          lead(s.sym) OVER (PARTITION BY $keys ORDER BY s.pos) = $rSql) AS cand
        |  FROM $prev s$fromExtra),
-       |grp_$k AS (
+       |${p}grp_$k AS (
        |  SELECT *, CASE WHEN cand THEN
        |      pos - row_number() OVER (PARTITION BY $keys, cand ORDER BY pos)
        |    END AS grp
-       |  FROM cand_$k),
-       |seg_$k AS MATERIALIZED (
+       |  FROM ${p}cand_$k),
+       |${p}seg_$k AS MATERIALIZED (
        |  SELECT * EXCLUDE (pos, sym, cand, grp, kept, prev_kept, lead_sym),
        |         row_number() OVER (PARTITION BY $keys ORDER BY pos) AS pos,
        |         CASE WHEN kept THEN sym || lead_sym ELSE sym END AS sym
@@ -3798,7 +3820,7 @@ object SparkEntry {
        |          lead(sym) OVER (PARTITION BY $keys ORDER BY pos) AS lead_sym
        |        FROM (SELECT *,
        |                cand AND (row_number() OVER (PARTITION BY $keys, grp ORDER BY pos) % 2 = 1) AS kept
-       |              FROM grp_$k) kk)
+       |              FROM ${p}grp_$k) kk)
        |  WHERE NOT prev_kept)""".stripMargin
 
   /** q154's oracle: the 6 learning rounds UNROLLED — per round a pair
@@ -3859,6 +3881,60 @@ object SparkEntry {
          |SELECT sym AS token, CAST(count(*) AS BIGINT) AS n,
          |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM seg_${ms.size} GROUP BY 1""".stripMargin
+  }
+
+  /** q168's oracle: the tokenizer stack end-to-end — q154's unrolled
+    * learning rounds (vocab seg/top chain) interleaved with q157's
+    * corpus-application machinery driven by each round's LEARNED
+    * `top_k` row (CROSS JOIN instead of pair literals; `c`-prefixed
+    * CTE names keep the two chains apart), then per-doc token counts
+    * packed with q88's hash-order running-sum bins. */
+  private def bpeTokenizerE2eOracleSql(rounds: Int, budget: Long): String = {
+    val head =
+      """WITH vocab AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |seg_0 AS MATERIALIZED (
+        |  SELECT word, freq, i AS pos, chars[i] AS sym
+        |  FROM (SELECT word, freq, regexp_split_to_array(word, '') AS chars FROM vocab),
+        |       unnest(generate_series(1, len(chars))) AS gs(i)),
+        |words AS (
+        |  SELECT doc_id, i AS widx, ws[i] AS word
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |       unnest(generate_series(1, len(ws))) AS gs(i)
+        |  WHERE length(ws[i]) > 0),
+        |cseg_0 AS MATERIALIZED (
+        |  SELECT doc_id, widx, i AS pos, chars[i] AS sym
+        |  FROM (SELECT doc_id, widx, regexp_split_to_array(word, '') AS chars FROM words),
+        |       unnest(generate_series(1, len(chars))) AS gs(i))""".stripMargin
+    val perRound = (1 to rounds).map { k =>
+      s"""pairs_$k AS (
+         |  SELECT a.sym AS l, b.sym AS r, CAST(SUM(a.freq) AS BIGINT) AS n
+         |  FROM seg_${k - 1} a JOIN seg_${k - 1} b
+         |    ON a.word = b.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |top_$k AS MATERIALIZED (
+         |  SELECT l, r, n FROM pairs_$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+         |""".stripMargin +
+        bpeApplyMergeSql(k, s"seg_${k - 1}", "word", s" CROSS JOIN top_$k t",
+          "t.l", "t.r") + ",\n" +
+        bpeApplyMergeSql(k, s"cseg_${k - 1}", "doc_id, widx",
+          s" CROSS JOIN top_$k t", "t.l", "t.r", p = "c")
+    }
+    (head +: perRound).mkString(",\n") +
+      s""",
+         |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |       FROM cseg_$rounds GROUP BY 1),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM tc)
+         |SELECT doc_id, n_tokens, CAST(cum_before // $budget AS BIGINT) AS bin
+         |FROM cum""".stripMargin
   }
 
   /** Shared PQ training CTEs (q159/q160): q147's two-iteration Lloyd
@@ -4147,6 +4223,7 @@ object SparkEntry {
     // unrolled greedy-merge window machinery (generators above).
     "q154_bpe_merges" -> bpeMergeOracleSql(6),
     "q157_bpe_segment" -> bpeSegmentOracleSql(bpeFixedMerges),
+    "q168_tokenizer_e2e" -> bpeTokenizerE2eOracleSql(rounds = 6, budget = 512L),
 
     // q158: the ROI overlay replayed over the INDEPENDENTLY-parsed
     // shapefile fixture (strict-inequality interval PIP mirrors the

@@ -140,6 +140,14 @@ class ScanCountSpec extends SparkSuite {
     // hit set broadcasts into — no new shuffles
     assert(scanCount("q167_retrieval_e2e") <= 5)
     assert(shuffleCount("q167_retrieval_e2e") <= 3)
+    // q168 tokenizer E2E: merge learning + the bucketOffsets collect
+    // run eagerly at construction; the RETURNED plan is one documents
+    // scan through the fused segment kernel, the per-doc count
+    // exchange, and the pid-bucketed packing window (offsets
+    // broadcast) — a regression to the per-merge projection fold or a
+    // global-sort packing window would show as extra depth here
+    assert(scanCount("q168_tokenizer_e2e") <= 2)
+    assert(shuffleCount("q168_tokenizer_e2e") <= 3)
   }
 
   test("the group-any window plans one scan and one shuffle") {
