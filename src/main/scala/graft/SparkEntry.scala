@@ -1639,6 +1639,25 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- IVFADC WRITTEN-index probe (Ann.ivfPqBuildIndex/
+    // ivfPqSearchIndex): the q162 pipeline with the codes
+    // MATERIALIZED cell-partitioned on disk through the sidecar
+    // partitioned writer, then re-read with the probed cells pushed
+    // as a literal partition filter — the scan lists ONLY the probed
+    // cells' files (IvfPqIndexSpec pins numFiles), which is the
+    // claim that makes IVFADC the 100 TB layout: a probe touches
+    // nprobe/kc of the data and reads m-int codes, not vectors.
+    // Same parameters as q162 ⟹ same oracle, hash-exact. ----
+    "q169_ivfpq_index_probe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = java.nio.file.Files.createTempDirectory("ivfpq_idx")
+        .toString + "/codes"
+      val idx = graft.similarity.Ann.ivfPqBuildIndex(e, "vec_id", "embedding",
+        kc = 4, m = 4, k = 4, iters = 2, path)
+      graft.similarity.Ann.ivfPqSearchIndex(idx, e.where(col("vec_id") < 4),
+        "vec_id", "embedding", nprobe = 2, topK = 5)
+    }),
+
     // ---- tokenizer-stack E2E composition (q155/q167's pattern for
     // the tokenizer family): BPE merge induction (q154) → corpus
     // segmentation under the LEARNED merges through the fused
@@ -4168,6 +4187,11 @@ object SparkEntry {
         |GROUP BY kd.doc_id""".stripMargin,
 
     "q162_ivfpq_search" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+    // q169 = q162 through the written cell-partitioned index: the
+    // round-tripped codes must reproduce the in-memory pipeline
+    // exactly, so the oracle IS q162's CTE chain at equal parameters
+    "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
     "q164_ivfpq_rerank" -> ivfPqRerankOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, shortlist = 10, topK = 5),

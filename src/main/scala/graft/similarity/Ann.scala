@@ -545,13 +545,25 @@ object Ann {
       .where(col("rank") <= topK)
   }
 
-  /** Shared IVFADC core: (ADC-scored candidates, probed-query vectors,
-    * normalized corpus vectors). See [[ivfPqSearchTopK]] for the plan
-    * shape and determinism contract. */
-  private def ivfPqScored(queries: DataFrame, corpus: DataFrame,
-                          idCol: String, vecCol: String,
-                          kc: Int, m: Int, k: Int, iters: Int,
-                          nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** Trained IVFADC state: coarse centroids, per-subspace PQ codebooks
+    * (over the residuals), and the subspace width — the broadcastable
+    * driver constants (kc·dim + k·dim doubles) every probe/score pass
+    * needs. */
+  case class IvfPqState(cents: Seq[(Int, Seq[Double])],
+                        books: Seq[Seq[(Int, Seq[Double])]], sub: Int)
+
+  /** A built IVFADC index: the trained [[IvfPqState]] plus the path of
+    * the cell-partitioned code table written by [[ivfPqBuildIndex]]. */
+  case class IvfPqIndex(path: String, state: IvfPqState)
+
+  /** Train both quantizer levels and return the coded corpus
+    * (neighbor_id, gcell, code_0..code_{m-1}) with the trained state.
+    * The returned coded plan is ONE corpus scan, ZERO shuffles (coarse
+    * argmin + residual + PQ argmins all map-side off broadcast
+    * state). */
+  private def ivfPqTrainCoded(corpus: DataFrame, idCol: String, vecCol: String,
+                              kc: Int, m: Int, k: Int, iters: Int)
+      : (DataFrame, IvfPqState) = {
     val (assignedFull, cents) = lloydTrain(corpus, idCol, vecCol, kc, iters)
     val centMap = typedLit(cents.toMap)
     val res = assignedFull.select(col("vec_id"), col("cluster").as("gcell"),
@@ -561,10 +573,18 @@ object Ann {
         col("r").as("v")), books, sub)
       .select(col("vec_id").as("neighbor_id") +: col("gcell") +:
         books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
+    (coded, IvfPqState(cents, books, sub))
+  }
 
+  /** Probed queries: each query keeps its `nprobe` nearest coarse
+    * cells with the per-cell residual — (query_id, gcell, qr). */
+  private def ivfPqProbes(queries: DataFrame, idCol: String, vecCol: String,
+                          state: IvfPqState, nprobe: Int)
+      : (DataFrame, DataFrame) = {
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
-    val gdists = cents.map { case (cid, c) =>
+    val centMap = typedLit(state.cents.toMap)
+    val gdists = state.cents.map { case (cid, c) =>
       struct(VectorFunctions.squaredL2Micros(col("qv"), typedLit(c)).as("gdm"),
         lit(cid).as("gcell"))
     }
@@ -573,16 +593,76 @@ object Ann {
       .select(col("query_id"), col("p.gcell").as("gcell"),
         VectorFunctions.vecSub(col("qv"),
           element_at(centMap, col("p.gcell"))).as("qr"))
+    (q, probes)
+  }
 
-    val adc = books.indices.map { s =>
+  /** ADC scoring of a coded corpus against broadcast probed queries:
+    * the candidate set is the probed lists only, the corpus side never
+    * shuffles. */
+  private def adcScored(coded: DataFrame, probes: DataFrame,
+                        state: IvfPqState): DataFrame = {
+    val adc = state.books.indices.map { s =>
       VectorFunctions.squaredL2Micros(
-        slice(col("qr"), s * sub + 1, sub),
-        element_at(typedLit(books(s).toMap), col(s"code_$s")))
+        slice(col("qr"), s * state.sub + 1, state.sub),
+        element_at(typedLit(state.books(s).toMap), col(s"code_$s")))
     }.reduce(_ + _)
-    val scored = coded.join(broadcast(probes), Seq("gcell"))
+    coded.join(broadcast(probes), Seq("gcell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_micros", adc)
       .select("query_id", "neighbor_id", "adc_micros")
+  }
+
+  /** Build a PERSISTENT IVFADC index: train the two quantizer levels,
+    * then write the coded corpus hive-partitioned by the coarse cell
+    * through the sidecar-verified partitioned writer
+    * ([[graft.io.Vc.writePartitioned]] — same contract as the
+    * processed-table twins: column classes, data digest, pruning-safe
+    * layout). This is the artifact the 100 TB claim rests on: with
+    * codes ON DISK partitioned by `gcell`, a probe is partition
+    * pruning — the scan lists only the nprobe cells' files and reads
+    * m small ints per candidate instead of dim floats
+    * ([[ivfPqSearchIndex]]; `IvfPqIndexSpec` pins the pruned
+    * `numFiles` the way `VcPartitionedSpec` does for processed
+    * tables). */
+  def ivfPqBuildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      kc: Int, m: Int, k: Int, iters: Int,
+                      path: String): IvfPqIndex = {
+    val (coded, state) = ivfPqTrainCoded(corpus, idCol, vecCol, kc, m, k, iters)
+    graft.io.Vc.writePartitioned(coded, path,
+      partitionCols = Seq("gcell"), sortKeys = Seq("neighbor_id"))
+    IvfPqIndex(path, state)
+  }
+
+  /** ADC top-k search over a WRITTEN index ([[ivfPqBuildIndex]]): the
+    * probed cell ids are driver state (≤ queries × nprobe, the tiny
+    * serving side), pushed as a literal IN filter into the partitioned
+    * read so the file listing itself shrinks to the probed cells —
+    * the q162 pipeline with the corpus scan replaced by the pruned
+    * index read. Identical output to [[ivfPqSearchTopK]] at equal
+    * parameters (the oracle gate); the unverified read is the
+    * documented hot path (the digest check would rescan every cell). */
+  def ivfPqSearchIndex(index: IvfPqIndex, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       nprobe: Int, topK: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (_, probes) = ivfPqProbes(queries, idCol, vecCol, index.state, nprobe)
+    val cells = probes.select("gcell").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ kc values — driver state
+    val coded = graft.io.Vc.readPartitioned(spark, index.path, verify = false)
+      .where(col("gcell").isin(cells.toIndexedSeq: _*))
+    rankTopK(adcScored(coded, probes, index.state), "adc_micros", topK)
+  }
+
+  /** Shared IVFADC core: (ADC-scored candidates, probed-query vectors,
+    * normalized corpus vectors). See [[ivfPqSearchTopK]] for the plan
+    * shape and determinism contract. */
+  private def ivfPqScored(queries: DataFrame, corpus: DataFrame,
+                          idCol: String, vecCol: String,
+                          kc: Int, m: Int, k: Int, iters: Int,
+                          nprobe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (coded, state) = ivfPqTrainCoded(corpus, idCol, vecCol, kc, m, k, iters)
+    val (q, probes) = ivfPqProbes(queries, idCol, vecCol, state, nprobe)
+    val scored = adcScored(coded, probes, state)
     // fresh normalized corpus for the exact-rerank join — a plain
     // (vec_id, v) scan without the coarse-assign argmin work
     val e = corpus.select(col(idCol).as("vec_id"),

@@ -1,0 +1,90 @@
+package graft
+
+import graft.similarity.Ann
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The IVFADC written-index path (q169): the codes are MATERIALIZED
+  * hive-partitioned by coarse cell, and a probe must prune the FILE
+  * LISTING to the probed cells — the `VcPartitionedSpec` numFiles pin
+  * applied to ANN, converting the "probe = partition pruning at
+  * 100 TB" claim from docstring prose to a measured artifact. Also
+  * pins the round trip: the search over the written index is
+  * row-identical to the in-memory [[Ann.ivfPqSearchTopK]] pipeline at
+  * equal parameters (the q169 oracle gate replays q162's CTE chain).
+  */
+class IvfPqIndexSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = graft.core.Tables.load(spark, sf, "embeddings")
+
+  private lazy val idx = {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-spec")
+      .toString + "/codes"
+    Ann.ivfPqBuildIndex(emb, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+  }
+
+  test("the written index carries the partitioned-Vc sidecar contract") {
+    val yml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idx.path, "_vc.yml"))
+    assert(yml.contains("partitioning:\n  - gcell"))
+    assert(yml.contains("data_hash:"))
+    // one directory per non-empty coarse cell
+    val cellDirs = new java.io.File(idx.path).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("gcell="))
+    assert(cellDirs >= 2, s"expected >=2 cell partitions, saw $cellDirs")
+  }
+
+  test("a probe prunes the file listing to the probed cells") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        val plan = df.queryExecution.executedPlan
+        plan.execute().count()
+        val scan = plan.collectLeaves().collectFirst {
+          case s: FileSourceScanExec => s
+        }.getOrElse(fail("no FileSourceScanExec leaf"))
+        scan.metrics("numFiles").value
+      }
+      val all = scanFiles(
+        graft.io.Vc.readPartitioned(spark, idx.path, verify = false))
+      // the q169 probe: 4 queries x nprobe=2 — re-derive the pruned
+      // read exactly as ivfPqSearchIndex does and measure its listing
+      val probed = graft.io.Vc.readPartitioned(spark, idx.path, verify = false)
+        .where(col("gcell").isin(0, 1))
+      val pruned = scanFiles(probed)
+      assert(all >= 3, s"expected >=3 cell files, saw $all")
+      assert(pruned < all, s"probe did not prune: $pruned of $all files")
+      assert(graft.io.Vc.prunesPartitions(probed))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("search over the written index is identical to the in-memory pipeline") {
+    val queries = emb.where(col("vec_id") < 4)
+    val fromIndex = Ann.ivfPqSearchIndex(idx, queries, "vec_id", "embedding",
+        nprobe = 2, topK = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inMemory = Ann.ivfPqSearchTopK(queries, emb, "vec_id", "embedding",
+        kc = 4, m = 4, k = 4, iters = 2, nprobe = 2, topK = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex === inMemory)
+  }
+
+  test("the pruned probe read plans no shuffle on the corpus side") {
+    // candidate generation = pruned scan + broadcast probes join; the
+    // index side must reach the ADC scoring without an exchange
+    val queries = emb.where(col("vec_id") < 4)
+    val searched = Ann.ivfPqSearchIndex(idx, queries, "vec_id", "embedding",
+      nprobe = 2, topK = 5)
+    val plan = searched.queryExecution.executedPlan.toString
+    // the only exchanges allowed are the partial-top-k groupBy and the
+    // final rank window (+ broadcasts); the scored join itself is
+    // broadcast — mirror ScanCountSpec's counting
+    val shuffles = "Exchange".r.findAllIn(plan).size -
+      "BroadcastExchange".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected <=2 shuffles, plan had $shuffles:\n$plan")
+  }
+}
