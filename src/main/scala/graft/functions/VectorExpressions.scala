@@ -299,6 +299,76 @@ case class SquaredL2Micros(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object Sq8Kernels {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  /** Fused SQ8 encode → reconstruct → error pass (see
+    * [[graft.similarity.Ann.sq8Stats]] for the quantizer contract):
+    * per dimension code = floor((x−mn)/Δ + 0.5) clamped to [0,255]
+    * with Δ = (mx−mn)/255, CODED 0 when mn == mx (the same branch
+    * predicate as the oracle — NOT a test of the derived Δ for zero,
+    * which would diverge on a subnormal-tiny range whose Δ underflows);
+    * reconstruction mn + code·Δ; the error is the same left-to-right
+    * IEEE fold + final floor as [[SquaredL2Micros]]. Loud-fails on a
+    * width mismatch with the trained stats (a ragged corpus is a bug,
+    * not a row to null out). */
+  def stats(v: ArrayData, mins: Array[Double], maxs: Array[Double]): InternalRow = {
+    val n = v.numElements()
+    require(n == mins.length,
+      s"sq8: vector width $n != trained width ${mins.length}")
+    var codeSum = 0L
+    var err = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val mn = mins(i); val mx = maxs(i)
+      val sc = (mx - mn) / 255.0
+      val code =
+        if (mn == mx) 0L
+        else {
+          val c = math.floor((x - mn) / sc + 0.5).toLong
+          if (c < 0L) 0L else if (c > 255L) 255L else c
+        }
+      codeSum += code
+      val t = x - (mn + code.toDouble * sc)
+      err += t * t
+      i += 1
+    }
+    InternalRow(codeSum, math.floor(err * 1e6 + 0.5).toLong)
+  }
+}
+
+/** sq8_stats(v) -> struct<code_sum bigint, err_micros bigint>: the
+  * whole per-vector SQ8 pass in ONE codegen'd loop — the `transform`
+  * lambda formulation ran interpreted AND re-evaluated per element
+  * (the q161 lesson); the per-dim min/max train state ships once as
+  * reference objects. */
+case class Sq8StatsExpr(child: Expression, mins: Seq[Double], maxs: Seq[Double])
+    extends UnaryExpression {
+  require(mins.length == maxs.length,
+    s"ragged sq8 stats: ${mins.length} mins vs ${maxs.length} maxs")
+  override def dataType: DataType = StructType(Seq(
+    StructField("code_sum", LongType, nullable = false),
+    StructField("err_micros", LongType, nullable = false)))
+  override def prettyName: String = "sq8_stats"
+
+  private lazy val minsArr = mins.toArray
+  private lazy val maxsArr = maxs.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    Sq8Kernels.stats(v.asInstanceOf[ArrayData], minsArr, maxsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("sq8Mins", minsArr, "double[]")
+    val xRef = ctx.addReferenceObj("sq8Maxs", maxsArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sq8Kernels.stats($c, $mRef, $xRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Sq8StatsExpr =
+    copy(child = c)
+}
+
 /** Random-hyperplane LSH signature of an `array<float>` vector: bit p is
   * the sign of the dot product with a deterministic Rademacher (+-1)
   * hyperplane derived from xxhash64 — no stored plane matrix, so the
@@ -392,4 +462,8 @@ object VectorFunctions {
   /** Column API: elementwise difference of two array<double> columns. */
   def vecSub(a: Column, b: Column): Column =
     GraftBridge.column(VecSub(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API: fused SQ8 code-sum + reconstruction-error pass. */
+  def sq8Stats(v: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    GraftBridge.column(Sq8StatsExpr(GraftBridge.expression(v), mins, maxs))
 }

@@ -306,12 +306,18 @@ object Ann {
     }
 
     for (_ <- 1 until iters) {
+      // ONE posexplode of the full vector + integer arithmetic to
+      // recover (sub, within-sub dim) and an array lookup for the
+      // sub's assigned code — replaces the explode of m sliced
+      // structs, which allocated m sub-vector copies per row before
+      // producing the same dim tuples
+      val cids = array(books.indices.map(s => col(s"best_$s.cid")): _*)
       val upd = pqAssigned(e, books, sub)
-        .select(explode(array(books.indices.map(s =>
-          struct(lit(s).as("sub"), col(s"best_$s.cid").as("cid"),
-            slice(col("v"), s * sub + 1, sub).as("sv"))): _*)).as("g"))
-        .select(col("g.sub"), col("g.cid"),
-          posexplode(col("g.sv")).as(Seq("dim", "x")))
+        .select(cids.as("cids"), posexplode(col("v")).as(Seq("gdim", "x")))
+        .select((col("gdim") / lit(sub)).cast("int").as("sub"),
+          element_at(col("cids"),
+            (col("gdim") / lit(sub)).cast("int") + 1).as("cid"),
+          (col("gdim") % lit(sub)).as("dim"), col("x"))
         .groupBy("sub", "cid", "dim")
         .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("s"),
           count(lit(1)).as("n"))
@@ -505,24 +511,17 @@ object Ann {
       .collect() // dim rows — bounded driver state
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
-    val mins = mm.map(_._2).toSeq
-    val scales = mm.map { case (_, mn, mx) => (mx - mn) / 255.0 }.toSeq
-    val minsLit = typedLit(mins)
-    val scalesLit = typedLit(scales)
-    val codes = transform(col("v"), (x, i) =>
-      when(element_at(scalesLit, i + 1) === 0.0, lit(0L))
-        .otherwise(least(lit(255L), greatest(lit(0L),
-          floor((x - element_at(minsLit, i + 1))
-            / element_at(scalesLit, i + 1) + lit(0.5)).cast("long")))))
-    val recon = transform(col("codes"), (c, i) =>
-      element_at(minsLit, i + 1)
-        + c.cast("double") * element_at(scalesLit, i + 1))
-    val ones = typedLit(Seq.fill(mins.size)(1L))
-    e.withColumn("codes", codes)
-      .withColumn("code_sum", VectorFunctions.longDot(col("codes"), ones))
-      .withColumn("err_micros",
-        VectorFunctions.squaredL2Micros(col("v"), recon))
-      .select("vec_id", "code_sum", "err_micros")
+    // fused native kernel (VectorFunctions.sq8Stats): the previous
+    // element-wise transform lambdas ran interpreted and re-evaluated
+    // their children per element; the kernel also branches the
+    // constant-dimension case on mn == mx — the ORACLE's predicate —
+    // instead of testing the derived Δ for zero (which diverges when a
+    // subnormal-tiny range underflows Δ to 0.0)
+    e.select(col("vec_id"),
+        VectorFunctions.sq8Stats(col("v"),
+          mm.map(_._2).toIndexedSeq, mm.map(_._3).toIndexedSeq).as("s"))
+      .select(col("vec_id"), col("s.code_sum").as("code_sum"),
+        col("s.err_micros").as("err_micros"))
   }
 
   /** [[bruteForceTopK]]'s partial-then-global top-k tail over an
