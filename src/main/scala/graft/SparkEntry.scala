@@ -2260,20 +2260,23 @@ object SparkEntry {
         .select("media_id", "kind", "byte_len", "content_hash")
     }),
 
-    // ---- REAL raster decode (JDK ImageIO): generate constant-fill gray
-    // PNGs with closed-form dims, decode them back through the batched
-    // media pass; the oracle recomputes the closed form in SQL ----
-    "q104_image_decode" -> ((s, dir) => {
-      import s.implicits._
-      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val w = (id % 13 + 3).toInt
-          val h = (id % 7 + 2).toInt
-          (id, "image/png", Media.grayPng(w, h, (id % 251).toInt))
-        }).toDF("media_id", "kind", "media")
-      Media.decodeImageMeta(s, media).toDF()
-        .select("media_id", "width", "height", "mean_px")
-    })
+    // ---- REAL raster decode (JDK ImageIO): generate constant-fill
+    // gray PNGs with closed-form dims, decode them back — both codec
+    // calls are native codegen'd expressions (the q153 PCM treatment:
+    // one fused whole-stage loop, no typed-Dataset ser/de boundary;
+    // the mapPartitions batch variant stays pinned row-identical in
+    // IoMediaStreamSpec); the oracle recomputes the closed form ----
+    "q104_image_decode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          graft.functions.MediaFunctions.grayPng(
+            (col("doc_id") % 13 + 3).cast("int"),
+            (col("doc_id") % 7 + 2).cast("int"),
+            (col("doc_id") % 251).cast("int")).as("media"))
+        .select(col("media_id"),
+          graft.functions.MediaFunctions.imageMeta(col("media")).as("m"))
+        .select(col("media_id"), col("m.width").as("width"),
+          col("m.height").as("height"), col("m.mean_px").as("mean_px")))
   )
 
   /** LSVI demo inputs derived from the harness tables: scale-free

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -82,7 +82,111 @@ case class PcmWindowFeatures(child: Expression, window: Int)
     copy(child = c)
 }
 
+/** Raster kernels as native expressions — the q153 PCM treatment
+  * applied to the image path: the codec calls (JDK ImageIO — PNG/BMP/
+  * GIF, zero new dependencies) run inside whole-stage codegen via
+  * static kernel calls, so the generate→decode→project pipeline is one
+  * fused loop with no typed-Dataset ser/de boundary. The
+  * `mapPartitions` batch variant ([[graft.multimodal.Media
+  * .decodeImageMeta]]) stays as the API for stateful/batched codecs;
+  * [[IoMediaStreamSpec]] pins the two row-identical. */
+object ImageKernels {
+
+  /** Encode a constant-fill grayscale PNG — deterministic real-codec
+    * payload generator (tests + oracle-backed decode queries). */
+  def grayPng(width: Int, height: Int, value: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, value & 0xFF); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode raster metadata: (width, height, n_bands, mean over band
+    * 0). Bytes no installed reader accepts (or that throw on decode —
+    * ImageIO readers raise beyond IOException on malformed payloads)
+    * surface as (-1, -1, -1, NaN) so corrupt rows degrade per-row and
+    * stay visible to quality filters, never killing the task. */
+  def decodeMeta(bytes: Array[Byte]): InternalRow =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) InternalRow(-1, -1, -1, Double.NaN)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSampleDouble(x, y, 0); x += 1 }
+          y += 1
+        }
+        val n = w.toLong * h
+        InternalRow(w, h, raster.getNumBands, if (n > 0) sum / n else 0.0)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => InternalRow(-1, -1, -1, Double.NaN)
+    }
+}
+
+/** gray_png(width, height, value) -> binary: constant-fill grayscale
+  * PNG via the real JDK codec, codegen'd. */
+case class GrayPngExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gray_png"
+
+  override def nullSafeEval(w: Any, h: Any, v: Any): Any =
+    ImageKernels.grayPng(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      v.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, h, v) => s"graft.functions.ImageKernels.grayPng($w, $h, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GrayPngExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** image_meta(binary) -> struct<width int, height int, n_bands int,
+  * mean_px double>: real ImageIO decode fused into codegen; corrupt
+  * payloads yield (-1, -1, -1, NaN). */
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_bands", IntegerType, nullable = false),
+    StructField("mean_px", DoubleType, nullable = false)))
+  override def prettyName: String = "image_meta"
+
+  override def nullSafeEval(v: Any): Any =
+    ImageKernels.decodeMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ImageKernels.decodeMeta($c)")
+
+  override protected def withNewChildInternal(c: Expression): ImageMetaExpr =
+    copy(child = c)
+}
+
 object MediaFunctions {
   def pcmWindowFeatures(bin: Column, window: Int): Column =
     GraftBridge.column(PcmWindowFeatures(GraftBridge.expression(bin), window))
+
+  def grayPng(width: Column, height: Column, value: Column): Column =
+    GraftBridge.column(GrayPngExpr(GraftBridge.expression(width),
+      GraftBridge.expression(height), GraftBridge.expression(value)))
+
+  def imageMeta(bin: Column): Column =
+    GraftBridge.column(ImageMetaExpr(GraftBridge.expression(bin)))
 }

@@ -116,22 +116,10 @@ object Media {
   }
 
   /** Encode a constant-fill grayscale PNG — a deterministic real-codec
-    * payload generator for tests and oracle-backed decode queries. */
-  def grayPng(width: Int, height: Int, value: Int): Array[Byte] = {
-    require(width > 0 && height > 0, "dims must be positive")
-    val img = new java.awt.image.BufferedImage(
-      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { raster.setSample(x, y, 0, value & 0xFF); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+    * payload generator for tests and oracle-backed decode queries
+    * (delegates to the codegen kernel's static encoder). */
+  def grayPng(width: Int, height: Int, value: Int): Array[Byte] =
+    graft.functions.ImageKernels.grayPng(width, height, value)
 
   case class ImageMeta(media_id: Long, width: Int, height: Int, n_bands: Int,
                        mean_px: Double)

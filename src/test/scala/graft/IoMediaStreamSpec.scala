@@ -135,6 +135,35 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(got(3L).width === -1 && got(3L).mean_px.isNaN)
   }
 
+  test("native image_meta/gray_png expressions match the mapPartitions batch path") {
+    // the codegen'd kernels (q104's path) and the typed-Dataset batch
+    // decode must stay row-identical, including the corrupt-row marker
+    val rows = Seq(
+      (1L, "image/png", Media.grayPng(5, 3, 200)),
+      (2L, "image/png", Media.grayPng(8, 8, 0)),
+      (3L, "image/png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "kind", "media")
+    val viaExpr = rows.select(col("media_id"),
+        graft.functions.MediaFunctions.imageMeta(col("media")).as("m"))
+      .select(col("media_id"), col("m.width"), col("m.height"),
+        col("m.n_bands"), col("m.mean_px"))
+      .orderBy("media_id").collect().toSeq
+    val viaBatch = Media.decodeImageMeta(spark, rows).toDF()
+      .select("media_id", "width", "height", "n_bands", "mean_px")
+      .orderBy("media_id").collect().toSeq
+    assert(viaExpr.map(_.toString) === viaBatch.map(_.toString)) // NaN-safe
+    // and the native PNG encoder round-trips through the native decoder
+    val rt = spark.range(1, 4).select(col("id").cast("long").as("media_id"),
+        graft.functions.MediaFunctions.grayPng(
+          (col("id") + 2).cast("int"), (col("id") + 1).cast("int"),
+          lit(77)).as("png"))
+      .select(col("media_id"),
+        graft.functions.MediaFunctions.imageMeta(col("png")).as("m"))
+      .select(col("media_id"), col("m.width"), col("m.height"), col("m.mean_px"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(rt(1L) === ((3, 2, 77.0)) && rt(3L) === ((5, 4, 77.0)))
+  }
+
   test("Media.extractFeatures: image kinds get real decoded features, others the stub") {
     val rows = Seq(
       (1L, "image/png", Media.grayPng(6, 4, 100), 0, 0, 0),
