@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale-curve gate for the flagship LLM-pipeline family:
+  * times each query at sf0.01 AND sf0.1 (10× the data) in one session
+  * and asserts the wall-clock ratio stays near-linear. The plan-shape
+  * pins (ScanCountSpec / PlanGuardSpec) freeze the SHAPE; this gate
+  * measures that the shape actually buys linear scaling on real data —
+  * a super-linear ratio means a hidden all-pairs term, a driver-side
+  * loop, or a skew collapse that the structural pins cannot see.
+  *
+  *   sbt "runMain graft.tools.ScaleCurve"            # default family
+  *   sbt "runMain graft.tools.ScaleCurve q40_… q45_…" # explicit list
+  *
+  * Prints one JSON line per query plus a summary line, exits non-zero
+  * if any ratio exceeds MAX_RATIO. The threshold is deliberately loose
+  * (15× for 10× data): constant per-query overheads (training
+  * collects, session fixed costs) dominate at sf0.01, so mild
+  * super-linearity is expected noise — the gate exists to catch the
+  * next O(n²) regression (which shows as ~100×), not to bench-mark. */
+object ScaleCurve {
+  private val MaxRatio = 15.0
+  private val DefaultFamily = Seq(
+    "q40_docs_exact_dedup", "q45_minhash_neardups", "q161_dup_spans",
+    "q162_ivfpq_search", "q164_ivfpq_rerank", "q165_temperature_mixture",
+    "q167_retrieval_e2e", "q168_tokenizer_e2e", "q169_ivfpq_index_probe")
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else DefaultFamily
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def median(name: String, sf: String): Double = {
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      times(times.length / 2)
+    }
+
+    // warmup both SFs (JVM/codegen/footer caches)
+    names.headOption.foreach { n =>
+      try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
+            SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count() }
+      catch { case _: Throwable => }
+    }
+
+    var worst = 0.0
+    val rows = names.map { n =>
+      val small = median(n, "/root/testdata/sf0.01")
+      val big = median(n, "/root/testdata/sf0.1")
+      val ratio = big / math.max(small, 1e-9)
+      worst = math.max(worst, ratio)
+      println(f"""{"query":"$n","sf001_sec":$small%.2f,"sf01_sec":$big%.2f,"ratio":$ratio%.1f}""")
+      f""""${n.takeWhile(_ != '_').stripPrefix("q")}":$ratio%.1f"""
+    }
+    println(s"""{"metric":"scale_curve","max_ratio":$MaxRatio,"worst":${f"$worst%.1f"},"ratios":{${rows.mkString(",")}},"runs":$runs}""")
+    spark.stop()
+    if (worst > MaxRatio) {
+      System.err.println(f"SCALE-CURVE BREACH: worst ratio $worst%.1f > $MaxRatio (10x data)")
+      sys.exit(1)
+    }
+  }
+}
