@@ -1639,6 +1639,29 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- typo-grade vocabulary canonicalization (Dedup.typoCanonical):
+    // FastSS deletion-variant blocking (exact for edit distance ≤ 1 —
+    // no LSH recall loss) + built-in levenshtein verify + the Norvig
+    // best-neighbor pick (freq desc, word asc, one hop). The corpus
+    // collapses to the dictionary-sized vocabulary BEFORE the variant
+    // explode, so candidate generation never touches corpus-scale
+    // rows. The synthetic vocabulary is typo-free, so the query
+    // injects a deterministic misspelling stream (every 7th doc's
+    // first ≥5-char word minus its 2nd char) that MUST remap to its
+    // frequent neighbor — the gate exercises the remapping path, not
+    // just the identity. Fully deterministic → hash-exact. ----
+    "q170_typo_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w1 = element_at(split(trim(col("text")), "\\s+"), 1)
+      val typos = docs.where(col("doc_id") % 7 === 0)
+        .select(w1.as("w"))
+        .where(length(col("w")) >= 5)
+        .select(concat(col("w").substr(lit(1), lit(1)),
+          col("w").substr(lit(3), length(col("w")) - 2)).as("text"))
+      Dedup.typoCanonical(
+        docs.select(col("text")).unionByName(typos), "text", minLen = 4)
+    }),
+
     // ---- IVFADC WRITTEN-index probe (Ann.ivfPqBuildIndex/
     // ivfPqSearchIndex): the q162 pipeline with the codes
     // MATERIALIZED cell-partitioned on disk through the sidecar
@@ -4196,6 +4219,43 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+
+    "q170_typo_canonical" ->
+      """WITH corpus AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT w[1:1] || w[3:] AS text
+        |  FROM (SELECT (string_split_regex(trim(text), '\s+'))[1] AS w
+        |        FROM documents WHERE doc_id % 7 = 0)
+        |  WHERE length(w) >= 5),
+        |toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM corpus WHERE length(trim(text)) > 0),
+        |vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks WHERE length(word) >= 4 GROUP BY 1),
+        |vars AS (
+        |  SELECT word, freq, unnest(list_distinct(list_append(
+        |    [word[1:CAST(i-1 AS INT)] || word[CAST(i+1 AS INT):]
+        |     FOR i IN range(1, length(word)+1)], word))) AS v
+        |  FROM vocab),
+        |p0 AS (
+        |  SELECT DISTINCT a.word AS w1, a.freq AS f1, b.word AS w2, b.freq AS f2
+        |  FROM vars a JOIN vars b ON a.v = b.v AND a.word < b.word),
+        |p AS (SELECT * FROM p0 WHERE levenshtein(w1, w2) <= 1),
+        |cands AS (
+        |  SELECT w1 AS word, w2 AS cand, f2 AS cf FROM p
+        |  UNION ALL SELECT w2, w1, f1 FROM p
+        |  UNION ALL SELECT word, word, freq FROM vocab),
+        |best AS (
+        |  SELECT word, cand FROM (
+        |    SELECT word, cand,
+        |      row_number() OVER (PARTITION BY word ORDER BY cf DESC, cand ASC) rk
+        |    FROM cands) t
+        |  WHERE rk = 1)
+        |SELECT vocab.word, vocab.freq, best.cand AS canonical,
+        |  best.cand <> vocab.word AS remapped
+        |FROM vocab JOIN best USING (word)""".stripMargin,
     "q164_ivfpq_rerank" -> ivfPqRerankOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, shortlist = 10, topK = 5),
 

@@ -545,6 +545,59 @@ object Dedup {
     * Same output ([[graft.DupSpanSpec]] pins the variants equal);
     * default stays the window (one exchange) until a profile shows
     * the hot key. */
+  /** Typo-grade vocabulary canonicalization: map every corpus word to
+    * its best edit-distance-≤1 neighbor (highest frequency, then
+    * lexicographic — the Norvig spell-correct pick, one hop, fully
+    * deterministic). Candidate generation is FastSS/SymSpell deletion
+    * blocking (Bocek et al. 2007, "Fast Similarity Search in Large
+    * Dictionaries"): two words within edit distance 1 ALWAYS share an
+    * entry of {word} ∪ {word minus one char} — equal words share the
+    * word, substitutions share the deletion at the differing position,
+    * insert/delete pairs share the shorter word itself — so the join
+    * key is exact (no LSH recall loss) and the built-in `levenshtein`
+    * verify only confirms, giving a DuckDB-oracle-exact operator.
+    *
+    * Scale shape: the corpus scan collapses to the frequency-weighted
+    * VOCABULARY first (dictionary-sized, the [[graft.text.Bpe]]
+    * argument), so the deletion explode (~len+1 rows per WORD, not per
+    * token) and the variant-bucket self-join never touch corpus-scale
+    * data; the bucket join is a shuffle equi-join AQE can split, and
+    * `minLen` (default 4) keeps degenerate short-word buckets — the
+    * hot keys — out entirely, mirroring how spell correctors skip
+    * stopword-length tokens. Returns one row per vocab word:
+    * (word, freq, canonical, remapped). */
+  def typoCanonical(docs: DataFrame, textCol: String,
+                    minLen: Int = 4): DataFrame = {
+    require(minLen >= 1, s"minLen must be positive, got $minLen")
+    val vocab = docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .where(length(col("word")) >= minLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val dels = transform(sequence(lit(1), length(col("word"))), i =>
+      concat(col("word").substr(lit(1), i - lit(1)),
+        col("word").substr(i + lit(1), length(col("word")) - i)))
+    val variants = vocab.select(col("word"), col("freq"),
+      explode(array_union(dels, array(col("word")))).as("v"))
+    val pairs = variants.select(col("v"), col("word").as("w1"), col("freq").as("f1"))
+      .join(variants.select(col("v"), col("word").as("w2"), col("freq").as("f2")),
+        Seq("v"))
+      .where(col("w1") < col("w2"))
+      .select("w1", "f1", "w2", "f2").distinct()
+      .where(levenshtein(col("w1"), col("w2")) <= 1)
+    val cands = pairs
+      .select(col("w1").as("word"), col("w2").as("cand"), col("f2").as("cf"))
+      .unionByName(pairs.select(col("w2").as("word"), col("w1").as("cand"),
+        col("f1").as("cf")))
+      .unionByName(vocab.select(col("word"), col("word").as("cand"),
+        col("freq").as("cf")))
+    val best = Window.partitionBy("word")
+      .orderBy(col("cf").desc, col("cand").asc)
+    cands.withColumn("rk", row_number().over(best)).where(col("rk") === 1)
+      .join(vocab, Seq("word"))
+      .select(col("word"), col("freq"), col("cand").as("canonical"),
+        (col("cand") =!= col("word")).as("remapped"))
+  }
+
   def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
                    w: Int, maxDupPerMille: Int,
                    hashed: Boolean = false,

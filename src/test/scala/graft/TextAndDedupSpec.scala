@@ -346,6 +346,38 @@ class TextAndDedupSpec extends SparkSuite {
     assert(Ann.trainCentroids(corpus, "id", "v", 4, 3).length === 4)
   }
 
+  test("typoCanonical: FastSS blocking finds every edit-1 pair, picks by (freq, word)") {
+    // "word" x10 is the hub: "word"->"ward" (substitution), "words"
+    // (insertion), "wod"... too short at minLen=4; "wore" (substitution)
+    // has freq 10 tie with "ward"? no: freqs differ. "cold"/"bold"
+    // substitution pair with EQUAL freq 3 -> tie breaks lexicographic
+    // ("bold" wins for both). "zebra" has no neighbor -> self.
+    val docs = Seq(
+      (Seq.fill(10)("word") ++ Seq("ward", "ward", "words", "wore",
+        "cold", "cold", "cold", "bold", "bold", "bold", "zebra"))
+        .mkString(" ")).map(Tuple1(_)).toDF("text")
+    val got = graft.dedup.Dedup.typoCanonical(docs, "text", minLen = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got("word") === ((10L, "word", false)))   // hub keeps itself
+    assert(got("ward") === ((2L, "word", true)))     // substitution
+    assert(got("words") === ((1L, "word", true)))    // deletion neighbor
+    assert(got("wore") === ((1L, "word", true)))     // substitution
+    // equal-freq tie -> lexicographically smaller canonical for BOTH
+    assert(got("cold") === ((3L, "bold", true)))
+    assert(got("bold") === ((3L, "bold", false)))
+    assert(got("zebra") === ((1L, "zebra", false)))  // no neighbor
+    // distance-2 words sharing a deletion variant must NOT link:
+    // "acbd" (a transposition = 2 substitutions from "abcd") shares
+    // the deletion variant "abd" with it — a CANDIDATE the levenshtein
+    // verify must reject, so both keep themselves
+    val doc2 = Seq(("abcd abcd abcd acbd dcba")).map(Tuple1(_)).toDF("text")
+    val got2 = graft.dedup.Dedup.typoCanonical(doc2, "text", minLen = 4)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(got2("acbd") === "acbd")
+    assert(got2("dcba") === "dcba")
+  }
+
   test("hyperplane LSH signature is deterministic across evaluations") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i + d * 0.31).toFloat))).toDF("id", "v")
