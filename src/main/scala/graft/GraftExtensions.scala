@@ -70,7 +70,9 @@ object GraftExtensions {
     "vec_sub" -> (es => graft.functions.VecSub(es(0), es(1))),
     "word_spans" -> (es => graft.functions.WordSpans(es(0), intArg(es(1), "w"))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
-      stringArg(es(1), "left"), stringArg(es(2), "right"))))
+      stringArg(es(1), "left"), stringArg(es(2), "right"))),
+    "gray_png" -> (es => graft.functions.GrayPngExpr(es(0), es(1), es(2))),
+    "image_meta" -> (es => graft.functions.ImageMetaExpr(es(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =

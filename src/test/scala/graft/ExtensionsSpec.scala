@@ -73,6 +73,14 @@ class ExtensionsSpec extends SparkSuite {
     assert(ws === Seq("a b c", "b c d"))
     assert(spark.sql("SELECT word_spans(array('a','b'), 3) AS s")
       .as[Seq[String]].collect().head === Seq.empty)
+
+    // PNG encode -> decode round trip entirely in SQL
+    val im = spark.sql(
+      "SELECT image_meta(gray_png(4, 3, 120)) AS m")
+      .select("m.width", "m.height", "m.n_bands", "m.mean_px")
+      .collect().head
+    assert(im.getInt(0) === 4 && im.getInt(1) === 3)
+    assert(im.getInt(2) === 1 && im.getDouble(3) === 120.0)
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
