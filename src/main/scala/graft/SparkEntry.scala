@@ -1639,6 +1639,17 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- sliding-window document chunking (Curate.chunkTokens): the
+    // context-window splitter of RAG/pretraining prep — 24-token
+    // chunks with 8-token overlap (stride 16), chunk count
+    // 1 + max(0, ceil((n-24)/16)), final chunk may be short but is
+    // never a pure suffix of its predecessor. ONE map-only scan (a
+    // bounded sequence explode + slice per chunk, no shuffle before
+    // the driver's collect). Hash-exact via DuckDB list slicing. ----
+    "q171_doc_chunking" -> ((s, dir) =>
+      graft.curation.Curate.chunkTokens(t(s, dir, "documents"),
+        "text", "doc_id", chunkSize = 24, overlap = 8)),
+
     // ---- typo-grade vocabulary canonicalization (Dedup.typoCanonical):
     // FastSS deletion-variant blocking (exact for edit distance ≤ 1 —
     // no LSH recall loss) + built-in levenshtein verify + the Norvig
@@ -4219,6 +4230,23 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+
+    "q171_doc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |k AS (
+        |  SELECT doc_id, ts,
+        |    greatest(0, (len(ts) - 24 + 15) // 16) AS last_idx
+        |  FROM toks WHERE len(ts) > 0),
+        |ch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |    ts[CAST(i*16+1 AS INT):CAST(i*16+24 AS INT)] AS chunk
+        |  FROM k, unnest(range(0, last_idx + 1)) AS r(i))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  array_to_string(chunk, ' ') AS chunk_text
+        |FROM ch""".stripMargin,
 
     "q170_typo_canonical" ->
       """WITH corpus AS (

@@ -286,6 +286,45 @@ object Curate {
       .drop("pid", "cost_before", "cum_before")
   }
 
+  /** Sliding-window document chunking — the context-window splitter of
+    * RAG/pretraining prep: every document becomes fixed-size token
+    * chunks of `chunkSize` with `overlap` tokens shared between
+    * consecutive chunks (stride = chunkSize − overlap). Chunk starts
+    * are 0, stride, 2·stride, …; the count is
+    * 1 + max(0, ⌈(n − chunkSize)/stride⌉), so the final chunk may be
+    * short but is never a pure suffix of its predecessor. Documents
+    * with no tokens produce no chunks.
+    *
+    * Scale shape: ONE corpus scan, map-only — tokenize, a bounded
+    * integer `sequence` explode (≈ n/stride rows per doc), and a
+    * `slice` per chunk; no shuffle at any size, and the explode factor
+    * is the inverse chunk size (a 100 TB corpus at chunkSize 2048
+    * emits ~1/2000th of its token count as chunk rows). Deterministic
+    * and list-slice-expressible → oracle hash-exact. Returns
+    * (id, chunk_idx, n_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap of $chunkSize")
+    val stride = chunkSize - overlap
+    // floor division (matches DuckDB's //; the numerator is exact in a
+    // double at any real doc length), clamped at 0 for short docs
+    val lastIdx = greatest(lit(0L),
+      floor((size(col("ts")) - lit(chunkSize) + lit(stride - 1))
+        / lit(stride.toDouble)).cast("long"))
+    docs.select(col(idCol), Text.tokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) > 0)
+      .select(col(idCol), col("ts"),
+        explode(sequence(lit(0L), lastIdx)).as("ci"))
+      .select(col(idCol), col("ci").cast("int").as("chunk_idx"),
+        slice(col("ts"), (col("ci") * stride + 1).cast("int"),
+          lit(chunkSize)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Per-domain quota: keep the `k` best documents per domain by the
     * composite quality score (ties broken by id — fully
     * deterministic). One shuffle on the domain column; with a skewed

@@ -90,6 +90,70 @@ class CurateSpec extends SparkSuite {
     assert(total >= 85 && total <= 115, s"expected ~100 copies, got $total")
   }
 
+  test("chunkTokens: exact boundaries, overlap, and tail behavior") {
+    // chunkSize 8, overlap 4, stride 4
+    def chunks(text: String) =
+      Curate.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+          "text", "doc_id", chunkSize = 8, overlap = 4)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    val t10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    // n=10: last_idx = ceil(2/4) = 1 -> chunks [1-8], [5-10]; the
+    // tail is short (6) but NOT a pure suffix of its predecessor
+    assert(chunks(t10) === Seq(
+      (0, 8L, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1, 6L, (5 to 10).map(i => s"w$i").mkString(" "))))
+    // n <= chunkSize -> exactly one chunk
+    assert(chunks("a b c") === Seq((0, 3L, "a b c")))
+    // n = chunkSize + 1 -> second chunk starts at stride, not a suffix
+    val t9 = (1 to 9).map(i => s"w$i").mkString(" ")
+    assert(chunks(t9).map(_._1) === Seq(0, 1))
+    assert(chunks(t9)(1)._3 === (5 to 9).map(i => s"w$i").mkString(" "))
+    // empty text -> no chunks
+    assert(Curate.chunkTokens(Seq((1L, "  ")).toDF("doc_id", "text"),
+      "text", "doc_id", 8, 4).count() === 0)
+    // overlap 0 -> disjoint cover
+    val disjoint = Curate.chunkTokens(Seq((1L, t10)).toDF("doc_id", "text"),
+        "text", "doc_id", chunkSize = 4, overlap = 0)
+      .orderBy("chunk_idx").collect().map(_.getString(3)).toSeq
+    assert(disjoint === Seq("w1 w2 w3 w4", "w5 w6 w7 w8", "w9 w10"))
+  }
+
+  test("chunkTokens matches a local sliding-window reference on random docs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genDoc = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val genParams = for {
+      cs <- Gen.chooseNum(2, 10)
+      ov <- Gen.chooseNum(0, cs - 1)
+      docs <- Gen.listOfN(4, genDoc)
+    } yield (cs, ov, docs)
+    val prop = Prop.forAll(genParams) { case (cs, ov, docs) =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Curate.chunkTokens(df, "text", "doc_id", cs, ov)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3))))
+        .toMap
+      val stride = cs - ov
+      val expect = docs.zipWithIndex.flatMap { case (ts, i) =>
+        if (ts.isEmpty) Nil
+        else {
+          val last = math.max(0L,
+            math.floor((ts.length - cs + stride - 1).toDouble / stride).toLong)
+          (0L to last).map { ci =>
+            val chunk = ts.slice((ci * stride).toInt, (ci * stride).toInt + cs)
+            (i.toLong, ci.toInt) -> ((chunk.length.toLong, chunk.mkString(" ")))
+          }
+        }
+      }.toMap
+      got == expect
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
+  }
+
   test("temperatureCopies fails loudly on null group values") {
     // a null lang would become a null map-literal key (rejected by
     // Catalyst) or silently drop docs via element_at — must be a

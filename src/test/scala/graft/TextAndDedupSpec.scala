@@ -378,6 +378,36 @@ class TextAndDedupSpec extends SparkSuite {
     assert(got2("dcba") === "dcba")
   }
 
+  test("typoCanonical matches a local all-pairs levenshtein reference") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // short alphabet + fixed length band forces dense 1-edit
+    // neighborhoods; the local reference is brute-force all-pairs
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val genWords = Gen.listOfN(14,
+      Gen.chooseNum(4, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString)))
+    val prop = Prop.forAll(genWords) { ws =>
+      val df = Seq(Tuple1(ws.mkString(" "))).toDF("text")
+      val got = graft.dedup.Dedup.typoCanonical(df, "text", minLen = 4)
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      val freq = ws.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val expect = freq.keys.map { w =>
+        val cands = freq.keys.filter(c => lev(w, c) <= 1)
+        w -> cands.minBy(c => (-freq(c), c))
+      }.toMap
+      got == expect
+    }
+    assert(SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop).passed)
+  }
+
   test("hyperplane LSH signature is deterministic across evaluations") {
     val vecs = (0L until 20L).map(i =>
       (i, Array.tabulate(16)(d => math.cos(i + d * 0.31).toFloat))).toDF("id", "v")
