@@ -506,45 +506,6 @@ object Dedup {
     (assigned, pairs)
   }
 
-  /** Exact duplicated-substring statistics at token-window granularity —
-    * the substring-dedup signal of Lee et al. 2022 ("Deduplicating
-    * Training Data Makes Language Models Better", arXiv:2107.06499),
-    * re-expressed relationally instead of via their suffix array: every
-    * length-`w` token window of a document is a span; a span whose exact
-    * text occurs more than once CORPUS-WIDE (including twice within one
-    * document) marks a duplicated region. Returns one row per document
-    * with at least one span: (id, n_spans, dup_spans, keep) where
-    * `keep` = dup_spans·1000 ≤ maxDupPerMille·n_spans. Documents shorter
-    * than `w` tokens have no spans and are dropped (a doc too short to
-    * contain a window carries no substring-dup evidence either way).
-    *
-    * Scale shape: ONE scan of the corpus explodes to (span_key, id)
-    * tuples; grouping to (key, id) happens with map-side combine (the
-    * within-doc repeat count collapses before the shuffle), the corpus
-    * total per key rides a whole-partition window on the key (no second
-    * scan, no join back to the exploded set), and the final per-doc
-    * rollup shuffles only (id, cnt, total) triples. No payload is ever
-    * shuffled twice and no per-key state is collected (hot boilerplate
-    * spans stay distributed — there is no collect_list).
-    *
-    * `hashed = true` is the 100 TB path: the shuffle key becomes
-    * xxhash64(span) (8 bytes) instead of the ~`w`-word string. Output is
-    * identical barring 64-bit collisions (conservative direction: a
-    * collision can only overcount dup_spans). The oracle-gated query
-    * uses `hashed = false` for cross-engine exactness;
-    * [[graft.DupSpanSpec]] pins the two variants equal on real data.
-    *
-    * Skew: a boilerplate span present in millions of documents makes
-    * one hot key in the window stage — bounded in WIDTH (its rows are
-    * (key, id, cnt) triples, never payloads) but not in count, and
-    * window skew is not AQE-splittable. `totalsViaJoin = true` is the
-    * boilerplate-heavy escape hatch: per-key totals via a second
-    * map-side-combined groupBy joined back on the key — one extra
-    * exchange of (key, total) pairs, but a sort-merge join that AQE's
-    * skew-join CAN split where the window's hot partition cannot be.
-    * Same output ([[graft.DupSpanSpec]] pins the variants equal);
-    * default stays the window (one exchange) until a profile shows
-    * the hot key. */
   /** Typo-grade vocabulary canonicalization: map every corpus word to
     * its best edit-distance-≤1 neighbor (highest frequency, then
     * lexicographic — the Norvig spell-correct pick, one hop, fully
@@ -598,6 +559,45 @@ object Dedup {
         (col("cand") =!= col("word")).as("remapped"))
   }
 
+  /** Exact duplicated-substring statistics at token-window granularity —
+    * the substring-dedup signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499),
+    * re-expressed relationally instead of via their suffix array: every
+    * length-`w` token window of a document is a span; a span whose exact
+    * text occurs more than once CORPUS-WIDE (including twice within one
+    * document) marks a duplicated region. Returns one row per document
+    * with at least one span: (id, n_spans, dup_spans, keep) where
+    * `keep` = dup_spans·1000 ≤ maxDupPerMille·n_spans. Documents shorter
+    * than `w` tokens have no spans and are dropped (a doc too short to
+    * contain a window carries no substring-dup evidence either way).
+    *
+    * Scale shape: ONE scan of the corpus explodes to (span_key, id)
+    * tuples; grouping to (key, id) happens with map-side combine (the
+    * within-doc repeat count collapses before the shuffle), the corpus
+    * total per key rides a whole-partition window on the key (no second
+    * scan, no join back to the exploded set), and the final per-doc
+    * rollup shuffles only (id, cnt, total) triples. No payload is ever
+    * shuffled twice and no per-key state is collected (hot boilerplate
+    * spans stay distributed — there is no collect_list).
+    *
+    * `hashed = true` is the 100 TB path: the shuffle key becomes
+    * xxhash64(span) (8 bytes) instead of the ~`w`-word string. Output is
+    * identical barring 64-bit collisions (conservative direction: a
+    * collision can only overcount dup_spans). The oracle-gated query
+    * uses `hashed = false` for cross-engine exactness;
+    * [[graft.DupSpanSpec]] pins the two variants equal on real data.
+    *
+    * Skew: a boilerplate span present in millions of documents makes
+    * one hot key in the window stage — bounded in WIDTH (its rows are
+    * (key, id, cnt) triples, never payloads) but not in count, and
+    * window skew is not AQE-splittable. `totalsViaJoin = true` is the
+    * boilerplate-heavy escape hatch: per-key totals via a second
+    * map-side-combined groupBy joined back on the key — one extra
+    * exchange of (key, total) pairs, but a sort-merge join that AQE's
+    * skew-join CAN split where the window's hot partition cannot be.
+    * Same output ([[graft.DupSpanSpec]] pins the variants equal);
+    * default stays the window (one exchange) until a profile shows
+    * the hot key. */
   def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
                    w: Int, maxDupPerMille: Int,
                    hashed: Boolean = false,

@@ -138,9 +138,15 @@ object ImageKernels {
 }
 
 /** gray_png(width, height, value) -> binary: constant-fill grayscale
-  * PNG via the real JDK codec, codegen'd. */
+  * PNG via the real JDK codec, codegen'd. Declares int input types so
+  * SQL callers with bigint arithmetic (the natural type of id-derived
+  * dims) get an implicit cast at analysis instead of a mid-job
+  * ClassCastException. */
 case class GrayPngExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "gray_png"
 
@@ -160,7 +166,10 @@ case class GrayPngExpr(first: Expression, second: Expression, third: Expression)
 /** image_meta(binary) -> struct<width int, height int, n_bands int,
   * mean_px double>: real ImageIO decode fused into codegen; corrupt
   * payloads yield (-1, -1, -1, NaN). */
-case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+case class ImageMetaExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(BinaryType)
   override def dataType: DataType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

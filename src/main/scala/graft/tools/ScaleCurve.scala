@@ -51,11 +51,13 @@ object ScaleCurve {
       times(times.length / 2)
     }
 
-    // warmup both SFs (JVM/codegen/footer caches)
-    names.headOption.foreach { n =>
-      try { SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
-            SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count() }
-      catch { case _: Throwable => }
+    // warmup EVERY query at both SFs (each query has its own codegen/
+    // JIT cost — warming only one would leave the others' first timed
+    // run cold, which with SPARK_GRAFT_SCALE_RUNS=1 IS the sample);
+    // failures surface loudly here rather than mid-timing
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.01").count()
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.1").count()
     }
 
     var worst = 0.0

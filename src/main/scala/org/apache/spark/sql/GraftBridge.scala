@@ -10,6 +10,11 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]`; expressions outside the sql
+    * package re-export it through this alias to declare `inputTypes`
+    * (analysis-time type checks + implicit casts for SQL callers). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Drain the listener bus so SparkListener-based job accounting in
     * tests is race-free (`listenerBus` is `private[spark]`). */
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =

@@ -81,6 +81,17 @@ class ExtensionsSpec extends SparkSuite {
       .collect().head
     assert(im.getInt(0) === 4 && im.getInt(1) === 3)
     assert(im.getInt(2) === 1 && im.getDouble(3) === 120.0)
+
+    // bigint arithmetic (the natural type of id-derived dims) must
+    // implicit-cast at analysis, not ClassCastException mid-job
+    val imL = spark.sql(
+      "SELECT image_meta(gray_png(id % 13 + 3, 3, 9)).width AS w " +
+        "FROM range(1, 2)").as[Int].collect().head
+    assert(imL === 4)
+    // and a type mismatch is an ANALYSIS error, not a runtime crash
+    val err = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT image_meta('not bytes')").collect())
+    assert(err.getMessage.toLowerCase.contains("binary"))
   }
 
   test("non-literal k for minhash_signature is rejected with a clear error") {
