@@ -25,7 +25,8 @@ object ScaleCurve {
   private val DefaultFamily = Seq(
     "q40_docs_exact_dedup", "q45_minhash_neardups", "q161_dup_spans",
     "q162_ivfpq_search", "q164_ivfpq_rerank", "q165_temperature_mixture",
-    "q167_retrieval_e2e", "q168_tokenizer_e2e", "q169_ivfpq_index_probe")
+    "q167_retrieval_e2e", "q168_tokenizer_e2e", "q169_ivfpq_index_probe",
+    "q170_typo_canonical", "q171_doc_chunking")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
