@@ -1647,6 +1647,27 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- fastText-style quality probe (ml.QualityProbe): word
+    // bigrams hashed into 8 buckets (the fastText hashing trick, md5
+    // prefix mod k so the oracle reproduces it), then q149's
+    // deterministic rational-sigmoid GD trains a linear scorer — the
+    // CCNet/LLaMA quality-filter shape. The label is a text-derivable
+    // property (document mentions the 'join' token) so the hashed
+    // features carry real signal (the synthetic lang column is
+    // text-independent); the oracle unrolls 2 GD steps, which moves
+    // scores by label but not yet the sign — QualityProbeSpec runs
+    // the probe to convergence on a separable corpus to pin that the
+    // SAME machinery actually learns. Featurization is map-only (one
+    // md5 per bigram); training is one scan + a (k+1)-row exchange
+    // per iteration. Hash-exact. ----
+    "q172_quality_probe" -> ((s, dir) =>
+      graft.ml.QualityProbe.scored(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            when(array_contains(graft.text.Text.tokens(col("text")), "join"),
+              1L).otherwise(0L).as("label")),
+        "text", "doc_id", "label", k = 8, iters = 2, lr = 4.0)),
+
     // ---- sliding-window document chunking (Curate.chunkTokens): the
     // context-window splitter of RAG/pretraining prep — 24-token
     // chunks with 8-token overlap (stride 16), chunk count
@@ -4255,6 +4276,68 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+
+    // q172: the q149 two-step GD machinery verbatim over hashed-bigram
+    // bucket counts (md5-prefix mod 8 — integer features, so q149's
+    // 2^-20 snap is the identity and is elided here); per-doc output.
+    "q172_quality_probe" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_contains(
+        |           CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |                ELSE string_split_regex(trim(text), '\s+') END, 'join')
+        |         THEN 1 ELSE 0 END AS label,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, label,
+        |    list_transform(
+        |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+        |      g -> CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 8 AS INT)) AS bmap
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id AS vec_id, label, CAST(label % 2 AS DOUBLE) AS y,
+        |    list_concat(
+        |      [floor((CAST(len(list_filter(bmap, x -> x = b)) AS DOUBLE)
+        |         / CAST(greatest(len(bmap), 1) AS DOUBLE))*1048576.0 + 0.5)/1048576.0
+        |       FOR b IN range(0, 8)],
+        |      [CAST(1.0 AS DOUBLE)]) AS xs
+        |  FROM bm),
+        |ex1 AS (SELECT y,
+        |          unnest(list_transform(xs, (x, i) -> {'dim': i, 'x': x}),
+        |                 recursive := true)
+        |        FROM e),
+        |g1 AS (SELECT dim,
+        |         sum(CAST(floor((0.5 - y)*x*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex1 GROUP BY dim),
+        |w1 AS (SELECT list(0.0 - 4.0*(CAST(g AS DOUBLE)/(n*1048576.0)) ORDER BY dim) AS w
+        |       FROM g1),
+        |r2 AS (SELECT e.vec_id, e.y, e.xs,
+        |         (0.5 + z/(2.0*(1.0 + abs(z)))) - e.y AS r
+        |       FROM (SELECT e.*, list_sum(list_transform(list_zip(e.xs, w1.w),
+        |               p -> p[1]*p[2])) AS z
+        |             FROM e, w1) e),
+        |ex2 AS (SELECT r,
+        |          unnest(list_transform(xs, (x, i) -> {'dim': i, 'x': x}),
+        |                 recursive := true)
+        |        FROM r2),
+        |g2 AS (SELECT dim,
+        |         sum(CAST(floor(r*x*1048576.0 + 0.5) AS BIGINT)) AS g,
+        |         CAST(count(*) AS DOUBLE) AS n
+        |       FROM ex2 GROUP BY dim),
+        |w2 AS (SELECT list(w1.w[g2.dim] - 4.0*(CAST(g2.g AS DOUBLE)/(g2.n*1048576.0))
+        |                   ORDER BY g2.dim) AS w
+        |       FROM g2, w1),
+        |sc AS (SELECT e.vec_id, e.label, e.y,
+        |         list_sum(list_transform(list_zip(e.xs, w2.w), p -> p[1]*p[2])) AS z
+        |       FROM e, w2)
+        |SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |  CAST(floor((0.5 + z/(2.0*(1.0 + abs(z))))*1e6 + 0.5) AS BIGINT)
+        |    AS score_micros,
+        |  z >= 0.0 AS pred
+        |FROM sc""".stripMargin,
 
     "q171_doc_chunking" ->
       """WITH toks AS (

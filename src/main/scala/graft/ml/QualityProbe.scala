@@ -1,0 +1,59 @@
+package graft.ml
+
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style text quality/domain classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification",
+  * arXiv:1607.01759): word-bigram features HASHED into `k` buckets
+  * (the fastText hashing trick — the model dimension is fixed by the
+  * bucket count, not the vocabulary), trained with the deterministic
+  * linear probe ([[LinearProbe]] — rational-sigmoid GD, the q149
+  * cross-engine recipe). This is the CCNet/LLaMA-pipeline quality
+  * filter shape: a cheap linear scorer over hashed n-grams that one
+  * corpus scan per GD iteration can train at 100 TB.
+  *
+  * Buckets use the md5-prefix idiom shared with the hash-split/
+  * Bernoulli machinery (first 8 hex digits mod k) so the DuckDB
+  * oracle reproduces them exactly; bucket-COUNT features are integers
+  * (the probe's 2^-20 snap is the identity), keeping the whole
+  * trajectory hash-exact.
+  *
+  * Scale shape: featurization is map-only — one md5 per bigram (the
+  * bucket map column materializes BEFORE the per-bucket counts, so
+  * the k-wide count lambda compares small ints, never re-hashes);
+  * training is [[LinearProbe]]'s one-scan-per-iteration with a
+  * (k+1)-row exchange. `k` is deliberately small (fastText quality
+  * probes use 10-argmax of a low-dim model, not wide vectors); if a
+  * profile ever shows the k×grams count lambda, the q161 recipe
+  * (native bucket-count kernel) applies directly. */
+object QualityProbe {
+
+  /** Per-bigram bucket in [0, k): first 8 md5 hex digits mod k. */
+  private def bucket(g: Column, k: Int): Column =
+    (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % k).cast("int")
+
+  /** Hashed-bigram featurize + train `iters` GD steps on
+    * y = labelCol % 2 + score every document. Features are RELATIVE
+    * bucket frequencies (count_b / n_bigrams — raw counts saturate the
+    * sigmoid on long documents and collapse every prediction to the
+    * bias sign); documents with no bigrams get the zero vector. The
+    * division of two exact integers is one IEEE op both engines share,
+    * and the probe's 2^-20 input snap makes the trajectory hash-exact
+    * regardless. Returns one row per doc: (vec_id, label,
+    * score_micros, pred) — [[LinearProbe.scored]]'s contract over the
+    * k-dim hashed features. */
+  def scored(docs: DataFrame, textCol: String, idCol: String,
+             labelCol: String, k: Int, iters: Int, lr: Double): DataFrame = {
+    require(k >= 2, s"need at least 2 hash buckets, got $k")
+    val feat = docs
+      .select(col(idCol), col(labelCol),
+        transform(Text.bigrams(Text.tokens(col(textCol))),
+          g => bucket(g, k)).as("bmap"))
+      .withColumn("fv", transform(sequence(lit(0), lit(k - 1)),
+        b => size(filter(col("bmap"), x => x === b)).cast("double")
+          / greatest(size(col("bmap")), lit(1)).cast("double")))
+    LinearProbe.scored(feat, "fv", idCol, labelCol, iters, lr)
+  }
+}

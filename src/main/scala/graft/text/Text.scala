@@ -117,9 +117,13 @@ object Text {
   // --- Repetition signals (Gopher-style quality filters) -------------
 
   /** Adjacent word pairs ("w1 w2") of a token array; < 2 tokens -> []. */
+  /** Adjacent word pairs joined by a space; fewer than 2 tokens (incl.
+    * the empty array, whose size-1 slice length would throw) -> []. */
   def bigrams(toks: Column): Column =
-    zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
 
   /** Fraction of tokens that are repeats of an earlier token:
     * 1 - distinct/total. High values flag boilerplate/spam. */
