@@ -530,10 +530,18 @@ object Dedup {
   def typoCanonical(docs: DataFrame, textCol: String,
                     minLen: Int = 4): DataFrame = {
     require(minLen >= 1, s"minLen must be positive, got $minLen")
+    // eager localCheckpoint: the vocabulary feeds FOUR plan branches
+    // (both variant sides, the self-candidate union leg, the final
+    // freq join) — without it each branch re-plans the corpus scan +
+    // tokenize + count (24 scans observed), which at 100 TB means
+    // re-reading the corpus per branch; checkpointed, the corpus is
+    // scanned once and the branches read the dictionary-sized vocab
+    // (the graft.text.Bpe lineage-truncation pattern)
     val vocab = docs
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .where(length(col("word")) >= minLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
     val dels = transform(sequence(lit(1), length(col("word"))), i =>
       concat(col("word").substr(lit(1), i - lit(1)),
         col("word").substr(i + lit(1), length(col("word")) - i)))

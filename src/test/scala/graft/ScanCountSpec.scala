@@ -148,6 +148,18 @@ class ScanCountSpec extends SparkSuite {
     // global-sort packing window would show as extra depth here
     assert(scanCount("q168_tokenizer_e2e") <= 2)
     assert(shuffleCount("q168_tokenizer_e2e") <= 3)
+    // q170 typo canonical: the corpus is scanned ONCE (eagerly, into
+    // the vocab localCheckpoint); every plan branch reads the
+    // dictionary-sized vocab RDD — a parquet scan reappearing here
+    // means a branch re-planned the corpus tokenize
+    assert(scanCount("q170_typo_canonical") === 0)
+    // q171 chunking: one scan, map-only (explode + slice), no shuffle
+    assert(scanCount("q171_doc_chunking") <= 1)
+    assert(shuffleCount("q171_doc_chunking") === 0)
+    // q172 quality probe: GD iterations run eagerly (k+1-row collects);
+    // the returned scoring plan is scan + broadcast weights, no shuffle
+    assert(scanCount("q172_quality_probe") <= 2)
+    assert(shuffleCount("q172_quality_probe") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {
