@@ -1647,6 +1647,76 @@ object SparkEntry {
           "lang", "n_chars")
     }),
 
+    // ---- bigram Stupid-Backoff LM scoring (Brants et al. 2007,
+    // "Large Language Models in Machine Translation" — the web-scale
+    // backoff that needs NO discounting pass): counts from the train
+    // split score the HELD-OUT docs (scoring the training corpus
+    // itself never fires backoff — every observed bigram has c2 ≥ 1),
+    // S(w|p) = c2/c1(p) when the bigram was seen, else 0.4·S1(w),
+    // S1(w) = (c1(w) | 0.4 OOV mass)/N; the first token scores as S1.
+    // Per-position ln terms round to 1e-6 BEFORE the fold and the
+    // fold runs in position order (q92's determinism recipe). The
+    // count tables join by key (bigram/unigram shuffle joins — the
+    // standard LM-scoring exchange; the eval side is benchmark-sized
+    // by construction). The synthetic eval split shares every bigram
+    // with train, so a deterministic OOV tail (' zz<id> join') is
+    // appended to each eval doc — it fires BOTH backoff branches
+    // (unseen bigram with an unseen w, then with a seen w), the
+    // q170-typo-stream trick of gating the non-identity path.
+    // Hash-exact. ----
+    "q173_stupid_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("doc_id") % 97 =!= 0)
+      val ev = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" zz"),
+          col("doc_id").cast("string"), lit(" join")).as("text"))
+      val trainToks = train.select(
+        explode(graft.text.Text.tokens(col("text"))).as("term"))
+      val c1 = trainToks.groupBy("term").agg(count(lit(1)).as("c1"))
+      val nTot = trainToks.agg(count(lit(1)).as("n"))
+      val c2 = train.select(explode(
+          graft.text.Text.bigrams(graft.text.Text.tokens(col("text")))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+      val evToks = ev.select(col("doc_id"),
+          graft.text.Text.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) > 0)
+      val first = evToks
+        .select(col("doc_id"), lit(0).as("pos"),
+          element_at(col("ts"), 1).as("term"))
+        .join(c1, Seq("term"), "left").crossJoin(broadcast(nTot))
+        .select(col("doc_id"), col("pos"),
+          round6(log(coalesce(col("c1").cast("double"), lit(0.4))
+            / col("n"))).as("contrib"))
+      val pairs = evToks
+        .select(col("doc_id"), posexplode(
+          graft.text.Text.bigrams(col("ts"))).as(Seq("pos0", "bg")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("bg"),
+          element_at(split(col("bg"), " "), 1).as("prev"),
+          element_at(split(col("bg"), " "), 2).as("w"))
+        .join(c2, Seq("bg"), "left")
+        .join(c1.select(col("term").as("prev"), col("c1").as("c1p")),
+          Seq("prev"), "left")
+        .join(c1.select(col("term").as("w"), col("c1").as("c1w")),
+          Seq("w"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("doc_id"), col("pos"),
+          round6(log(
+            when(col("c2").isNotNull,
+              col("c2").cast("double") / col("c1p"))
+              .otherwise(lit(0.4)
+                * (coalesce(col("c1w").cast("double"), lit(0.4)) / col("n")))))
+            .as("contrib"))
+      first.unionByName(pairs)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          aggregate(
+            array_sort(collect_list(struct(col("pos"), col("contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("lp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round6(col("lp")).as("score"),
+          round6(col("lp") * -1 / col("n_tokens")).as("ppl_proxy"))
+    }),
+
     // ---- fastText-style quality probe (ml.QualityProbe): word
     // bigrams hashed into 8 buckets (the fastText hashing trick, md5
     // prefix mod k so the oracle reproduces it), then q149's
@@ -4276,6 +4346,57 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+
+    // q173: Stupid-Backoff scoring of the held-out split with train
+    // counts; ln terms rounded to 1e-6 before the position-ordered
+    // fold (q92's recipe). OOV unigram mass 0.4; first token = S1.
+    "q173_stupid_backoff" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |ttoks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM train WHERE length(trim(text)) > 0),
+        |c1 AS (SELECT term, count(*) AS c1 FROM ttoks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM ttoks),
+        |tbg AS (
+        |  SELECT ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ts
+        |        FROM train WHERE length(trim(text)) > 0),
+        |       unnest(range(1, len(ts))) AS r(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM tbg GROUP BY 1),
+        |ev AS (
+        |  SELECT doc_id, string_split_regex(trim(
+        |      text || ' zz' || CAST(doc_id AS VARCHAR) || ' join'), '\s+') AS ts
+        |  FROM documents
+        |  WHERE doc_id % 97 = 0
+        |    AND length(trim(text || ' zz' || CAST(doc_id AS VARCHAR) || ' join')) > 0),
+        |first AS (
+        |  SELECT ev.doc_id, 0 AS pos,
+        |    floor(ln(COALESCE(CAST(c1.c1 AS DOUBLE), 0.4) / tot.n)*1e6 + 0.5)/1e6
+        |      AS contrib
+        |  FROM ev LEFT JOIN c1 ON c1.term = ev.ts[1], tot),
+        |pairs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS pos,
+        |    ts[i] AS prev, ts[i+1] AS w, ts[i] || ' ' || ts[i+1] AS bg
+        |  FROM ev, unnest(range(1, len(ts))) AS r(i)),
+        |pc AS (
+        |  SELECT p.doc_id, p.pos,
+        |    floor(ln(CASE WHEN c2.c2 IS NOT NULL
+        |                  THEN CAST(c2.c2 AS DOUBLE) / cp.c1
+        |                  ELSE 0.4 * (COALESCE(CAST(cw.c1 AS DOUBLE), 0.4) / tot.n)
+        |             END)*1e6 + 0.5)/1e6 AS contrib
+        |  FROM pairs p
+        |  LEFT JOIN c2 ON c2.bg = p.bg
+        |  LEFT JOIN c1 cp ON cp.term = p.prev
+        |  LEFT JOIN c1 cw ON cw.term = p.w, tot),
+        |allc AS (SELECT * FROM first UNION ALL SELECT * FROM pc),
+        |folded AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    list_reduce(list(contrib ORDER BY pos), (x, y) -> x + y) AS lp
+        |  FROM allc GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor(lp*1e6 + 0.5)/1e6 AS score,
+        |  floor((lp * -1 / n_tokens)*1e6 + 0.5)/1e6 AS ppl_proxy
+        |FROM folded""".stripMargin,
 
     // q172: the q149 two-step GD machinery verbatim over hashed-bigram
     // bucket counts (md5-prefix mod 8 — integer features, so q149's

@@ -29,6 +29,43 @@ class QualityProbeSpec extends SparkSuite {
     assert(acc === 1.0, s"separable classes not separated: accuracy $acc")
   }
 
+  test("q173's Stupid-Backoff semantics on a hand-computed fixture") {
+    // train "a b a c": N=4, c1 = {a:2, b:1, c:1},
+    // c2 = {"a b":1, "b a":1, "a c":1}; eval "a b x a" (doc_id 0 is
+    // the held-out split; 97 % 97 == 0):
+    //   first  a      -> ln(2/4)
+    //   (a,b)  seen   -> ln(1/2)
+    //   (b,x)  unseen bigram, unseen w -> ln(0.4 * (0.4/4))
+    //   (x,a)  unseen bigram, seen w   -> ln(0.4 * (2/4))
+    // each rounded to 1e-6 before the position-ordered sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // full pinned documents schema (Tables.load fails loudly on drift)
+    val docs = Seq(
+      (1L, "a b a c", "en", "web", 7L),
+      (0L, "a b x a", "en", "web", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = SparkEntry.queries("q173_stupid_backoff")
+    // the query lambda loads by sf-dir layout: write the fixture there
+    val dir = java.nio.file.Files.createTempDirectory("sb").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir).collect()
+    assert(out.length === 1)
+    val row = out.head
+    // eval text gets the deterministic OOV tail " zz0 join": tokens
+    // a b x a zz0 join -> first + 5 pairs = 6 positions
+    assert(row.getLong(0) === 0L && row.getLong(1) === 6L)
+    val terms = Seq(
+      r6(math.log(2.0 / 4)),              // first: a
+      r6(math.log(1.0 / 2)),              // (a,b) seen
+      r6(math.log(0.4 * (0.4 / 4))),      // (b,x) unseen, x unseen
+      r6(math.log(0.4 * (2.0 / 4))),      // (x,a) unseen, a seen
+      r6(math.log(0.4 * (0.4 / 4))),      // (a,zz0) unseen, zz0 unseen
+      r6(math.log(0.4 * (0.4 / 4))))      // (zz0,join) unseen, join unseen
+    val lp = terms.foldLeft(0.0)(_ + _)
+    assert(row.getDouble(2) === r6(lp))
+    assert(row.getDouble(3) === r6(-lp / terms.length))
+  }
+
   test("features are relative bucket frequencies with a stable hash") {
     // one doc, known bigrams: "a b" x2 and "b a" x1 -> two buckets
     // carrying 2/3 and 1/3; score path must be deterministic across
