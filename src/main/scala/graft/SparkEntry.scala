@@ -1664,6 +1664,24 @@ object SparkEntry {
     // (unseen bigram with an unseen w, then with a seen w), the
     // q170-typo-stream trick of gating the non-identity path.
     // Hash-exact. ----
+    // ---- DSIR importance resampling (curation.Dsir, Xie et al.
+    // 2023): hashed-bigram bag-of-words models fit on the target
+    // slice (docs mentioning 'join' — the q172 label, so the two
+    // data-selection shapes share a ground truth) vs the raw
+    // remainder; per-doc log importance weight = sum of per-bucket
+    // count x snapped log-ratio in fixed bucket order; deterministic
+    // top-50 (TakeOrderedAndProject — no global corpus sort). TWO
+    // corpus scans (fit + score, DSIR's definitional minimum); the
+    // fit collapses to k=8 rows of bounded driver trainer state whose
+    // snapped log-ratios re-enter the scoring scan as literals, so
+    // the RETURNED plan is one scan / zero shuffles. Hash-exact. ----
+    "q174_dsir_select" -> ((s, dir) =>
+      graft.curation.Dsir.selectTopN(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            array_contains(Text.tokens(col("text")), "join").as("is_target")),
+        "text", "doc_id", "is_target", k = 8, n = 50)),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4346,6 +4364,53 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+
+    // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
+    // smoothing over the 8-bucket spine, each ln snapped to 1e-6
+    // BEFORE the subtraction), the score unrolls the 8-term fold in
+    // bucket order, top-50 by (logw DESC, doc_id).
+    "q174_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |bm AS (
+        |  SELECT doc_id, list_contains(ts, 'join') AS is_t,
+        |    list_transform(
+        |      [ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))],
+        |      g -> CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 8 AS INT)) AS bmap
+        |  FROM toks),
+        |ex AS (SELECT is_t, unnest(bmap) AS b FROM bm),
+        |cn0 AS (SELECT b,
+        |          sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+        |          sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+        |        FROM ex GROUP BY b),
+        |cn AS (SELECT s.b,
+        |         CAST(coalesce(cn0.ct, 0) AS BIGINT) AS ct,
+        |         CAST(coalesce(cn0.cr, 0) AS BIGINT) AS cr
+        |       FROM (SELECT unnest(range(0, 8)) AS b) s
+        |       LEFT JOIN cn0 ON s.b = cn0.b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+        |               CAST(sum(cr) AS BIGINT) AS tr FROM cn),
+        |lam AS (SELECT cn.b,
+        |          floor(ln(CAST(ct + 1 AS DOUBLE) / CAST(tt + 8 AS DOUBLE))*1e6 + 0.5)/1e6
+        |        - floor(ln(CAST(cr + 1 AS DOUBLE) / CAST(tr + 8 AS DOUBLE))*1e6 + 0.5)/1e6
+        |          AS lam
+        |        FROM cn, tot),
+        |lr AS (SELECT list(lam ORDER BY b) AS lams FROM lam),
+        |fv AS (SELECT doc_id, len(bmap) AS nb,
+        |         [len(list_filter(bmap, x -> x = b)) FOR b IN range(0, 8)] AS fv
+        |       FROM bm),
+        |sc AS (SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        |         floor((CAST(fv[1] AS DOUBLE)*lams[1] + CAST(fv[2] AS DOUBLE)*lams[2]
+        |              + CAST(fv[3] AS DOUBLE)*lams[3] + CAST(fv[4] AS DOUBLE)*lams[4]
+        |              + CAST(fv[5] AS DOUBLE)*lams[5] + CAST(fv[6] AS DOUBLE)*lams[6]
+        |              + CAST(fv[7] AS DOUBLE)*lams[7] + CAST(fv[8] AS DOUBLE)*lams[8])*1e6
+        |              + 0.5)/1e6 AS logw
+        |       FROM fv, lr)
+        |SELECT doc_id, n_bigrams, logw FROM sc
+        |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,
 
     // q173: Stupid-Backoff scoring of the held-out split with train
     // counts; ln terms rounded to 1e-6 before the position-ordered
