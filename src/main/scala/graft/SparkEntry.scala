@@ -1682,6 +1682,17 @@ object SparkEntry {
             array_contains(Text.tokens(col("text")), "join").as("is_target")),
         "text", "doc_id", "is_target", k = 8, n = 50)),
 
+    // ---- UniMax language-budget allocation (curation.Unimax, Chung
+    // et al. 2023): water-filling a 4/5-of-corpus token budget across
+    // languages with a 1-epoch cap — on the synthetic lang mix the
+    // four minority languages hit their cap and English absorbs the
+    // water level, exercising BOTH branches of the closed form. The
+    // corpus collapses to a 5-row checkpointed aggregate; integer
+    // token arithmetic until the two mirrored divisions. Hash-exact.
+    "q175_unimax_alloc" -> ((s, dir) =>
+      graft.curation.Unimax.allocation(t(s, dir, "documents"),
+        "text", "lang", budgetNum = 4L, budgetDen = 5L, nEpochs = 1L)),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4411,6 +4422,43 @@ object SparkEntry {
         |       FROM fv, lr)
         |SELECT doc_id, n_bigrams, logw FROM sc
         |ORDER BY logw DESC, doc_id LIMIT 50""".stripMargin,
+
+    // q175: UniMax — the window chain IS the closed form: prefix sums
+    // of ascending caps, candidate level per position, first
+    // qualifying position wins; capped rows keep cap, the rest get
+    // the level. Integer arithmetic throughout; the two divisions
+    // mirror Spark's ops token for token.
+    "q175_unimax_alloc" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |cnt AS (SELECT lang, CAST(sum(len(ts)) AS BIGINT) AS n
+        |        FROM toks GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cnt),
+        |w AS (SELECT lang, n, n * 1 AS cap, (t * 4) // 5 AS b
+        |      FROM cnt, tot),
+        |o AS (SELECT lang, n, cap, b,
+        |        CAST(row_number() OVER (ORDER BY cap, lang) AS BIGINT) AS idx,
+        |        CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS pre,
+        |        CAST(count(*) OVER () AS BIGINT) AS l
+        |      FROM w),
+        |u AS (SELECT *,
+        |        CAST(b - pre AS DOUBLE) / CAST(l - idx + 1 AS DOUBLE) AS cand
+        |      FROM o),
+        |sel AS (SELECT idx AS sidx, cand AS lvl FROM u
+        |        WHERE cand <= CAST(cap AS DOUBLE) ORDER BY idx LIMIT 1)
+        |SELECT lang, n AS n_tokens, cap AS cap_tokens,
+        |  floor((CASE WHEN sidx IS NOT NULL AND idx >= sidx THEN lvl
+        |              ELSE CAST(cap AS DOUBLE) END)*1e6 + 0.5)/1e6
+        |    AS alloc_tokens,
+        |  floor(((CASE WHEN sidx IS NOT NULL AND idx >= sidx THEN lvl
+        |               ELSE CAST(cap AS DOUBLE) END) / CAST(n AS DOUBLE))*1e6
+        |        + 0.5)/1e6 AS epochs
+        |FROM u LEFT JOIN sel ON TRUE""".stripMargin,
 
     // q173: Stupid-Backoff scoring of the held-out split with train
     // counts; ln terms rounded to 1e-6 before the position-ordered
