@@ -1693,6 +1693,21 @@ object SparkEntry {
       graft.curation.Unimax.allocation(t(s, dir, "documents"),
         "text", "lang", budgetNum = 4L, budgetDen = 5L, nEpochs = 1L)),
 
+    // ---- margin-based bitext mining (similarity.Bitext, Artetxe &
+    // Schwenk 2019): embeddings split into two deterministic "language"
+    // halves by label; ratio-margin scoring over both directional
+    // top-4 neighborhoods cancels hubness, best-margin candidate per
+    // source above 1.02. Both directional passes ride bruteForceTopK's
+    // no-shuffle scored-broadcast plan; the margin layer only ever
+    // touches shortlist-sized rows. Hash-exact (integer neighborhood
+    // sums, two mirrored IEEE ops). ----
+    "q176_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Bitext.marginMining(
+        e.where(col("label") < 5), e.where(col("label") >= 5),
+        "vec_id", "embedding", k = 4, minMargin = 1.02)
+    }),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4459,6 +4474,45 @@ object SparkEntry {
         |               ELSE CAST(cap AS DOUBLE) END) / CAST(n AS DOUBLE))*1e6
         |        + 0.5)/1e6 AS epochs
         |FROM u LEFT JOIN sel ON TRUE""".stripMargin,
+
+    // q176: both directional top-4 lists off the q50 cosine CTE shape,
+    // neighborhood sums as exact BIGINT micros, margin = cm·2k /
+    // (f_sum + b_sum) — multiply-then-divide token order mirrors
+    // Bitext.marginMining; rank on the 1e-6-floored margin, tgt_id
+    // ties.
+    "q176_bitext_margin" ->
+      """WITH src AS (SELECT vec_id AS sid, embedding AS sv
+        |             FROM embeddings WHERE label < 5),
+        |tgt AS (SELECT vec_id AS tid, embedding AS tv
+        |        FROM embeddings WHERE label >= 5),
+        |s AS (SELECT sid, tid,
+        |   round(
+        |     list_sum(list_transform(list_zip(sv, tv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |     / (sqrt(list_sum(list_transform(sv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |      * sqrt(list_sum(list_transform(tv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |   FROM src, tgt),
+        |cmx AS (SELECT sid, tid, cosine,
+        |          CAST(floor(cosine * 1e6 + 0.5e0) AS BIGINT) AS cm
+        |        FROM s),
+        |f AS (SELECT * FROM (SELECT sid, tid, cosine, cm,
+        |        row_number() OVER (PARTITION BY sid
+        |          ORDER BY cosine DESC, tid) AS rk FROM cmx)
+        |      WHERE rk <= 4),
+        |b AS (SELECT * FROM (SELECT sid, tid, cm,
+        |        row_number() OVER (PARTITION BY tid
+        |          ORDER BY cosine DESC, sid) AS rk FROM cmx)
+        |      WHERE rk <= 4),
+        |fs AS (SELECT sid, CAST(sum(cm) AS BIGINT) AS f_sum FROM f GROUP BY sid),
+        |bs AS (SELECT tid, CAST(sum(cm) AS BIGINT) AS b_sum FROM b GROUP BY tid),
+        |m AS (SELECT f.sid, f.tid, f.cosine,
+        |        floor((CAST(f.cm AS DOUBLE) * 8e0)
+        |              / CAST(fs.f_sum + bs.b_sum AS DOUBLE) * 1e6 + 0.5e0)/1e6
+        |          AS margin
+        |      FROM f JOIN fs USING (sid) JOIN bs ON f.tid = bs.tid)
+        |SELECT sid AS src_id, tid AS tgt_id, cosine, margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY sid
+        |        ORDER BY margin DESC, tid) AS rk2 FROM m)
+        |WHERE rk2 = 1 AND margin >= 1.02e0""".stripMargin,
 
     // q173: Stupid-Backoff scoring of the held-out split with train
     // counts; ln terms rounded to 1e-6 before the position-ordered

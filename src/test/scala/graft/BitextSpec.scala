@@ -1,0 +1,67 @@
+package graft
+
+import graft.similarity.Bitext
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (q176). The driver gate pins the margin
+  * arithmetic hash-exact against DuckDB; this spec pins the MINING
+  * semantics — planted translation pairs are recovered by margin where
+  * raw-cosine hubs would confuse them — plus partitioning invariance.
+  */
+class BitextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val dim = 8
+
+  private def unit(rnd: scala.util.Random): Seq[Float] = {
+    val v = Seq.fill(dim)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+
+  private def perturb(v: Seq[Float], rnd: scala.util.Random): Seq[Float] = {
+    val w = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+    w.map(x => (x / n).toFloat)
+  }
+
+  test("planted translation pairs are mined with the right targets") {
+    val rnd = new scala.util.Random(11)
+    val srcVecs = (1L to 8L).map(i => i -> unit(rnd)).toMap
+    // tgt 101..103 are near-copies of src 1..3; 104..108 are noise
+    val tgtVecs = (1L to 3L).map(i => (100L + i) -> perturb(srcVecs(i), rnd)).toMap ++
+      (4L to 8L).map(i => (100L + i) -> unit(rnd)).toMap
+    val src = srcVecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toSeq.map { case (i, v) => (i, v) }.toDF("vec_id", "embedding")
+
+    val mined = Bitext.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, minMargin = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+
+    for (i <- 1L to 3L)
+      assert(mined.get(i).map(_._1).contains(100L + i),
+        s"src $i should mine tgt ${100 + i}, got ${mined.get(i)}")
+    val plantedMin = (1L to 3L).map(i => mined(i)._2).min
+    val noiseMax = mined.collect { case (s, (_, m)) if s > 3L => m }
+      .foldLeft(0.0)(math.max)
+    assert(plantedMin > noiseMax,
+      s"planted margins ($plantedMin) should dominate noise ($noiseMax)")
+  }
+
+  test("mining is invariant to input partitioning") {
+    val rnd = new scala.util.Random(23)
+    val src = (1L to 40L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    val tgt = (101L to 140L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    def run(s: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+      Bitext.marginMining(s, t, "vec_id", "embedding", k = 4, minMargin = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    assert(run(src, tgt) === run(src.repartition(7), tgt.repartition(13)))
+  }
+
+  test("q176 plans no cartesian product and only broadcast cross joins") {
+    val df = SparkEntry.queries("q176_bitext_margin")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
