@@ -1708,6 +1708,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, minMargin = 1.02)
     }),
 
+    // ---- Gopher rule-based quality gate (text.GopherRules, Rae et
+    // al. 2021 Table A1): the published hard-rule set with a per-rule
+    // failure bitmask. The [25, 80] word band and the ≥2-distinct-
+    // stopword rule (list adapted to the synthetic corpus's function
+    // words, as the operator contract allows) each reject a real
+    // slice, so keep=true/false and several mask bits are exercised.
+    // One map-only projection, exact integer counts, each ratio a
+    // single 1e-6-rounded division. Hash-exact. ----
+    "q177_gopher_rules" -> ((s, dir) =>
+      graft.text.GopherRules.flags(t(s, dir, "documents"),
+        "doc_id", "text", minWords = 25, maxWords = 80,
+        stops = Seq("the", "a", "of", "and", "to", "that", "have", "with"))),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4513,6 +4526,52 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY sid
         |        ORDER BY margin DESC, tid) AS rk2 FROM m)
         |WHERE rk2 = 1 AND margin >= 1.02e0""".stripMargin,
+
+    // q177: Gopher rules — tokens/lines projected once, every ratio a
+    // single division of exact integers floored to 1e-6 before its
+    // threshold, the fail mask the same CASE sum bit for bit.
+    "q177_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    str_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0e0 ELSE
+        |      floor(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) * 1e6 + 0.5e0)/1e6 END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0e0 ELSE
+        |      floor(CAST((length(text) - length(regexp_replace(text, '#', '', 'g'))) * 3
+        |                 + (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) AS DOUBLE)
+        |            / CAST(len(toks) * 3 AS DOUBLE) * 1e6 + 0.5e0)/1e6 END AS symbol_ratio,
+        |    CASE WHEN len(lines) = 0 THEN 0e0 ELSE
+        |      floor(CAST(len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE)
+        |            / CAST(len(lines) AS DOUBLE) * 1e6 + 0.5e0)/1e6 END AS bullet_frac,
+        |    CASE WHEN len(lines) = 0 THEN 0e0 ELSE
+        |      floor(CAST(len(list_filter(lines, l -> ends_with(l, '...'))) AS DOUBLE)
+        |            / CAST(len(lines) AS DOUBLE) * 1e6 + 0.5e0)/1e6 END AS ell_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0e0 ELSE
+        |      floor(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE) * 1e6 + 0.5e0)/1e6 END AS alpha_frac,
+        |    len(list_intersect(toks,
+        |      ['the','a','of','and','to','that','have','with'])) AS stop_hits
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id, n_words, mean_word_len,
+        |    (CASE WHEN n_words < 25 OR n_words > 80 THEN 1 ELSE 0 END
+        |     + CASE WHEN mean_word_len < 3.0e0 OR mean_word_len > 10.0e0 THEN 2 ELSE 0 END
+        |     + CASE WHEN symbol_ratio > 0.1e0 THEN 4 ELSE 0 END
+        |     + CASE WHEN bullet_frac > 0.9e0 THEN 8 ELSE 0 END
+        |     + CASE WHEN ell_frac > 0.3e0 THEN 16 ELSE 0 END
+        |     + CASE WHEN alpha_frac < 0.8e0 THEN 32 ELSE 0 END
+        |     + CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS fail_mask
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+        |  CAST(fail_mask AS INTEGER) AS fail_mask, fail_mask = 0 AS keep
+        |FROM f""".stripMargin,
 
     // q173: Stupid-Backoff scoring of the held-out split with train
     // counts; ln terms rounded to 1e-6 before the position-ordered
