@@ -102,10 +102,12 @@ object Dsir {
 
     // Scoring scan: per-doc bucket counts x literal lambdas, folded
     // in fixed bucket order (left-assoc + chain, mirrored in the
-    // oracle SQL term for term).
+    // oracle SQL term for term). Counts come from the native
+    // IntCounts histogram kernel — the earlier transform/filter
+    // lambda pair ran interpreted and re-hashed the bigrams once per
+    // bucket after projection collapse (the q161/q172 trap).
     val scored = feat
-      .withColumn("fv", transform(sequence(lit(0), lit(k - 1)),
-        b => size(filter(col("bmap"), x => x === b))))
+      .withColumn("fv", graft.functions.HashFunctions.intCounts(col("bmap"), k))
     val logw = (0 until k).foldLeft(lit(0.0)) { (acc, b) =>
       acc + element_at(col("fv"), b + 1).cast("double") * lit(lams(b))
     }

@@ -107,6 +107,27 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Histogram of small-int bucket ids: counts(b) = |{i : ids(i)=b}|
+    * for b in [0, k). One pass, no boxing; ids outside [0, k) and null
+    * elements are ignored (the hashed-bucket producers never emit
+    * them). The native replacement for the k-wide
+    * `transform(sequence, b -> size(filter(ids, =b)))` idiom, whose
+    * interpreted lambdas re-evaluate the (md5-featurized) child per
+    * sequence element — the q161 trap, measured at 19s on q172. */
+  def intCounts(ids: ArrayData, k: Int): ArrayData = {
+    val out = new Array[Int](k)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) {
+      if (!ids.isNullAt(i)) {
+        val b = ids.getInt(i)
+        if (b >= 0 && b < k) out(b) += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Every `w`-token window of `toks` joined with single spaces — the
     * span unit of substring dedup. One pass, tokens read once; empty
     * result (not null) below `w` tokens; null on null elements. */
@@ -133,6 +154,23 @@ object HashKernels {
 }
 
 /** simhash64(array<string>) -> bigint. */
+/** int_counts(array<int>, k) -> array<int> of length k. */
+case class IntCounts(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"bucket count must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "int_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.intCounts(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.intCounts($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): IntCounts =
+    copy(child = c)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -276,6 +314,9 @@ object HashFunctions {
 
   def wordSpans(tokens: Column, w: Int): Column =
     GraftBridge.column(WordSpans(GraftBridge.expression(tokens), w))
+
+  def intCounts(ids: Column, k: Int): Column =
+    GraftBridge.column(IntCounts(GraftBridge.expression(ids), k))
 
   def winnowFingerprint(text: Column, k: Int, t: Int): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expression(text), k, t))

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * corpus-curation pipeline scores documents with a cheap linear model
   * over their embeddings (quality probes, fastText-style domain
   * filters), and at 100 TB the training loop must be the same shape as
-  * every other operator here — one corpus scan per iteration plus a
-  * dictionary-sized exchange, with the (dim+1)-vector of weights as
-  * bounded driver state.
+  * every other trainer here — featurize/snap the corpus into a
+  * (dim+1)-wide table ONCE (eager checkpoint), then one pass over that
+  * table per iteration with a dictionary-sized exchange, the
+  * (dim+1)-vector of weights as bounded driver state.
   *
   * Full-batch gradient descent on a LINEAR probe with the rational
   * sigmoid link s(z) = 0.5 + z / (2·(1+|z|)). The rational link is
@@ -44,11 +45,19 @@ object LinearProbe {
     * could diverge by one rounding ulp at z ≈ 0). */
   def scored(df: DataFrame, vecCol: String, idCol: String, labelCol: String,
              iters: Int, lr: Double): DataFrame = {
+    // Checkpoint the snapped feature table ONCE: every GD iteration's
+    // gradient collect, the width probe, and the final scoring pass
+    // are separate actions, and without truncation each re-executes
+    // the full upstream featurization (for q172 that meant re-hashing
+    // every bigram 4+ times per bench run). At 100 TB this is the
+    // standard trainer shape anyway: materialize the (dim+1)-wide
+    // feature table in one corpus scan, iterate over THAT.
     val e = df.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
       (col(labelCol) % 2).cast("double").as("y"),
       concat(transform(col(vecCol),
           x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)) / lit(1048576.0)),
         array(lit(1.0))).as("xs"))
+      .localCheckpoint(true)
     // dim+1 from a one-row probe aggregate (bounded, like the IVF
     // sample cap); the corpus itself is never collected. The probe
     // also guards the two inputs the iteration silently mis-handles:

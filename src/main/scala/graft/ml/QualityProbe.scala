@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   * (the probe's 2^-20 snap is the identity), keeping the whole
   * trajectory hash-exact.
   *
-  * Scale shape: featurization is map-only — one md5 per bigram (the
-  * bucket map column materializes BEFORE the per-bucket counts, so
-  * the k-wide count lambda compares small ints, never re-hashes);
-  * training is [[LinearProbe]]'s one-scan-per-iteration with a
-  * (k+1)-row exchange. `k` is deliberately small (fastText quality
-  * probes use 10-argmax of a low-dim model, not wide vectors); if a
-  * profile ever shows the k×grams count lambda, the q161 recipe
-  * (native bucket-count kernel) applies directly. */
+  * Scale shape: featurization is map-only — one md5 per bigram, then
+  * the native [[graft.functions.IntCounts]] histogram kernel (one
+  * fused pass over the bucket map; the earlier k-wide count lambda
+  * ran interpreted and, after projection collapse, re-hashed the
+  * bigrams once per bucket — q172 measured 19s/run at sf0.1).
+  * Training is [[LinearProbe]]'s checkpoint-once-then-iterate: the
+  * k+1-wide feature table materializes a single time and the GD
+  * collects + final scoring read it, never the text. */
 object QualityProbe {
 
   /** Per-bigram bucket in [0, k): first 8 md5 hex digits mod k. */
@@ -47,13 +47,18 @@ object QualityProbe {
   def scored(docs: DataFrame, textCol: String, idCol: String,
              labelCol: String, k: Int, iters: Int, lr: Double): DataFrame = {
     require(k >= 2, s"need at least 2 hash buckets, got $k")
+    // int_counts is the native histogram kernel: the previous
+    // transform(sequence, b -> size(filter(bmap, =b))) re-evaluated
+    // the md5 featurization once PER BUCKET per row (interpreted
+    // lambdas + projection collapse — the q161 trap; q172 measured
+    // 19s/run at sf0.1 before, sub-second after)
     val feat = docs
       .select(col(idCol), col(labelCol),
         transform(Text.bigrams(Text.tokens(col(textCol))),
           g => bucket(g, k)).as("bmap"))
-      .withColumn("fv", transform(sequence(lit(0), lit(k - 1)),
-        b => size(filter(col("bmap"), x => x === b)).cast("double")
-          / greatest(size(col("bmap")), lit(1)).cast("double")))
+      .withColumn("fv", transform(
+        graft.functions.HashFunctions.intCounts(col("bmap"), k),
+        c => c.cast("double") / greatest(size(col("bmap")), lit(1)).cast("double")))
     LinearProbe.scored(feat, "fv", idCol, labelCol, iters, lr)
   }
 }

@@ -29,6 +29,24 @@ class QualityProbeSpec extends SparkSuite {
     assert(acc === 1.0, s"separable classes not separated: accuracy $acc")
   }
 
+  test("IntCounts kernel matches the interpreted histogram idiom") {
+    val df = Seq(
+      (1L, Seq(0, 3, 3, 7, 3)),
+      (2L, Seq[Int]()),
+      (3L, Seq(5, -1, 99, 5))) // out-of-range ids ignored
+      .toDF("id", "bmap")
+    val got = df.select(col("id"),
+        graft.functions.HashFunctions.intCounts(col("bmap"), 8).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) === Seq(1, 0, 0, 3, 0, 0, 0, 1))
+    assert(got(2L) === Seq(0, 0, 0, 0, 0, 0, 0, 0))
+    assert(got(3L) === Seq(0, 0, 0, 0, 0, 2, 0, 0))
+    val viaLambda = df.select(col("id"), transform(sequence(lit(0), lit(7)),
+        b => size(filter(col("bmap"), x => x === b))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got === viaLambda)
+  }
+
   test("q173's Stupid-Backoff semantics on a hand-computed fixture") {
     // train "a b a c": N=4, c1 = {a:2, b:1, c:1},
     // c2 = {"a b":1, "b a":1, "a c":1}; eval "a b x a" (doc_id 0 is
