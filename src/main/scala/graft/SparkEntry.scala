@@ -1721,6 +1721,34 @@ object SparkEntry {
         "doc_id", "text", minWords = 25, maxWords = 80,
         stops = Seq("the", "a", "of", "and", "to", "that", "have", "with"))),
 
+    // ---- CCNet perplexity bucketing (Curate.perplexityBuckets,
+    // Wenzek et al. 2020): q92's unigram-LM scoring recipe carrying
+    // the language, then per-language head/middle/tail terciles of
+    // the perplexity proxy. One LM-scoring exchange + one
+    // language-key window shuffle. Hash-exact (the q92 rounded-ln
+    // fold; ntile has identical SQL semantics in both engines). ----
+    "q178_ccnet_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val scored = tf
+        .join(broadcast(vocab), "term")
+        .crossJoin(broadcast(total))
+        .withColumn("contrib",
+          round6(col("tf") * log(col("cnt").cast("double") / col("total"))))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("tf")).as("n_tokens"),
+          aggregate(
+            array_sort(collect_list(struct(col("term"), col("contrib")))),
+            lit(0.0), (acc, x) => acc + x.getField("contrib")).as("lp"))
+        .select(col("doc_id"), col("lang"),
+          round6(col("lp") * -1 / col("n_tokens")).as("ppl_proxy"))
+      graft.curation.Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl_proxy")
+    }),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4572,6 +4600,34 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
         |  CAST(fail_mask AS INTEGER) AS fail_mask, fail_mask = 0 AS keep
         |FROM f""".stripMargin,
+
+    // q178: q92's oracle chain with lang carried through, then the
+    // per-language ntile(3) tercile label (identical ntile semantics:
+    // earlier groups absorb the remainder rows in both engines).
+    "q178_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+        |vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM toks),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.lang, tf.term, tf.tf,
+        |    floor((tf.tf * ln(CAST(vocab.cnt AS DOUBLE) / tot.total))*1e6 + 0.5)/1e6 AS contrib
+        |  FROM tf, vocab, tot WHERE tf.term = vocab.term),
+        |folded AS (
+        |  SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    list_reduce(list(contrib ORDER BY term), (x, y) -> x + y) AS lp
+        |  FROM contrib GROUP BY doc_id, lang),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |    floor((lp * -1 / n_tokens)*1e6 + 0.5)/1e6 AS ppl_proxy
+        |  FROM folded)
+        |SELECT doc_id, lang, ppl_proxy,
+        |  CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_proxy, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scored""".stripMargin,
 
     // q173: Stupid-Backoff scoring of the held-out split with train
     // counts; ln terms rounded to 1e-6 before the position-ordered

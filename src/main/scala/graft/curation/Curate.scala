@@ -427,4 +427,34 @@ object Curate {
       .select(col("vec_id").as(idCol), col("cluster"), col("dist_micros"),
         col("rk").cast("int").as("rk"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC): per language, split documents into head/middle/
+    * tail terciles of LM perplexity — head feeds pretraining, tail is
+    * dropped or down-weighted. The paper cuts at fixed percentiles of
+    * a held-out distribution; the deterministic re-expression is
+    * ntile(3) per language on the (1e-6-rounded) perplexity proxy
+    * with id tiebreaks, which IS the tercile cut of the scored
+    * corpus itself.
+    *
+    * `scored` is any frame carrying (idCol, langCol, pplCol) — the
+    * q92 unigram-logprob recipe or the q173 Stupid-Backoff scorer
+    * both fit. Scale shape: ONE shuffle on the language key for the
+    * rank window; language cardinality is tiny, but each partition
+    * only sorts its language's rows and per-language skew is the
+    * web-corpus norm English-dominates case — at 100 TB the window
+    * becomes a two-pass percentile (sample thresholds, then map-side
+    * bucket), which preserves this operator's output contract. */
+  def perplexityBuckets(scored: DataFrame, idCol: String, langCol: String,
+                        pplCol: String): DataFrame = {
+    val byLang = Window.partitionBy(col(langCol))
+      .orderBy(col(pplCol).asc, col(idCol).asc)
+    scored
+      .withColumn("__t", ntile(3).over(byLang))
+      .withColumn("bucket",
+        when(col("__t") === 1, "head")
+          .when(col("__t") === 2, "middle").otherwise("tail"))
+      .drop("__t")
+  }
 }

@@ -270,4 +270,27 @@ class CurateSpec extends SparkSuite {
     // s1: docs 1,2 tie on quality -> id order; doc 3 (rank 3) excluded
     assert(got === Set((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1)))
   }
+
+  test("perplexityBuckets: per-lang terciles, head best, sizes within 1") {
+    val scored = ((1L to 7L).map(i => (i, "en", i.toDouble)) ++
+      (11L to 13L).map(i => (i, "de", (20 - i).toDouble)))
+      .toDF("doc_id", "lang", "ppl_proxy")
+    val got = Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl_proxy")
+      .select("doc_id", "lang", "bucket").as[(Long, String, String)]
+      .collect()
+    val en = got.filter(_._2 == "en").map(r => r._1 -> r._3).toMap
+    // 7 docs -> sizes 3/2/2, lowest ppl = head
+    assert((1L to 3L).forall(en(_) == "head"))
+    assert((4L to 5L).forall(en(_) == "middle"))
+    assert((6L to 7L).forall(en(_) == "tail"))
+    val de = got.filter(_._2 == "de").map(r => r._1 -> r._3).toMap
+    // de ppl DESCENDS with id -> highest id is head
+    assert(de(13L) === "head" && de(12L) === "middle" && de(11L) === "tail")
+    // every language bucket differs in size by at most 1
+    val sizes = got.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    for (l <- Seq("en", "de")) {
+      val s = Seq("head", "middle", "tail").map(b => sizes.getOrElse((l, b), 0))
+      assert(s.max - s.min <= 1, s"$l terciles $s")
+    }
+  }
 }
