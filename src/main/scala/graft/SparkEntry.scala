@@ -1749,6 +1749,31 @@ object SparkEntry {
       graft.curation.Curate.perplexityBuckets(scored, "doc_id", "lang", "ppl_proxy")
     }),
 
+    // ---- tokenizer fertility / compression-rate eval (the standard
+    // multilingual-tokenizer quality report: tokens-per-word and
+    // chars-per-token per language under a FIXED merge list — how a
+    // vocabulary "taxes" each language, cf. the fertility tables of
+    // the mBERT/XLM-R papers). One segmentation scan through the
+    // fused bpe_segment_all kernel + one word-count scan, both
+    // collapsing map-side to language-sized aggregates. Hash-exact
+    // (integer counts, two mirrored divisions). ----
+    "q179_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tstats = graft.text.Bpe
+        .segment(docs, "text", "lang", bpeFixedMerges)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(length(col("token"))).as("n_chars"))
+      docs.groupBy("lang")
+        .agg(sum(Text.tokenCount(col("text")).cast("long")).as("n_words"))
+        .join(tstats, "lang")
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          round6(col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          round6(col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+    }),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4107,6 +4132,43 @@ object SparkEntry {
     * pair literals instead of a learned top-1) to the exploded
     * (doc_id, word-index, pos, sym) corpus state, reduced to the
     * token histogram. */
+  /** q179's oracle: q157's per-word segmentation chain with `lang`
+    * carried through the words CTE, collapsed to per-language
+    * fertility (tokens/word) and compression (chars/token) stats. */
+  private def bpeFertilityOracleSql(ms: Seq[(String, String)]): String = {
+    val head =
+      """WITH words AS (
+        |  SELECT doc_id, lang, i AS widx, ws[i] AS word
+        |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS ws
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |       unnest(generate_series(1, len(ws))) AS gs(i)
+        |  WHERE length(ws[i]) > 0),
+        |seg_0 AS MATERIALIZED (
+        |  SELECT doc_id, widx, i AS pos, chars[i] AS sym
+        |  FROM (SELECT doc_id, widx, regexp_split_to_array(word, '') AS chars FROM words),
+        |       unnest(generate_series(1, len(chars))) AS gs(i))""".stripMargin
+    def lit(x: String) = "'" + x.replace("'", "''") + "'"
+    val perRound = ms.zipWithIndex.map { case ((l, r), i) =>
+      bpeApplyMergeSql(i + 1, s"seg_$i", "doc_id, widx", "", lit(l), lit(r))
+    }
+    (head +: perRound).mkString(",\n") +
+      s""",
+         |wstats AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
+         |           FROM words GROUP BY 1),
+         |tstats AS (
+         |  SELECT w.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(length(s.sym)) AS BIGINT) AS n_chars
+         |  FROM seg_${ms.size} s
+         |  JOIN words w ON s.doc_id = w.doc_id AND s.widx = w.widx
+         |  GROUP BY 1)
+         |SELECT lang, n_words, n_tokens, n_chars,
+         |  floor(CAST(n_tokens AS DOUBLE)/CAST(n_words AS DOUBLE)*1e6 + 0.5)/1e6
+         |    AS fertility,
+         |  floor(CAST(n_chars AS DOUBLE)/CAST(n_tokens AS DOUBLE)*1e6 + 0.5)/1e6
+         |    AS chars_per_token
+         |FROM wstats JOIN tstats USING (lang)""".stripMargin
+  }
+
   private def bpeSegmentOracleSql(ms: Seq[(String, String)]): String = {
     val head =
       """WITH words AS (
@@ -4850,6 +4912,7 @@ object SparkEntry {
     "q154_bpe_merges" -> bpeMergeOracleSql(6),
     "q157_bpe_segment" -> bpeSegmentOracleSql(bpeFixedMerges),
     "q168_tokenizer_e2e" -> bpeTokenizerE2eOracleSql(rounds = 6, budget = 512L),
+    "q179_tokenizer_fertility" -> bpeFertilityOracleSql(bpeFixedMerges),
 
     // q158: the ROI overlay replayed over the INDEPENDENTLY-parsed
     // shapefile fixture (strict-inequality interval PIP mirrors the

@@ -162,4 +162,26 @@ class BpeSpec extends SparkSuite {
       .select("token").as[String].collect().toSeq
     assert(toks === Seq("ab", "ab", "ab"))
   }
+
+  test("q179 fertility invariants: chars conserved, merges only shrink tokens") {
+    def stats(merges: Seq[(String, String)]): Map[String, (Long, Long, Long, Double)] = {
+      val docs = Seq(("en", "stern winter storm"), ("en", "er in ow or"),
+        ("de", "master merger")).toDF("lang", "text")
+      val tstats = Bpe.segment(docs, "text", "lang", merges)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(length(col("token"))).as("n_chars"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      tstats.map { case (l, (nt, nc)) => l -> (nt, nc, nt, nc.toDouble / nt) }
+    }
+    val none = stats(Nil)
+    val six = stats(SparkEntry.bpeFixedMerges)
+    for (l <- Seq("en", "de")) {
+      // no merges -> every char its own token
+      assert(none(l)._1 === none(l)._2, s"$l: char-level fertility broken")
+      // merges conserve characters and can only reduce token count
+      assert(six(l)._2 === none(l)._2, s"$l: chars not conserved")
+      assert(six(l)._1 < none(l)._1, s"$l: fixed merges should fire here")
+    }
+  }
 }
