@@ -1774,6 +1774,17 @@ object SparkEntry {
             .as("chars_per_token"))
     }),
 
+    // ---- length-grouped batching with padding-waste accounting
+    // (Curate.lengthGroupedBatches): 16-token length buckets, batches
+    // of 8 within each — per-batch pad_frac quantifies the padding
+    // the grouping saves. Map-side bucket arithmetic + per-bucket
+    // rank windows (no global sort/window). Hash-exact. ----
+    "q180_length_batches" -> ((s, dir) =>
+      graft.curation.Curate.lengthGroupedBatches(
+        t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", bucketWidth = 16, batchSize = 8)),
+
     "q173_stupid_backoff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val train = docs.where(col("doc_id") % 97 =!= 0)
@@ -4913,6 +4924,29 @@ object SparkEntry {
     "q157_bpe_segment" -> bpeSegmentOracleSql(bpeFixedMerges),
     "q168_tokenizer_e2e" -> bpeTokenizerE2eOracleSql(rounds = 6, budget = 512L),
     "q179_tokenizer_fertility" -> bpeFertilityOracleSql(bpeFixedMerges),
+
+    // q180: length buckets DIV 16, per-bucket (cost, id) rank into
+    // batches of 8, pad_frac = (n·max − Σ)/(n·max) floored at 1e-6.
+    "q180_length_batches" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS cost
+        |  FROM documents),
+        |r AS (SELECT doc_id, cost, cost // 16 AS bucket,
+        |        row_number() OVER (PARTITION BY cost // 16
+        |          ORDER BY cost, doc_id) AS rn
+        |      FROM c),
+        |g AS (SELECT bucket, (rn - 1) // 8 AS batch,
+        |        CAST(count(*) AS BIGINT) AS n_docs,
+        |        max(cost) AS max_len, CAST(sum(cost) AS BIGINT) AS sum_len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT bucket, batch, n_docs, max_len, sum_len,
+        |  CASE WHEN n_docs * max_len = 0 THEN 0e0 ELSE
+        |    floor(CAST(n_docs * max_len - sum_len AS DOUBLE)
+        |          / CAST(n_docs * max_len AS DOUBLE) * 1e6 + 0.5e0)/1e6 END
+        |    AS pad_frac
+        |FROM g""".stripMargin,
 
     // q158: the ROI overlay replayed over the INDEPENDENTLY-parsed
     // shapefile fixture (strict-inequality interval PIP mirrors the

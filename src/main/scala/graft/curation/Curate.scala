@@ -457,4 +457,44 @@ object Curate {
           .when(col("__t") === 2, "middle").otherwise("tail"))
       .drop("__t")
   }
+
+  /** Length-grouped batching with padding-waste accounting — the
+    * batch-construction primitive of LLM training/inference: padding
+    * every sequence in a batch to the batch max wastes
+    * (n·max − Σlen) slots, and grouping similar lengths minimizes it
+    * (the "sortish"/LengthGroupedSampler idiom of the major training
+    * frameworks).
+    *
+    * The scalable deterministic shape: documents land in LENGTH
+    * BUCKETS of `bucketWidth` (map-side arithmetic, no global sort),
+    * and batches of `batchSize` form WITHIN a bucket by (length, id)
+    * rank. A single global row_number would serialize the corpus
+    * through one window partition; per-bucket windows shard by the
+    * bucket key, and each bucket's batch list is independent — the
+    * same reason q88's packing buckets by pid.
+    *
+    * Returns one row per batch: (bucket, batch, n_docs, max_len,
+    * sum_len, pad_frac) with pad_frac = (n·max − Σ)/(n·max) — exact
+    * integers into one 1e-6-floored division. */
+  def lengthGroupedBatches(docs: DataFrame, idCol: String, costCol: String,
+                           bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"bad bucketWidth=$bucketWidth / batchSize=$batchSize")
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    docs
+      .select(col(idCol), col(costCol).cast("long").as("cost"))
+      .withColumn("bucket", expr(s"cost DIV ${bucketWidth}L"))
+      .withColumn("batch",
+        expr(s"(row_number() OVER (PARTITION BY bucket ORDER BY cost, $idCol) - 1) DIV ${batchSize}L"))
+      .groupBy("bucket", "batch")
+      .agg(count(lit(1)).as("n_docs"), max("cost").as("max_len"),
+        sum("cost").as("sum_len"))
+      .select(col("bucket"), col("batch"), col("n_docs"), col("max_len"),
+        col("sum_len"),
+        when(col("n_docs") * col("max_len") === 0, lit(0.0))
+          .otherwise(round6(
+            (col("n_docs") * col("max_len") - col("sum_len")).cast("double")
+              / (col("n_docs") * col("max_len")).cast("double")))
+          .as("pad_frac"))
+  }
 }

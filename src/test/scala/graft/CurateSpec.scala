@@ -271,6 +271,36 @@ class CurateSpec extends SparkSuite {
     assert(got === Set((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1)))
   }
 
+  test("lengthGroupedBatches beats hash-order batching on padding waste") {
+    val rnd = new scala.util.Random(31)
+    val docs = (1L to 400L).map(i => (i, 1L + rnd.nextInt(96)))
+      .toDF("doc_id", "n_tok")
+    val grouped = Curate.lengthGroupedBatches(docs, "doc_id", "n_tok",
+      bucketWidth = 16, batchSize = 8).collect()
+    // invariants: every batch within one bucket's width, full batches
+    // of 8 except at most one ragged tail per bucket
+    grouped.groupBy(_.getLong(0)).foreach { case (b, rows) =>
+      assert(rows.count(_.getLong(2) != 8L) <= 1, s"bucket $b ragged twice")
+      rows.foreach { r =>
+        assert(r.getLong(3) >= b * 16 && r.getLong(3) < (b + 1) * 16) }
+    }
+    val groupedWaste = grouped.map(r =>
+      r.getLong(2) * r.getLong(3) - r.getLong(4)).sum
+    // baseline: batches formed in md5-hash (i.e. arbitrary) id order
+    val hashOrder = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) => md5Hex(id.toString) }
+      .grouped(8)
+      .map(b => 8L.min(b.length.toLong) * b.map(_._2).max - b.map(_._2).sum)
+      .sum
+    assert(groupedWaste < hashOrder / 4,
+      s"grouping should slash padding: $groupedWaste vs $hashOrder")
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("perplexityBuckets: per-lang terciles, head best, sizes within 1") {
     val scored = ((1L to 7L).map(i => (i, "en", i.toDouble)) ++
       (11L to 13L).map(i => (i, "de", (20 - i).toDouble)))
