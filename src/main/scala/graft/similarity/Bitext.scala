@@ -51,16 +51,19 @@ object Bitext {
     val bwd = Ann.bruteForceTopK(tgt, src, idCol, vecCol, k)
       .withColumn("cm", floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
 
-    val fSum = fwd.groupBy(col("query_id").as("src_id"))
-      .agg(sum("cm").as("f_sum"))
+    // forward neighborhood sums ride a window over the candidates
+    // themselves (same query_id partitioning the rank already
+    // established) — a groupBy+join here would re-plan the whole
+    // forward scoring pass (measured: 6 scans instead of 4)
     val bSum = bwd.groupBy(col("query_id").as("tgt_id"))
       .agg(sum("cm").as("b_sum"))
 
     // margin = cos · 2k / (Σ_fwd + Σ_bwd); the 1e6 scale cancels, so
     // the two IEEE ops are multiply-then-divide over exact integers
-    fwd.select(col("query_id").as("src_id"),
-        col("neighbor_id").as("tgt_id"), col("cosine"), col("cm"))
-      .join(fSum, "src_id")
+    fwd.withColumn("f_sum",
+        sum("cm").over(Window.partitionBy("query_id")))
+      .select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("cosine"), col("cm"), col("f_sum"))
       .join(bSum, "tgt_id")
       .withColumn("margin", round6(
         (col("cm").cast("double") * lit(2.0 * k))

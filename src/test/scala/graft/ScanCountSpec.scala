@@ -160,6 +160,29 @@ class ScanCountSpec extends SparkSuite {
     // the returned scoring plan is scan + broadcast weights, no shuffle
     assert(scanCount("q172_quality_probe") <= 2)
     assert(shuffleCount("q172_quality_probe") === 0)
+    // q175 unimax: corpus collapses to the checkpointed L-row
+    // aggregate; everything after is dictionary-sized window math
+    assert(scanCount("q175_unimax_alloc") === 0)
+    // q176 bitext: two directional scoring passes (each corpus scan +
+    // broadcast queries = 2 scans), f_sum rides the rank window's own
+    // partitioning — a groupBy+join formulation re-planned the forward
+    // pass to 6 scans
+    assert(scanCount("q176_bitext_margin") <= 4)
+    // q177 gopher: one map-only projection
+    assert(scanCount("q177_gopher_rules") <= 1)
+    assert(shuffleCount("q177_gopher_rules") === 0)
+    // q178 ccnet: the tf inverted-index intermediate checkpoints once;
+    // vocab/total derive from it (was 3 corpus scans)
+    assert(scanCount("q178_ccnet_buckets") === 0)
+    assert(shuffleCount("q178_ccnet_buckets") <= 4)
+    // q179 fertility: segmentation scan + word-count scan, both
+    // collapsing map-side to language-sized aggregates
+    assert(scanCount("q179_tokenizer_fertility") <= 2)
+    assert(shuffleCount("q179_tokenizer_fertility") <= 3)
+    // q180 length batches: map-side bucket arithmetic, one bucket-key
+    // exchange for the per-bucket rank windows + batch aggregate
+    assert(scanCount("q180_length_batches") <= 1)
+    assert(shuffleCount("q180_length_batches") <= 1)
   }
 
   test("the group-any window plans one scan and one shuffle") {
