@@ -26,7 +26,11 @@ object ScaleCurve {
     "q40_docs_exact_dedup", "q45_minhash_neardups", "q161_dup_spans",
     "q162_ivfpq_search", "q164_ivfpq_rerank", "q165_temperature_mixture",
     "q167_retrieval_e2e", "q168_tokenizer_e2e", "q169_ivfpq_index_probe",
-    "q170_typo_canonical", "q171_doc_chunking")
+    "q170_typo_canonical", "q171_doc_chunking",
+    // round-14 additions: the GD/DSIR trainers (post int_counts fix),
+    // the dual-pass bitext miner, and the two corpus-wide evals
+    "q172_quality_probe", "q174_dsir_select", "q176_bitext_margin",
+    "q178_ccnet_buckets", "q180_length_batches")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
