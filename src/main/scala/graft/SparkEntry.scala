@@ -1778,6 +1778,17 @@ object SparkEntry {
             .as("chars_per_token"))
     }),
 
+    // ---- rank-aware ANN eval (Ann.adcEval, the Jégou 2011 recall@R
+    // protocol): recall@5 and reciprocal rank of the true NN for the
+    // q160 ADC searcher against the exact L2 ground truth on the
+    // 5-query panel. System side codes-only/no-shuffle; truth side
+    // the bounded-panel exact pass. Hash-exact. ----
+    "q181_ann_recall_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.adcEval(e.where(col("vec_id") < 5), e,
+        "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 5)
+    }),
+
     // ---- length-grouped batching with padding-waste accounting
     // (Curate.lengthGroupedBatches): 16-token length buckets, batches
     // of 8 within each — per-batch pad_frac quantifies the padding
@@ -4364,6 +4375,55 @@ object SparkEntry {
          |WHERE rk <= $topK""".stripMargin
   }
 
+  /** q181's oracle: q160's ADC chain as the system ranking, the exact
+    * L2 top-k as ground truth, left-joined into per-query recall@k and
+    * the reciprocal rank of the true NN (rk=1), coalesced to 0 on a
+    * miss — divisions mirror Ann.adcEval token for token. */
+  private def adcEvalOracleSql(m: Int, k: Int, dim: Int,
+                               nQueries: Int, topK: Int): String = {
+    val sub = dim / m
+    val scoreCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""s_$s AS (SELECT q.query_id, a1_$s.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(q.qv[$lo:$hi], c1_$s.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM a1_$s JOIN c1_$s USING (cid), q)""".stripMargin
+    }
+    val joins = (1 until m).map(s =>
+      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
+    pqTrainCtes(m, k, dim) +
+      s""",
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |${scoreCtes.mkString(",\n")},
+         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM s_0 $joins
+         |        WHERE query_id <> neighbor_id),
+         |sys AS (SELECT query_id, neighbor_id, rk AS sys_rank
+         |        FROM (SELECT *, row_number() OVER (
+         |                PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |              FROM adc) t
+         |        WHERE rk <= $topK),
+         |em AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         CAST(floor(list_sum(list_transform(list_zip(q.qv, e.v),
+         |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS em
+         |       FROM e, q WHERE q.query_id <> e.vec_id),
+         |tr AS (SELECT query_id, neighbor_id, rk FROM (
+         |         SELECT *, row_number() OVER (
+         |           PARTITION BY query_id ORDER BY em, neighbor_id) rk
+         |         FROM em) t
+         |       WHERE rk <= $topK),
+         |j AS (SELECT tr.query_id, tr.rk, sys.sys_rank
+         |      FROM tr LEFT JOIN sys USING (query_id, neighbor_id))
+         |SELECT query_id, CAST(count(sys_rank) AS BIGINT) AS n_hits,
+         |  floor((CAST(count(sys_rank) AS DOUBLE) / ${topK}e0)*1e6 + 0.5e0)/1e6
+         |    AS recall,
+         |  floor(coalesce(max(CASE WHEN rk = 1
+         |          THEN coalesce(1e0/sys_rank, 0e0) END), 0e0)*1e6 + 0.5e0)/1e6
+         |    AS rr
+         |FROM j GROUP BY 1""".stripMargin
+  }
+
   /** q162's oracle: IVFADC — q147's full-dim Lloyd CTE verbatim as the
     * coarse quantizer (c0..a1), residuals = v − final coarse centroid,
     * the per-subspace Lloyd chains instantiated over `res`, then the
@@ -4920,6 +4980,9 @@ object SparkEntry {
          |    AS BIGINT) AS n_types
          |FROM gpkg GROUP BY 1, 2""".stripMargin,
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
+    "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
+      nQueries = 5, topK = 5),
+
     "q160_pq_search" -> pqSearchOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
     // q154/q157: the BPE learner and the BPE segmenter, both via the

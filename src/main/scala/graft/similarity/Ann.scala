@@ -485,6 +485,49 @@ object Ann {
       .where(col("rank") <= topK)
   }
 
+  /** Rank-aware retrieval evaluation of the ADC searcher against the
+    * exact L2 ground truth — the recall@k / reciprocal-rank report
+    * every ANN deployment ships with (Jégou et al. 2011 evaluate PQ
+    * exactly this way): per query, how many of the exact top-`topK`
+    * the code-based search recovered, and 1/rank of the TRUE nearest
+    * neighbor in the ADC ranking (0 when missed).
+    *
+    * Scale shape: the system side is [[pqSearchTopK]]'s codes-only
+    * no-shuffle plan; the truth side is the exact scored-broadcast
+    * pass (at eval time the query set is a SAMPLE — ground truth is
+    * only ever computed for a bounded panel, which is why the
+    * exhaustive pass is acceptable here and only here). The eval join
+    * touches 2·nQueries·topK rows. Deterministic: both rankings tie
+    * on id, counts are integers, the two divisions are single
+    * mirrored IEEE ops → hash-exact. */
+  def adcEval(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, m: Int, k: Int, iters: Int,
+              topK: Int): DataFrame = {
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val sys = pqSearchTopK(queries, corpus, idCol, vecCol, m, k, iters, topK)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("sys_rank"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val truth = rankTopK(
+      c.crossJoin(broadcast(q))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("em",
+          VectorFunctions.squaredL2Micros(col("qv"), col("v")))
+        .select("query_id", "neighbor_id", "em"),
+      "em", topK)
+    truth.join(sys, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("sys_rank")).as("n_hits"),
+        max(when(col("rank") === 1,
+          coalesce(lit(1.0) / col("sys_rank").cast("double"), lit(0.0))))
+          .as("rr_raw"))
+      .select(col("query_id"), col("n_hits"),
+        round6(col("n_hits").cast("double") / lit(topK.toDouble)).as("recall"),
+        round6(coalesce(col("rr_raw"), lit(0.0))).as("rr"))
+  }
+
   /** SQ8 scalar quantization (the Faiss `SQ8` layout — e.g. Jégou et
     * al. 2011 §II compare against it as the uniform-quantizer
     * baseline): each dimension is affinely mapped to one byte,

@@ -167,4 +167,37 @@ class RecallSpec extends SparkSuite {
     assert(recallRr >= recallAdc,
       f"rerank ($recallRr%.3f) below plain ADC ($recallAdc%.3f)")
   }
+
+  test("q181 adcEval: perfect scores when vectors coincide with codebooks") {
+    // 64-dim vectors drawn from exactly 4 prototypes per subspace, so
+    // 2-iteration PQ training recovers the prototypes exactly and the
+    // ADC distance EQUALS the exact distance -> recall 1, rr 1
+    val protos = (0 until 4).map(c => Seq.fill(64)((c + 1).toFloat))
+    val docs = (0L until 20L).map(i => (i, protos((i % 4).toInt)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.adcEval(docs.where(col("vec_id") < 4), docs,
+        "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 3)
+      .collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("recall") === 1.0, r.toString)
+      assert(r.getAs[Double]("rr") === 1.0, r.toString)
+    }
+  }
+
+  test("q181 adcEval bounds and rr/hit consistency on the driver corpus") {
+    val rows = Ann.adcEval(e.where(col("vec_id") < 5), e,
+        "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 5)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (nh, rec, rr) = (r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"), r.getAs[Double]("rr"))
+      assert(nh >= 0 && nh <= 5)
+      assert(rec === math.floor(nh / 5.0 * 1e6 + 0.5) / 1e6)
+      assert(rr >= 0.0 && rr <= 1.0)
+      // rr > 0 requires the true NN among the hits
+      if (rr > 0.0) assert(nh >= 1)
+    }
+  }
 }
