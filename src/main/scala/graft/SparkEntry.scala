@@ -1789,6 +1789,17 @@ object SparkEntry {
         "vec_id", "embedding", m = 4, k = 4, iters = 2, topK = 5)
     }),
 
+    // ---- hard-negative triplet mining (Ann.hardestTriplets, the
+    // DPR/SimCSE training-data step): nearest same-label positive +
+    // nearest different-label negative per anchor on the 10-anchor
+    // panel, margin as an exact integer micros difference. One scored
+    // broadcast pass, one (anchor, same) window. Hash-exact. ----
+    "q182_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.hardestTriplets(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", "label")
+    }),
+
     // ---- length-grouped batching with padding-waste accounting
     // (Curate.lengthGroupedBatches): 16-token length buckets, batches
     // of 8 within each — per-batch pad_frac quantifies the padding
@@ -4982,6 +4993,32 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q182: one scored pass, winners per (anchor, same-label) island,
+    // integer-micros margin; mirrors Ann.hardestTriplets exactly.
+    "q182_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, label AS c_label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |s AS (SELECT anchor_id, cand_id, a_label = c_label AS same,
+        |        CAST(floor(list_sum(list_transform(list_zip(qv, v),
+        |          p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS em
+        |      FROM c, a WHERE anchor_id <> cand_id),
+        |best AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY anchor_id, same
+        |      ORDER BY em, cand_id) AS rk FROM s) t
+        |  WHERE rk = 1)
+        |SELECT anchor_id,
+        |  max(CASE WHEN same THEN cand_id END) AS pos_id,
+        |  max(CASE WHEN NOT same THEN cand_id END) AS neg_id,
+        |  max(CASE WHEN same THEN em END) AS pos_micros,
+        |  max(CASE WHEN NOT same THEN em END) AS neg_micros,
+        |  max(CASE WHEN NOT same THEN em END) - max(CASE WHEN same THEN em END)
+        |    AS margin_micros
+        |FROM best GROUP BY 1""".stripMargin,
 
     "q160_pq_search" -> pqSearchOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),

@@ -528,6 +528,46 @@ object Ann {
         round6(coalesce(col("rr_raw"), lit(0.0))).as("rr"))
   }
 
+  /** Hard-negative triplet mining — the retrieval-training data step
+    * of DPR (Karpukhin et al. 2020) / SimCSE (Gao et al. 2021): for
+    * each anchor, the nearest SAME-label neighbor is the positive and
+    * the nearest DIFFERENT-label neighbor the hard negative; the
+    * triplet is useful when the margin (neg − pos distance) is small
+    * but positive, and mislabeled-or-hard when it inverts.
+    *
+    * One scored pass: corpus scan × broadcast anchors, exact L2
+    * micros, ONE window partitioned by (anchor, same-label) picks
+    * both winners, then a 2-row-per-anchor pivot. The margin is a
+    * difference of exact integers — no floats anywhere → hash-exact.
+    * At 100 TB the scored pass swaps in the IVFADC shortlist per
+    * anchor (labels ride the code table) with the pivot unchanged. */
+  def hardestTriplets(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, labelCol: String): DataFrame = {
+    val a = anchors.select(col(idCol).as("anchor_id"),
+      col(labelCol).as("a_label"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val c = corpus.select(col(idCol).as("cand_id"),
+      col(labelCol).as("c_label"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val best = c.crossJoin(broadcast(a))
+      .where(col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"),
+        (col("a_label") === col("c_label")).as("same"),
+        VectorFunctions.squaredL2Micros(col("qv"), col("v")).as("em"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id", "same")
+          .orderBy(col("em").asc, col("cand_id").asc)))
+      .where(col("rk") === 1)
+    best.groupBy("anchor_id")
+      .agg(max(when(col("same"), col("cand_id"))).as("pos_id"),
+        max(when(col("same"), col("em"))).as("pos_micros"),
+        max(when(!col("same"), col("cand_id"))).as("neg_id"),
+        max(when(!col("same"), col("em"))).as("neg_micros"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("pos_micros"), col("neg_micros"),
+        (col("neg_micros") - col("pos_micros")).as("margin_micros"))
+  }
+
   /** SQ8 scalar quantization (the Faiss `SQ8` layout — e.g. Jégou et
     * al. 2011 §II compare against it as the uniform-quantizer
     * baseline): each dimension is affinely mapped to one byte,

@@ -168,6 +168,30 @@ class RecallSpec extends SparkSuite {
       f"rerank ($recallRr%.3f) below plain ADC ($recallAdc%.3f)")
   }
 
+  test("q182 hardestTriplets recovers planted positives/negatives with signed margins") {
+    // anchor 0 at origin-ish: same-label near-copy id 10 (pos), a
+    // different-label vector id 20 slightly farther (neg) -> margin > 0.
+    // anchor 1: the DIFFERENT-label vector is nearer than any same-label
+    // one -> inverted (negative) margin, the mislabeled-or-hard signal.
+    def v(x: Float*) = x.toSeq
+    val rows = Seq(
+      (0L, 0, v(0f, 0f, 0f, 0f)),
+      (10L, 0, v(0.1f, 0f, 0f, 0f)), // pos for 0: d^2 = 0.01
+      (20L, 1, v(0.3f, 0f, 0f, 0f)), // neg for 0: d^2 = 0.09
+      (1L, 2, v(5f, 5f, 5f, 5f)),
+      (11L, 2, v(7f, 5f, 5f, 5f)),   // same-label but far: d^2 = 4
+      (21L, 3, v(5.1f, 5f, 5f, 5f))) // diff-label near: d^2 = 0.01
+      .toDF("vec_id", "label", "embedding")
+    val got = Ann.hardestTriplets(rows.where(col("vec_id") < 2), rows,
+        "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(got(0L)._1 === 10L && got(0L)._2 === 20L)
+    assert(got(0L)._3 > 0L, s"margin should be positive: ${got(0L)}")
+    assert(got(1L)._1 === 11L && got(1L)._2 === 21L)
+    assert(got(1L)._3 < 0L, s"margin should invert: ${got(1L)}")
+  }
+
   test("q181 adcEval: perfect scores when vectors coincide with codebooks") {
     // 64-dim vectors drawn from exactly 4 prototypes per subspace, so
     // 2-iteration PQ training recovers the prototypes exactly and the
