@@ -1800,6 +1800,18 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- Efraimidis-Spirakis weighted sampling without replacement
+    // (Curate.weightedSample): 60 docs weighted by token count —
+    // longer documents proportionally likelier, no duplicates by
+    // construction. Map-side hash-uniform keys + partial top-n; the
+    // ln snaps to 1e-6 (q92 recipe). Hash-exact. ----
+    "q183_weighted_sample" -> ((s, dir) =>
+      graft.curation.Curate.weightedSample(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            greatest(Text.tokenCount(col("text")), lit(1)).as("n_tok")),
+        "doc_id", "n_tok", n = 60, seed = 7L)),
+
     // ---- length-grouped batching with padding-waste accounting
     // (Curate.lengthGroupedBatches): 16-token length buckets, batches
     // of 8 within each — per-batch pad_frac quantifies the padding
@@ -4993,6 +5005,28 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q183: E-S keys ln(u)/w off the md5 uniform, ln snapped at 1e-6
+    // before the one division; top-60 by (key DESC, id).
+    "q183_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END, 1) AS BIGINT) AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, w,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':es7'), 1, 8))
+        |      AS BIGINT) AS h
+        |  FROM w),
+        |scored AS (
+        |  SELECT doc_id, w,
+        |    floor(
+        |      (floor(ln(CAST(h + 1 AS DOUBLE) / 4294967296e0)*1e6 + 0.5)/1e6)
+        |        / CAST(w AS DOUBLE) * 1e6 + 0.5)/1e6 AS es_key
+        |  FROM k)
+        |SELECT doc_id, w, es_key FROM scored
+        |ORDER BY es_key DESC, doc_id LIMIT 60""".stripMargin,
 
     // q182: one scored pass, winners per (anchor, same-label) island,
     // integer-micros margin; mirrors Ann.hardestTriplets exactly.

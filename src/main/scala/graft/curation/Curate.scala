@@ -458,6 +458,37 @@ object Curate {
       .drop("__t")
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    * 2006 ("Weighted random sampling with a reservoir", IPL): item i
+    * gets key u_i^(1/w_i) with u_i uniform; the n largest keys are an
+    * exact weighted sample without replacement. The distributed
+    * one-pass reformulation ranks on ln(u_i)/w_i (monotone in the
+    * key), which is THE standard trick for cluster-scale weighted
+    * subsampling — a single partial top-n, no sequential reservoir.
+    *
+    * Determinism: u_i is the house md5-hash uniform on (0, 1] (a pure
+    * function of id and seed, partitioning-invariant), ln is snapped
+    * to 1e-6 before the one division by the integer weight (the
+    * q92/q173 transcendental recipe), ranking ties on id. Weights
+    * must be positive integers (clamp upstream).
+    *
+    * Scale shape: map-side key arithmetic + TakeOrderedAndProject
+    * (per-partition partial top-n) — the corpus never sorts or
+    * shuffles. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, seed: Long): DataFrame = {
+    require(n >= 1, s"need a positive sample size, got $n")
+    val round6 = (c: Column) => floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(s":es$seed"))), 1, 8), 16, 10).cast("long")
+    df.select(col(idCol), col(weightCol).cast("long").as("w"))
+      .withColumn("u", (h + lit(1L)).cast("double") / lit(4294967296.0))
+      .withColumn("es_key", round6(round6(log(col("u"))) / col("w").cast("double")))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col("w"), col("es_key"))
+  }
+
   /** Length-grouped batching with padding-waste accounting — the
     * batch-construction primitive of LLM training/inference: padding
     * every sequence in a batch to the batch max wastes

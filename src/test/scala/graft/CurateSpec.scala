@@ -271,6 +271,26 @@ class CurateSpec extends SparkSuite {
     assert(got === Set((1L, "s1", 1), (2L, "s1", 2), (4L, "s2", 1)))
   }
 
+  test("weightedSample replicates the local E-S reference and skews to weight") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) 1L else 50L))
+      .toDF("doc_id", "w")
+    val got = Curate.weightedSample(docs, "doc_id", "w", n = 40, seed = 7L)
+      .select("doc_id").as[Long].collect().toSeq
+    // local reference: identical hash/snap arithmetic
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ref = (1L to 200L).map { i =>
+      val w = if (i <= 100) 1L else 50L
+      val h = java.lang.Long.parseLong(md5Hex(s"$i:es7").take(8), 16)
+      val u = (h + 1L).toDouble / 4294967296.0
+      (i, r6(r6(math.log(u)) / w.toDouble))
+    }.sortBy { case (id, k) => (-k, id) }.take(40).map(_._1)
+    assert(got === ref)
+    // w=50 items should dominate a 40-of-200 sample
+    val heavy = got.count(_ > 100L)
+    assert(heavy >= 30, s"weighting not biting: $heavy/40 heavy")
+    assert(got.distinct.size === got.size, "sample must be without replacement")
+  }
+
   test("lengthGroupedBatches beats hash-order batching on padding waste") {
     val rnd = new scala.util.Random(31)
     val docs = (1L to 400L).map(i => (i, 1L + rnd.nextInt(96)))
