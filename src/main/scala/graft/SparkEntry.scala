@@ -1800,6 +1800,21 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- incremental-ingest exact dedup (Dedup.incrementalStatus):
+    // the shard-arrival shape — delta docs (doc_id % 3 = 0) dedup
+    // against the already-ingested base's FINGERPRINT INDEX (never
+    // its text) with full new/dup_of_base/dup_in_delta accounting.
+    // All three statuses fire at sf0.1 (8 exact-dup fingerprint
+    // groups); sf0.01 has no cross-split dups, so the non-'new'
+    // branches are additionally pinned by the TextAndDedupSpec
+    // fixture. Hash-exact. ----
+    "q184_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.Dedup.incrementalStatus(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id")
+    }),
+
     // ---- Efraimidis-Spirakis weighted sampling without replacement
     // (Curate.weightedSample): 60 docs weighted by token count —
     // longer documents proportionally likelier, no duplicates by
@@ -5005,6 +5020,26 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q184: base fingerprints distinct, delta min-id window, left
+    // join; the status CASE mirrors incrementalStatus branch order.
+    "q184_incremental_dedup" ->
+      """WITH basefp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |delta AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |    min(doc_id) OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |      AS first_id
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT d.doc_id, d.fingerprint,
+        |  CASE WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
+        |       WHEN d.first_id <> d.doc_id THEN 'dup_in_delta'
+        |       ELSE 'new' END AS status
+        |FROM delta d LEFT JOIN basefp b ON d.fingerprint = b.fingerprint""".stripMargin,
 
     // q183: E-S keys ln(u)/w off the md5 uniform, ln snapped at 1e-6
     // before the one division; top-60 by (key DESC, id).

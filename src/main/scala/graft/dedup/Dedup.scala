@@ -27,6 +27,41 @@ object Dedup {
       min(col(idCol)).over(Window.partitionBy("fingerprint")))
   }
 
+  /** Incremental-ingest exact dedup — the production shard-arrival
+    * shape: a new `delta` batch dedups against the ALREADY-INGESTED
+    * corpus without re-reading its text, by joining the delta's
+    * fingerprints against the base's fingerprint INDEX (16-byte keys —
+    * at 100 TB that index is what a dedup service stores, not the
+    * documents). Per delta document the full removed-records
+    * accounting the reference pipelines insist on:
+    *
+    *   - `new`           first sight of the fingerprint anywhere
+    *   - `dup_of_base`   fingerprint already ingested
+    *   - `dup_in_delta`  unseen in base, but a smaller-id delta row
+    *                     carries the same fingerprint
+    *
+    * Shapes: base collapses to distinct fingerprints (map-side
+    * combined, the index build/read); the delta shuffles once on the
+    * fingerprint for the within-batch min-id window; the base join is
+    * a left join on the 16-byte key (broadcastable while the index
+    * fits, shuffle-hash beyond). */
+  def incrementalStatus(base: DataFrame, delta: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val baseFp = base
+      .select(Text.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+      .withColumn("in_base", lit(true))
+    delta
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("first_id",
+        min(col(idCol)).over(Window.partitionBy("fingerprint")))
+      .join(baseFp, Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        when(col("in_base").isNotNull, "dup_of_base")
+          .when(col("first_id") =!= col(idCol), "dup_in_delta")
+          .otherwise("new").as("status"))
+  }
+
   /** Shared MinHash banding pipeline (the [[hyperplaneBanded]] stance
     * for token signatures): (id, sig, band, bucket) with band bucket =
     * hash of the band's slice of the `bands*rowsPerBand`-hash signature

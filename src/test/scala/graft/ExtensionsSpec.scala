@@ -74,6 +74,9 @@ class ExtensionsSpec extends SparkSuite {
     assert(spark.sql("SELECT word_spans(array('a','b'), 3) AS s")
       .as[Seq[String]].collect().head === Seq.empty)
 
+    assert(spark.sql("SELECT int_counts(array(0, 3, 3, 9), 4) AS c")
+      .as[Seq[Int]].collect().head === Seq(1, 0, 0, 2))
+
     // PNG encode -> decode round trip entirely in SQL
     val im = spark.sql(
       "SELECT image_meta(gray_png(4, 3, 120)) AS m")

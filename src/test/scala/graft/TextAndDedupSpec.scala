@@ -65,6 +65,25 @@ class TextAndDedupSpec extends SparkSuite {
     assert(got === Map(10L -> 3L, 3L -> 3L, 7L -> 7L))
   }
 
+  test("incremental dedup labels new / dup_of_base / dup_in_delta correctly") {
+    val base = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "ALPHA  beta"),   // normalizes to a base fingerprint
+      (11L, "epsilon zeta"),  // first sight anywhere
+      (12L, "epsilon  ZETA"), // same fp as 11 within the delta
+      (13L, "eta theta"))     // first sight
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalStatus(base, delta, "text", "doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(10L -> "dup_of_base", 11L -> "new",
+      12L -> "dup_in_delta", 13L -> "new"))
+    // re-ingesting the SAME delta against base ∪ delta: everything dup_of_base
+    val again = Dedup.incrementalStatus(base.union(delta), delta, "text", "doc_id")
+      .select("status").as[String].collect()
+    assert(again.forall(_ == "dup_of_base"))
+  }
+
   test("minhash LSH finds identical docs as candidates and verifies jaccard=1") {
     val docs = Seq(
       (1L, "spark makes big data small again for everyone today"),
