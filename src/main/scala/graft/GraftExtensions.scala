@@ -70,6 +70,7 @@ object GraftExtensions {
     "vec_sub" -> (es => graft.functions.VecSub(es(0), es(1))),
     "word_spans" -> (es => graft.functions.WordSpans(es(0), intArg(es(1), "w"))),
     "int_counts" -> (es => graft.functions.IntCounts(es(0), intArg(es(1), "k"))),
+    "sign_bits" -> (es => graft.functions.SignBits(es(0))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),
       stringArg(es(1), "left"), stringArg(es(2), "right"))),
     "gray_png" -> (es => graft.functions.GrayPngExpr(es(0), es(1), es(2))),

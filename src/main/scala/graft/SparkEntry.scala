@@ -1800,6 +1800,17 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- 1-bit sign-quantized Hamming top-k (Ann.hammingTopK): the
+    // cheapest compression tier — 64 dims in two 32-bit words, the
+    // distance a codegen'd xor-popcount, no floats in the hot loop.
+    // Same no-shuffle scored-broadcast scaffold as q50. Hash-exact;
+    // recall vs exact gated in RecallSpec. ----
+    "q185_hamming_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Ann.hammingTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", topK = 5)
+    }),
+
     // ---- incremental-ingest exact dedup (Dedup.incrementalStatus):
     // the shard-arrival shape — delta docs (doc_id % 3 = 0) dedup
     // against the already-ingested base's FINGERPRINT INDEX (never
@@ -5020,6 +5031,29 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q185: sign-bit packing into two 32-bit words (bit i-1 of the
+    // word for slice position i), xor-popcount distance, (hamming,
+    // id) rank — mirrors Ann.hammingTopK/HashKernels.signBits.
+    "q185_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id,
+        |    list_sum(list_transform(v[1:32],
+        |      (x, i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END)) AS w1,
+        |    list_sum(list_transform(v[33:64],
+        |      (x, i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END)) AS w2
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2 FROM b WHERE vec_id < 10),
+        |s AS (SELECT query_id, b.vec_id AS neighbor_id,
+        |        CAST(bit_count(xor(q1, w1)) + bit_count(xor(q2, w2)) AS INTEGER)
+        |          AS hamming
+        |      FROM b, q WHERE query_id <> b.vec_id)
+        |SELECT query_id, neighbor_id, hamming, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY hamming, neighbor_id) rk
+        |      FROM s) t
+        |WHERE rk <= 5""".stripMargin,
 
     // q184: base fingerprints distinct, delta min-id window, left
     // join; the status CASE mirrors incrementalStatus branch order.

@@ -128,6 +128,23 @@ object HashKernels {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Sign-bit binarization of a double vector into 32-bit words
+    * (array<long>, bit j of word w set iff v[32w+j] > 0) — the 1-bit
+    * quantization tier below SQ8/PQ: a 64-dim float vector stores in
+    * 8 bytes and Hamming distance (xor + popcount, both codegen'd
+    * builtins) approximates angular distance. Null elements → null. */
+  def signBits(vec: ArrayData): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      if (vec.getDouble(i) > 0.0) out(i / 32) |= (1L << (i % 32))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Every `w`-token window of `toks` joined with single spaces — the
     * span unit of substring dedup. One pass, tokens read once; empty
     * result (not null) below `w` tokens; null on null elements. */
@@ -154,6 +171,25 @@ object HashKernels {
 }
 
 /** simhash64(array<string>) -> bigint. */
+/** sign_bits(array<double>) -> array<bigint> of 32-bit words. */
+case class SignBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sign_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.signBits(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.signBits($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): SignBits =
+    copy(child = c)
+}
+
 /** int_counts(array<int>, k) -> array<int> of length k. */
 case class IntCounts(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"bucket count must be >= 1, got $k")
@@ -317,6 +353,9 @@ object HashFunctions {
 
   def intCounts(ids: Column, k: Int): Column =
     GraftBridge.column(IntCounts(GraftBridge.expression(ids), k))
+
+  def signBits(vec: Column): Column =
+    GraftBridge.column(SignBits(GraftBridge.expression(vec)))
 
   def winnowFingerprint(text: Column, k: Int, t: Int): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expression(text), k, t))

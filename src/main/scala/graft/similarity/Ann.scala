@@ -528,6 +528,39 @@ object Ann {
         round6(coalesce(col("rr_raw"), lit(0.0))).as("rr"))
   }
 
+  /** 1-bit sign-quantized Hamming top-k — the cheapest tier of the
+    * compression spectrum (1 bit/dim < SQ8's byte/dim < PQ's m bytes/
+    * vector): binarize every vector to its sign bits (the classic
+    * sign-random-projection limit with identity projections; for
+    * zero-centered data Hamming distance is monotone in angular
+    * distance), then rank by xor-popcount. A 64-dim float vector
+    * stores in 8 bytes; the scan reads TWO longs per candidate and
+    * the distance is codegen'd `bit_count(a ^ b)` — no floats in the
+    * hot loop at all.
+    *
+    * Same plan scaffold as [[bruteForceTopK]]: corpus scan ×
+    * broadcast (binarized) queries, per-partition top-k, one rank
+    * exchange. Deterministic (integer distances, id ties) →
+    * hash-exact; recall vs exact L2 is gated in RecallSpec. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, topK: Int): DataFrame = {
+    def bits(df: DataFrame, as: String, vas: String) = df.select(
+      col(idCol).as(as),
+      graft.functions.HashFunctions.signBits(
+        transform(col(vecCol), x => x.cast("double"))).as(vas))
+    val q = bits(queries, "query_id", "qb")
+    val c = bits(corpus, "neighbor_id", "cb")
+    val words = Seq(1, 2) // 64 dims -> two 32-bit words
+    val hamming = words.map(w =>
+      bit_count(element_at(col("qb"), w).bitwiseXOR(element_at(col("cb"), w))))
+      .reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hamming)
+      .select("query_id", "neighbor_id", "hamming")
+    rankTopK(scored, "hamming", topK)
+  }
+
   /** Hard-negative triplet mining — the retrieval-training data step
     * of DPR (Karpukhin et al. 2020) / SimCSE (Gao et al. 2021): for
     * each anchor, the nearest SAME-label neighbor is the positive and

@@ -77,6 +77,11 @@ class ExtensionsSpec extends SparkSuite {
     assert(spark.sql("SELECT int_counts(array(0, 3, 3, 9), 4) AS c")
       .as[Seq[Int]].collect().head === Seq(1, 0, 0, 2))
 
+    // bits 0 and 2 of word 0 (positions 1 and 3 positive)
+    assert(spark.sql(
+        "SELECT sign_bits(array(1.0D, -1.0D, 0.5D)) AS b")
+      .as[Seq[Long]].collect().head === Seq(5L))
+
     // PNG encode -> decode round trip entirely in SQL
     val im = spark.sql(
       "SELECT image_meta(gray_png(4, 3, 120)) AS m")

@@ -168,6 +168,32 @@ class RecallSpec extends SparkSuite {
       f"rerank ($recallRr%.3f) below plain ADC ($recallAdc%.3f)")
   }
 
+  test("q185 hammingTopK: planted near-copies at rank 1; random-corpus floor") {
+    // planted: the sign pattern of a copy is identical -> hamming 0
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 30L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+    val copies = (0L until 10L).map(i => (100L + i, base(i.toInt)._2))
+    val all = (base ++ copies).toDF("vec_id", "embedding")
+    val got = Ann.hammingTopK(all.where(col("vec_id") < 10), all,
+        "vec_id", "embedding", topK = 1)
+      .select("query_id", "neighbor_id", "hamming")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    for (i <- 0L until 10L)
+      assert(got(i) === ((100L + i, 0)), s"query $i: ${got(i)}")
+
+    // worst-case corpus floor: near-random unit vectors carry little
+    // sign signal — 1 bit/dim is the coarsest tier and this bound is
+    // deliberately conservative (measured 0.16; random chance ~0.01)
+    val queries = e.where(col("vec_id") < 10)
+    val exact = pairSet(Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    val ham = pairSet(Ann.hammingTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    val recall = exact.intersect(ham).size.toDouble / exact.size
+    assert(recall >= 0.10, f"hamming recall floor broken: $recall%.3f")
+  }
+
   test("q182 hardestTriplets recovers planted positives/negatives with signed margins") {
     // anchor 0 at origin-ish: same-label near-copy id 10 (pos), a
     // different-label vector id 20 slightly farther (neg) -> margin > 0.
