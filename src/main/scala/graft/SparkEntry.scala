@@ -1800,6 +1800,14 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- PMI collocations (text.Colloc, Church & Hanks 1990): top
+    // adjacent pairs by pointwise mutual information, pair count ≥ 5.
+    // One checkpointed explode feeds counts + totals; PMI is one ln
+    // of an exact rational, snapped at 1e-6. Hash-exact. ----
+    "q186_pmi_collocations" -> ((s, dir) =>
+      graft.text.Colloc.topPmi(t(s, dir, "documents"), "text",
+        n = 40, minCount = 5L)),
+
     // ---- 1-bit sign-quantized Hamming top-k (Ann.hammingTopK): the
     // cheapest compression tier — 64 dims in two 32-bit words, the
     // distance a codegen'd xor-popcount, no floats in the hot loop.
@@ -5031,6 +5039,33 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q186: PMI = ln of the exact rational in the same multiply order
+    // (c_ab·N1·N1 over N2·c_a·c_b), 1e-6-floored; (pmi DESC, w1, w2).
+    "q186_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM uni),
+        |bg AS (
+        |  SELECT ts[i] AS w1, ts[i+1] AS w2
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS ts
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |       unnest(range(1, len(ts))) AS r(i)),
+        |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+        |        FROM bg GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n2 FROM big),
+        |j AS (SELECT big.w1, big.w2, big.c_ab, ua.c AS c_a, ub.c AS c_b
+        |      FROM big JOIN uni ua ON big.w1 = ua.term
+        |        JOIN uni ub ON big.w2 = ub.term
+        |      WHERE big.c_ab >= 5)
+        |SELECT w1, w2, c_ab,
+        |  floor(ln((CAST(c_ab AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+        |           / (CAST(n2 AS DOUBLE) * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+        |        *1e6 + 0.5)/1e6 AS pmi
+        |FROM j, n1, n2
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
 
     // q185: sign-bit packing into two 32-bit words (bit i-1 of the
     // word for slice position i), xor-popcount distance, (hamming,

@@ -65,6 +65,24 @@ class TextAndDedupSpec extends SparkSuite {
     assert(got === Map(10L -> 3L, 3L -> 3L, 7L -> 7L))
   }
 
+  test("PMI collocations: bound pairs outrank independent ones, hand-checked") {
+    // "x y" always adjacent (perfect collocation); "a"/"b" co-occur
+    // adjacently once but mostly apart (low PMI)
+    val docs = (Seq.fill(8)("x y") ++ Seq.fill(8)("a c b") ++ Seq("a b"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.text.Colloc.topPmi(docs, "text", n = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // unigrams: x 8, y 8, a 9, c 8, b 9; N1 = 42
+    // bigrams: (x,y) 8, (a,c) 8, (c,b) 8, (a,b) 1; N2 = 25
+    def pmi(cab: Long, ca: Long, cb: Long) =
+      math.floor(math.log(cab.toDouble * 42 * 42 / (25.0 * ca * cb)) * 1e6 + 0.5) / 1e6
+    assert(got(("x", "y")) === ((8L, pmi(8, 8, 8))))
+    assert(got(("a", "b")) === ((1L, pmi(1, 9, 9))))
+    assert(got(("x", "y"))._2 > got(("a", "b"))._2,
+      "the bound pair must outrank the incidental one")
+  }
+
   test("incremental dedup labels new / dup_of_base / dup_in_delta correctly") {
     val base = Seq((1L, "alpha beta"), (2L, "gamma delta"))
       .toDF("doc_id", "text")
