@@ -1800,6 +1800,33 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- STREAMING twin of q184 (streaming.IngestDedupStream):
+    // delta docs arrive as a stream, labeled against the static base
+    // fingerprint index (stream-static broadcast join) + one-boolean-
+    // per-fingerprint flatMapGroupsWithState memory. Single-file
+    // source = one ordered micro-batch, so labels equal the batch
+    // twin's min-id semantics and q184's ORACLE gates a stateful
+    // streaming query hash-exact; the multi-batch state path is
+    // spec-pinned. ----
+    "q187_ingest_dedup_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val baseFp = docs.where(col("doc_id") % 3 =!= 0)
+        .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") % 3 === 0)
+      val sink = "graft_q187_sink"
+      graft.streaming.Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.IngestDedupStream
+          .statusStream(s, stream, baseFp, "text", "doc_id")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(sink)
+    }),
+
     // ---- PMI collocations (text.Colloc, Church & Hanks 1990): top
     // adjacent pairs by pointwise mutual information, pair count ≥ 5.
     // One checkpointed explode feeds counts + totals; PMI is one ln
@@ -5039,6 +5066,26 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q187: the streaming twin's output equals the batch q184 exactly
+    // (single ordered micro-batch) -> same oracle SQL.
+    "q187_ingest_dedup_stream" ->
+      """WITH basefp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        |    AS fingerprint
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |delta AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+        |    min(doc_id) OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+        |      AS first_id
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT d.doc_id, d.fingerprint,
+        |  CASE WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
+        |       WHEN d.first_id <> d.doc_id THEN 'dup_in_delta'
+        |       ELSE 'new' END AS status
+        |FROM delta d LEFT JOIN basefp b ON d.fingerprint = b.fingerprint""".stripMargin,
 
     // q186: PMI = ln of the exact rational in the same multiply order
     // (c_ab·N1·N1 over N2·c_a·c_b), 1e-6-floored; (pmi DESC, w1, w2).

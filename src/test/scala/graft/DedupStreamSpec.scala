@@ -61,6 +61,31 @@ class DedupStreamSpec extends SparkSuite {
     assert(streamed === batched)
   }
 
+  test("q187 ingest-dedup stream: statuses via base index, same batch, and cross-batch state") {
+    val dir = java.nio.file.Files.createTempDirectory("ingeststream").toString
+    Seq((5L, "first sight"), (6L, "FIRST  sight"), (7L, "base text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f=1")
+    Seq((8L, "first SIGHT"), (9L, "fresh thing"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f=2")
+    val base = Seq((1L, "base  TEXT")).toDF("doc_id", "text")
+    val baseFp = base.select(graft.text.Text.fingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    val name = s"ingest_sink_${System.nanoTime()}"
+    val q = graft.streaming.IngestDedupStream.statusStream(spark,
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir),
+        baseFp, "text", "doc_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).select("doc_id", "status")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      5L -> "new",          // first sight, first batch
+      6L -> "dup_in_delta", // same batch, larger id, same fingerprint
+      7L -> "dup_of_base",  // normalizes to the base index
+      8L -> "dup_in_delta", // LATER batch — only the state bit knows
+      9L -> "new"))
+  }
+
   test("maxPerBucket bounds state but keeps matching against retained members") {
     val docs = Seq(
       (1L, "aaa bbb ccc ddd eee fff ggg hhh"),
