@@ -1800,6 +1800,19 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- BM25 keyword retrieval (text.Bm25, Robertson & Zaragoza
+    // 2009, Lucene idf): the sparse half of hybrid retrieval — three
+    // fixed keyword queries against the corpus, term-at-a-time over
+    // the checkpointed inverted index, top-10 per query. Hash-exact
+    // (integer tf/df/dl, snapped ln idf, term-ordered fold). ----
+    "q188_bm25_search" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "spark join"), (2L, "customer order"),
+        (3L, "stream window batch")).toDF("query_id", "qtext")
+      graft.text.Bm25.searchTopK(t(s, dir, "documents"), queries,
+        "doc_id", "text", "query_id", "qtext", topK = 10)
+    }),
+
     // ---- STREAMING twin of q184 (streaming.IngestDedupStream):
     // delta docs arrive as a stream, labeled against the static base
     // fingerprint index (stream-static broadcast join) + one-boolean-
@@ -5066,6 +5079,49 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    // q188: BM25 with the exact op order of Bm25.searchTopK — snapped
+    // ln idf, 2.2/1.2/0.75 literals, term-ordered contribution fold.
+    "q188_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |gp AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |         CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |avg_ AS (SELECT CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE) AS avgdl FROM gp),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT query_id, unnest(string_split_regex(trim(qtext), '\s+')) AS term
+        |      FROM (VALUES (CAST(1 AS BIGINT), 'spark join'),
+        |                   (CAST(2 AS BIGINT), 'customer order'),
+        |                   (CAST(3 AS BIGINT), 'stream window batch'))
+        |        AS v(query_id, qtext)),
+        |idf AS (SELECT dfq.term,
+        |          floor(ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+        |                   / (CAST(df AS DOUBLE) + 0.5e0) + 1e0)*1e6 + 0.5)/1e6
+        |            AS idf
+        |        FROM dfq, gp),
+        |c AS (
+        |  SELECT q.query_id, tf.doc_id, tf.term,
+        |    floor((idf.idf * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+        |           / (CAST(tf.tf AS DOUBLE)
+        |              + 1.2e0 * (1e0 - 0.75e0
+        |                 + 0.75e0 * (CAST(dl.dl AS DOUBLE) / avg_.avgdl))))
+        |          *1e6 + 0.5)/1e6 AS contrib
+        |  FROM tf JOIN q ON tf.term = q.term
+        |    JOIN idf ON tf.term = idf.term
+        |    JOIN dl ON tf.doc_id = dl.doc_id, avg_),
+        |sc AS (SELECT query_id, doc_id,
+        |         floor(list_reduce(list(contrib ORDER BY term), (x, y) -> x + y)
+        |               *1e6 + 0.5)/1e6 AS score
+        |       FROM c GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, CAST(rk AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score DESC, doc_id) rk
+        |      FROM sc) t
+        |WHERE rk <= 10""".stripMargin,
 
     // q187: the streaming twin's output equals the batch q184 exactly
     // (single ordered micro-batch) -> same oracle SQL.

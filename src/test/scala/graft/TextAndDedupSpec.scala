@@ -65,6 +65,28 @@ class TextAndDedupSpec extends SparkSuite {
     assert(got === Map(10L -> 3L, 3L -> 3L, 7L -> 7L))
   }
 
+  test("BM25: both-terms doc outranks one-term docs; idf favors rare terms") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),       // both query terms
+      (2L, "alpha delta epsilon"),    // common term only
+      (3L, "beta zeta eta"),          // rare term only
+      (4L, "alpha theta iota"),
+      (5L, "alpha kappa lambda"))     // alpha df=4, beta df=2
+      .toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta")).toDF("query_id", "qtext")
+    val got = graft.text.Bm25.searchTopK(docs, queries,
+        "doc_id", "text", "query_id", "qtext", topK = 5)
+      .orderBy("rank")
+      .select("doc_id", "score").as[(Long, Double)].collect()
+    assert(got.head._1 === 1L, s"both-terms doc must rank first: ${got.toSeq}")
+    // the rare-term doc (beta, df 2) must outrank any common-term doc
+    val byDoc = got.toMap
+    assert(byDoc(3L) > byDoc(2L),
+      s"rarer term should score higher: beta-doc ${byDoc(3L)} vs alpha-doc ${byDoc(2L)}")
+    // scores strictly positive and ranking strictly by score then id
+    assert(got.forall(_._2 > 0.0))
+  }
+
   test("PMI collocations: bound pairs outrank independent ones, hand-checked") {
     // "x y" always adjacent (perfect collocation); "a"/"b" co-occur
     // adjacently once but mostly apart (low PMI)
