@@ -1800,6 +1800,22 @@ object SparkEntry {
         "vec_id", "embedding", "label")
     }),
 
+    // ---- reciprocal-rank fusion (similarity.Fusion, Cormack 2009):
+    // the hybrid-retrieval glue — fuse the q160 ADC ranking and the
+    // q185 Hamming ranking (two independent compressed tiers) into
+    // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
+    // lists, so the fusion layer never touches the corpus.
+    // Hash-exact (snapped divisions, system-ordered fold). ----
+    "q189_rrf_fusion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      graft.similarity.Fusion.rrf(Seq(
+        graft.similarity.Ann.pqSearchTopK(q, e, "vec_id", "embedding",
+          m = 4, k = 4, iters = 2, topK = 5),
+        graft.similarity.Ann.hammingTopK(q, e, "vec_id", "embedding",
+          topK = 5)), k0 = 60, topK = 5)
+    }),
+
     // ---- BM25 keyword retrieval (text.Bm25, Robertson & Zaragoza
     // 2009, Lucene idf): the sparse half of hybrid retrieval — three
     // fixed keyword queries against the corpus, term-at-a-time over
@@ -4521,6 +4537,69 @@ object SparkEntry {
          |FROM j GROUP BY 1""".stripMargin
   }
 
+  /** q189's oracle: q160's ADC ranking (system 0) and q185's sign-bit
+    * Hamming ranking (system 1, sharing the `e` CTE), RRF-fused with
+    * snapped 1/(k0+rank) contributions folded in system order. */
+  private def rrfFusionOracleSql(m: Int, k: Int, dim: Int, nQueries: Int,
+                                 topK: Int, k0: Int): String = {
+    val sub = dim / m
+    val scoreCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""s_$s AS (SELECT q.query_id, a1_$s.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(q.qv[$lo:$hi], c1_$s.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM a1_$s JOIN c1_$s USING (cid), q)""".stripMargin
+    }
+    val joins = (1 until m).map(s =>
+      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
+    pqTrainCtes(m, k, dim) +
+      s""",
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+         |${scoreCtes.mkString(",\n")},
+         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM s_0 $joins
+         |        WHERE query_id <> neighbor_id),
+         |sysa AS (SELECT query_id, neighbor_id, rk AS rank
+         |         FROM (SELECT *, row_number() OVER (
+         |                 PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |               FROM adc) t
+         |         WHERE rk <= $topK),
+         |hb AS (SELECT vec_id,
+         |    list_sum(list_transform(v[1:32],
+         |      (x, i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END)) AS w1,
+         |    list_sum(list_transform(v[33:64],
+         |      (x, i) -> CASE WHEN x > 0 THEN 1::BIGINT << (i-1) ELSE 0::BIGINT END)) AS w2
+         |  FROM e),
+         |hq AS (SELECT vec_id AS query_id, w1 AS q1, w2 AS q2
+         |       FROM hb WHERE vec_id < $nQueries),
+         |hs AS (SELECT query_id, hb.vec_id AS neighbor_id,
+         |        CAST(bit_count(xor(q1, w1)) + bit_count(xor(q2, w2)) AS INTEGER)
+         |          AS hamming
+         |      FROM hb, hq WHERE query_id <> hb.vec_id),
+         |sysb AS (SELECT query_id, neighbor_id, rk AS rank
+         |         FROM (SELECT *, row_number() OVER (
+         |                 PARTITION BY query_id ORDER BY hamming, neighbor_id) rk
+         |               FROM hs) t
+         |         WHERE rk <= $topK),
+         |u AS (SELECT query_id, neighbor_id, 0 AS sys, rank FROM sysa
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1 AS sys, rank FROM sysb),
+         |cr AS (SELECT query_id, neighbor_id, sys,
+         |         floor(1e0/(${k0}e0 + CAST(rank AS DOUBLE))*1e6 + 0.5)/1e6
+         |           AS contrib
+         |       FROM u),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         floor(list_reduce(list(contrib ORDER BY sys), (x, y) -> x + y)
+         |               *1e6 + 0.5)/1e6 AS rrf
+         |       FROM cr GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rrf, CAST(rk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) rk
+         |      FROM sc) t
+         |WHERE rk <= $topK""".stripMargin
+  }
+
   /** q162's oracle: IVFADC — q147's full-dim Lloyd CTE verbatim as the
     * coarse quantizer (c0..a1), residuals = v − final coarse centroid,
     * the per-subspace Lloyd chains instantiated over `res`, then the
@@ -5079,6 +5158,9 @@ object SparkEntry {
     "q159_pq_codes" -> pqOracleSql(m = 4, k = 4, dim = 64),
     "q181_ann_recall_eval" -> adcEvalOracleSql(m = 4, k = 4, dim = 64,
       nQueries = 5, topK = 5),
+
+    "q189_rrf_fusion" -> rrfFusionOracleSql(m = 4, k = 4, dim = 64,
+      nQueries = 5, topK = 5, k0 = 60),
 
     // q188: BM25 with the exact op order of Bm25.searchTopK — snapped
     // ln idf, 2.2/1.2/0.75 literals, term-ordered contribution fold.

@@ -168,6 +168,23 @@ class RecallSpec extends SparkSuite {
       f"rerank ($recallRr%.3f) below plain ADC ($recallAdc%.3f)")
   }
 
+  test("q189 RRF: consensus wins, both-lists beats one-list, hand-checked scores") {
+    def ranks(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    val sysA = ranks((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+    val sysB = ranks((1L, 100L, 1), (1L, 103L, 2), (1L, 101L, 3))
+    val got = graft.similarity.Fusion.rrf(Seq(sysA, sysB), k0 = 60, topK = 4)
+      .orderBy("rank")
+      .select("neighbor_id", "rrf").as[(Long, Double)].collect()
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def c(r: Int) = r6(1.0 / (60.0 + r))
+    // 100: rank 1 in both; 101: 2+3; 103/102: single-list
+    assert(got.map(_._1).toSeq === Seq(100L, 101L, 103L, 102L))
+    assert(got(0)._2 === r6(c(1) + c(1)))
+    assert(got(1)._2 === r6(c(2) + c(3)))
+    assert(got(2)._2 === r6(c(2)) && got(3)._2 === r6(c(3)))
+  }
+
   test("q185 hammingTopK: planted near-copies at rank 1; random-corpus floor") {
     // planted: the sign pattern of a copy is identical -> hamming 0
     val rnd = new scala.util.Random(43)
