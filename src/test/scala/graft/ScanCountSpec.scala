@@ -183,6 +183,24 @@ class ScanCountSpec extends SparkSuite {
     // exchange for the per-bucket rank windows + batch aggregate
     assert(scanCount("q180_length_batches") <= 1)
     assert(shuffleCount("q180_length_batches") <= 1)
+    // q184 incremental dedup: base fp aggregate + delta window + join
+    assert(scanCount("q184_incremental_dedup") <= 2)
+    assert(shuffleCount("q184_incremental_dedup") <= 3)
+    // q185 hamming: q50's scaffold on two longs per vector
+    assert(scanCount("q185_hamming_topk") <= 2)
+    assert(shuffleCount("q185_hamming_topk") <= 2)
+    // q186 PMI: both count tables checkpoint; broadcast joins +
+    // partial top-n leave NOTHING to shuffle
+    assert(scanCount("q186_pmi_collocations") === 0)
+    assert(shuffleCount("q186_pmi_collocations") === 0)
+    // q188 BM25: inverted index checkpoints once; scoring is joins
+    // over it + one (query, doc) aggregation + rank
+    assert(scanCount("q188_bm25_search") === 0)
+    assert(shuffleCount("q188_bm25_search") <= 5)
+    // q189 RRF: two fused systems' scans only; fusion layer is
+    // top-k-list-sized
+    assert(scanCount("q189_rrf_fusion") <= 4)
+    assert(shuffleCount("q189_rrf_fusion") <= 4)
   }
 
   test("the group-any window plans one scan and one shuffle") {
