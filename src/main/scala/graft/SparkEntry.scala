@@ -1806,6 +1806,24 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- Bloom-prefiltered benchmark decontamination (curation
+    // .Curate.bloomContamination): q81's exact n-gram overlap check
+    // with the TRAINING side prefiltered through a broadcast Bloom
+    // bit array (mBits = 2^16, k = 4) built from the benchmark
+    // shingles — the layout for when the eval-suite shingle set
+    // outgrows an exact broadcast (bits, not strings). Bloom has no
+    // false negatives and the exact verify join removes the false
+    // positives, so the result is EXACTLY the overlap and the oracle
+    // replays q81's SQL over this query's %89 split. BloomSpec pins
+    // the ≡-contamination property and the prefilter selectivity. ----
+    "q190_bloom_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.curation.Curate.bloomContamination(
+        train = docs.where(col("doc_id") % 89 =!= 0),
+        bench = docs.where(col("doc_id") % 89 === 0),
+        n = 3, mBits = 1 << 16, kHashes = 4)
+    }),
+
     "q189_rrf_fusion" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.where(col("vec_id") < 5)
@@ -8235,6 +8253,26 @@ object SparkEntry {
         |  FROM docs),
         |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0),
         |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT t.doc_id,
+        |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated_ngrams
+        |FROM train t JOIN bench b USING (shingle)
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // q190 = q81's exact semantics over the %89 split: the Bloom
+    // prefilter is an engine-side optimization that exact-verifies,
+    // so the oracle is the plain overlap SQL — any false positive
+    // surviving to the output would hash-mismatch here.
+    "q190_bloom_decontam" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 89 = 0),
+        |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 89 <> 0)
         |SELECT t.doc_id,
         |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated_ngrams
         |FROM train t JOIN bench b USING (shingle)

@@ -53,6 +53,51 @@ object Curate {
       .agg(count_distinct(col("shingle")).as("n_contaminated_ngrams"))
   }
 
+  /** [[contamination]] with a Bloom-filter prefilter on the training
+    * side — the variant for when the benchmark shingle set outgrows an
+    * exact broadcast hash set but its BITS still fit (10 bits/element
+    * at ~1% false positives vs 8+ bytes/element exact: a 10-billion-
+    * shingle eval suite is ~12 GB Bloom vs ~100+ GB exact).
+    *
+    * Build: bench shingles → k seeded bit POSITIONS (map-side) →
+    * distinct → collect. Driver state is bounded by `mBits` (the
+    * distinct positions), never by the bench size. Probe: the 100 TB
+    * training scan tests each shingle against the broadcast bit array
+    * (codegen'd fused loop, [[graft.functions.BloomMightContain]]);
+    * only survivors — true overlaps plus the ~fpp false-positive
+    * sliver — reach the exact verify join, so the one corpus-side
+    * shuffle carries a vanishing fraction of (id, shingle) pairs and
+    * the exact bench set is only joined against candidates (shuffle
+    * hash join, no broadcast needed). Bloom filters have NO false
+    * negatives, so verify restores exactness: output ≡ [[contamination
+    * ]] row-for-row (BloomSpec pins the equivalence and the prefilter
+    * selectivity; the oracle replays the exact semantics in SQL). */
+  def bloomContamination(train: DataFrame, bench: DataFrame, n: Int,
+                         mBits: Int, kHashes: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col(idCol), Text.tokens(col(textCol)).as("toks"))
+        .select(col(idCol),
+          explode(Text.shingles(col("toks"), n)).as("shingle"))
+    val benchSh = shingled(bench)
+    val positions = benchSh
+      .select(explode(graft.functions.HashFunctions.bloomPositions(
+        col("shingle"), kHashes, mBits)).as("p"))
+      .distinct()
+      .collect() // <= mBits rows — bounded driver state by construction
+      .map(_.getInt(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    val candidates = shingled(train).where(
+      graft.functions.HashFunctions.bloomMightContain(
+        col("shingle"), words.toIndexedSeq, kHashes))
+    candidates
+      .join(benchSh.select("shingle").distinct(), "shingle")
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("shingle")).as("n_contaminated_ngrams"))
+  }
+
   /** Deterministic train/val/test assignment from the id alone:
     * bucket = first 8 hex digits of md5(id) mod 100, then
     * [0, trainPct) -> train, [trainPct, trainPct+valPct) -> val,

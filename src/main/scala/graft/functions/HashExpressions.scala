@@ -168,6 +168,41 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** `k` Bloom bit positions of a string: pos_s = floorMod(
+    * xxhash64(bytes, seed = s), mBits) for s in 0 until k. The build
+    * side of the Bloom prefilter — positions, not bits, so the
+    * distributed distinct-and-collect is bounded by mBits regardless
+    * of how many elements feed the filter. */
+  def bloomPositions(s: UTF8String, k: Int, mBits: Int): ArrayData = {
+    val out = new Array[Int](k)
+    var i = 0
+    while (i < k) {
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, i.toLong)
+      out(i) = java.lang.Math.floorMod(h, mBits.toLong).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Bloom membership probe against a 64-bit-word bit array (m =
+    * 64 * words.length): true iff ALL `k` seeded-xxhash64 positions
+    * are set. One-sided: may return true for absent elements (false
+    * positives), never false for present ones. */
+  def bloomContains(s: UTF8String, words: Array[Long], k: Int): Boolean = {
+    val m = words.length.toLong * 64L
+    var i = 0
+    while (i < k) {
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, i.toLong)
+      val pos = java.lang.Math.floorMod(h, m)
+      if ((words((pos >>> 6).toInt) & (1L << (pos & 63L).toInt)) == 0L)
+        return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** simhash64(array<string>) -> bigint. */
@@ -344,6 +379,54 @@ case class WordSpans(child: Expression, w: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** bloom_positions(string, k, mBits) -> array<int> of the k seeded
+  * bit positions — the BUILD side of the Bloom prefilter. */
+case class BloomPositions(child: Expression, k: Int, mBits: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
+  require(mBits >= 64 && mBits % 64 == 0,
+    s"bloom mBits must be a positive multiple of 64, got $mBits")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bloom_positions"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bloomPositions(v.asInstanceOf[UTF8String], k, mBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bloomPositions($c, $k, $mBits)")
+
+  override protected def withNewChildInternal(c: Expression): BloomPositions =
+    copy(child = c)
+}
+
+/** bloom_might_contain(string) -> boolean against a driver-built bit
+  * array shipped ONCE as a codegen reference object (the [[graft.text
+  * .BpeSegmentAll]] pattern): plan size and analysis cost are
+  * independent of the filter size, and the probe is a fused per-row
+  * loop — k seeded xxhash64s + k bit tests, no string copies. */
+case class BloomMightContain(child: Expression, words: Seq[Long], k: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 16, s"bloom k must be in [1, 16], got $k")
+  require(words.nonEmpty, "empty bloom bit array")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  private lazy val wordArr = words.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bloomContains(v.asInstanceOf[UTF8String], wordArr, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("bloomWords", wordArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.bloomContains($c, $wRef, $k)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}
+
 object HashFunctions {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
@@ -366,4 +449,10 @@ object HashFunctions {
   def signatureAgreement(a: Column, b: Column): Column =
     GraftBridge.column(SignatureAgreement(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def bloomPositions(s: Column, k: Int, mBits: Int): Column =
+    GraftBridge.column(BloomPositions(GraftBridge.expression(s), k, mBits))
+
+  def bloomMightContain(s: Column, words: Seq[Long], k: Int): Column =
+    GraftBridge.column(BloomMightContain(GraftBridge.expression(s), words, k))
 }
