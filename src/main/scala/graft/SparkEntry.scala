@@ -1806,6 +1806,20 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- Gopher REPETITION rules (Rae et al. 2021 Table A1, the
+    // other half of q177's hard rules): top 2/3/4-gram character
+    // fraction and duplicate 5..10-gram character mass per document,
+    // each from ONE fused native run-scan (functions.RunStats) over
+    // the codegen'd word_spans n-grams — per-row work, the corpus
+    // never shuffles, no explode/groupBy (the per-doc mode must not
+    // become a corpus-wide aggregation at 100 TB). The keep flag is
+    // the paper's nine thresholds compared in EXACT integer
+    // arithmetic (count·chars·100 ≤ pct·doc_chars), so no float
+    // boundary can flip it between engines. ----
+    "q191_repetition_rules" -> ((s, dir) =>
+      graft.text.GopherRules.repetitionReport(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- Bloom-prefiltered benchmark decontamination (curation
     // .Curate.bloomContamination): q81's exact n-gram overlap check
     // with the TRAINING side prefiltered through a broadcast Bloom
@@ -4256,6 +4270,51 @@ object SparkEntry {
     * count over the exploded per-word symbol state, the (n desc, l, r)
     * top-1 (DuckDB varchar comparison is memcmp, same as Spark's
     * UTF8String binary order), and the greedy merge application. */
+  /** q191's oracle: per n in 2..10 the n-gram multiset groups per doc;
+    * n ≤ 4 takes the top type's cnt·chars mass (tie: cnt DESC, gram
+    * ASC — the kernel's first-max-run-in-sorted-order), n ≥ 5 sums
+    * cnt·chars over types with cnt ≥ 2. Masses are exact integers;
+    * the keep flag compares them scaled by 100 against pct·doc_chars
+    * so no float boundary exists. */
+  private def repetitionOracleSql: String = {
+    val pct = Map(2 -> 20, 3 -> 18, 4 -> 16, 5 -> 15, 6 -> 14,
+      7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    def gramCtes(n: Int) =
+      s"""g$n AS (SELECT doc_id, array_to_string(ts[i:i+${n - 1}], ' ') AS g
+         |  FROM toks, unnest(range(1, len(ts) - ${n - 2})) AS r(i)
+         |  WHERE len(ts) >= $n),
+         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM g$n GROUP BY 1, 2)""".stripMargin
+    def massCte(n: Int) =
+      if (n <= 4)
+        s"""m$n AS (SELECT doc_id, cnt * len(g) AS m FROM (
+           |  SELECT doc_id, g, cnt,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rk
+           |  FROM c$n) t WHERE rk = 1)""".stripMargin
+      else
+        s"""m$n AS (SELECT doc_id, CAST(sum(cnt * len(g)) AS BIGINT) AS m
+           |  FROM c$n WHERE cnt >= 2 GROUP BY 1)""".stripMargin
+    def fracCol(n: Int, name: String) =
+      s"  ${round6Sql(s"CAST(COALESCE(m$n.m, 0) AS DOUBLE) / b.nc")} AS $name"
+    val fracs =
+      Seq(fracCol(2, "top_2gram_char_frac"), fracCol(3, "top_3gram_char_frac"),
+        fracCol(4, "top_4gram_char_frac")) ++
+        (5 to 10).map(n => fracCol(n, s"dup_${n}gram_char_frac"))
+    val keep = (2 to 10)
+      .map(n => s"COALESCE(m$n.m, 0) * 100 <= ${pct(n)} * b.nc")
+      .mkString("\n    AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts,
+       |    CAST(len(trim(text)) AS BIGINT) AS nc
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |${(2 to 10).map(gramCtes).mkString(",\n")},
+       |${(2 to 10).map(massCte).mkString(",\n")}
+       |SELECT b.doc_id,
+       |${fracs.mkString(",\n")},
+       |  ($keep) AS keep
+       |FROM toks b
+       |${(2 to 10).map(n => s"LEFT JOIN m$n ON m$n.doc_id = b.doc_id").mkString("\n")}""".stripMargin
+  }
+
   private def bpeMergeOracleSql(rounds: Int): String = {
     val head =
       """WITH vocab AS (
@@ -8257,6 +8316,8 @@ object SparkEntry {
         |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated_ngrams
         |FROM train t JOIN bench b USING (shingle)
         |GROUP BY t.doc_id""".stripMargin,
+
+    "q191_repetition_rules" -> repetitionOracleSql,
 
     // q190 = q81's exact semantics over the %89 split: the Bloom
     // prefilter is an engine-side optimization that exact-verifies,

@@ -101,4 +101,48 @@ object GopherRules {
       meanLen.as("mean_word_len"), mask.as("fail_mask"),
       (mask === 0).as("keep"))
   }
+
+  /** Rae et al. 2021 Table A1's REPETITION half (the companion of
+    * [[flags]]): per document, the character fraction covered by the
+    * most frequent 2/3/4-gram and the count×chars mass of duplicated
+    * 5..10-grams (type-count formulation), plus the paper's keep flag
+    * at its nine thresholds — top n-gram 20/18/16 %, duplicate n-gram
+    * 15/14/13/12/11/10 %.
+    *
+    * Scale shape: nine fused [[graft.functions.RunStats]] native
+    * run-scans over codegen'd `word_spans` n-grams — all per-row, the
+    * corpus never shuffles and the per-doc mode never becomes a
+    * corpus-wide groupBy. Masses are exact integers and the keep flag
+    * compares count·chars·100 ≤ pct·doc_chars in integer arithmetic,
+    * so no float boundary can flip a verdict between engines; the
+    * reported fractions are single IEEE divisions on the 1e-6 grid
+    * (q191's oracle mirrors both). Empty/whitespace-only docs are
+    * dropped (no character denominator). */
+  def repetitionReport(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    import graft.functions.{HashFunctions, TextFunctions}
+    val base = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"),
+        length(trim(col(textCol))).cast("long").as("__nc"))
+    def rs(n: Int) = TextFunctions.runStats(
+      HashFunctions.wordSpans(col("__toks"), n)).as(s"__rs$n")
+    val st = base.select(
+      col(idCol) +: col("__nc") +: (2 to 10).map(rs): _*)
+    def mass(n: Int) =
+      if (n <= 4) col(s"__rs$n.top_count").cast("long") * col(s"__rs$n.top_chars")
+      else col(s"__rs$n.dup_chars")
+    def frac(n: Int, name: String) =
+      round6(mass(n).cast("double") / col("__nc")).as(name)
+    val pct = Map(2 -> 20L, 3 -> 18L, 4 -> 16L, 5 -> 15L, 6 -> 14L,
+      7 -> 13L, 8 -> 12L, 9 -> 11L, 10 -> 10L)
+    val keep = (2 to 10).map(n =>
+      mass(n) * 100L <= lit(pct(n)) * col("__nc")).reduce(_ && _)
+    st.select(
+      col(idCol) +:
+        frac(2, "top_2gram_char_frac") +: frac(3, "top_3gram_char_frac") +:
+        frac(4, "top_4gram_char_frac") +:
+        (5 to 10).map(n => frac(n, s"dup_${n}gram_char_frac")) :+
+        keep.as("keep"): _*)
+  }
 }
