@@ -1806,6 +1806,31 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- IVFADC index APPEND (similarity.Ann.ivfPqAppendIndex):
+    // q169's written index under the shard-arrival maintenance shape —
+    // the index is BUILT on the base corpus (vec_id % 5 ≠ 4, so the
+    // deterministic Lloyd inits come from the same lowest ids), the
+    // delta is coded map-only under the FROZEN state and appended
+    // into its coarse cells' partition dirs with the arithmetic
+    // sidecar-digest update (Vc.appendPartitioned — O(delta), base
+    // never rescanned), and the probe searches the MERGED index with
+    // pruning intact. Oracle = the q162 CTE chain with both quantizer
+    // levels trained over the base predicate and coding over the full
+    // corpus — exactly the frozen-state semantics, hash-exact. ----
+    "q192_ivfpq_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = SparkEntry.ivfPqIndexCache.computeIfAbsent(s"$dir#append", _ => {
+        val path = tempResultDir("ivfpq_app") + "/codes"
+        val built = graft.similarity.Ann.ivfPqBuildIndex(
+          e.where(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+          kc = 4, m = 4, k = 4, iters = 2, path)
+        graft.similarity.Ann.ivfPqAppendIndex(built,
+          e.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      })
+      graft.similarity.Ann.ivfPqSearchIndex(idx, e.where(col("vec_id") < 4),
+        "vec_id", "embedding", nprobe = 2, topK = 5)
+    }),
+
     // ---- Gopher REPETITION rules (Rae et al. 2021 Table A1, the
     // other half of q177's hard rules): top 2/3/4-gram character
     // fraction and duplicate 5..10-gram character mass per document,
@@ -4484,17 +4509,23 @@ object SparkEntry {
   /** The m per-subspace Lloyd CTE chains (no WITH header) over any
     * source CTE exposing (vec_id, v) — `src = "e"` for q159/q160's
     * direct PQ, `src = "res"` for q162's residual PQ. */
-  private def pqSubCtes(m: Int, k: Int, dim: Int, src: String): String = {
+  private def pqSubCtes(m: Int, k: Int, dim: Int, src: String,
+                        trainPred: Option[String] = None): String = {
     require(dim % m == 0)
     val sub = dim / m
     val perSub = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = (s + 1) * sub
+      // see ivfPqAdcCtes: train over `et_N` when trainPred is set,
+      // final assignment (d1_N/a1_N) always over the full e_N
+      val tr = if (trainPred.isDefined) s"et_$s" else s"e_$s"
+      val etCte = trainPred
+        .map(p => s"et_$s AS (SELECT * FROM e_$s WHERE $p),\n").getOrElse("")
       s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
-         |c0_$s AS (SELECT vec_id AS cid, v AS cv FROM e_$s WHERE vec_id < $k),
-         |d0_$s AS (SELECT e_$s.vec_id, c0_$s.cid,
-         |         CAST(floor(list_sum(list_transform(list_zip(e_$s.v, c0_$s.cv),
+         |${etCte}c0_$s AS (SELECT vec_id AS cid, v AS cv FROM $tr WHERE vec_id < $k),
+         |d0_$s AS (SELECT $tr.vec_id, c0_$s.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip($tr.v, c0_$s.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
-         |       FROM e_$s, c0_$s),
+         |       FROM $tr, c0_$s),
          |a0_$s AS (SELECT vec_id, cid FROM (
          |         SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
@@ -4503,7 +4534,7 @@ object SparkEntry {
          |ex_$s AS (SELECT vec_id,
          |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
          |                recursive := true)
-         |       FROM e_$s),
+         |       FROM $tr),
          |upd_$s AS (SELECT a0_$s.cid, ex_$s.dim,
          |          sum(CAST(floor(ex_$s.x*1048576.0 + 0.5) AS BIGINT)) AS s,
          |          count(*) AS n
@@ -4685,8 +4716,9 @@ object SparkEntry {
     * residual, and scores ONLY vectors assigned to probed cells. */
   private def ivfPqSearchOracleSql(kc: Int, m: Int, k: Int, dim: Int,
                                    nQueries: Int, nprobe: Int,
-                                   topK: Int): String =
-    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe) +
+                                   topK: Int,
+                                   trainPred: Option[String] = None): String =
+    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe, trainPred) +
       s"""
          |SELECT query_id, neighbor_id, adc_micros, CAST(rk AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (
@@ -4722,14 +4754,25 @@ object SparkEntry {
   /** Shared q162/q164 CTE chain: coarse Lloyd → residuals →
     * per-subspace PQ → probe → per-subspace ADC scores → `adc`. */
   private def ivfPqAdcCtes(kc: Int, m: Int, k: Int, dim: Int,
-                           nQueries: Int, nprobe: Int): String = {
+                           nQueries: Int, nprobe: Int,
+                           trainPred: Option[String] = None): String = {
     val sub = dim / m
+    // q192's append variant: the quantizer levels TRAIN over the base
+    // rows only (`et`), while the final assignment/coding chains
+    // (d1/a1/res and the per-subspace d1_s/a1_s) stay over the full
+    // corpus — exactly what build-on-base + frozen-state delta coding
+    // produces. With trainPred = None the emitted text is byte-
+    // identical to the shared q162/q164/q169 chain
+    // (OracleConsistencySpec pins that stability).
+    val tr = if (trainPred.isDefined) "et" else "e"
+    val etCte = trainPred
+      .map(p => s"et AS (SELECT * FROM e WHERE $p),\n").getOrElse("")
     val coarse =
-      s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $kc),
-         |d0 AS (SELECT e.vec_id, c0.cid,
-         |         CAST(floor(list_sum(list_transform(list_zip(e.v, c0.cv),
+      s"""${etCte}c0 AS (SELECT vec_id AS cid, v AS cv FROM $tr WHERE vec_id < $kc),
+         |d0 AS (SELECT $tr.vec_id, c0.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip($tr.v, c0.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
-         |       FROM e, c0),
+         |       FROM $tr, c0),
          |a0 AS (SELECT vec_id, cid FROM (
          |         SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
@@ -4738,7 +4781,7 @@ object SparkEntry {
          |ex AS (SELECT vec_id,
          |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
          |                recursive := true)
-         |       FROM e),
+         |       FROM $tr),
          |upd AS (SELECT a0.cid, ex.dim,
          |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
          |          count(*) AS n
@@ -4771,7 +4814,7 @@ object SparkEntry {
     val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
     "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
       "           FROM embeddings),\n" + coarse + ",\n" +
-      pqSubCtes(m, k, dim, src = "res") +
+      pqSubCtes(m, k, dim, src = "res", trainPred = trainPred) +
       s""",
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
          |qd AS (SELECT q.query_id, q.qv, c1.cid AS gcell, c1.cv AS gcv,
@@ -4821,6 +4864,12 @@ object SparkEntry {
     // exactly, so the oracle IS q162's CTE chain at equal parameters
     "q169_ivfpq_index_probe" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5),
+    // q192 = the same chain with BOTH quantizer levels trained over
+    // the base predicate only (the frozen-state append semantics);
+    // coding/probe/ranking stay over the full corpus.
+    "q192_ivfpq_index_append" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, topK = 5,
+      trainPred = Some("vec_id % 5 <> 4")),
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6

@@ -341,6 +341,50 @@ object Vc {
     Files.writeString(Paths.get(dir, "_vc.yml"), yml)
   }
 
+  /** Incremental append to a [[writePartitioned]] table — the
+    * index-maintenance path (e.g. new embedding shards joining a
+    * written IVFADC index, q192): the delta's rows land in their
+    * hive partition directories via SaveMode.Append, and the
+    * sidecar's `data_hash` is updated ARITHMETICALLY — the digest is
+    * an exact integer SUM of per-row hashes ([[dataDigest]]), so
+    * digest(base ∪ delta) = digest(base) + digest(delta) and the
+    * append never rescans the base. That is the property that keeps
+    * the verified-table contract affordable at 100 TB: maintenance
+    * cost is O(delta), while `readPartitioned(verify = true)` remains
+    * the full-scan audit and still validates the merged table
+    * (`VcPartitionedSpec` pins the round trip).
+    *
+    * The delta must match the existing sidecar's column set — loud
+    * fail otherwise (appending a drifted schema would corrupt the
+    * descriptor contract, not just the digest). */
+  def appendPartitioned(df: DataFrame, dir: String): Unit = {
+    val blocks = parseSidecar(Files.readString(Paths.get(dir, "_vc.yml")))
+    val generic = blocks.find(_._1 == "..generic").getOrElse(
+      throw new IllegalStateException(s"$dir/_vc.yml has no ..generic block"))
+    val cols = blocks.filterNot(_._1 == "..generic").map(_._1)
+    require(df.columns.toSet == cols.toSet,
+      s"append schema ${df.columns.toSeq.sorted} does not match sidecar " +
+        s"columns ${cols.sorted} at $dir")
+    val partitionCols = generic._3.getOrElse("partitioning", Nil)
+    val sortKeys = generic._3.getOrElse("sorting", Nil)
+    require(partitionCols.nonEmpty,
+      s"$dir is not a partitioned table (no partitioning in sidecar)")
+    val ordered = df.select(cols.map(col): _*)
+    val sorted =
+      if (sortKeys.nonEmpty) ordered.sortWithinPartitions(sortKeys.map(col): _*)
+      else ordered
+    sorted.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .parquet(dir)
+    val oldHash = BigInt(generic._2.getOrElse("data_hash",
+      throw new IllegalStateException(s"$dir/_vc.yml has no data_hash")))
+    val deltaHash = BigInt(dataDigest(ordered, cols))
+    val old = Files.readString(Paths.get(dir, "_vc.yml"))
+    Files.writeString(Paths.get(dir, "_vc.yml"),
+      old.replace(s"data_hash: ${generic._2("data_hash")}",
+        s"data_hash: ${(oldHash + deltaHash).toString}"))
+  }
+
   /** Verified read of a [[writePartitioned]] table: restores the
     * sidecar column order and classes (the partition column comes back
     * from directory names, so its sidecar class wins over inference),

@@ -748,6 +748,51 @@ object Ann {
     IvfPqIndex(path, state)
   }
 
+  /** Code vectors with a FROZEN trained [[IvfPqState]] — the serving-
+    * side index-maintenance path (no training scans): coarse argmin
+    * over the broadcast centroids, residual via the codegen'd
+    * [[graft.functions.VectorFunctions.vecSub]], PQ argmins off the
+    * broadcast codebooks — ONE scan of `df`, ZERO shuffles, identical
+    * assignment semantics to the build ((micros, cid)-ordered
+    * argmins), so coding new rows under the frozen state equals what
+    * a full rebuild with the same state would produce
+    * (`IvfPqIndexSpec` pins the property). Returns
+    * (neighbor_id, gcell, code_0..code_{m-1}). */
+  def ivfPqCodeWithState(df: DataFrame, idCol: String, vecCol: String,
+                         state: IvfPqState): DataFrame = {
+    val e = df.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val centMap = typedLit(state.cents.toMap)
+    val gdists = state.cents.map { case (cid, c) =>
+      struct(VectorFunctions.squaredL2Micros(col("v"), typedLit(c)).as("dm"),
+        lit(cid).as("cid"))
+    }
+    val res = e
+      .withColumn("best", element_at(array_sort(array(gdists: _*)), 1))
+      .select(col("vec_id"), col("best.cid").as("gcell"),
+        VectorFunctions.vecSub(col("v"),
+          element_at(centMap, col("best.cid"))).as("v"))
+    pqAssigned(res, state.books, state.sub)
+      .select(col("vec_id").as("neighbor_id") +: col("gcell") +:
+        state.books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
+  }
+
+  /** Append NEW vectors to a WRITTEN IVFADC index without retraining —
+    * the shard-arrival shape of index maintenance (Jégou-style IVF
+    * deployments re-train rarely and append constantly): the delta is
+    * coded map-only under the index's frozen state
+    * ([[ivfPqCodeWithState]]) and lands in its coarse cells'
+    * partition directories through the arithmetic-digest append
+    * ([[graft.io.Vc.appendPartitioned]] — O(delta) cost, the base is
+    * never rescanned and the sidecar contract survives). Probes over
+    * the merged index still prune to the probed cells' files. */
+  def ivfPqAppendIndex(index: IvfPqIndex, delta: DataFrame,
+                       idCol: String, vecCol: String): IvfPqIndex = {
+    val coded = ivfPqCodeWithState(delta, idCol, vecCol, index.state)
+    graft.io.Vc.appendPartitioned(coded, index.path)
+    index
+  }
+
   /** ADC top-k search over a WRITTEN index ([[ivfPqBuildIndex]]): the
     * probed cell ids are driver state (≤ queries × nprobe, the tiny
     * serving side), pushed as a literal IN filter into the partitioned

@@ -73,6 +73,42 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(fromIndex === inMemory)
   }
 
+  test("append: frozen-state delta coding + arithmetic digest survive the full audit") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-append")
+      .toString + "/codes"
+    val base = emb.where(col("vec_id") % 5 =!= 4)
+    val delta = emb.where(col("vec_id") % 5 === 4)
+    val built = Ann.ivfPqBuildIndex(base, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+    Ann.ivfPqAppendIndex(built, delta, "vec_id", "embedding")
+    // the arithmetic digest update (old + delta, no base rescan) must
+    // equal the full-scan digest the verifying reader recomputes
+    val merged = graft.io.Vc.readPartitioned(spark, path, verify = true)
+    assert(merged.count() === emb.count())
+    // appended rows ≡ coding the delta under the frozen state; the
+    // merged table ≡ coding the FULL corpus under the frozen state
+    val expected = Ann.ivfPqCodeWithState(emb, "vec_id", "embedding",
+        built.state)
+      .orderBy("neighbor_id").collect().toSeq
+    val got = merged
+      .select(expected.head.schema.fieldNames.map(col): _*)
+      .orderBy("neighbor_id").collect().toSeq
+    assert(got === expected)
+  }
+
+  test("append loud-fails on a drifted delta schema") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-drift")
+      .toString + "/codes"
+    val built = Ann.ivfPqBuildIndex(emb, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+    val bad = Ann.ivfPqCodeWithState(emb.limit(3), "vec_id", "embedding",
+      built.state).withColumnRenamed("code_0", "code_x")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Vc.appendPartitioned(bad, path)
+    }
+    assert(e.getMessage.contains("does not match sidecar"))
+  }
+
   test("the pruned probe read plans no shuffle on the corpus side") {
     // candidate generation = pruned scan + broadcast probes join; the
     // index side must reach the ADC scoring without an exchange
