@@ -201,6 +201,17 @@ class ScanCountSpec extends SparkSuite {
     // top-k-list-sized
     assert(scanCount("q189_rrf_fusion") <= 4)
     assert(shuffleCount("q189_rrf_fusion") <= 4)
+    // q190 bloom decontam: train scan + bench scan (the bloom build
+    // side collected eagerly at construction); the corpus-side
+    // shuffle carries only bloom survivors into the exact verify join
+    // + the per-doc count-distinct
+    assert(scanCount("q190_bloom_decontam") <= 3)
+    assert(shuffleCount("q190_bloom_decontam") <= 4)
+    // q191 repetition rules: nine fused run-scans in ONE map-only
+    // projection — any shuffle here means the per-doc mode regressed
+    // to a corpus-wide groupBy
+    assert(scanCount("q191_repetition_rules") <= 1)
+    assert(shuffleCount("q191_repetition_rules") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {
