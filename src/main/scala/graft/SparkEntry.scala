@@ -1806,6 +1806,18 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- duplicated-span REMOVAL with text reconstitution (dedup
+    // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
+    // completing q161's keep-flag): token positions covered by any
+    // 8-token window repeating corpus-wide are deleted and the doc is
+    // reassembled in order. Spans/positions shuffle as (key, id, pos)
+    // triples — text only materializes in the final reassembly,
+    // whose payload is the output. Hash-exact: integer positions,
+    // deterministic order-by-position rebuild. ----
+    "q193_dup_span_removal" -> ((s, dir) =>
+      graft.dedup.Dedup.removeDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", w = 8)),
+
     // ---- IVFADC index APPEND (similarity.Ann.ivfPqAppendIndex):
     // q169's written index under the shard-arrival maintenance shape —
     // the index is BUILT on the base corpus (vec_id % 5 ≠ 4, so the
@@ -8367,6 +8379,33 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q191_repetition_rules" -> repetitionOracleSql,
+
+    // q193: same span grammar as q161 (8-token windows, corpus-wide
+    // totals), then delete covered positions and rebuild the text in
+    // position order. Engine positions are 0-based and the oracle's
+    // 1-based, but positions never surface — each side is
+    // self-consistent.
+    "q193_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |sp AS (
+        |  SELECT doc_id, i, array_to_string(ts[i:i+7], ' ') AS span
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS r(i)
+        |  WHERE len(ts) >= 8),
+        |dup AS (SELECT span FROM sp GROUP BY span HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT sp.doc_id, j AS pos
+        |        FROM sp JOIN dup USING (span), unnest(range(sp.i, sp.i + 8)) AS rj(j)),
+        |base AS (
+        |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens, i AS pos, ts[i] AS tok
+        |  FROM toks, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT b.doc_id, b.n_tokens, b.pos, b.tok
+        |  FROM base b ANTI JOIN cov c ON b.doc_id = c.doc_id AND b.pos = c.pos)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - count(*) AS BIGINT) AS n_removed,
+        |  array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |FROM kept GROUP BY doc_id, n_tokens""".stripMargin,
 
     // q190 = q81's exact semantics over the %89 split: the Bloom
     // prefilter is an engine-side optimization that exact-verifies,

@@ -670,4 +670,60 @@ object Dedup {
       .withColumn("keep",
         col("dup_spans") * lit(1000L) <= lit(maxDupPerMille.toLong) * col("n_spans"))
   }
+
+  /** Duplicated-span REMOVAL with text reconstitution — the transform
+    * half of [[dupSpanStats]]'s flag (Lee et al. 2022 §4 deduplicate
+    * the corpus by DELETING the repeated substrings, not by dropping
+    * whole documents): every token position covered by any `w`-token
+    * window whose span string repeats corpus-wide is removed, and the
+    * surviving tokens are re-joined in order. Documents whose every
+    * position is covered disappear entirely (they were pure
+    * boilerplate); empty/whitespace docs are dropped up front.
+    *
+    * Scale shape: spans explode once off the codegen'd `word_spans`
+    * kernel; the span-total aggregation and the dup-span join-back
+    * shuffle (span, id, pos) triples only — never text; covered
+    * positions and the anti-join shuffle (id, pos) pairs; tokens are
+    * only materialized in the final per-doc reassembly, whose payload
+    * IS the output. For the 100 TB hot path the span shuffle key can
+    * ride xxhash64 exactly as [[dupSpanStats]]'s `hashed` variant
+    * (collisions would only over-delete a ~2^-64 sliver); the
+    * oracle-gated query keeps raw spans so DuckDB can replay it.
+    * Returns (id, n_tokens, n_removed, clean_text), hash-exact
+    * (integer positions, deterministic order-by-position reassembly).
+    */
+  def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
+                     w: Int): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+    val spans = toks.select(col(idCol),
+      posexplode(graft.functions.HashFunctions.wordSpans(col("__toks"), w))
+        .as(Seq("pos0", "span")))
+    val dupSpans = spans.groupBy("span")
+      .agg(count(lit(1)).as("total"))
+      .where(col("total") > 1)
+      .select("span")
+    val covered = spans.join(dupSpans, Seq("span"))
+      .select(col(idCol),
+        explode(sequence(col("pos0"), col("pos0") + lit(w - 1))).as("pos"))
+      .distinct()
+    val base = toks.select(col(idCol), col("__toks"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .select(col(idCol), size(col("__toks")).as("n_tokens"),
+        col("pos"), col("tok"))
+    base.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_kept"),
+        // sort INSIDE the aggregate result, transform in a separate
+        // projection whose lambda child is a bare attribute — an
+        // interpreted HOF re-evaluates its child per element (the
+        // q161 trap), which must never be the sort itself
+        array_sort(collect_list(struct(col("pos"), col("tok")))).as("__sorted"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens").cast("long") - col("n_kept")).as("n_removed"),
+        array_join(transform(col("__sorted"), s => s.getField("tok")), " ")
+          .as("clean_text"))
+  }
 }

@@ -114,4 +114,35 @@ class DupSpanSpec extends SparkSuite {
     assert(SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop).passed)
   }
+
+  // --- removeDupSpans (q193): the transform half ---------------------
+
+  test("removeDupSpans deletes covered positions and reassembles in order") {
+    // w=4: d1/d2 share "a b c d" -> positions 0..3 of d1 and 1..4 of
+    // d2 are covered; the survivors keep their original order
+    val got = Dedup.removeDupSpans(fixture, "text", "doc_id", w = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, 6, 4L, "x1 y1"),
+      (2L, 6, 4L, "z2 w2"),
+      // d3 = "p q r s k" twice: every 4-window repeats? spans at 0..6;
+      // "q r s k" (1) vs (6)? positions 6 = "r s k p"... only
+      // "p q r s"(0,5) and "q r s k"(1,6) repeat -> covered 0..4,5..9
+      // minus none -> all 10 covered? 0..3,5..8 from pqrs + 1..4,6..9
+      // from qrsk = 0..9 -> d3 disappears below, asserted separately
+      (4L, 6, 0L, "u1 u2 u3 u4 u5 u6"),
+      (5L, 2, 0L, "t1 t2")))
+    assert(!got.map(_._1).contains(3L),
+      "a fully-boilerplate doc must disappear entirely")
+  }
+
+  test("removeDupSpans leaves a corpus with no repeats untouched") {
+    val docs = Seq((1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(docs, "text", "doc_id", w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 0L), (2L, 0L)))
+  }
 }
