@@ -1806,6 +1806,25 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- character-entropy gibberish filter (functions.CharEntropy):
+    // Shannon entropy of the non-whitespace char distribution, the
+    // low-diversity signal CCNet-adjacent pipelines gate on next to
+    // LM perplexity. ONE codegen'd kernel per row — counts, −p·ln p
+    // per codepoint snapped to integer micros, summed EXACTLY
+    // (order-free) — no explode, no shuffle; keep = entropy ≥ 2 nats
+    // compared on the integers. Hash-exact via the q92 rounded-ln
+    // recipe (oracle mirrors the float op sequence token-for-token).
+    "q194_char_entropy" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.charEntropy(col("text")).as("e"))
+        .where(col("e.n_chars") > 0)
+      st.select(col("doc_id"), col("e.n_chars").as("n_chars"),
+        col("e.distinct_chars").as("distinct_chars"),
+        col("e.entropy_micros").as("entropy_micros"),
+        (col("e.entropy_micros") >= 2000000L).as("keep"))
+    }),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -8379,6 +8398,27 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q191_repetition_rules" -> repetitionOracleSql,
+
+    // q194: per-char micro-contributions floor(−(p·ln p)·1e6 + 0.5)
+    // summed as exact integers (order-free), p = cnt / total in the
+    // identical division; keep compared on the integers.
+    "q194_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(text, '\s', '', 'g'), '')) AS ch
+        |  FROM documents WHERE length(regexp_replace(text, '\s', '', 'g')) > 0),
+        |cnts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total,
+        |          CAST(count(*) AS INTEGER) AS distinct_chars
+        |        FROM cnts GROUP BY 1),
+        |h AS (SELECT c.doc_id,
+        |        CAST(sum(CAST(floor(
+        |          -((c.cnt / CAST(t.total AS DOUBLE)) * ln(c.cnt / CAST(t.total AS DOUBLE)))
+        |          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS em
+        |      FROM cnts c JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT t.doc_id, CAST(t.total AS INTEGER) AS n_chars, t.distinct_chars,
+        |  h.em AS entropy_micros, h.em >= 2000000 AS keep
+        |FROM tot t JOIN h USING (doc_id)""".stripMargin,
 
     // q193: same span grammar as q161 (8-token windows, corpus-wide
     // totals), then delete covered positions and rebuild the text in

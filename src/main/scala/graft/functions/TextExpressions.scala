@@ -61,6 +61,61 @@ object TextKernels {
     }
     InternalRow(topCount, topChars, dupElems, dupChars)
   }
+
+  /** Shannon entropy of the non-whitespace character distribution —
+    * the classic gibberish / low-diversity signal (CCNet-adjacent
+    * pipelines gate on it next to the LM perplexity): per distinct
+    * codepoint, contribution −p·ln(p) snapped to integer
+    * 1e-6 micros, SUMMED AS EXACT INTEGERS so the total is
+    * order-independent and cross-engine exact up to the snapped ln
+    * (the q92 rounded-ln house pattern; the oracle mirrors
+    * `floor(−(p·ln p)·1e6 + 0.5)` token-for-token). Whitespace =
+    * regex `\s` ([ \t\n\f\r]), matching the oracle's RE2 strip.
+    * Returns (n_chars, distinct_chars, entropy_micros); the all-
+    * whitespace row returns zeros (callers filter n_chars > 0). */
+  def charEntropy(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val counts = scala.collection.mutable.HashMap.empty[Int, Int]
+    var total = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) {
+        counts.update(cp, counts.getOrElse(cp, 0) + 1)
+        total += 1
+      }
+      i += Character.charCount(cp)
+    }
+    if (total == 0) return InternalRow(0, 0, 0L)
+    var micros = 0L
+    counts.valuesIterator.foreach { cnt =>
+      val p = cnt.toDouble / total
+      micros += math.floor(-(p * math.log(p)) * 1e6 + 0.5).toLong
+    }
+    InternalRow(total, counts.size, micros)
+  }
+}
+
+/** char_entropy(string) ->
+  * struct<n_chars:int, distinct_chars:int, entropy_micros:bigint>. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("distinct_chars", IntegerType, nullable = false),
+    StructField("entropy_micros", LongType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.charEntropy(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.charEntropy($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy =
+    copy(child = c)
 }
 
 /** run_stats(array<string>) ->
@@ -90,4 +145,7 @@ case class RunStats(child: Expression) extends UnaryExpression {
 object TextFunctions {
   def runStats(arr: Column): Column =
     GraftBridge.column(RunStats(GraftBridge.expression(arr)))
+
+  def charEntropy(s: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(s)))
 }
