@@ -212,6 +212,17 @@ class ScanCountSpec extends SparkSuite {
     // to a corpus-wide groupBy
     assert(scanCount("q191_repetition_rules") <= 1)
     assert(shuffleCount("q191_repetition_rules") === 0)
+    // q193 span removal: THREE documents scans — span totals, the
+    // dup-span join-back, and the token reassembly (the Lee et al.
+    // multi-pass topology; each pass is map-side span/position work,
+    // and checkpointing the corpus-scale span set would cost more
+    // than the re-scan). Shuffles carry (span|id, pos) tuples + the
+    // final per-doc rebuild.
+    assert(scanCount("q193_dup_span_removal") <= 3)
+    assert(shuffleCount("q193_dup_span_removal") <= 6)
+    // q194 char entropy: one kernel projection, map-only
+    assert(scanCount("q194_char_entropy") <= 1)
+    assert(shuffleCount("q194_char_entropy") === 0)
   }
 
   test("the group-any window plans one scan and one shuffle") {
