@@ -1806,6 +1806,31 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- HYBRID sparse+dense retrieval (the RAG-stack standard:
+    // BM25 keyword ranking + PQ/ADC dense ranking fused by RRF —
+    // Cormack 2009 glue over Robertson/Jégou halves): three queries
+    // carry BOTH a keyword text (q188's set) and a dense query vector
+    // (the same-id embedding; embeddings.vec_id keys the documents
+    // corpus). Each half is its own pinned plan — the inverted-index
+    // term-at-a-time pass and the codes-only no-shuffle ADC scan —
+    // and the fusion layer touches top-k lists only. Dense excludes
+    // the query's own vector (ANN self-match convention), BM25 has no
+    // self to exclude; the oracle mirrors both. Hash-exact. ----
+    "q195_hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "spark join"), (2L, "customer order"),
+        (3L, "stream window batch")).toDF("query_id", "qtext")
+      val sparse = graft.text.Bm25.searchTopK(t(s, dir, "documents"),
+          queries, "doc_id", "text", "query_id", "qtext", topK = 10)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val dense = graft.similarity.Ann.pqSearchTopK(
+          e.where(col("vec_id").isin(1, 2, 3)), e, "vec_id", "embedding",
+          m = 4, k = 4, iters = 2, topK = 10)
+        .select("query_id", "neighbor_id", "rank")
+      graft.similarity.Fusion.rrf(Seq(dense, sparse), k0 = 60, topK = 10)
+    }),
+
     // ---- character-entropy gibberish filter (functions.CharEntropy):
     // Shannon entropy of the non-whitespace char distribution, the
     // low-diversity signal CCNet-adjacent pipelines gate on next to
@@ -4326,6 +4351,93 @@ object SparkEntry {
     * count over the exploded per-word symbol state, the (n desc, l, r)
     * top-1 (DuckDB varchar comparison is memcmp, same as Spark's
     * UTF8String binary order), and the greedy merge application. */
+  /** q195's oracle: the q160 ADC chain (dense half, queries 1..3,
+    * self-matches excluded) + the q188 BM25 chain verbatim with
+    * b-prefixed CTE names (sparse half, no self to exclude), fused by
+    * the q189 RRF tail — contributions fold in system order
+    * (0 = dense, 1 = sparse), matching `Fusion.rrf`'s Seq order. */
+  private def hybridRrfOracleSql(m: Int, k: Int, dim: Int,
+                                 topK: Int, k0: Int): String = {
+    val sub = dim / m
+    val scoreCtes = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""s_$s AS (SELECT qv.query_id, a1_$s.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(qv.qv[$lo:$hi], c1_$s.cv),
+         |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
+         |  FROM a1_$s JOIN c1_$s USING (cid), qv)""".stripMargin
+    }
+    val joins = (1 until m).map(s =>
+      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
+    pqTrainCtes(m, k, dim) +
+      s""",
+         |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (1, 2, 3)),
+         |${scoreCtes.mkString(",\n")},
+         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM s_0 $joins
+         |        WHERE query_id <> neighbor_id),
+         |sysa AS (SELECT query_id, neighbor_id, rk AS rank
+         |         FROM (SELECT *, row_number() OVER (
+         |                 PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |               FROM adc) t
+         |         WHERE rk <= $topK),
+         |btoks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |btf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM btoks GROUP BY 1, 2),
+         |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM btf GROUP BY 1),
+         |bgp AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |          CAST(sum(dl) AS BIGINT) AS tot FROM bdl),
+         |bavg AS (SELECT CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE) AS avgdl FROM bgp),
+         |bdfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+         |bq AS (SELECT query_id, unnest(string_split_regex(trim(qtext), '\\s+')) AS term
+         |       FROM (VALUES (CAST(1 AS BIGINT), 'spark join'),
+         |                    (CAST(2 AS BIGINT), 'customer order'),
+         |                    (CAST(3 AS BIGINT), 'stream window batch'))
+         |         AS v(query_id, qtext)),
+         |bidf AS (SELECT bdfq.term,
+         |           floor(ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+         |                    / (CAST(df AS DOUBLE) + 0.5e0) + 1e0)*1e6 + 0.5)/1e6
+         |             AS idf
+         |         FROM bdfq, bgp),
+         |bc AS (
+         |  SELECT bq.query_id, btf.doc_id, btf.term,
+         |    floor((bidf.idf * (CAST(btf.tf AS DOUBLE) * 2.2e0)
+         |           / (CAST(btf.tf AS DOUBLE)
+         |              + 1.2e0 * (1e0 - 0.75e0
+         |                 + 0.75e0 * (CAST(bdl.dl AS DOUBLE) / bavg.avgdl))))
+         |          *1e6 + 0.5)/1e6 AS contrib
+         |  FROM btf JOIN bq ON btf.term = bq.term
+         |    JOIN bidf ON btf.term = bidf.term
+         |    JOIN bdl ON btf.doc_id = bdl.doc_id, bavg),
+         |bsc AS (SELECT query_id, doc_id,
+         |          floor(list_reduce(list(contrib ORDER BY term), (x, y) -> x + y)
+         |                *1e6 + 0.5)/1e6 AS score
+         |        FROM bc GROUP BY 1, 2),
+         |sysb AS (SELECT query_id, doc_id AS neighbor_id, rk AS rank
+         |         FROM (SELECT *, row_number() OVER (
+         |                 PARTITION BY query_id ORDER BY score DESC, doc_id) rk
+         |               FROM bsc) t
+         |         WHERE rk <= $topK),
+         |u AS (SELECT query_id, neighbor_id, 0 AS sys, rank FROM sysa
+         |      UNION ALL
+         |      SELECT query_id, neighbor_id, 1 AS sys, rank FROM sysb),
+         |cr AS (SELECT query_id, neighbor_id, sys,
+         |         floor(1e0/(${k0}e0 + CAST(rank AS DOUBLE))*1e6 + 0.5)/1e6
+         |           AS contrib
+         |       FROM u),
+         |sc AS (SELECT query_id, neighbor_id,
+         |         floor(list_reduce(list(contrib ORDER BY sys), (x, y) -> x + y)
+         |               *1e6 + 0.5)/1e6 AS rrf
+         |       FROM cr GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, rrf, CAST(rk AS INTEGER) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) rk
+         |      FROM sc) t
+         |WHERE rk <= $topK""".stripMargin
+  }
+
   /** q191's oracle: per n in 2..10 the n-gram multiset groups per doc;
     * n ≤ 4 takes the top type's cnt·chars mass (tie: cnt DESC, gram
     * ASC — the kernel's first-max-run-in-sorted-order), n ≥ 5 sums
@@ -8398,6 +8510,9 @@ object SparkEntry {
         |GROUP BY t.doc_id""".stripMargin,
 
     "q191_repetition_rules" -> repetitionOracleSql,
+
+    "q195_hybrid_retrieval" -> hybridRrfOracleSql(m = 4, k = 4, dim = 64,
+      topK = 10, k0 = 60),
 
     // q194: per-char micro-contributions floor(−(p·ln p)·1e6 + 0.5)
     // summed as exact integers (order-free), p = cnt / total in the

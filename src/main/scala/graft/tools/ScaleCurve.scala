@@ -30,7 +30,11 @@ object ScaleCurve {
     // round-14 additions: the GD/DSIR trainers (post int_counts fix),
     // the dual-pass bitext miner, and the two corpus-wide evals
     "q172_quality_probe", "q174_dsir_select", "q176_bitext_margin",
-    "q178_ccnet_buckets", "q180_length_batches")
+    "q178_ccnet_buckets", "q180_length_batches",
+    // late-r14 additions: bloom-prefiltered decontam (two prefiltered
+    // scans + verify join), the nine-kernel repetition gate, and the
+    // multi-pass span-removal transform
+    "q190_bloom_decontam", "q191_repetition_rules", "q193_dup_span_removal")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
