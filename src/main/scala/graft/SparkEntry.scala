@@ -1806,6 +1806,40 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- STREAMING decontamination (streaming.DecontamStream, the
+    // q187 pattern applied to q190): training docs arrive as a
+    // stream, shingles are prefiltered MAP-SIDE by the broadcast
+    // Bloom bits before any join or state, survivors verify against
+    // the static benchmark shingle set, and per-doc state holds the
+    // contaminated-shingle set so replays never double-count. Single-
+    // file source = one ordered micro-batch, so emissions equal the
+    // batch operator row-for-row and q190's ORACLE gates a stateful
+    // streaming query hash-exact; the cross-batch cumulative path is
+    // DecontamStreamSpec's. ----
+    "q196_decontam_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 89 === 0)
+      val benchSh = bench
+        .select(Text.tokens(col("text")).as("toks"))
+        .select(explode(Text.shingles(col("toks"), 3)).as("shingle"))
+        .distinct()
+      val words = graft.curation.Curate.bloomBits(benchSh, 1 << 16, 4)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") % 89 =!= 0)
+      val sink = "graft_q196_sink"
+      graft.streaming.Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.DecontamStream
+          .contaminationStream(s, stream, benchSh, words.toIndexedSeq, 4, 3,
+            "text", "doc_id")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(sink)
+    }),
+
     // ---- HYBRID sparse+dense retrieval (the RAG-stack standard:
     // BM25 keyword ranking + PQ/ADC dense ranking fused by RRF —
     // Cormack 2009 glue over Robertson/Jégou halves): three queries
@@ -8513,6 +8547,24 @@ object SparkEntry {
 
     "q195_hybrid_retrieval" -> hybridRrfOracleSql(m = 4, k = 4, dim = 64,
       topK = 10, k0 = 60),
+
+    // q196 = q190's exact semantics through the stateful streaming
+    // path (single ordered micro-batch ⟹ batch-identical emissions)
+    "q196_decontam_stream" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 89 = 0),
+        |train AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 89 <> 0)
+        |SELECT t.doc_id,
+        |  CAST(count(DISTINCT t.shingle) AS BIGINT) AS n_contaminated_ngrams
+        |FROM train t JOIN bench b USING (shingle)
+        |GROUP BY t.doc_id""".stripMargin,
 
     // q194: per-char micro-contributions floor(−(p·ln p)·1e6 + 0.5)
     // summed as exact integers (order-free), p = cnt / total in the

@@ -81,14 +81,7 @@ object Curate {
         .select(col(idCol),
           explode(Text.shingles(col("toks"), n)).as("shingle"))
     val benchSh = shingled(bench)
-    val positions = benchSh
-      .select(explode(graft.functions.HashFunctions.bloomPositions(
-        col("shingle"), kHashes, mBits)).as("p"))
-      .distinct()
-      .collect() // <= mBits rows — bounded driver state by construction
-      .map(_.getInt(0))
-    val words = new Array[Long](mBits / 64)
-    positions.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    val words = bloomBits(benchSh.select(col("shingle")), mBits, kHashes)
     val candidates = shingled(train).where(
       graft.functions.HashFunctions.bloomMightContain(
         col("shingle"), words.toIndexedSeq, kHashes))
@@ -96,6 +89,25 @@ object Curate {
       .join(benchSh.select("shingle").distinct(), "shingle")
       .groupBy(col(idCol))
       .agg(count_distinct(col("shingle")).as("n_contaminated_ngrams"))
+  }
+
+  /** Driver-built Bloom bit array over a one-column string frame: the
+    * elements' k seeded positions distinct-and-collect (bounded by
+    * mBits regardless of element count — the build side never
+    * materializes driver-side strings), then fold into 64-bit words.
+    * Shared by the batch prefilter ([[bloomContamination]]) and its
+    * streaming twin ([[graft.streaming.DecontamStream]]). */
+  def bloomBits(elems: DataFrame, mBits: Int, kHashes: Int): Array[Long] = {
+    val colName = elems.columns.head
+    val positions = elems
+      .select(explode(graft.functions.HashFunctions.bloomPositions(
+        col(colName), kHashes, mBits)).as("p"))
+      .distinct()
+      .collect() // <= mBits rows — bounded driver state by construction
+      .map(_.getInt(0))
+    val words = new Array[Long](mBits / 64)
+    positions.foreach(p => words(p >>> 6) |= (1L << (p & 63)))
+    words
   }
 
   /** Deterministic train/val/test assignment from the id alone:
