@@ -1806,6 +1806,29 @@ object SparkEntry {
     // one per-query top-5. Rank-only, k0 = 60; inputs are top-k
     // lists, so the fusion layer never touches the corpus.
     // Hash-exact (snapped divisions, system-ordered fold). ----
+    // ---- IVFADC index DELETE (similarity.Ann.ivfPqDeleteFromIndex):
+    // the third leg of index maintenance CRUD — build (q169), append
+    // (q192), delete. The index is built on the FULL corpus, then the
+    // vec_id % 7 = 3 rows are deleted: only their cells' partitions
+    // rewrite (dynamic partition overwrite) and the sidecar digest is
+    // SUBTRACTED (digest(base∖removed) = digest(base) − digest(
+    // removed) — the additive-digest dual, O(removed)). The trained
+    // state never changes: deletion just removes candidates, so the
+    // oracle is q162's chain with ONE extra predicate on the scored
+    // neighbors. Hash-exact. ----
+    "q197_ivfpq_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = SparkEntry.ivfPqIndexCache.computeIfAbsent(s"$dir#delete", _ => {
+        val path = tempResultDir("ivfpq_del") + "/codes"
+        val built = graft.similarity.Ann.ivfPqBuildIndex(e, "vec_id",
+          "embedding", kc = 4, m = 4, k = 4, iters = 2, path)
+        graft.similarity.Ann.ivfPqDeleteFromIndex(s, built,
+          col("neighbor_id") % 7 === 3)
+      })
+      graft.similarity.Ann.ivfPqSearchIndex(idx, e.where(col("vec_id") < 4),
+        "vec_id", "embedding", nprobe = 2, topK = 5)
+    }),
+
     // ---- STREAMING decontamination (streaming.DecontamStream, the
     // q187 pattern applied to q190): training docs arrive as a
     // stream, shingles are prefiltered MAP-SIDE by the broadcast
@@ -4894,8 +4917,9 @@ object SparkEntry {
   private def ivfPqSearchOracleSql(kc: Int, m: Int, k: Int, dim: Int,
                                    nQueries: Int, nprobe: Int,
                                    topK: Int,
-                                   trainPred: Option[String] = None): String =
-    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe, trainPred) +
+                                   trainPred: Option[String] = None,
+                                   codePred: Option[String] = None): String =
+    ivfPqAdcCtes(kc, m, k, dim, nQueries, nprobe, trainPred, codePred) +
       s"""
          |SELECT query_id, neighbor_id, adc_micros, CAST(rk AS INTEGER) AS rank
          |FROM (SELECT *, row_number() OVER (
@@ -4932,7 +4956,8 @@ object SparkEntry {
     * per-subspace PQ → probe → per-subspace ADC scores → `adc`. */
   private def ivfPqAdcCtes(kc: Int, m: Int, k: Int, dim: Int,
                            nQueries: Int, nprobe: Int,
-                           trainPred: Option[String] = None): String = {
+                           trainPred: Option[String] = None,
+                           codePred: Option[String] = None): String = {
     val sub = dim / m
     // q192's append variant: the quantizer levels TRAIN over the base
     // rows only (`et`), while the final assignment/coding chains
@@ -4944,6 +4969,11 @@ object SparkEntry {
     val tr = if (trainPred.isDefined) "et" else "e"
     val etCte = trainPred
       .map(p => s"et AS (SELECT * FROM e WHERE $p),\n").getOrElse("")
+    // q197's delete variant: the state is trained and the corpus coded
+    // in full; deletion only removes candidates from the searched set,
+    // so the oracle is ONE extra predicate on the scored neighbors
+    // (None emits the byte-identical shared chain).
+    val codeFilter = codePred.map(p => s" AND $p").getOrElse("")
     val coarse =
       s"""${etCte}c0 AS (SELECT vec_id AS cid, v AS cv FROM $tr WHERE vec_id < $kc),
          |d0 AS (SELECT $tr.vec_id, c0.cid,
@@ -5007,7 +5037,7 @@ object SparkEntry {
          |${scoreCtes.mkString(",\n")},
          |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
          |        FROM s_0 $joins
-         |        WHERE query_id <> neighbor_id)""".stripMargin
+         |        WHERE query_id <> neighbor_id$codeFilter)""".stripMargin
   }
 
   /** DuckDB-equivalent SQL per query (driver correctness gate). Omitted
@@ -5047,6 +5077,11 @@ object SparkEntry {
     "q192_ivfpq_index_append" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5,
       trainPred = Some("vec_id % 5 <> 4")),
+    // q197 = the same chain trained+coded in full, with the deleted
+    // ids removed from the scored candidate set only.
+    "q197_ivfpq_index_delete" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, topK = 5,
+      codePred = Some("neighbor_id % 7 <> 3")),
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6

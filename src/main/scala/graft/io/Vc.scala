@@ -4,8 +4,8 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import graft.core.FactorDomain
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned-table I/O — the git2rdata `write_vc`/`read_vc` output
   * contract (SURVEY.md §2.1 S5/S8): a deterministically sorted TSV plus
@@ -383,6 +383,78 @@ object Vc {
     Files.writeString(Paths.get(dir, "_vc.yml"),
       old.replace(s"data_hash: ${generic._2("data_hash")}",
         s"data_hash: ${(oldHash + deltaHash).toString}"))
+  }
+
+  /** Targeted delete from a [[writePartitioned]] table — the other
+    * half of [[appendPartitioned]]'s maintenance story: rows matching
+    * `pred` are removed by REWRITING ONLY the partitions that contain
+    * them (dynamic partition overwrite), and the sidecar digest is
+    * updated arithmetically — digest(base ∖ removed) = digest(base) −
+    * digest(removed), so neither the digest nor the rewrite ever
+    * touches an unaffected partition. At 100 TB the practical cost is
+    * one codes-only scan to locate the affected partitions (pruned
+    * further when `pred` constrains the partition column itself) plus
+    * a rewrite of those partitions; `readPartitioned(verify = true)`
+    * remains the full audit. */
+  def deleteFromPartitioned(spark: SparkSession, dir: String,
+                            pred: Column): Unit = {
+    val blocks = parseSidecar(Files.readString(Paths.get(dir, "_vc.yml")))
+    val generic = blocks.find(_._1 == "..generic").getOrElse(
+      throw new IllegalStateException(s"$dir/_vc.yml has no ..generic block"))
+    val cols = blocks.filterNot(_._1 == "..generic").map(_._1)
+    val partitionCols = generic._3.getOrElse("partitioning", Nil)
+    require(partitionCols.nonEmpty,
+      s"$dir is not a partitioned table (no partitioning in sidecar)")
+    val sortKeys = generic._3.getOrElse("sorting", Nil)
+    val df = readPartitioned(spark, dir, verify = false)
+    val removed = df.where(pred)
+    val removedHash = BigInt(dataDigest(removed, cols))
+    // affected partitions — bounded driver state (deletes are small)
+    val cells = removed.select(partitionCols.map(col): _*).distinct().collect()
+    if (cells.nonEmpty) {
+      val cellPred = cells.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      // eager checkpoint: the rewrite reads the very files it
+      // overwrites — survivors must be materialized (they are the
+      // affected partitions' remainder, small by assumption) before
+      // the dynamic overwrite commits
+      val kept = df.where(cellPred && !pred).select(cols.map(col): _*)
+        .localCheckpoint(true)
+      val sorted =
+        if (sortKeys.nonEmpty) kept.sortWithinPartitions(sortKeys.map(col): _*)
+        else kept
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        sorted.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCols: _*)
+          .parquet(dir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // a cell whose every row was removed has nothing in `kept`, so
+      // dynamic overwrite never touches its directory — drop it
+      val keptCells = kept.select(partitionCols.map(col): _*).distinct()
+        .collect().map(_.toSeq).toSet
+      cells.filterNot(r => keptCells.contains(r.toSeq)).foreach { r =>
+        val sub = partitionCols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+        val p = Paths.get(dir, sub)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(q => { Files.deleteIfExists(q); () })
+      }
+      val oldHash = BigInt(generic._2.getOrElse("data_hash",
+        throw new IllegalStateException(s"$dir/_vc.yml has no data_hash")))
+      val old = Files.readString(Paths.get(dir, "_vc.yml"))
+      Files.writeString(Paths.get(dir, "_vc.yml"),
+        old.replace(s"data_hash: ${generic._2("data_hash")}",
+          s"data_hash: ${(oldHash - removedHash).toString}"))
+    }
   }
 
   /** Verified read of a [[writePartitioned]] table: restores the

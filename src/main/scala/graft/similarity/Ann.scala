@@ -793,6 +793,21 @@ object Ann {
     index
   }
 
+  /** Delete vectors from a WRITTEN IVFADC index — the third leg of
+    * maintenance CRUD (build [[ivfPqBuildIndex]] / append
+    * [[ivfPqAppendIndex]] / delete): rows matching `pred` leave the
+    * code table via [[graft.io.Vc.deleteFromPartitioned]], which
+    * rewrites ONLY the affected cells' partitions and SUBTRACTS the
+    * removed rows' digest from the sidecar (the additive-digest dual:
+    * O(removed partitions), base cells untouched). The trained state
+    * is unchanged — deletion never requires retraining, searches
+    * simply stop seeing the removed candidates. */
+  def ivfPqDeleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                           index: IvfPqIndex, pred: Column): IvfPqIndex = {
+    graft.io.Vc.deleteFromPartitioned(spark, index.path, pred)
+    index
+  }
+
   /** ADC top-k search over a WRITTEN index ([[ivfPqBuildIndex]]): the
     * probed cell ids are driver state (≤ queries × nprobe, the tiny
     * serving side), pushed as a literal IN filter into the partitioned

@@ -96,6 +96,45 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("delete: only affected partitions rewrite, subtracted digest survives the audit") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-delete")
+      .toString + "/codes"
+    val built = Ann.ivfPqBuildIndex(emb, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+    val before = graft.io.Vc.readPartitioned(spark, path, verify = false)
+    val total = before.count()
+    // pick a victim id and note a cell it does NOT live in
+    val victimCell = before.where(col("neighbor_id") === 7)
+      .select("gcell").head().getInt(0)
+    val otherCell = before.where(col("gcell") =!= victimCell)
+      .select("gcell").head().getInt(0)
+    val otherDir = new java.io.File(s"$path/gcell=$otherCell")
+    val mtimes = otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    Ann.ivfPqDeleteFromIndex(spark, built, col("neighbor_id") === 7)
+    // untouched cell's files were not rewritten
+    assert(otherDir.listFiles().map(f => f.getName -> f.lastModified).toMap
+      === mtimes, "an unaffected partition was rewritten")
+    // subtracted digest must equal the full-scan recomputation
+    val after = graft.io.Vc.readPartitioned(spark, path, verify = true)
+    assert(after.count() === total - 1)
+    assert(after.where(col("neighbor_id") === 7).isEmpty)
+  }
+
+  test("delete: a fully-emptied cell's directory disappears and the audit still passes") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-empty")
+      .toString + "/codes"
+    val built = Ann.ivfPqBuildIndex(emb, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+    val cells = graft.io.Vc.readPartitioned(spark, path, verify = false)
+    val victim = cells.groupBy("gcell").count()
+      .orderBy(col("count").asc, col("gcell").asc).head().getInt(0)
+    Ann.ivfPqDeleteFromIndex(spark, built, col("gcell") === victim)
+    assert(!new java.io.File(s"$path/gcell=$victim").exists(),
+      "an emptied cell directory must be dropped")
+    val after = graft.io.Vc.readPartitioned(spark, path, verify = true)
+    assert(after.where(col("gcell") === victim).isEmpty)
+  }
+
   test("append loud-fails on a drifted delta schema") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq-drift")
       .toString + "/codes"
