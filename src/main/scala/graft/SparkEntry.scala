@@ -1907,6 +1907,45 @@ object SparkEntry {
         (col("e.entropy_micros") >= 2000000L).as("keep"))
     }),
 
+    // ---- phrase-blocklist gate (text.Blocklist — the C4 bad-words
+    // filter, Raffel 2020 §2.2, with whole-token multi-word phrases):
+    // the ranked list ships ONCE as an Aho–Corasick reference object
+    // and every doc pays one padded-string pass regardless of list
+    // size (vs m substring searches for a contains() disjunction).
+    // One scan, zero shuffles, fully codegen'd; hash-exact — matching
+    // is substring search on the padded token join, which the oracle
+    // replays as per-phrase position() probes. ----
+    "q198_blocklist_filter" -> ((s, dir) =>
+      graft.text.Blocklist.report(
+        t(s, dir, "documents"), "doc_id", "text", BlocklistPhrases)),
+
+    // ---- EXACT per-language percentile length trim
+    // (curation.Curate.histogramQuantileTrim): drop each language's
+    // shortest and longest 5% of documents by n_chars with thresholds
+    // from a histogram CDF — the corpus's only shuffle carries one row
+    // per distinct (lang, n_chars), NOT per doc, and the thresholds
+    // broadcast back; a percent_rank window would sort every
+    // language's full partition (the English-dominates skew trap).
+    // Hash-exact: integer-only threshold inequality (cum·20 ≥ k·N),
+    // the quantile_disc convention on both engines. ----
+    "q199_length_trim" -> ((s, dir) =>
+      graft.curation.Curate.histogramQuantileTrim(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", loNum = 1, hiNum = 19, denom = 20)
+        .select("doc_id", "lang", "n_chars", "lo", "hi", "keep")),
+
+    // ---- ingest drift gate (ops.Drift.psiReport): Population
+    // Stability Index between the reference and current event windows
+    // per event_type, each category's term one fixed-order double
+    // expression snapped to integer micros and summed exactly (the
+    // q92/q186 transcendental recipe). ONE corpus scan collapsing to
+    // a category-sized conditional aggregate; the even/odd split is
+    // the A/A control — the machinery is exercised, the expected
+    // verdict is "no drift" (planted-drift branches are spec-gated).
+    "q200_drift_psi" -> ((s, dir) =>
+      graft.ops.Drift.psiReport(t(s, dir, "events"), "event_type",
+        col("event_id") % 2 === 0, thresholdMicros = 200000L)),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -2863,6 +2902,17 @@ object SparkEntry {
   }
 
   private val lsviRegions: Seq[String] = (0 to 12).map(i => s"NATION_$i")
+
+  /** q198 blocklist, priority order: multi-word phrases (incl. an
+    * overlapping pair and a 3-gram), one single word, one phrase
+    * absent from the synthetic vocabulary (zero-hit path). */
+  private val BlocklistPhrases: Seq[String] = Seq("slow table",
+    "table table", "agg", "scan slow fast", "vector stream",
+    "data vector warehouse")
+
+  private def blocklistPhraseValuesSql: String =
+    BlocklistPhrases.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
 
   /** K4 tariff parameters: power-of-two-scaled values so the Scala
     * doubles and the SQL literals parse to identical bits (exact float
@@ -8621,6 +8671,70 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(t.total AS INTEGER) AS n_chars, t.distinct_chars,
         |  h.em AS entropy_micros, h.em >= 2000000 AS keep
         |FROM tot t JOIN h USING (doc_id)""".stripMargin,
+
+    // q198: matching is substring search of ' '||phrase||' ' in the
+    // padded token join — the oracle probes each phrase with
+    // position(); the engine's Aho–Corasick pass is definitionally
+    // the same predicate evaluated once for all phrases.
+    "q198_blocklist_filter" ->
+      s"""WITH p AS (SELECT * FROM (VALUES $blocklistPhraseValuesSql) AS v(idx, phrase)),
+        | d AS (SELECT doc_id,
+        |   ' ' || array_to_string(string_split_regex(trim(text), '\\s+'), ' ') || ' ' AS padded
+        |   FROM documents),
+        | m AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+        |          min(idx) AS first_idx
+        |        FROM d JOIN p ON position(' ' || phrase || ' ' IN padded) > 0
+        |        GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(m.n_matched, 0) AS n_matched,
+        |  fp.phrase AS first_phrase, m.doc_id IS NULL AS keep
+        |FROM d LEFT JOIN m USING (doc_id)
+        |LEFT JOIN p fp ON fp.idx = m.first_idx""".stripMargin,
+
+    // q199: identical integer threshold inequality on both engines —
+    // lo/hi = min value whose histogram CDF reaches 5%/95% of the
+    // language mass (quantile_disc convention); no floats anywhere.
+    "q199_length_trim" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT lang, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT lang,
+        |    min(CASE WHEN cum * 20 >= 1 * n THEN v END) AS lo,
+        |    min(CASE WHEN cum * 20 >= 19 * n THEN v END) AS hi
+        |  FROM cdf GROUP BY 1)
+        |SELECT d.doc_id, d.lang, d.n_chars, th.lo, th.hi,
+        |  d.n_chars BETWEEN th.lo AND th.hi AS keep
+        |FROM documents d JOIN th USING (lang)""".stripMargin,
+
+    // q200: per-category term = (c_cur/N_cur − c_ref/N_ref) ·
+    // ln((c_cur·N_ref)/(c_ref·N_cur)) evaluated in the identical
+    // IEEE operation order, floored to micros, summed as integers;
+    // one-sided categories carry NULL terms excluded from the total.
+    "q200_drift_psi" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT *, CAST(sum(c_ref) OVER () AS BIGINT) AS n_ref,
+        |    CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur FROM c),
+        |t AS (
+        |  SELECT *, CASE WHEN c_ref > 0 AND c_cur > 0 THEN CAST(floor(
+        |      (CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+        |        - CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
+        |      * ln((CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
+        |            / (CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT) END AS term_micros FROM w)
+        |SELECT event_type, c_ref, c_cur, term_micros,
+        |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) AS psi_total_micros,
+        |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) >= 200000 AS drifted
+        |FROM t""".stripMargin,
 
     // q193: same span grammar as q161 (8-token windows, corpus-wide
     // totals), then delete covered positions and rebuild the text in

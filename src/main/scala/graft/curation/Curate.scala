@@ -585,4 +585,46 @@ object Curate {
               / (col("n_docs") * col("max_len")).cast("double")))
           .as("pad_frac"))
   }
+
+  /** EXACT per-group percentile trimming of an integer-valued column
+    * via a histogram CDF — the length/outlier gate (drop the shortest
+    * p% and longest p% of documents per language) done WITHOUT a
+    * per-group sort of the corpus.
+    *
+    * Threshold semantics (both engines evaluate the identical integer
+    * inequality — no floating point anywhere): with N = group size
+    * and cum(v) = #rows with value ≤ v,
+    *   lo = min v such that cum(v)·denom ≥ loNum·N
+    *   hi = min v such that cum(v)·denom ≥ hiNum·N
+    * (the `quantile_disc` convention: the smallest value whose CDF
+    * reaches the target mass); keep = lo ≤ value ≤ hi.
+    *
+    * Scale shape: the corpus collapses to the per-(group, value)
+    * HISTOGRAM in one map-side-combined groupBy — the only
+    * corpus-scale shuffle, carrying one row per distinct (group,
+    * value), bounded by value cardinality, not corpus size. The CDF
+    * window and threshold aggregation run on that tiny table, and the
+    * thresholds broadcast back into a second corpus scan. A naive
+    * percent_rank() window would instead SORT every group's full
+    * partition — the classic 100 TB skew trap for English-dominated
+    * corpora. */
+  def histogramQuantileTrim(df: DataFrame, groupCol: String, valCol: String,
+      loNum: Int, hiNum: Int, denom: Int): DataFrame = {
+    require(denom >= 1 && loNum >= 0 && hiNum <= denom && loNum <= hiNum,
+      s"bad percentile spec $loNum/$hiNum/$denom")
+    val v = col(valCol).cast("long")
+    val hist = df.groupBy(col(groupCol), v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cdf = hist
+      .withColumn("__cum", sum("__c").over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(col(groupCol))))
+    val th = cdf.groupBy(col(groupCol)).agg(
+      min(when(col("__cum") * denom >= lit(loNum.toLong) * col("__n"),
+        col("__v"))).as("lo"),
+      min(when(col("__cum") * denom >= lit(hiNum.toLong) * col("__n"),
+        col("__v"))).as("hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn("keep", v.between(col("lo"), col("hi")))
+  }
 }
