@@ -1946,6 +1946,24 @@ object SparkEntry {
       graft.ops.Drift.psiReport(t(s, dir, "events"), "event_type",
         col("event_id") % 2 === 0, thresholdMicros = 200000L)),
 
+    // ---- quality-filter bias audit (ml.Eval.rankAuc): per-source
+    // ROC-AUC of the q42 quality score separating en vs non-en docs
+    // (Gururangan 2022's "whose language counts" audit as a corpus
+    // operator). Midrank Mann–Whitney over the per-(source, score)
+    // HISTOGRAM — the q199 CDF recipe: the one corpus-scale shuffle
+    // carries one row per distinct (source, score_micros); every
+    // rank/U/AUC step is integer arithmetic, so the gate is
+    // hash-exact with no float tolerance anywhere. ----
+    "q201_quality_auc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Eval.rankAuc(
+        d.select(col("source"),
+          round(Text.qualityScore(col("text")) * lit(1e6), 0)
+            .cast("long").as("score_micros"),
+          (col("lang") === "en").as("label")),
+        "source", "score_micros", "label")
+    }),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -8735,6 +8753,41 @@ object SparkEntry {
         |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) AS psi_total_micros,
         |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) >= 200000 AS drifted
         |FROM t""".stripMargin,
+
+    // q201: score CTE is q42's quality formula verbatim (pinned
+    // lockstep in OracleConsistencySpec) snapped to integer micros;
+    // from there every rank/U/AUC step is the identical integer
+    // expression on both engines (doubled midranks, floor division).
+    "q201_quality_auc" ->
+      """WITH q AS (
+        |  SELECT source, lang = 'en' AS label,
+        |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
+        |        + 0.4 * (1.0 - punct_ratio)
+        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT doc_id, source, lang, len(toks) AS n_tokens,
+        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        |hist AS (
+        |  SELECT source, s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM q GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum
+        |  FROM hist),
+        |agg AS (
+        |  SELECT source,
+        |    CAST(sum(p * (2 * cum - n + 1)) AS BIGINT) AS r2_pos,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(n - p) AS BIGINT) AS n_neg
+        |  FROM cdf GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  r2_pos - n_pos * (n_pos + 1) AS u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
+        |  END AS auc_micros
+        |FROM agg""".stripMargin,
 
     // q193: same span grammar as q161 (8-token windows, corpus-wide
     // totals), then delete covered positions and rebuild the text in
