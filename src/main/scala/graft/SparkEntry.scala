@@ -1964,6 +1964,20 @@ object SparkEntry {
         "source", "score_micros", "label")
     }),
 
+    // ---- FUZZY benchmark decontamination (curation.Curate
+    // .fuzzyDecontam — the GPT-3 appendix-C near-dup gate,
+    // complementing q190's exact bloom overlap): md5-arithmetic
+    // MinHash (k=8, 4 bands of 2) so every stage — signatures, band
+    // keys, exact-Jaccard verify — replays in ANSI SQL, upgrading
+    // this family from the rows-only xxhash64 checks to hash-exact.
+    // Eval side (doc_id % 89 == 0, q190's split) broadcasts at every
+    // step; the corpus collapses to per-doc signatures in one
+    // map-side-combined pass and only band-collision candidates are
+    // re-shingled for verification. ----
+    "q202_fuzzy_decontam" -> ((s, dir) =>
+      graft.curation.Curate.fuzzyDecontam(
+        t(s, dir, "documents"), isEval = col("doc_id") % 89 === 0)),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -8788,6 +8802,57 @@ object SparkEntry {
         |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
         |  END AS auc_micros
         |FROM agg""".stripMargin,
+
+    // q202: the docs/sh0 shingle grammar is q190's verbatim; the
+    // MinHash "permutations" are the md5 arithmetic of q82 applied to
+    // shingle || ':' || i, band keys concatenate the per-band integer
+    // minima in permutation order, and the verify stage is an exact
+    // shingle-set intersection with Jaccard as one integer division.
+    "q202_fuzzy_decontam" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+        |  FROM docs),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
+        |hx AS (
+        |  SELECT doc_id, shingle, i,
+        |    CAST(('0x' || substr(md5(shingle || ':' || i), 1, 8)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN range(8) r(i)),
+        |sig AS (SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, CAST(i // 2 AS VARCHAR) || '|' ||
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band
+        |  FROM sig GROUP BY doc_id, i // 2),
+        |cand AS (
+        |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+        |  FROM bands t JOIN bands e USING (band)
+        |  WHERE t.doc_id % 89 <> 0 AND e.doc_id % 89 = 0),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.train_id, c.eval_id, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN sh ts ON ts.doc_id = c.train_id
+        |  JOIN sh es ON es.doc_id = c.eval_id AND es.shingle = ts.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT c.train_id, c.eval_id, COALESCE(i.inter, 0) AS inter,
+        |    tc.n_sh AS n_tr, ec.n_sh AS n_ev,
+        |    COALESCE(i.inter, 0) * 1000000
+        |      // (tc.n_sh + ec.n_sh - COALESCE(i.inter, 0)) AS jaccard_micros
+        |  FROM cand c LEFT JOIN inter i USING (train_id, eval_id)
+        |  JOIN cnt tc ON tc.doc_id = c.train_id
+        |  JOIN cnt ec ON ec.doc_id = c.eval_id),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY train_id
+        |      ORDER BY jaccard_micros DESC, eval_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY train_id) AS BIGINT) AS n_candidates
+        |  FROM pairs)
+        |SELECT train_id, n_candidates, eval_id AS best_eval_id,
+        |  CAST(jaccard_micros AS BIGINT) AS jaccard_micros,
+        |  jaccard_micros >= 500000 AS contaminated
+        |FROM best WHERE rn = 1""".stripMargin,
 
     // q193: same span grammar as q161 (8-token windows, corpus-wide
     // totals), then delete covered positions and rebuild the text in

@@ -627,4 +627,86 @@ object Curate {
     df.join(broadcast(th), Seq(groupCol))
       .withColumn("keep", v.between(col("lo"), col("hi")))
   }
+
+  /** FUZZY benchmark decontamination (the GPT-3 appendix-C /
+    * Dolma-style near-duplicate gate, complementing the EXACT n-gram
+    * overlap of [[bloomContamination]]): flag training documents whose
+    * shingle-set Jaccard similarity with any eval document reaches
+    * `tauMicros`, found via MinHash-LSH banding so the corpus never
+    * self-joins.
+    *
+    * Determinism & oracle parity: the MinHash "permutations" are md5
+    * arithmetic (first 8 hex digits of md5(shingle || ':' || i)), the
+    * same cross-engine hash primitive as [[hashSplit]] — unlike the
+    * xxhash64 signature family (q44/q45, rows-only checkable), every
+    * stage here replays exactly in ANSI SQL: band keys are string
+    * concatenations of integer minima, verification is an exact
+    * shingle-set intersection, and Jaccard is emitted as one integer
+    * division (micros). No floats anywhere.
+    *
+    * Scale shape: the eval side is a benchmark — tiny by construction
+    * — so its band table and shingle sets BROADCAST; the training
+    * corpus is never shuffled whole. Pass 1 collapses the corpus to
+    * per-doc signatures (one map-side-combined groupBy over the
+    * shingle explode, emitting k minima + the distinct-shingle count
+    * in the same aggregate). The band join then yields candidate
+    * pairs — near-dups of eval docs, a sliver — and only candidates'
+    * shingles are re-derived in pass 2 (scan pruned by a broadcast
+    * semi-join on candidate ids) for exact verification. */
+  def fuzzyDecontam(docs: DataFrame, isEval: Column, n: Int = 3,
+                    k: Int = 8, bands: Int = 4, tauMicros: Long = 500000L,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, s"k=$k must split into bands=$bands")
+    val r = k / bands
+    def shingled(df: DataFrame) = df
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
+        explode(array_distinct(
+          Text.shingles(Text.tokens(col(textCol)), n))).as("shingle"))
+    def permHash(i: Int) =
+      conv(substring(md5(concat(col("shingle"), lit(":" + i))), 1, 8),
+        16, 10).cast("long")
+    val sh = shingled(docs)
+    val sig = sh.groupBy(col("id"), col("is_eval"))
+      .agg(count(lit(1)).as("n_sh"),
+        (0 until k).map(i => min(permHash(i)).as(s"h$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|",
+        lit(b.toString) +: (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)
+    }
+    val banded = sig
+      .select(col("id"), col("is_eval"), col("n_sh"),
+        explode(array(bandCols: _*)).as("band"))
+    val cand = banded.where(!col("is_eval"))
+      .select(col("id").as("train_id"), col("n_sh").as("n_tr"), col("band"))
+      .join(broadcast(banded.where(col("is_eval"))
+        .select(col("id").as("eval_id"), col("n_sh").as("n_ev"), col("band"))),
+        "band")
+      .select("train_id", "n_tr", "eval_id", "n_ev").distinct()
+      // candidate pairs are the near-dup sliver; checkpoint so the
+      // three downstream uses don't each replay the signature pass
+      .localCheckpoint(true)
+    val evalSh = sh.where(col("is_eval"))
+      .select(col("id").as("eval_id"), col("shingle"))
+    val trainSh = sh.where(!col("is_eval"))
+      .select(col("id").as("train_id"), col("shingle"))
+      .join(broadcast(cand.select("train_id").distinct()), "train_id")
+    val inter = trainSh
+      .join(broadcast(evalSh), "shingle")
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))
+    val pairs = cand
+      .join(broadcast(inter), Seq("train_id", "eval_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .withColumn("jaccard_micros",
+        expr("inter * 1000000L div (n_tr + n_ev - inter)"))
+    val w = Window.partitionBy(col("train_id"))
+    pairs
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("jaccard_micros").desc, col("eval_id"))))
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .where(col("rn") === 1)
+      .select(col("train_id"), col("n_candidates"),
+        col("eval_id").as("best_eval_id"), col("jaccard_micros"),
+        (col("jaccard_micros") >= tauMicros).as("contaminated"))
+  }
 }
