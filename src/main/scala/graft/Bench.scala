@@ -2,10 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{...}}. Timing includes
-  * plan + execution (count() action); a warmup pass on the smallest
-  * query amortizes JVM/codegen startup out of the numbers.
+/** Benchmark main.
+  *
+  * Output contract (round 16 — the r14/r15 one-giant-line artifact
+  * exceeded the harness's ~2000-char capture window three rounds
+  * running, losing q01–q19's medians each time):
+  *
+  *  - stdout: ONE compact JSON line (≤ ~500 chars, O(1) in the query
+  *    count) — {"metric","value","unit","sf","runs","n","warmup_sec",
+  *    "worst10":{...},"full":"bench_full.json","total_sec"} where
+  *    `worst10` maps the 10 slowest qNNN prefixes to
+  *    [interleaved_median, isolated_median].
+  *  - bench_full.json (cwd = repo root; override with
+  *    SPARK_GRAFT_BENCH_FULL): the COMPLETE per-query artifact —
+  *    every query's interleaved median plus the isolated worst-10
+  *    re-run — committed with the round, immune to suite growth.
+  *
+  * Timing includes plan + execution (count() action); a warmup pass
+  * on three representative queries amortizes JVM/codegen startup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,68 +50,102 @@ object Bench {
       }
     val warmupSec = (System.nanoTime() - w0) / 1e9
 
-    // median of 5 INTERLEAVED passes per query: the local VM host shows
-    // not only per-run noise spikes but multi-minute whole-host stalls
-    // (round 8 shipped a 23x phantom on q78: all 5 consecutive runs of
-    // one query fell inside a stall). Running the full query list as
-    // repeated passes (A,B,...,A,B,...) spreads any contiguous stall
-    // across MANY queries' single runs instead of one query's entire
-    // sample, so the per-query median rejects it: a stall must span
-    // more than half the passes (several minutes of a ~40s/pass run)
-    // before any median moves.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+
+    // median of `runs` INTERLEAVED passes per query: the local VM host
+    // shows not only per-run noise spikes but multi-minute whole-host
+    // stalls (round 8 shipped a 23x phantom on q78: all 5 consecutive
+    // runs of one query fell inside a stall). Running the full query
+    // list as repeated passes (A,B,...,A,B,...) spreads any contiguous
+    // stall across MANY queries' single runs instead of one query's
+    // entire sample, so the per-query median rejects it: a stall must
+    // span more than half the passes before any median moves.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    // dev aid: SPARK_GRAFT_BENCH_ONLY=regex restricts the query set (the
-    // harness never sets it, so driver runs always cover everything)
+    // isolated-mode dev aid (the r15 noise protocol): --only=q176,q202
+    // (or SPARK_GRAFT_BENCH_ONLY=regex) restricts the query set so a
+    // flagged query can be re-timed ALONE, separating a real
+    // regression from an ambient whole-host stall. The harness never
+    // sets either; driver runs always cover everything.
+    val onlyArg = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(",").map(_.trim).filter(_.nonEmpty).toSet }
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
     // dev aid: SPARK_GRAFT_BENCH_MAX=138 restricts to qNNN <= 138 (the
     // round-over-round bisect runs an older round's exact query subset
     // on the current tree; the harness never sets it)
     val maxQ = sys.env.get("SPARK_GRAFT_BENCH_MAX").map(_.toInt)
-    // NUMERIC qNNN order, not alphabetical: the harness keeps only the
-    // last ~2000 chars of the output line, and alphabetical order put
-    // q100+ (each round's NEW queries — the figures a judge needs most)
-    // at the line head, outside the window. Oldest-first/newest-LAST
-    // keeps the current round's additions in the recorded tail.
     def qnum(name: String): Int = {
       val d = name.drop(1).takeWhile(_.isDigit)
       if (name.startsWith("q") && d.nonEmpty) d.toInt else Int.MaxValue
     }
+    def short(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
     val queries = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
+      .filter { case (name, _) =>
+        onlyArg.forall(set => set.contains(name) || set.contains("q" + short(name))) }
       .filter { case (name, _) => maxQ.forall(qnum(name) <= _) }
     val samples = (1 to runs).flatMap { _ =>
-      queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      queries.map { case (name, fn) => name -> timeOnce(fn) }
     }
     val results = queries.map { case (name, _) =>
-      val times = samples.collect { case (`name`, t) => t }.sorted
-      name -> times(times.length / 2)
+      name -> median(samples.collect { case (`name`, t) => t })
     }
-    // SHORT keys (the qNNN prefix minus the constant "q" — "q139_x"
-    // -> "139"; full names live in SparkEntry.queries) and 2-decimal
-    // seconds: the harness records only the last ~2000 chars of output
-    // and json-parses what it captured. With 120+ full-name entries
-    // the line exceeded the window every round (r10 "parsed": null,
-    // q01-q64 timings lost); at 134 queries the q-prefixed form grew
-    // to ~1880 chars, so the "q" is dropped per the r11 plan —
-    // ~11 chars/query keeps the ENTIRE line under ~1750.
-    val shortKeys = results.map(_._1.takeWhile(_ != '_').stripPrefix("q"))
-    require(shortKeys.distinct.size == shortKeys.size,
-      "duplicate qNNN bench prefixes would silently overwrite each other " +
-        "in the JSON map: " +
-        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
-          .mkString(", "))
-    val qs = results.zip(shortKeys).map { case ((_, v), short) =>
-      "\"" + short + "\":" + f"$v%.2f"
-    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // isolated worst-10 pass: re-run the 10 slowest queries back to
+    // back, each timed alone (median of 3 consecutive runs). An
+    // interleaved median that the isolated median reproduces is a real
+    // cost; one it does NOT reproduce was ambient load during the
+    // sweep (r15 measured a 3.35x swing on a byte-identical binary —
+    // the interleaved sweep alone cannot certify a per-query
+    // regression at the 2x gate).
+    val isoRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "3").toInt
+    val worst = results.sortBy(-_._2).take(10)
+    val isolated = worst.map { case (name, _) =>
+      name -> median((1 to isoRuns).map(_ => timeOnce(SparkEntry.queries(name))))
+    }.toMap
+
+    // full artifact: every query's interleaved median + the isolated
+    // worst-10, written as a committed pretty-ish JSON file so the
+    // harness capture window no longer bounds what a round records.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     val sfLabel = new java.io.File(sfDir).getName
-    // "total_sec" is duplicated at the END of the line as a belt-and-
-    // braces for any capture window that still clips the head.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","runs":$runs,"warmup_sec":$warmupSec%.1f,"total_sec":$total%.3f}""")
+    val fullJson = {
+      val qLines = results.map { case (n, v) => f"""    "$n": $v%.3f""" }
+        .mkString(",\n")
+      val isoLines = worst.map { case (n, v) =>
+        f"""    "$n": {"interleaved": $v%.3f, "isolated": ${isolated(n)}%.3f}""" }
+        .mkString(",\n")
+      f"""{
+         |  "metric": "bench_full",
+         |  "sf": "$sfLabel",
+         |  "runs": $runs,
+         |  "iso_runs": $isoRuns,
+         |  "n_queries": ${results.size},
+         |  "warmup_sec": $warmupSec%.1f,
+         |  "total_sec": $total%.3f,
+         |  "interleaved_median_sec": {
+         |$qLines
+         |  },
+         |  "isolated_worst10_sec": {
+         |$isoLines
+         |  }
+         |}""".stripMargin
+    }
+    val pw = new java.io.PrintWriter(fullPath, "UTF-8")
+    try pw.write(fullJson + "\n") finally pw.close()
+
+    // compact stdout line: O(1) in query count (~420 chars at n=196);
+    // worst10 maps qNNN -> [interleaved, isolated]. "total_sec" is
+    // duplicated at the END as belt-and-braces for any capture window
+    // that still clips the head.
+    val w10 = worst.map { case (n, v) =>
+      f""""${short(n)}":[$v%.2f,${isolated(n)}%.2f]""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfLabel","runs":$runs,"n":${results.size},"warmup_sec":$warmupSec%.1f,"worst10":$w10,"full":"$fullPath","total_sec":$total%.3f}""")
     spark.stop()
   }
 }
