@@ -1978,6 +1978,25 @@ object SparkEntry {
       graft.curation.Curate.fuzzyDecontam(
         t(s, dir, "documents"), isEval = col("doc_id") % 89 === 0)),
 
+    // ---- BOUNDED-PROBE bitext mining (Bitext.marginMiningApprox):
+    // q176's ratio-margin protocol with both directional
+    // neighborhoods served by the IVFADC shortlist (ADC over 2 probed
+    // cells of 4, exact cosine re-rank of the 8 finalists) instead of
+    // the exhaustive scored pass — the 100 TB form, with no quadratic
+    // term anywhere. The oracle replays BOTH two-level quantizer
+    // chains (q162's CTE machinery, prefixed per direction, trained
+    // on each direction's label-split corpus), the cosine re-rank,
+    // and q176's margin tail — so the bounded-probe composition is
+    // hash-exact end to end, not just spec-pinned at the identity
+    // config. ----
+    "q203_bitext_margin_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.Bitext.marginMiningApprox(
+        e.where(col("label") < 5), e.where(col("label") >= 5),
+        "vec_id", "embedding", k = 4, minMargin = 1.02,
+        kc = 4, m = 4, pqK = 4, iters = 2, nprobe = 2, shortlist = 8)
+    }),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -4792,18 +4811,29 @@ object SparkEntry {
     * source CTE exposing (vec_id, v) — `src = "e"` for q159/q160's
     * direct PQ, `src = "res"` for q162's residual PQ. */
   private def pqSubCtes(m: Int, k: Int, dim: Int, src: String,
-                        trainPred: Option[String] = None): String = {
+                        trainPred: Option[String] = None,
+                        pfx: String = "",
+                        subsetInit: Boolean = false): String = {
     require(dim % m == 0)
     val sub = dim / m
-    val perSub = (0 until m).map { s =>
-      val lo = s * sub + 1; val hi = (s + 1) * sub
+    val perSub = (0 until m).map { s0 =>
+      // `pfx` namespaces every CTE so two chains (e.g. the two
+      // directions of the bitext oracle) compose in one WITH;
+      // `subsetInit` switches the lowest-id codebook init from the
+      // dense-id shortcut (vec_id < k) to the general ORDER BY/LIMIT
+      // form a subset corpus needs (same set, order-isomorphic cids).
+      // Defaults emit byte-identical text to the pre-refactor
+      // generator (OracleConsistencySpec pins the shared fragments).
+      val s = pfx + s0
+      val lo = s0 * sub + 1; val hi = (s0 + 1) * sub
       // see ivfPqAdcCtes: train over `et_N` when trainPred is set,
       // final assignment (d1_N/a1_N) always over the full e_N
       val tr = if (trainPred.isDefined) s"et_$s" else s"e_$s"
       val etCte = trainPred
         .map(p => s"et_$s AS (SELECT * FROM e_$s WHERE $p),\n").getOrElse("")
+      val init = if (subsetInit) s"ORDER BY vec_id LIMIT $k" else s"WHERE vec_id < $k"
       s"""e_$s AS (SELECT vec_id, v[$lo:$hi] AS v FROM $src),
-         |${etCte}c0_$s AS (SELECT vec_id AS cid, v AS cv FROM $tr WHERE vec_id < $k),
+         |${etCte}c0_$s AS (SELECT vec_id AS cid, v AS cv FROM $tr $init),
          |d0_$s AS (SELECT $tr.vec_id, c0_$s.cid,
          |         CAST(floor(list_sum(list_transform(list_zip($tr.v, c0_$s.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
@@ -5009,6 +5039,65 @@ object SparkEntry {
          |      FROM adc) t
          |WHERE rk <= $topK""".stripMargin
 
+  /** q203's oracle: BOTH directional bounded-probe searches of the
+    * approximate bitext miner, each a full [[ivfPqAdcCtes]] two-level
+    * quantizer chain (prefixes `f`/`b`) trained on its own label-split
+    * corpus with the OTHER side as queries, ADC-shortlisted to
+    * `shortlist`, re-ranked by the exact cosine off the RAW float
+    * embeddings (q176's cosine text, same round/tie order as
+    * `Ann.ivfPqCosineTopK`), then q176's margin tail verbatim over
+    * the two approximate top-`k` lists. */
+  private def bitextApproxOracleSql(kc: Int, m: Int, pqK: Int, dim: Int,
+                                    nprobe: Int, shortlist: Int, k: Int,
+                                    minMargin: String): String = {
+    val fwd = ivfPqAdcCtes(kc, m, pqK, dim, nQueries = 0, nprobe = nprobe,
+      pfx = "f", corpusPred = Some("label >= 5"), queryPred = Some("label < 5"))
+    val bwd = ivfPqAdcCtes(kc, m, pqK, dim, nQueries = 0, nprobe = nprobe,
+      pfx = "b", corpusPred = Some("label < 5"), queryPred = Some("label >= 5"))
+    // exact cosine of the raw float embeddings, q176's token order:
+    // dot / (sqrt(||q||²) · sqrt(||c||²)), each element widened
+    def cosine(qv: String, cv: String) =
+      s"""round(
+         |     list_sum(list_transform(list_zip($qv, $cv), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |     / (sqrt(list_sum(list_transform($qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         |      * sqrt(list_sum(list_transform($cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)""".stripMargin
+    def rerank(p: String, qRaw: String, cRaw: String) =
+      s"""${p}short AS (SELECT query_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
+         |        FROM ${p}adc) t
+         |  WHERE rk <= $shortlist),
+         |${p}cos AS (SELECT s.query_id, s.neighbor_id,
+         |    ${cosine("qr.embedding", "cr.embedding")} AS cosine
+         |  FROM ${p}short s JOIN $qRaw qr ON qr.vec_id = s.query_id
+         |    JOIN $cRaw cr ON cr.vec_id = s.neighbor_id),
+         |${p}top AS (SELECT query_id, neighbor_id, cosine,
+         |    CAST(floor(cosine * 1e6 + 0.5e0) AS BIGINT) AS cm
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) rk
+         |        FROM ${p}cos) t
+         |  WHERE rk <= $k)""".stripMargin
+    fwd + ",\n" + bwd.stripPrefix("WITH ") + ",\n" +
+      s"""rsrc AS (SELECT vec_id, embedding FROM embeddings WHERE label < 5),
+         |rtgt AS (SELECT vec_id, embedding FROM embeddings WHERE label >= 5),
+         |${rerank("f", "rsrc", "rtgt")},
+         |${rerank("b", "rtgt", "rsrc")},
+         |fnb AS (SELECT query_id AS sid, CAST(sum(cm) AS BIGINT) AS f_sum
+         |        FROM ftop GROUP BY 1),
+         |bnb AS (SELECT query_id AS tid, CAST(sum(cm) AS BIGINT) AS b_sum
+         |        FROM btop GROUP BY 1),
+         |mg AS (SELECT f.query_id AS sid, f.neighbor_id AS tid, f.cosine,
+         |         floor((CAST(f.cm AS DOUBLE) * ${2.0 * k}e0)
+         |               / CAST(fnb.f_sum + bnb.b_sum AS DOUBLE) * 1e6 + 0.5e0)/1e6
+         |           AS margin
+         |       FROM ftop f JOIN fnb ON f.query_id = fnb.sid
+         |         JOIN bnb ON f.neighbor_id = bnb.tid)
+         |SELECT sid AS src_id, tid AS tgt_id, cosine, margin
+         |FROM (SELECT *, row_number() OVER (PARTITION BY sid
+         |        ORDER BY margin DESC, tid) AS rk2 FROM mg)
+         |WHERE rk2 = 1 AND margin >= $minMargin""".stripMargin
+  }
+
   /** q164's oracle: the q162 ADC CTEs select an `shortlist`-deep
     * candidate set per query; the finalists alone are re-scored with
     * the EXACT full-vector distance and re-ranked. */
@@ -5039,8 +5128,22 @@ object SparkEntry {
   private def ivfPqAdcCtes(kc: Int, m: Int, k: Int, dim: Int,
                            nQueries: Int, nprobe: Int,
                            trainPred: Option[String] = None,
-                           codePred: Option[String] = None): String = {
+                           codePred: Option[String] = None,
+                           pfx: String = "",
+                           corpusPred: Option[String] = None,
+                           queryPred: Option[String] = None): String = {
     val sub = dim / m
+    // q203's bitext variant: `pfx` namespaces EVERY CTE so two whole
+    // chains (the forward and backward search directions, each with
+    // its own corpus/query split of the embeddings table) compose in
+    // one WITH; `corpusPred` restricts the indexed corpus (switching
+    // the lowest-id inits to the general ORDER BY/LIMIT form, since a
+    // subset's lowest ids are no longer 0..k-1); `queryPred` draws the
+    // query set from its own embeddings predicate instead of the dense
+    // vec_id < nQueries shortcut. All defaults emit byte-identical
+    // text to the pre-refactor generator (OracleConsistencySpec pins
+    // the shared fragments).
+    val P = pfx
     // q192's append variant: the quantizer levels TRAIN over the base
     // rows only (`et`), while the final assignment/coding chains
     // (d1/a1/res and the per-subspace d1_s/a1_s) stay over the full
@@ -5048,77 +5151,90 @@ object SparkEntry {
     // produces. With trainPred = None the emitted text is byte-
     // identical to the shared q162/q164/q169 chain
     // (OracleConsistencySpec pins that stability).
-    val tr = if (trainPred.isDefined) "et" else "e"
+    val tr = if (trainPred.isDefined) s"${P}et" else s"${P}e"
     val etCte = trainPred
-      .map(p => s"et AS (SELECT * FROM e WHERE $p),\n").getOrElse("")
+      .map(p => s"${P}et AS (SELECT * FROM ${P}e WHERE $p),\n").getOrElse("")
     // q197's delete variant: the state is trained and the corpus coded
     // in full; deletion only removes candidates from the searched set,
     // so the oracle is ONE extra predicate on the scored neighbors
     // (None emits the byte-identical shared chain).
     val codeFilter = codePred.map(p => s" AND $p").getOrElse("")
+    val coarseInit =
+      if (corpusPred.isDefined) s"ORDER BY vec_id LIMIT $kc"
+      else s"WHERE vec_id < $kc"
     val coarse =
-      s"""${etCte}c0 AS (SELECT vec_id AS cid, v AS cv FROM $tr WHERE vec_id < $kc),
-         |d0 AS (SELECT $tr.vec_id, c0.cid,
-         |         CAST(floor(list_sum(list_transform(list_zip($tr.v, c0.cv),
+      s"""${etCte}${P}c0 AS (SELECT vec_id AS cid, v AS cv FROM $tr $coarseInit),
+         |${P}d0 AS (SELECT $tr.vec_id, ${P}c0.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip($tr.v, ${P}c0.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
-         |       FROM $tr, c0),
-         |a0 AS (SELECT vec_id, cid FROM (
+         |       FROM $tr, ${P}c0),
+         |${P}a0 AS (SELECT vec_id, cid FROM (
          |         SELECT vec_id, cid,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
-         |         FROM d0) t
+         |         FROM ${P}d0) t
          |       WHERE rk = 1),
-         |ex AS (SELECT vec_id,
+         |${P}ex AS (SELECT vec_id,
          |         unnest(list_transform(v, (x, i) -> {'dim': i, 'x': x}),
          |                recursive := true)
          |       FROM $tr),
-         |upd AS (SELECT a0.cid, ex.dim,
-         |          sum(CAST(floor(ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
+         |${P}upd AS (SELECT ${P}a0.cid, ${P}ex.dim,
+         |          sum(CAST(floor(${P}ex.x*1048576.0 + 0.5) AS BIGINT)) AS s,
          |          count(*) AS n
-         |        FROM ex JOIN a0 USING (vec_id) GROUP BY 1, 2),
-         |c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
-         |       FROM upd GROUP BY cid),
-         |d1 AS (SELECT e.vec_id, c1.cid,
-         |         CAST(floor(list_sum(list_transform(list_zip(e.v, c1.cv),
+         |        FROM ${P}ex JOIN ${P}a0 USING (vec_id) GROUP BY 1, 2),
+         |${P}c1 AS (SELECT cid, list(s/(n*1048576.0) ORDER BY dim) AS cv
+         |       FROM ${P}upd GROUP BY cid),
+         |${P}d1 AS (SELECT ${P}e.vec_id, ${P}c1.cid,
+         |         CAST(floor(list_sum(list_transform(list_zip(${P}e.v, ${P}c1.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
-         |       FROM e, c1),
-         |a1 AS (SELECT vec_id, cid, dm FROM (
+         |       FROM ${P}e, ${P}c1),
+         |${P}a1 AS (SELECT vec_id, cid, dm FROM (
          |         SELECT vec_id, cid, dm,
          |           row_number() OVER (PARTITION BY vec_id ORDER BY dm, cid) rk
-         |         FROM d1) t
+         |         FROM ${P}d1) t
          |       WHERE rk = 1),
-         |res AS (SELECT e.vec_id, a1.cid AS gcell,
-         |          list_transform(list_zip(e.v, c1.cv), p -> p[1]-p[2]) AS v
-         |        FROM e JOIN a1 USING (vec_id) JOIN c1 ON a1.cid = c1.cid)""".stripMargin
+         |${P}res AS (SELECT ${P}e.vec_id, ${P}a1.cid AS gcell,
+         |          list_transform(list_zip(${P}e.v, ${P}c1.cv), p -> p[1]-p[2]) AS v
+         |        FROM ${P}e JOIN ${P}a1 USING (vec_id) JOIN ${P}c1 ON ${P}a1.cid = ${P}c1.cid)""".stripMargin
     val scoreCtes = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = (s + 1) * sub
-      s"""s_$s AS (SELECT probe.query_id, res.vec_id AS neighbor_id,
-         |    CAST(floor(list_sum(list_transform(list_zip(probe.qr[$lo:$hi], c1_$s.cv),
+      s"""${P}s_$s AS (SELECT ${P}probe.query_id, ${P}res.vec_id AS neighbor_id,
+         |    CAST(floor(list_sum(list_transform(list_zip(${P}probe.qr[$lo:$hi], c1_$P$s.cv),
          |      p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS dm
-         |  FROM probe JOIN res ON probe.gcell = res.gcell
-         |    JOIN a1_$s ON a1_$s.vec_id = res.vec_id
-         |    JOIN c1_$s ON c1_$s.cid = a1_$s.cid)""".stripMargin
+         |  FROM ${P}probe JOIN ${P}res ON ${P}probe.gcell = ${P}res.gcell
+         |    JOIN a1_$P$s ON a1_$P$s.vec_id = ${P}res.vec_id
+         |    JOIN c1_$P$s ON c1_$P$s.cid = a1_$P$s.cid)""".stripMargin
     }
     val joins = (1 until m).map(s =>
-      s"JOIN s_$s USING (query_id, neighbor_id)").mkString(" ")
-    val adc = (0 until m).map(s => s"s_$s.dm").mkString(" + ")
-    "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
-      "           FROM embeddings),\n" + coarse + ",\n" +
-      pqSubCtes(m, k, dim, src = "res", trainPred = trainPred) +
+      s"JOIN ${P}s_$s USING (query_id, neighbor_id)").mkString(" ")
+    val adc = (0 until m).map(s => s"${P}s_$s.dm").mkString(" + ")
+    val corpusWhere = corpusPred.map(p => s" WHERE $p").getOrElse("")
+    val qCte = queryPred match {
+      case None =>
+        s"${P}q AS (SELECT vec_id AS query_id, v AS qv FROM ${P}e WHERE vec_id < $nQueries),"
+      case Some(qp) =>
+        s"""${P}qe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings WHERE $qp),
+           |${P}q AS (SELECT vec_id AS query_id, v AS qv FROM ${P}qe),""".stripMargin
+    }
+    s"WITH ${P}e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+      s"           FROM embeddings$corpusWhere),\n" + coarse + ",\n" +
+      pqSubCtes(m, k, dim, src = s"${P}res", trainPred = trainPred,
+        pfx = P, subsetInit = corpusPred.isDefined) +
       s""",
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
-         |qd AS (SELECT q.query_id, q.qv, c1.cid AS gcell, c1.cv AS gcv,
-         |         CAST(floor(list_sum(list_transform(list_zip(q.qv, c1.cv),
+         |$qCte
+         |${P}qd AS (SELECT ${P}q.query_id, ${P}q.qv, ${P}c1.cid AS gcell, ${P}c1.cv AS gcv,
+         |         CAST(floor(list_sum(list_transform(list_zip(${P}q.qv, ${P}c1.cv),
          |           p -> (p[1]-p[2])*(p[1]-p[2])))*1e6 + 0.5) AS BIGINT) AS gdm
-         |       FROM q, c1),
-         |probe AS (SELECT query_id, gcell,
+         |       FROM ${P}q, ${P}c1),
+         |${P}probe AS (SELECT query_id, gcell,
          |            list_transform(list_zip(qv, gcv), p -> p[1]-p[2]) AS qr
          |          FROM (SELECT *, row_number() OVER (
          |                  PARTITION BY query_id ORDER BY gdm, gcell) rk
-         |                FROM qd) t
+         |                FROM ${P}qd) t
          |          WHERE rk <= $nprobe),
          |${scoreCtes.mkString(",\n")},
-         |adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
-         |        FROM s_0 $joins
+         |${P}adc AS (SELECT query_id, neighbor_id, CAST($adc AS BIGINT) AS adc_micros
+         |        FROM ${P}s_0 $joins
          |        WHERE query_id <> neighbor_id$codeFilter)""".stripMargin
   }
 
@@ -5164,6 +5280,13 @@ object SparkEntry {
     "q197_ivfpq_index_delete" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5,
       codePred = Some("neighbor_id % 7 <> 3")),
+    // q203 = TWO of q162's chains (one per mining direction, each
+    // trained on its own label-split corpus) + cosine re-rank of the
+    // ADC shortlists + q176's margin tail — the bounded-probe bitext
+    // miner gated hash-exact at its real (non-degenerate) settings.
+    "q203_bitext_margin_ivf" -> bitextApproxOracleSql(kc = 4, m = 4,
+      pqK = 4, dim = 64, nprobe = 2, shortlist = 8, k = 4,
+      minMargin = "1.02e0"),
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6

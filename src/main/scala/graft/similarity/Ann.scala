@@ -485,6 +485,45 @@ object Ann {
       .where(col("rank") <= topK)
   }
 
+  /** IVFADC shortlist + exact COSINE re-rank — [[bruteForceTopK]]'s
+    * output contract ((query_id, neighbor_id, cosine, rank), cosine
+    * rounded to 1e-6, (cosine desc, id) ties) served by the bounded-
+    * probe index instead of the exhaustive scored pass. This is the
+    * drop-in the margin-mining pipeline ([[Bitext.marginMiningApprox]])
+    * swaps in at 100 TB: the ADC stage scores only the `nprobe` probed
+    * cells' m-byte codes, and the exact cosine touches
+    * nQueries·`shortlist` full vectors (the bare-id shortlist
+    * broadcasts into the corpus scan — the corpus never shuffles).
+    *
+    * Identity property (spec-pinned in BitextSpec): with kc=1,
+    * nprobe=1 and shortlist ≥ |corpus|, the probed candidate set is
+    * every (query, corpus) pair, so the cosine re-rank IS
+    * bruteForceTopK — same expression ([[graft.functions
+    * .VectorFunctions.cosineSim]] on the RAW float vectors, widened
+    * per element), same 1e-6 round, same tie order. Bounded settings
+    * trade recall for the probe bound; RecallSpec-style floors gate
+    * that trade. */
+  def ivfPqCosineTopK(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      kc: Int, m: Int, k: Int, iters: Int,
+                      nprobe: Int, shortlist: Int, topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val (scored, _, _) =
+      ivfPqScored(queries, corpus, idCol, vecCol, kc, m, k, iters, nprobe)
+    val short = rankTopK(scored, "adc_micros", shortlist)
+      .select("query_id", "neighbor_id")
+    // exact cosine over the finalists only, off the RAW (float)
+    // vectors so the value is bit-identical to bruteForceTopK's
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val exact = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    ranked(exact, topK)
+  }
+
   /** Rank-aware retrieval evaluation of the ADC searcher against the
     * exact L2 ground truth — the recall@k / reciprocal-rank report
     * every ANN deployment ships with (Jégou et al. 2011 evaluate PQ

@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * it clears `minMargin` (ratio > 1 ⇒ the pair stands out above both
   * neighborhoods).
   *
-  * Scale shape: both directional top-k passes are
+  * Scale shape: [[marginMining]]'s directional top-k passes are
   * [[Ann.bruteForceTopK]]'s no-shuffle scored-broadcast plan (the
   * corpus never shuffles; per-partition sorted-truncate then a rank
-  * over partitions × k survivors) — at 100 TB either direction swaps
-  * in the IVFADC shortlist ([[Ann.ivfPqSearchTopK]], same output
-  * contract) unchanged. Everything after runs on shortlist-sized data
-  * (≤ (|src|+|tgt|)·k rows): neighborhood sums are map-side-combined
+  * over partitions × k survivors) — the exact mining protocol, with a
+  * deliberate O(|src|·|tgt|) score term. [[marginMiningApprox]] IS
+  * the 100 TB form: both directions ride the bounded-probe IVFADC
+  * shortlist ([[Ann.ivfPqCosineTopK]], same output contract —
+  * identity at kc=1/full probe and a planted-pair recall floor are
+  * BitextSpec-pinned, and q203 gates the bounded-probe composition
+  * against the DuckDB oracle end to end). Everything after the
+  * neighborhood search runs on shortlist-sized data (≤
+  * (|src|+|tgt|)·k rows): neighborhood sums are map-side-combined
   * groupBys, the margin join is an equi-join on those shortlists
   * (AQE-broadcastable, never corpus-scale).
   *
@@ -44,11 +49,48 @@ object Bitext {
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
                    vecCol: String, k: Int, minMargin: Double): DataFrame = {
     require(k >= 1, s"need a positive neighborhood size, got $k")
+    marginFromTopK(
+      Ann.bruteForceTopK(src, tgt, idCol, vecCol, k),
+      Ann.bruteForceTopK(tgt, src, idCol, vecCol, k), k, minMargin)
+  }
+
+  /** [[marginMining]] with both directional top-k passes served by the
+    * bounded-probe IVFADC index ([[Ann.ivfPqCosineTopK]] — ADC
+    * shortlist over `nprobe` probed cells, exact cosine re-rank of the
+    * `shortlist` finalists) instead of the exhaustive scored pass.
+    * Same output contract and margin algebra; the ONLY change is where
+    * each side's k-nearest neighborhood comes from. This is the 100 TB
+    * form: per direction the corpus pipeline is one map-side coded
+    * scan, probing reads nprobe/kc of the cells, and the exact cosine
+    * touches |queries|·shortlist vectors — no quadratic term anywhere.
+    *
+    * Contract pins (BitextSpec): kc=1/nprobe=1/shortlist ≥ |corpus| is
+    * EXACTLY [[marginMining]] (the probed candidate set degenerates to
+    * all pairs and the re-rank is bit-identical to bruteForceTopK);
+    * bounded settings are gated by a planted-pair recall floor. */
+  def marginMiningApprox(src: DataFrame, tgt: DataFrame, idCol: String,
+                         vecCol: String, k: Int, minMargin: Double,
+                         kc: Int, m: Int, pqK: Int, iters: Int,
+                         nprobe: Int, shortlist: Int): DataFrame = {
+    require(k >= 1, s"need a positive neighborhood size, got $k")
+    marginFromTopK(
+      Ann.ivfPqCosineTopK(src, tgt, idCol, vecCol,
+        kc, m, pqK, iters, nprobe, shortlist, k),
+      Ann.ivfPqCosineTopK(tgt, src, idCol, vecCol,
+        kc, m, pqK, iters, nprobe, shortlist, k), k, minMargin)
+  }
+
+  /** The shared margin algebra over two directional top-k lists
+    * ((query_id, neighbor_id, cosine) with cosine on the 1e-6 grid) —
+    * everything below the neighborhood search runs on shortlist-sized
+    * data (≤ (|src|+|tgt|)·k rows). */
+  private def marginFromTopK(fwdTopK: DataFrame, bwdTopK: DataFrame,
+                             k: Int, minMargin: Double): DataFrame = {
     // cm: the ranked cosine as exact 1e-6 fixed-point (the cosine is
     // already rounded to the 1e-6 grid, so this is lossless)
-    val fwd = Ann.bruteForceTopK(src, tgt, idCol, vecCol, k)
+    val fwd = fwdTopK
       .withColumn("cm", floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
-    val bwd = Ann.bruteForceTopK(tgt, src, idCol, vecCol, k)
+    val bwd = bwdTopK
       .withColumn("cm", floor(col("cosine") * lit(1e6) + lit(0.5)).cast("long"))
 
     // forward neighborhood sums ride a window over the candidates

@@ -64,4 +64,59 @@ class BitextSpec extends SparkSuite {
     val plan = df.queryExecution.sparkPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("approx miner at kc=1/full-probe/full-shortlist IS marginMining") {
+    // the swap-in's contract: with one coarse cell (probed), and a
+    // shortlist covering the whole corpus, the ADC stage keeps every
+    // candidate and the exact cosine re-rank degenerates to
+    // bruteForceTopK — so the WHOLE mining output must be row-for-row
+    // identical to the exact miner, margins and cosines included
+    // (the MlPropertySpec degenerate-config pattern).
+    val rnd = new scala.util.Random(37)
+    val src = (1L to 30L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    val tgt = (101L to 140L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    val exact = rows(Bitext.marginMining(
+      src, tgt, "vec_id", "embedding", k = 3, minMargin = 0.0))
+    val approx = rows(Bitext.marginMiningApprox(
+      src, tgt, "vec_id", "embedding", k = 3, minMargin = 0.0,
+      kc = 1, m = 4, pqK = 4, iters = 2, nprobe = 1, shortlist = 40))
+    assert(approx === exact)
+  }
+
+  test("bounded-probe approx miner recovers the planted pairs (recall floor)") {
+    // at REAL bounded settings (kc=4 cells, nprobe=2, shortlist=8) the
+    // probe reads half the cells and the exact cosine touches 8
+    // finalists per query — the recall trade the 100 TB form makes.
+    // The floor: every planted near-copy pair must still be mined with
+    // the right target, and ≥ 80% of the exact miner's (src → tgt)
+    // assignments must be reproduced on a random-halves corpus.
+    val rnd = new scala.util.Random(59)
+    val srcVecs = (1L to 24L).map(i => i -> unit(rnd)).toMap
+    val tgtVecs = (1L to 6L).map(i => (100L + i) -> perturb(srcVecs(i), rnd)).toMap ++
+      (7L to 24L).map(i => (100L + i) -> unit(rnd)).toMap
+    val src = srcVecs.toSeq.toDF("vec_id", "embedding")
+    val tgt = tgtVecs.toSeq.toDF("vec_id", "embedding")
+    def mine(f: => org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      f.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = mine(Bitext.marginMining(
+      src, tgt, "vec_id", "embedding", k = 3, minMargin = 0.0))
+    val approx = mine(Bitext.marginMiningApprox(
+      src, tgt, "vec_id", "embedding", k = 3, minMargin = 0.0,
+      kc = 4, m = 4, pqK = 4, iters = 2, nprobe = 2, shortlist = 8))
+    for (i <- 1L to 6L)
+      assert(approx.get(i).contains(100L + i),
+        s"planted src $i must mine tgt ${100 + i}, got ${approx.get(i)}")
+    val agree = exact.count { case (s, t) => approx.get(s).contains(t) }
+    assert(agree * 10 >= exact.size * 8,
+      s"approx agreed on $agree/${exact.size} exact assignments (< 80%)")
+  }
+
+  test("q203 plans no cartesian product") {
+    val df = SparkEntry.queries("q203_bitext_margin_ivf")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

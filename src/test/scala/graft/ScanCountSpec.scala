@@ -225,6 +225,49 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q194_char_entropy") === 0)
   }
 
+  test("gate/audit/bitext queries (q198-q203) keep bounded scans and shuffles") {
+    // q198 blocklist: ONE map-only Aho–Corasick kernel projection —
+    // the phrase list ships as a single codegen reference object, so
+    // plan size, scan count and shuffle count are all independent of
+    // the list size (a contains() disjunction rewrite would still be
+    // 1 scan but the m-probe cost regression shows in bench, and any
+    // groupBy rewrite shows here)
+    assert(scanCount("q198_blocklist_filter") <= 1)
+    assert(shuffleCount("q198_blocklist_filter") === 0)
+    // q199 length trim: histogram groupBy (one row per distinct
+    // (lang, n_chars) — the ONLY corpus-scale shuffle) + its CDF
+    // window on histogram rows; thresholds BROADCAST back onto the
+    // second documents scan. A percent_rank rewrite would sort every
+    // language's full partition (the dominant-language skew trap) and
+    // show as an extra corpus-keyed shuffle.
+    assert(scanCount("q199_length_trim") <= 2)
+    assert(shuffleCount("q199_length_trim") <= 2)
+    // q200 PSI: one events scan collapsing to the category-sized
+    // conditional aggregate (2-phase) + the grand-total window over
+    // category rows only
+    assert(scanCount("q200_drift_psi") <= 1)
+    assert(shuffleCount("q200_drift_psi") <= 2)
+    // q201 rank AUC: q199's histogram-CDF recipe — the corpus shuffle
+    // carries one row per distinct (source, score_micros), then the
+    // CDF window + final fold run on histogram rows
+    assert(scanCount("q201_quality_auc") <= 1)
+    assert(shuffleCount("q201_quality_auc") <= 2)
+    // q202 fuzzy decontam: the signature pass + the candidate
+    // re-shingle pass (pruned by a broadcast semi-join on candidate
+    // ids) — the eval side broadcasts at every step and the corpus
+    // NEVER self-joins; the checkpointed candidate sliver keeps the
+    // three downstream uses from replaying the signature pass
+    assert(scanCount("q202_fuzzy_decontam") <= 2)
+    assert(shuffleCount("q202_fuzzy_decontam") <= 3)
+    // q203 bounded-probe bitext: per direction one coded-corpus scan,
+    // one probe scan and two raw-vector rerank scans (8 total);
+    // shuffles are rankTopK's partial/global pairs + the margin
+    // layer, all shortlist-sized. The defining property vs q176: the
+    // brute-force cross term never plans (no corpus×corpus cosine).
+    assert(scanCount("q203_bitext_margin_ivf") <= 8)
+    assert(shuffleCount("q203_bitext_margin_ivf") <= 8)
+  }
+
   test("the group-any window plans one scan and one shuffle") {
     // q146: per-customer window (1 exchange), deterministic row-subset
     // filter applied after it — a rewrite through a join or a second
