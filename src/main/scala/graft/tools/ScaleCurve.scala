@@ -34,7 +34,13 @@ object ScaleCurve {
     // late-r14 additions: bloom-prefiltered decontam (two prefiltered
     // scans + verify join), the nine-kernel repetition gate, and the
     // multi-pass span-removal transform
-    "q190_bloom_decontam", "q191_repetition_rules", "q193_dup_span_removal")
+    "q190_bloom_decontam", "q191_repetition_rules", "q193_dup_span_removal",
+    // round-16 additions: the Aho–Corasick blocklist gate, the
+    // histogram-CDF trim/AUC pair, md5-MinHash fuzzy decontam, and
+    // the bounded-probe bitext miner (q176's scale sibling — its
+    // ratio should stay flat where q176's grows with the corpus)
+    "q198_blocklist_filter", "q199_length_trim", "q201_quality_auc",
+    "q202_fuzzy_decontam", "q203_bitext_margin_ivf")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
