@@ -1946,6 +1946,35 @@ object SparkEntry {
       graft.ops.Drift.psiReport(t(s, dir, "events"), "event_type",
         col("event_id") % 2 === 0, thresholdMicros = 200000L)),
 
+    // ---- STREAMING drift gate (streaming.DriftStream — q200's
+    // stateful twin, the q187/q196 pattern): current-window events
+    // stream in; their per-category counts are a live Complete-mode
+    // streaming aggregation (state = one counter per category, never
+    // per event); the PSI report derives from that profile joined
+    // with the static reference counts through the SAME psiFromCounts
+    // math. Single ordered micro-batch ⟹ profile ≡ the batch
+    // conditional aggregate, so q200's ORACLE gates this stateful
+    // streaming query hash-exact; the cross-batch cumulative path is
+    // DriftStreamSpec's. ----
+    "q205_drift_stream" -> ((s, dir) => {
+      val ref = t(s, dir, "events").where(col("event_id") % 2 === 0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c_ref"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .where(col("event_id") % 2 =!= 0)
+      val sink = "graft_q205_sink"
+      graft.streaming.Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.DriftStream.profileStream(stream, "event_type")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      graft.streaming.DriftStream.psiFromProfile(
+        s.table(sink), ref, "event_type", thresholdMicros = 200000L)
+    }),
+
     // ---- quality-filter bias audit (ml.Eval.rankAuc): per-source
     // ROC-AUC of the q42 quality score separating en vs non-en docs
     // (Gururangan 2022's "whose language counts" audit as a corpus
@@ -1977,6 +2006,26 @@ object SparkEntry {
     "q202_fuzzy_decontam" -> ((s, dir) =>
       graft.curation.Curate.fuzzyDecontam(
         t(s, dir, "documents"), isEval = col("doc_id") % 89 === 0)),
+
+    // ---- calibration audit (ml.Eval.calibrationReport — Guo et al.
+    // 2017's Expected Calibration Error as a corpus operator,
+    // completing the audit trio with q200's PSI and q201's AUC): the
+    // q42 quality score read as a micro-probability of "this doc is
+    // en", binned into 10 equal-width confidence bins per source;
+    // per-bin observed positive rate vs mean claimed confidence, ECE
+    // = row-weighted mean absolute gap. q199/q201's histogram shape
+    // (one scan, the only corpus shuffle carries ≤ sources×bins
+    // rows); bins, rates, gaps and ECE are ALL integer floor
+    // divisions — hash-exact with no float tolerance. ----
+    "q204_calibration_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Eval.calibrationReport(
+        d.select(col("source"),
+          round(Text.qualityScore(col("text")) * lit(1e6), 0)
+            .cast("long").as("score_micros"),
+          (col("lang") === "en").as("label")),
+        "source", "score_micros", "label", nBins = 10)
+    }),
 
     // ---- BOUNDED-PROBE bitext mining (Bitext.marginMiningApprox):
     // q176's ratio-margin protocol with both directional
@@ -5038,6 +5087,32 @@ object SparkEntry {
          |        PARTITION BY query_id ORDER BY adc_micros, neighbor_id) rk
          |      FROM adc) t
          |WHERE rk <= $topK""".stripMargin
+
+  /** q200's oracle, shared verbatim by its streaming twin q205 (the
+    * q190/q196 convention: batch-identical single-micro-batch runs
+    * ride the batch oracle). The A/A split (even/odd event_id), the
+    * fixed-order transcendental term and the micros snap mirror
+    * `Drift.psiFromCounts` token for token. */
+  private val DriftPsiOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT *, CAST(sum(c_ref) OVER () AS BIGINT) AS n_ref,
+      |    CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur FROM c),
+      |t AS (
+      |  SELECT *, CASE WHEN c_ref > 0 AND c_cur > 0 THEN CAST(floor(
+      |      (CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+      |        - CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
+      |      * ln((CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
+      |            / (CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+      |      * 1e6 + 0.5) AS BIGINT) END AS term_micros FROM w)
+      |SELECT event_type, c_ref, c_cur, term_micros,
+      |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) AS psi_total_micros,
+      |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) >= 200000 AS drifted
+      |FROM t""".stripMargin
 
   /** q203's oracle: BOTH directional bounded-probe searches of the
     * approximate bitext miner, each a full [[ivfPqAdcCtes]] two-level
@@ -8870,26 +8945,12 @@ object SparkEntry {
     // ln((c_cur·N_ref)/(c_ref·N_cur)) evaluated in the identical
     // IEEE operation order, floored to micros, summed as integers;
     // one-sided categories carry NULL terms excluded from the total.
-    "q200_drift_psi" ->
-      """WITH c AS (
-        |  SELECT event_type,
-        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
-        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
-        |  FROM events GROUP BY 1),
-        |w AS (
-        |  SELECT *, CAST(sum(c_ref) OVER () AS BIGINT) AS n_ref,
-        |    CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur FROM c),
-        |t AS (
-        |  SELECT *, CASE WHEN c_ref > 0 AND c_cur > 0 THEN CAST(floor(
-        |      (CAST(c_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
-        |        - CAST(c_ref AS DOUBLE) / CAST(n_ref AS DOUBLE))
-        |      * ln((CAST(c_cur AS DOUBLE) * CAST(n_ref AS DOUBLE))
-        |            / (CAST(c_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
-        |      * 1e6 + 0.5) AS BIGINT) END AS term_micros FROM w)
-        |SELECT event_type, c_ref, c_cur, term_micros,
-        |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) AS psi_total_micros,
-        |  COALESCE(CAST(sum(term_micros) OVER () AS BIGINT), 0) >= 200000 AS drifted
-        |FROM t""".stripMargin,
+    "q200_drift_psi" -> DriftPsiOracleSql,
+    // q205 = the SAME report through the stateful streaming profile:
+    // a single ordered micro-batch makes the live Complete-mode count
+    // equal the batch conditional aggregate, so q200's oracle gates
+    // the streaming query hash-exact (the q187/q196 twin convention).
+    "q205_drift_stream" -> DriftPsiOracleSql,
 
     // q201: score CTE is q42's quality formula verbatim (pinned
     // lockstep in OracleConsistencySpec) snapped to integer micros;
@@ -8925,6 +8986,39 @@ object SparkEntry {
         |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg)
         |  END AS auc_micros
         |FROM agg""".stripMargin,
+
+    // q204: q201's score CTE verbatim (the lockstep pin extends to
+    // this oracle), then the ECE chain — equal-width micro-probability
+    // bins (top edge folded into the last bin), per-bin floor-divided
+    // rates, row-weighted mean absolute gap. Every step is integer
+    // arithmetic; // mirrors Spark's div on these non-negative values.
+    "q204_calibration_audit" ->
+      """WITH q AS (
+        |  SELECT source, lang = 'en' AS label,
+        |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
+        |        + 0.4 * (1.0 - punct_ratio)
+        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT doc_id, source, lang, len(toks) AS n_tokens,
+        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        |b AS (SELECT source, least(CAST(9 AS BIGINT), (s * 10) // 1000000) AS bin,
+        |        s, label
+        |      FROM q),
+        |g AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |        CAST(sum(s) AS BIGINT) AS conf_sum
+        |      FROM b GROUP BY 1, 2),
+        |t AS (SELECT source, bin, n, n_pos,
+        |        conf_sum // n AS avg_conf_micros,
+        |        n_pos * 1000000 // n AS acc_micros
+        |      FROM g),
+        |e AS (SELECT *, abs(acc_micros - avg_conf_micros) AS gap_micros FROM t)
+        |SELECT source, bin, n, n_pos, avg_conf_micros, acc_micros, gap_micros,
+        |  CAST(sum(n * gap_micros) OVER (PARTITION BY source) AS BIGINT)
+        |    // CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ece_micros
+        |FROM e""".stripMargin,
 
     // q202: the docs/sh0 shingle grammar is q190's verbatim; the
     // MinHash "permutations" are the md5 arithmetic of q82 applied to

@@ -61,4 +61,53 @@ object Eval {
       .select(col(groupCol), col("n_pos"), col("n_neg"), col("u2"),
         col("auc_micros"))
   }
+
+  /** Per-group calibration audit — the Expected Calibration Error
+    * report (Guo et al. 2017, "On Calibration of Modern Neural
+    * Networks", §2): a score used as a probability is CALIBRATED when
+    * among rows scored ~p, a fraction ~p is actually positive. The
+    * audit bins `confCol` (an integer micro-probability, 0..10⁶) into
+    * `nBins` equal-width confidence bins and compares each bin's
+    * observed positive rate (`acc_micros`) with its mean claimed
+    * confidence (`avg_conf_micros`); ECE is the row-weighted mean
+    * absolute gap. The companion to [[rankAuc]]: AUC measures whether
+    * the score RANKS positives above negatives, ECE whether its
+    * VALUES mean what they claim — a selection threshold is only as
+    * meaningful as this gap is small.
+    *
+    * Determinism: the bin id, both per-bin rates, the gap and the ECE
+    * are ALL integer arithmetic (floor divisions of exact counts/
+    * sums), so the report is cross-engine exact with no float
+    * tolerance anywhere — the q200/q201 audit-family recipe.
+    *
+    * Scale shape (the q199/q201 histogram recipe): ONE corpus scan
+    * collapsing to the per-(group, bin) aggregate — the only
+    * corpus-scale shuffle carries ≤ |groups|·nBins rows — then the
+    * ECE windows run on bin rows. Never a per-row sort or quantile.
+    *
+    * Returns one row per non-empty (group, bin): (group, bin, n,
+    * n_pos, avg_conf_micros, acc_micros, gap_micros, ece_micros) with
+    * the group's ECE repeated per bin (q200's report convention). */
+  def calibrationReport(df: DataFrame, groupCol: String, confCol: String,
+                        labelCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need a positive bin count, got $nBins")
+    val conf = col(confCol).cast("long")
+    // equal-width bins over [0, 1e6]; the top edge folds into the
+    // last bin so a perfect-confidence row is never its own bin
+    val bin = least(lit(nBins - 1L), expr(s"(${confCol} * $nBins) div 1000000L"))
+    val w = Window.partitionBy(col(groupCol))
+    df.groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(conf).as("conf_sum"))
+      .withColumn("acc_micros", expr("n_pos * 1000000L div n"))
+      .withColumn("avg_conf_micros", expr("conf_sum div n"))
+      .withColumn("gap_micros", abs(col("acc_micros") - col("avg_conf_micros")))
+      .withColumn("__wgap", sum(col("n") * col("gap_micros")).over(w))
+      .withColumn("__wn", sum(col("n")).over(w))
+      .withColumn("ece_micros", expr("__wgap div __wn"))
+      .select(col(groupCol), col("bin"), col("n"), col("n_pos"),
+        col("avg_conf_micros"), col("acc_micros"), col("gap_micros"),
+        col("ece_micros"))
+  }
 }

@@ -36,11 +36,23 @@ object Drift {
     * psi_total_micros, drifted). `isRef` marks the reference window;
     * everything else is the current window. */
   def psiReport(df: DataFrame, catCol: String, isRef: Column,
-                thresholdMicros: Long): DataFrame = {
+                thresholdMicros: Long): DataFrame =
+    psiFromCounts(
+      df.groupBy(col(catCol))
+        .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
+          sum(when(isRef, 0L).otherwise(1L)).as("c_cur")),
+      catCol, thresholdMicros)
+
+  /** The PSI math over an already-aggregated category profile —
+    * (`catCol`, c_ref, c_cur), one row per category present in either
+    * window — shared by the batch gate above and the streaming twin
+    * ([[graft.streaming.DriftStream]], which maintains c_cur as a
+    * live Complete-mode streaming count). Grand totals, terms and the
+    * fold all run on category-sized rows. */
+  def psiFromCounts(counts: DataFrame, catCol: String,
+                    thresholdMicros: Long): DataFrame = {
     val all = Window.partitionBy(lit(1))
-    val counts = df.groupBy(col(catCol))
-      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
-        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+    val totaled = counts
       .withColumn("n_ref", sum("c_ref").over(all))
       .withColumn("n_cur", sum("c_cur").over(all))
     val pRef = col("c_ref").cast("double") / col("n_ref").cast("double")
@@ -49,7 +61,7 @@ object Drift {
       (col("c_ref").cast("double") * col("n_cur").cast("double"))
     val term = floor((pCur - pRef) * log(ratio) * lit(1e6) + lit(0.5))
       .cast("long")
-    counts
+    totaled
       .withColumn("term_micros",
         when(col("c_ref") > 0 && col("c_cur") > 0, term))
       .withColumn("psi_total_micros",

@@ -56,4 +56,57 @@ class EvalSpec extends SparkSuite {
       "BroadcastExchange".r.findAllIn(qe.executedPlan.toString).size
     assert(scans <= 1 && exchanges <= 3)
   }
+
+  test("calibration: a perfectly calibrated score has ECE 0") {
+    // bin midpoint confidences with EXACTLY matching positive rates:
+    // 4 rows at 250000 with 1 positive, 4 rows at 750000 with 3 —
+    // acc == avg_conf in both bins, so every gap and the ECE are 0
+    val df = (Seq.tabulate(4)(i => ("g", 250000L, i == 0)) ++
+      Seq.tabulate(4)(i => ("g", 750000L, i != 0))).toDF("g", "s", "y")
+    val rows = Eval.calibrationReport(df, "g", "s", "y", nBins = 10)
+      .collect().map(r => r.getLong(r.fieldIndex("bin")) -> r).toMap
+    assert(rows.keySet === Set(2L, 7L))
+    for ((_, r) <- rows) {
+      assert(r.getLong(r.fieldIndex("gap_micros")) === 0L)
+      assert(r.getLong(r.fieldIndex("ece_micros")) === 0L)
+    }
+  }
+
+  test("calibration: planted over-confidence is measured bin-exactly") {
+    // one bin, 5 rows all claiming 900000 but only 1 positive:
+    // acc = 200000, gap = 700000, ECE = 700000 (single bin).
+    val df = Seq.tabulate(5)(i => ("g", 900000L, i == 0)).toDF("g", "s", "y")
+    val r = Eval.calibrationReport(df, "g", "s", "y", nBins = 10)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("bin")) === 9L)
+    assert(r.getLong(r.fieldIndex("acc_micros")) === 200000L)
+    assert(r.getLong(r.fieldIndex("avg_conf_micros")) === 900000L)
+    assert(r.getLong(r.fieldIndex("gap_micros")) === 700000L)
+    assert(r.getLong(r.fieldIndex("ece_micros")) === 700000L)
+  }
+
+  test("calibration: top edge folds into the last bin; ECE row-weights") {
+    // conf exactly 1e6 must land in bin 9 (not its own bin 10);
+    // two bins with different sizes weight the ECE by row count:
+    // bin 0: 3 rows, conf 0, 0 pos -> gap 0; bin 9: 1 row, conf 1e6,
+    // 0 pos -> gap 1e6; ECE = (3*0 + 1*1e6) div 4 = 250000.
+    val df = (Seq.fill(3)(("g", 0L, false)) :+ ("g", 1000000L, false))
+      .toDF("g", "s", "y")
+    val rows = Eval.calibrationReport(df, "g", "s", "y", nBins = 10)
+      .collect().map(r => r.getLong(r.fieldIndex("bin")) -> r).toMap
+    assert(rows.keySet === Set(0L, 9L))
+    assert(rows(9L).getLong(rows(9L).fieldIndex("gap_micros")) === 1000000L)
+    for ((_, r) <- rows)
+      assert(r.getLong(r.fieldIndex("ece_micros")) === 250000L)
+  }
+
+  test("plan: q204 one scan, bin-histogram-sized shuffles only") {
+    val qe = SparkEntry.queries("q204_calibration_audit")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val scans =
+      "file:[^\\]\\s]*\\.parquet".r.findAllMatchIn(qe.sparkPlan.toString).size
+    val exchanges = "Exchange".r.findAllIn(qe.executedPlan.toString).size -
+      "BroadcastExchange".r.findAllIn(qe.executedPlan.toString).size
+    assert(scans <= 1 && exchanges <= 3)
+  }
 }

@@ -97,15 +97,17 @@ class OracleConsistencySpec extends AnyFunSuite {
       "q162 coarse Lloyd chain drifted from q147's shape")
   }
 
-  test("q201's score CTE replays q42's quality formula verbatim") {
-    // the AUC audit ranks the SAME score q42 gates on; the quality
-    // formula and its punct/stopword inputs are pinned lockstep —
-    // editing one oracle but not the other silently breaks parity
+  test("q201/q204's score CTEs replay q42's quality formula verbatim") {
+    // the AUC audit ranks — and the calibration audit bins — the SAME
+    // score q42 gates on; the quality formula and its punct/stopword
+    // inputs are pinned lockstep — editing one oracle but not the
+    // others silently breaks parity
     val frags = Seq(
       "round(0.4 * least(1.0, n_tokens / 100.0) + 0.4 * (1.0 - punct_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6)",
       "(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio",
       "x -> x IN ('the','a','of','and','to','in','is','it')")
-    for (q <- Seq("q42_docs_quality", "q201_quality_auc"); f <- frags)
+    for (q <- Seq("q42_docs_quality", "q201_quality_auc",
+        "q204_calibration_audit"); f <- frags)
       assert(norm(SparkEntry.oracleSql(q)).contains(norm(f)),
         s"$q lost quality-formula fragment: $f")
   }

@@ -259,6 +259,17 @@ class ScanCountSpec extends SparkSuite {
     // three downstream uses from replaying the signature pass
     assert(scanCount("q202_fuzzy_decontam") <= 2)
     assert(shuffleCount("q202_fuzzy_decontam") <= 3)
+    // q204 calibration audit: q201's histogram recipe — one scan,
+    // the corpus shuffle carries <= sources x nBins rows, the ECE
+    // windows run on bin rows
+    assert(scanCount("q204_calibration_audit") <= 1)
+    assert(shuffleCount("q204_calibration_audit") <= 2)
+    // q205 streaming drift: the REPORT plan scans events parquet once
+    // (the reference profile); the streamed side reads the memory
+    // sink; shuffles are the reference count, the profile join and
+    // the category-sized windows
+    assert(scanCount("q205_drift_stream") <= 1)
+    assert(shuffleCount("q205_drift_stream") <= 3)
     // q203 bounded-probe bitext: per direction one coded-corpus scan,
     // one probe scan and two raw-vector rerank scans (8 total);
     // shuffles are rankTopK's partial/global pairs + the margin
