@@ -2046,6 +2046,30 @@ object SparkEntry {
         kc = 4, m = 4, pqK = 4, iters = 2, nprobe = 2, shortlist = 8)
     }),
 
+    // ---- bitext mining over WRITTEN per-direction indexes
+    // (Bitext.marginMiningIndexed — q203 through q169's persistent
+    // cell-partitioned layout): each side's codes are built ON DISK
+    // once (frozen state cached per sf dir, the q192/q197 pattern);
+    // every probe prunes the file listing to its 2 cells, and only
+    // raw-vector finalists join. Codes and state round-trip
+    // bit-exact, so the output is IDENTICAL to q203 — q203's oracle
+    // gates the serving topology end to end. ----
+    "q206_bitext_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def idx(side: String, pred: org.apache.spark.sql.Column) =
+        SparkEntry.ivfPqIndexCache.computeIfAbsent(s"$dir#bitext_$side", _ => {
+          val path = tempResultDir(s"ivfpq_bt_$side") + "/codes"
+          graft.similarity.Ann.ivfPqBuildIndex(e.where(pred), "vec_id",
+            "embedding", kc = 4, m = 4, k = 4, iters = 2, path)
+        })
+      graft.similarity.Bitext.marginMiningIndexed(
+        e.where(col("label") < 5), e.where(col("label") >= 5),
+        srcIdx = idx("src", col("label") < 5),
+        tgtIdx = idx("tgt", col("label") >= 5),
+        "vec_id", "embedding", k = 4, minMargin = 1.02,
+        nprobe = 2, shortlist = 8)
+    }),
+
     // ---- duplicated-span REMOVAL with text reconstitution (dedup
     // .Dedup.removeDupSpans — Lee et al. 2022 §4's actual transform,
     // completing q161's keep-flag): token positions covered by any
@@ -5360,6 +5384,12 @@ object SparkEntry {
     // ADC shortlists + q176's margin tail — the bounded-probe bitext
     // miner gated hash-exact at its real (non-degenerate) settings.
     "q203_bitext_margin_ivf" -> bitextApproxOracleSql(kc = 4, m = 4,
+      pqK = 4, dim = 64, nprobe = 2, shortlist = 8, k = 4,
+      minMargin = "1.02e0"),
+    // q206 = q203 through the written cell-partitioned indexes: codes
+    // and trained state round-trip bit-exact (the q169 ≡ q162
+    // identity), so the oracle IS q203's chain at equal parameters.
+    "q206_bitext_indexed" -> bitextApproxOracleSql(kc = 4, m = 4,
       pqK = 4, dim = 64, nprobe = 2, shortlist = 8, k = 4,
       minMargin = "1.02e0"),
 

@@ -867,6 +867,39 @@ object Ann {
     rankTopK(adcScored(coded, probes, index.state), "adc_micros", topK)
   }
 
+  /** [[ivfPqCosineTopK]] served from a WRITTEN index: the ADC
+    * shortlist comes from the pruned cell-partitioned read
+    * ([[ivfPqSearchIndex]]'s plan — probed cells as a literal IN
+    * filter, so the file listing itself shrinks), and the exact
+    * cosine re-ranks the finalists off the raw `corpus` vectors.
+    * Identical output to [[ivfPqCosineTopK]] at equal parameters
+    * (the ADC scores depend only on the codes and state, both of
+    * which round-trip bit-exact through the index — the q169 ≡ q162
+    * identity), which is how q206 rides q203's oracle. */
+  def ivfPqCosineSearchIndex(index: IvfPqIndex, queries: DataFrame,
+                             corpus: DataFrame, idCol: String, vecCol: String,
+                             nprobe: Int, shortlist: Int,
+                             topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val spark = queries.sparkSession
+    val (_, probes) = ivfPqProbes(queries, idCol, vecCol, index.state, nprobe)
+    val cells = probes.select("gcell").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ kc values — driver state
+    val coded = graft.io.Vc.readPartitioned(spark, index.path, verify = false)
+      .where(col("gcell").isin(cells.toIndexedSeq: _*))
+    val short = rankTopK(adcScored(coded, probes, index.state),
+        "adc_micros", shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val exact = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    ranked(exact, topK)
+  }
+
   /** Shared IVFADC core: (ADC-scored candidates, probed-query vectors,
     * normalized corpus vectors). See [[ivfPqSearchTopK]] for the plan
     * shape and determinism contract. */

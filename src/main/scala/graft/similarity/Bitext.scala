@@ -80,6 +80,29 @@ object Bitext {
         kc, m, pqK, iters, nprobe, shortlist, k), k, minMargin)
   }
 
+  /** [[marginMiningApprox]] over two WRITTEN per-direction indexes —
+    * the serving topology at 100 TB: each side's codes live
+    * cell-partitioned on disk ([[Ann.ivfPqBuildIndex]]'s layout, the
+    * q169 contract), so every probe prunes the file listing to its
+    * nprobe cells and maintenance (append/delete) is the index's
+    * O(delta) problem, not the miner's. `tgtIdx` serves the forward
+    * direction (src queries against the tgt corpus), `srcIdx` the
+    * backward. Identical output to [[marginMiningApprox]] at equal
+    * parameters (codes and state round-trip bit-exact — the q169 ≡
+    * q162 identity), which is how q206 rides q203's oracle. */
+  def marginMiningIndexed(src: DataFrame, tgt: DataFrame,
+                          srcIdx: Ann.IvfPqIndex, tgtIdx: Ann.IvfPqIndex,
+                          idCol: String, vecCol: String, k: Int,
+                          minMargin: Double, nprobe: Int,
+                          shortlist: Int): DataFrame = {
+    require(k >= 1, s"need a positive neighborhood size, got $k")
+    marginFromTopK(
+      Ann.ivfPqCosineSearchIndex(tgtIdx, src, tgt, idCol, vecCol,
+        nprobe, shortlist, k),
+      Ann.ivfPqCosineSearchIndex(srcIdx, tgt, src, idCol, vecCol,
+        nprobe, shortlist, k), k, minMargin)
+  }
+
   /** The shared margin algebra over two directional top-k lists
     * ((query_id, neighbor_id, cosine) with cosine on the 1e-6 grid) —
     * everything below the neighborhood search runs on shortlist-sized

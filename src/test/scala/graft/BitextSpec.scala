@@ -114,6 +114,31 @@ class BitextSpec extends SparkSuite {
       s"approx agreed on $agree/${exact.size} exact assignments (< 80%)")
   }
 
+  test("indexed miner over written per-direction indexes IS the in-memory approx miner") {
+    // codes and trained state round-trip bit-exact through the
+    // cell-partitioned index (the q169 ≡ q162 identity), so mining
+    // from disk must equal the in-memory bounded-probe miner
+    // row-for-row at equal parameters — the q206 ≡ q203 contract.
+    val rnd = new scala.util.Random(71)
+    val src = (1L to 24L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    val tgt = (101L to 124L).map(i => (i, unit(rnd))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("bitextidx").toString
+    val srcIdx = graft.similarity.Ann.ivfPqBuildIndex(src, "vec_id",
+      "embedding", kc = 4, m = 4, k = 4, iters = 2, s"$base/src/codes")
+    val tgtIdx = graft.similarity.Ann.ivfPqBuildIndex(tgt, "vec_id",
+      "embedding", kc = 4, m = 4, k = 4, iters = 2, s"$base/tgt/codes")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+    val inMem = rows(Bitext.marginMiningApprox(
+      src, tgt, "vec_id", "embedding", k = 3, minMargin = 0.0,
+      kc = 4, m = 4, pqK = 4, iters = 2, nprobe = 2, shortlist = 8))
+    val indexed = rows(Bitext.marginMiningIndexed(
+      src, tgt, srcIdx, tgtIdx, "vec_id", "embedding", k = 3,
+      minMargin = 0.0, nprobe = 2, shortlist = 8))
+    assert(indexed === inMem)
+  }
+
   test("q203 plans no cartesian product") {
     val df = SparkEntry.queries("q203_bitext_margin_ivf")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.sparkPlan.toString

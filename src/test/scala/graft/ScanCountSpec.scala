@@ -277,6 +277,13 @@ class ScanCountSpec extends SparkSuite {
     // brute-force cross term never plans (no corpus×corpus cosine).
     assert(scanCount("q203_bitext_margin_ivf") <= 8)
     assert(shuffleCount("q203_bitext_margin_ivf") <= 8)
+    // q206 indexed bitext: the coded scans move to the written
+    // cell-partitioned indexes (pruned by the probed-cell IN filter,
+    // not counted by the parquet-file regex), leaving 6 raw-vector
+    // scans (probe + two rerank sides per direction); shuffles stay
+    // q203's shortlist-sized set
+    assert(scanCount("q206_bitext_indexed") <= 6)
+    assert(shuffleCount("q206_bitext_indexed") <= 8)
   }
 
   test("the group-any window plans one scan and one shuffle") {
