@@ -100,6 +100,37 @@ class EvalSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("ece_micros")) === 250000L)
   }
 
+  test("randomized property: ECE report agrees with a local reference") {
+    // every output column re-derived driver-side with plain Scala
+    // integer arithmetic (Long / on non-negative values == Spark's
+    // div == the floor division the contract specifies) — the
+    // rankAuc pairwise-property pattern applied to calibration
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000001).toLong, rnd.nextBoolean())
+    }
+    val got = Eval.calibrationReport(rows.toDF("g", "s", "y"),
+        "g", "s", "y", nBins = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (g, gr) =>
+      val bins = gr.groupBy(t => math.min(9L, t._2 * 10 / 1000000))
+      val local = bins.map { case (b, rs) =>
+        val n = rs.size.toLong; val np = rs.count(_._3).toLong
+        val avg = rs.map(_._2).sum / n
+        val acc = np * 1000000L / n
+        b -> (n, np, avg, acc, math.abs(acc - avg))
+      }
+      val ece = local.values.map(v => v._1 * v._5).sum /
+        local.values.map(_._1).sum
+      local.map { case (b, (n, np, avg, acc, gap)) =>
+        (g, b) -> ((n, np, avg, acc, gap, ece))
+      }
+    }
+    assert(got === expected)
+  }
+
   test("plan: q204 one scan, bin-histogram-sized shuffles only") {
     val qe = SparkEntry.queries("q204_calibration_audit")(
       spark, "/root/testdata/sf0.001").queryExecution
