@@ -112,6 +112,19 @@ class OracleConsistencySpec extends AnyFunSuite {
         s"$q lost quality-formula fragment: $f")
   }
 
+  test("round-trip twins ride byte-identical oracles") {
+    // the written-index / streaming twins are DEFINED by output
+    // identity with their in-memory / batch originals, so their
+    // oracles must stay byte-identical: editing one half silently
+    // turns an identity gate into two diverging gates
+    assert(SparkEntry.oracleSql("q206_bitext_indexed") ===
+      SparkEntry.oracleSql("q203_bitext_margin_ivf"))
+    assert(SparkEntry.oracleSql("q205_drift_stream") ===
+      SparkEntry.oracleSql("q200_drift_psi"))
+    assert(SparkEntry.oracleSql("q169_ivfpq_index_probe") ===
+      SparkEntry.oracleSql("q162_ivfpq_search"))
+  }
+
   test("the pairing arg-pick key is uniform across all oracle CTEs") {
     // every arg_min/arg_max in the status/trend oracles must order by
     // the same visit key the engine uses (struct(date, id) rendered as

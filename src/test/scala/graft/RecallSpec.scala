@@ -267,4 +267,27 @@ class RecallSpec extends SparkSuite {
       if (rr > 0.0) assert(nh >= 1)
     }
   }
+
+  test("ivfPqCosineTopK (q203's searcher) recall vs brute force on the test corpus") {
+    // the bounded-probe cosine searcher at q203's exact settings
+    // (kc=4, nprobe=2, m=4, shortlist=8): ADC picks the shortlist
+    // from the probed half of the cells, the exact cosine re-ranks.
+    // Near-random 64-dim vectors are the hard regime (distances
+    // concentrate), so the bound is a conservative floor; the planted
+    // near-copy regime is gated separately in BitextSpec.
+    val queries = e.where(col("vec_id") < 10)
+    val exact = pairSet(Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    val approx = pairSet(Ann.ivfPqCosineTopK(queries, e, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, nprobe = 2, shortlist = 8, topK = 5),
+      "query_id", "neighbor_id")
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ivfPqCosineTopK recall@5 = $recall%.3f (${(exact & approx).size}/${exact.size})")
+    // measured 0.18 — the q162 shortlist regime (cosines of random
+    // unit vectors concentrate, so an 8-deep ADC shortlist of a
+    // half-probed index misses most of an essentially arbitrary
+    // exact top-5; planted near-copies rank first regardless, which
+    // is BitextSpec's ≥80% gate)
+    assert(recall >= 0.10, f"bounded-probe cosine recall regressed: $recall%.3f")
+  }
 }
