@@ -40,7 +40,11 @@ object ScaleCurve {
     // the bounded-probe bitext miner (q176's scale sibling — its
     // ratio should stay flat where q176's grows with the corpus)
     "q198_blocklist_filter", "q199_length_trim", "q201_quality_auc",
-    "q202_fuzzy_decontam", "q203_bitext_margin_ivf")
+    "q202_fuzzy_decontam", "q203_bitext_margin_ivf",
+    // late-r16: the ECE audit (histogram-flat, like q199/q201) and
+    // the index-served bitext miner (indexes cached per sf dir, so
+    // this measures the SERVING cost — the q169 convention)
+    "q204_calibration_audit", "q206_bitext_indexed")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
