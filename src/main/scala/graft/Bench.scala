@@ -105,6 +105,10 @@ object Bench {
     // regression at the 2x gate).
     val isoRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "3").toInt
     val worst = results.sortBy(-_._2).take(10)
+    // the stdout worst10 map keys by qNNN prefix — two full names
+    // sharing a prefix would silently overwrite each other's entry
+    require(worst.map(w => short(w._1)).distinct.size == worst.size,
+      s"duplicate qNNN prefixes in worst-10: ${worst.map(_._1).mkString(", ")}")
     val isolated = worst.map { case (name, _) =>
       name -> median((1 to isoRuns).map(_ => timeOnce(SparkEntry.queries(name))))
     }.toMap
@@ -112,7 +116,13 @@ object Bench {
     // full artifact: every query's interleaved median + the isolated
     // worst-10, written as a committed pretty-ish JSON file so the
     // harness capture window no longer bounds what a round records.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    // a filtered dev run (--only / SPARK_GRAFT_BENCH_ONLY /
+    // SPARK_GRAFT_BENCH_MAX) must not clobber the round's committed
+    // full artifact with a partial one — default it under target/
+    // unless the caller names a path explicitly
+    val filtered = onlyArg.isDefined || only.isDefined || maxQ.isDefined
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (filtered) "target/bench_full_partial.json" else "bench_full.json")
     val sfLabel = new java.io.File(sfDir).getName
     val fullJson = {
       val qLines = results.map { case (n, v) => f"""    "$n": $v%.3f""" }
@@ -136,6 +146,7 @@ object Bench {
          |  }
          |}""".stripMargin
     }
+    Option(new java.io.File(fullPath).getParentFile).foreach(_.mkdirs())
     val pw = new java.io.PrintWriter(fullPath, "UTF-8")
     try pw.write(fullJson + "\n") finally pw.close()
 

@@ -93,8 +93,14 @@ object Eval {
     require(nBins >= 1, s"need a positive bin count, got $nBins")
     val conf = col(confCol).cast("long")
     // equal-width bins over [0, 1e6]; the top edge folds into the
-    // last bin so a perfect-confidence row is never its own bin
-    val bin = least(lit(nBins - 1L), expr(s"(${confCol} * $nBins) div 1000000L"))
+    // last bin so a perfect-confidence row is never its own bin.
+    // Column arithmetic on the long-cast conf (not an expr() splice of
+    // the raw column name): identifier-safe, and immune to int
+    // overflow of conf * nBins. floor(double) here is exact: the
+    // numerator is ≤ 1e6·nBins ≪ 2^53 and the quotient sits ≥ 1e-6
+    // from any integer while its ulp is ~1e-13.
+    val bin = least(lit(nBins - 1L),
+      floor(conf * lit(nBins.toLong) / lit(1000000.0)).cast("long"))
     val w = Window.partitionBy(col(groupCol))
     df.groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("n"),

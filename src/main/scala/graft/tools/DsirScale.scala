@@ -37,12 +37,17 @@ object DsirScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = graft.core.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     val nBase = base.count()
     val multiples = Seq(1, 2, 5)
     val dirs = multiples.map { m =>
-      val dir = s"target/dsir_scale/x$m"
+      // cache key carries the source dir name AND the base row count:
+      // a changed documents table or different source sf invalidates
+      // the materialized multiples instead of silently reusing copies
+      // built with stale id offsets
+      val dir = s"target/dsir_scale/${new java.io.File(sfDir).getName}_n${nBase}_x$m"
       if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
         (0 until m).map(i => base.select(
             (col("doc_id") + lit(i * (nBase + 1))).as("doc_id"), col("text")))
@@ -78,7 +83,7 @@ object DsirScale {
       println(f"""{"multiple":$m,"rows":${nBase * m},"sec":$t%.2f,"vs_x1":${t / t1}%.2f,"per_multiple":$r%.2f}""")
     }
     val worst = times.map { case (m, t) => (t / t1) / m }.max
-    println(f"""{"metric":"dsir_scale","base":"sf0.1","runs":$runs,"worst_per_multiple":$worst%.2f}""")
+    println(f"""{"metric":"dsir_scale","base":"${new java.io.File(sfDir).getName}","runs":$runs,"worst_per_multiple":$worst%.2f}""")
     spark.stop()
   }
 }
