@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.functions.{HashFunctions, JaccardFunctions, VectorFunctions}
 import graft.text.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -725,5 +725,269 @@ object Dedup {
         (col("n_tokens").cast("long") - col("n_kept")).as("n_removed"),
         array_join(transform(col("__sorted"), s => s.getField("tok")), " ")
           .as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // md5-arithmetic siblings (the q202 technique, round 17): the same
+  // near-dup semantics as the xxhash64 family above, but every hash is
+  // derived from md5 hex digits — the one hash primitive Spark and
+  // DuckDB share bit-for-bit — so each operator replays EXACTLY in
+  // ANSI SQL and graduates from rows-only to full hash-exact oracle
+  // gating. The xxhash64 forms stay as the raw-throughput path (native
+  // codegen kernels, no digest per token); these are the
+  // verification-grade forms, and their banding/shuffle shapes are
+  // identical.
+  // ------------------------------------------------------------------
+
+  /** 32-bit hash slice `i` of the md5-arithmetic permutation family:
+    * four slices per digest, so permutation `i` reads hex digits
+    * `8·(i%4)+1 .. 8·(i%4)+8` of `md5(unit || ':' || i/4)` — one
+    * digest drives four permutations (4× fewer digests than one per
+    * permutation). DuckDB replay:
+    * `CAST(('0x'||substr(md5(u||':'||g),1+8*j,8)) AS BIGINT)`. */
+  def md5Slice(unit: Column, i: Int): Column =
+    conv(substring(md5(concat(unit, lit(":" + (i / 4)))), 1 + 8 * (i % 4), 8), 16, 10)
+      .cast("long")
+
+  /** Integer agreement floor for a k-component signature prefilter at
+    * Jaccard threshold tau (micros) with the family's 0.1 estimator
+    * slack: ceil(k · (tau − 0.1)), computed in exact long arithmetic
+    * so engine and oracle use the same literal. */
+  def md5AgreeMin(k: Int, tauMicros: Long): Long =
+    (k * (tauMicros - 100000L) + 999999L) / 1000000L
+
+  /** (id, u) distinct shingle/token units of each doc — empty-token
+    * docs vanish here, which is the md5 family's documented contract
+    * (an empty doc has no signature and can near-dup nothing). */
+  private[graft] def md5Units(docs: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int): DataFrame = {
+    val toks = Text.tokens(col(textCol))
+    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+    docs.select(col(idCol).as("id"), explode(array_distinct(units)).as("u"))
+  }
+
+  /** Per-doc md5-MinHash signature table: (id, n_u, h0..h{k-1}, sig)
+    * with `sig` the k minima as an array. One digest projection per
+    * md5 group (k/4 digests per unit row), then a single map-side
+    * combined groupBy. */
+  private[graft] def md5Signatures(tok: DataFrame, k: Int): DataFrame = {
+    val tokH = tok.select(
+      col("id") +: (0 until k / 4).map(g =>
+        md5(concat(col("u"), lit(":" + g))).as(s"m$g")): _*)
+    def perm(i: Int) =
+      conv(substring(col(s"m${i / 4}"), 1 + 8 * (i % 4), 8), 16, 10).cast("long")
+    tokH.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_u"),
+        (0 until k).map(i => min(perm(i)).as(s"h$i")): _*)
+      .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
+  }
+
+  /** MinHash-LSH near-dup canonical ids, md5-arithmetic — the
+    * oracle-replayable sibling of [[minhashCanonicalIds]] (same
+    * banding/representative/verify/closure shape, SQL-exact hashes):
+    * band keys concatenate each band's integer minima in permutation
+    * order (a string equi-join key — no engine-private bucket hash),
+    * the bucket representative is the min-id member whose signature
+    * rides the one bucket-partitioned window, the prefilter keeps
+    * edges agreeing on ≥ ceil(k·(tau−0.1)) components, and survivors
+    * verify on exact unit-set Jaccard in integer micros (no floats
+    * anywhere). Verified edges resolve through full connected
+    * components; output is (idCol, canonical_id) for EVERY doc —
+    * token-less docs carry no signature and self-map.
+    *
+    * Scale shape is [[minhashCanonicalIds]]'s: the corpus collapses
+    * to signatures in one map-side-combined groupBy, only
+    * (band, id, sig) rows shuffle, candidate edges are doc→rep (never
+    * all-pairs in a bucket), and the verify joins re-derive units for
+    * the candidate sliver only. */
+  def minhashCanonicalIdsMd5(docs: DataFrame, textCol: String, idCol: String,
+                             tauMicros: Long = 950000L, shingleSize: Int = 1,
+                             k: Int = 16, bands: Int = 2): DataFrame = {
+    require(k % 4 == 0 && k % bands == 0,
+      s"k=$k must split into 32-bit md5 slices and bands=$bands")
+    val r = k / bands
+    val agreeMin = md5AgreeMin(k, tauMicros)
+    val tok = md5Units(docs, textCol, idCol, shingleSize)
+    val sig = md5Signatures(tok, k)
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|",
+        lit(b.toString) +: (b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+    }
+    val banded = sig.select(col("id"), col("n_u"), col("sig"),
+      explode(array(bandCols: _*)).as("band"))
+    val byBand = Window.partitionBy("band")
+    val agree = aggregate(
+      zip_with(col("rep.sig"), col("sig"),
+        (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val cand = banded
+      .withColumn("rep", min(struct(col("id"), col("sig"), col("n_u"))).over(byBand))
+      .where(col("id") =!= col("rep.id") && agree >= agreeMin)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"),
+        col("rep.n_u").as("n_a"), col("n_u").as("n_b"))
+      .distinct()
+      // candidate edges are the near-dup sliver; checkpoint so the
+      // verify joins below don't replay the signature pass
+      .localCheckpoint(true)
+    val inter = cand.select("id_a", "id_b")
+      .join(tok.select(col("id").as("id_a"), col("u")), Seq("id_a"))
+      .join(tok.select(col("id").as("id_b"), col("u")), Seq("id_b", "u"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val edges = cand.join(inter, Seq("id_a", "id_b"))
+      .where(expr(s"inter * 1000000L div (n_a + n_b - inter) >= $tauMicros"))
+      .select("id_a", "id_b")
+    canonicalFromEdges(docs, idCol, edges)
+  }
+
+  /** Per-doc 32-bit md5 SimHash: (id, sig) for EVERY doc (token-less
+    * docs get sig 0, mirroring the 64-bit kernel). Bit b of the
+    * signature is set when the multiset of token hashes — first 8 hex
+    * digits of md5(token) — has more b-bits set than clear. */
+  def simhash32Md5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val th = docs
+      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("u"))
+      .select(col("id"),
+        conv(substring(md5(col("u")), 1, 8), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    val sig0 = th.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sigExpr = (0 until 32)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs.select(col(idCol).as("id"))
+      .join(sig0.select(col("id"), sigExpr.as("sig")), Seq("id"), "left")
+      .na.fill(0L, Seq("sig"))
+  }
+
+  /** SimHash near-dup canonical ids, md5-arithmetic — the
+    * oracle-replayable sibling of [[simhashCanonicalIds]]: 32-bit
+    * [[simhash32Md5]] signatures banded into four 8-bit buckets
+    * (pigeonhole-guaranteed recall for Hamming ≤ 3), candidate edges
+    * doc → bucket representative only, Hamming verify via
+    * bit_count(xor) — both replayable bit-for-bit in DuckDB — then the
+    * shared connected-components closure. One row per doc. */
+  def simhashCanonicalIdsMd5(docs: DataFrame, textCol: String, idCol: String,
+                             maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash32Md5(docs, textCol, idCol)
+    val bandStructs = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(0xFFL)).as("bucket")))
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val byBucket = Window.partitionBy("band", "bucket")
+    val edges = banded
+      .withColumn("rep", min(struct(col("id"), col("sig"))).over(byBucket))
+      .where(col("id") =!= col("rep.id"))
+      .where(bit_count(col("sig").bitwiseXOR(col("rep.sig"))) <= maxHamming)
+      .select(col("rep.id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    canonicalFromEdges(docs, idCol, edges)
+  }
+
+  /** Unsigned 32-bit slice j (hex digits 8j+1..8j+8) of an md5 digest
+    * — the byte-level twin of [[md5Slice]]'s conv(substr(md5..)) and
+    * of DuckDB's CAST('0x'||substr(md5..) AS BIGINT); pinned equal in
+    * Md5DedupSpec. */
+  private def digestSlice(digest: Array[Byte], j: Int): Long = {
+    val o = 4 * j
+    ((digest(o) & 0xffL) << 24) | ((digest(o + 1) & 0xffL) << 16) |
+      ((digest(o + 2) & 0xffL) << 8) | (digest(o + 3) & 0xffL)
+  }
+
+  /** JVM kernel for one doc's robust-winnowing picks: 1-based
+    * positions of the rightmost minimum of every length-t window over
+    * the k-gram md5 hashes (n < t grams = one whole-doc window),
+    * emitted as (p, h, n) in position order. */
+  private def winnowPicks(text: String, k: Int, t: Int): Seq[(Long, Long, Long)] = {
+    if (text == null || text.length < k) return Nil
+    val n = text.length - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      h(p) = digestSlice(md.digest(text.substring(p, p + k).getBytes("UTF-8")), 0)
+      p += 1
+    }
+    val picks = new java.util.TreeSet[Integer]()
+    if (n < t) {
+      var best = 0; var i = 1
+      while (i < n) { if (h(i) <= h(best)) best = i; i += 1 }
+      picks.add(best)
+    } else {
+      var w = 0
+      while (w <= n - t) {
+        var best = w; var i = w + 1
+        while (i < w + t) { if (h(i) <= h(best)) best = i; i += 1 }
+        picks.add(best)
+        w += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    picks.iterator().asScala.map(p0 => ((p0 + 1).toLong, h(p0), n.toLong)).toSeq
+  }
+
+  /** md5 winnowing pick set (MOSS robust winnowing over character
+    * k-grams, window t): the SELECTED fingerprints of each doc as
+    * (id, p, h, n) rows — position p (1-based gram index), gram hash h
+    * (first 8 md5 hex digits of the k-char substring), n the doc's
+    * gram count. A position is selected iff it is the RIGHTMOST
+    * minimum of at least one length-t window — exactly the set robust
+    * winnowing records. Docs shorter than k have no grams and vanish;
+    * docs with fewer than t grams form one whole-doc window. Requires
+    * a long-typed id column.
+    *
+    * Execution is a map-only typed flatMap running the compiled
+    * [[winnowPicks]] kernel per doc — no gram explode, no window
+    * shuffle (the per-doc sequential scan is the textbook case for a
+    * per-partition kernel; a declarative lag/lead formulation measured
+    * 25× slower at sf0.1 because every gram paid an exploded row plus
+    * a doc-partitioned sort). The ORACLE replays the equivalent
+    * per-position characterization declaratively: selected ⟺ for some
+    * before-span j1 ∈ [0, t-1], all j1 preceding hashes are ≥ h and
+    * all t-1-j1 following hashes are > h (ties break rightward) with
+    * the window inside [1, n] — the cross-formulation equality is what
+    * the sf0.01 hash gate proves, and Md5DedupSpec pins the kernel
+    * against an independent per-window reference. */
+  def winnowSelectedMd5(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 16, t: Int = 8): DataFrame = {
+    require(k >= 1 && t >= 2, s"need k>=1, t>=2; got k=$k t=$t")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        winnowPicks(text, k, t).map { case (p, h, n) => (id, p, h, n) } }
+      .toDF("id", "p", "h", "n")
+  }
+
+  /** Winnowing canonical ids, md5-arithmetic — the oracle-replayable
+    * sibling of [[winnowCanonicalIds]]: fingerprint sets come from
+    * [[winnowSelectedMd5]] (distinct selected hashes per doc), then
+    * the identical stop-fingerprint (`maxDf`) + doc→fingerprint-rep
+    * candidate + true-intersection (`minShared`) verify +
+    * connected-components pipeline. One row per doc. */
+  def winnowCanonicalIdsMd5(docs: DataFrame, textCol: String, idCol: String,
+                            k: Int = 16, t: Int = 8, minShared: Int = 2,
+                            maxDf: Int = 50): DataFrame = {
+    val fps = winnowSelectedMd5(docs, textCol, idCol, k, t)
+      .select(col("id"), col("h").as("fp")).distinct()
+    val rare = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
+      .where(col("df") <= maxDf)
+    val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
+    val cand = fps.join(rare.select("fp", "rep"), Seq("fp"))
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+      .distinct()
+    val edges = cand
+      .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
+      .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))
+      .where(JaccardFunctions.longIntersectCount(col("set_a"), col("set_b"))
+        >= minShared)
+      .select("id_a", "id_b")
+    canonicalFromEdges(docs, idCol, edges)
   }
 }

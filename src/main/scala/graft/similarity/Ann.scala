@@ -816,6 +816,46 @@ object Ann {
         state.books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
   }
 
+  /** Train both IVFADC quantizer levels and return ONLY the frozen
+    * [[IvfPqState]] — the cacheable driver constants (kc·dim + k·dim
+    * doubles). Runs the training scans EAGERLY at call time (`iters`
+    * coarse + `iters` PQ Lloyd collects), so a caller memoizing the
+    * result (the q203 per-sf-dir cache) pays training exactly once. */
+  def ivfPqTrainState(corpus: DataFrame, idCol: String, vecCol: String,
+                      kc: Int, m: Int, k: Int, iters: Int): IvfPqState =
+    ivfPqTrainCoded(corpus, idCol, vecCol, kc, m, k, iters)._2
+
+  /** [[ivfPqCosineTopK]] under a FROZEN pre-trained state — the
+    * cached-quantizer serving tier between the in-query trainer
+    * ([[ivfPqCosineTopK]], honest E2E cost) and the written index
+    * ([[ivfPqCosineSearchIndex]], on-disk cells): the corpus is coded
+    * map-only under `state` (ONE scan, zero shuffles —
+    * [[ivfPqCodeWithState]]), probed, ADC-shortlisted and
+    * cosine-re-ranked exactly as the trainer form. When `state` was
+    * trained on this corpus the output is IDENTICAL to
+    * [[ivfPqCosineTopK]] at equal parameters (coding under the frozen
+    * state equals the build-time coding — `IvfPqIndexSpec`'s pinned
+    * property), which is how the cached form rides the full-train
+    * oracle. */
+  def ivfPqCosineTopKWithState(state: IvfPqState, queries: DataFrame,
+                               corpus: DataFrame, idCol: String, vecCol: String,
+                               nprobe: Int, shortlist: Int,
+                               topK: Int): DataFrame = {
+    require(shortlist >= topK, s"shortlist=$shortlist must cover topK=$topK")
+    val coded = ivfPqCodeWithState(corpus, idCol, vecCol, state)
+    val (_, probes) = ivfPqProbes(queries, idCol, vecCol, state, nprobe)
+    val short = rankTopK(adcScored(coded, probes, state), "adc_micros", shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val exact = c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
+      .select("query_id", "neighbor_id", "cosine")
+    ranked(exact, topK)
+  }
+
   /** Append NEW vectors to a WRITTEN IVFADC index without retraining —
     * the shard-arrival shape of index maintenance (Jégou-style IVF
     * deployments re-train rarely and append constantly): the delta is

@@ -80,6 +80,30 @@ object Bitext {
         kc, m, pqK, iters, nprobe, shortlist, k), k, minMargin)
   }
 
+  /** [[marginMiningApprox]] under FROZEN pre-trained per-direction
+    * quantizer states ([[Ann.ivfPqCosineTopKWithState]]) — the
+    * cached-quantizer mining tier: training is the rare batch job, so
+    * a serving deployment (and the bench median) pays coding + probing
+    * + re-ranking only. `tgtState` serves the forward direction (src
+    * queries against the tgt corpus), `srcState` the backward, the
+    * [[marginMiningIndexed]] convention. Identical output to
+    * [[marginMiningApprox]] at equal parameters when each state was
+    * trained on its direction's corpus — which is how q203 rides the
+    * full-train oracle (q207 keeps the in-query training E2E gated). */
+  def marginMiningApproxWithState(src: DataFrame, tgt: DataFrame,
+                                  srcState: Ann.IvfPqState,
+                                  tgtState: Ann.IvfPqState,
+                                  idCol: String, vecCol: String, k: Int,
+                                  minMargin: Double, nprobe: Int,
+                                  shortlist: Int): DataFrame = {
+    require(k >= 1, s"need a positive neighborhood size, got $k")
+    marginFromTopK(
+      Ann.ivfPqCosineTopKWithState(tgtState, src, tgt, idCol, vecCol,
+        nprobe, shortlist, k),
+      Ann.ivfPqCosineTopKWithState(srcState, tgt, src, idCol, vecCol,
+        nprobe, shortlist, k), k, minMargin)
+  }
+
   /** [[marginMiningApprox]] over two WRITTEN per-direction indexes —
     * the serving topology at 100 TB: each side's codes live
     * cell-partitioned on disk ([[Ann.ivfPqBuildIndex]]'s layout, the

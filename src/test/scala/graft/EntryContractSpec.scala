@@ -13,17 +13,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * `.claude/skills/verify/SKILL.md` together. */
 class EntryContractSpec extends AnyFunSuite {
 
+  // Round 17 shrank this set from 10 to 4 by flipping the signature
+  // family to md5 arithmetic (q38/q44/q45/q47/q105/q106 — the q202
+  // technique). The remainder is irreducible: each op's hashing is
+  // SEEDED JVM-side (Random hyperplanes / sketch seeds) or the sketch
+  // itself has no SQL replay, so no DuckDB expression can reproduce
+  // the bucketing — the named spec gates each instead.
   private val rowsOnly = Set(
-    "q38_docs_winnow",       // xxhash64 fingerprints (TextAndDedupSpec)
-    "q44_docs_signatures",   // xxhash64 fingerprints (TextAndDedupSpec)
-    "q45_minhash_neardups",  // LSH collisions (RecallSpec, TextAndDedupSpec)
-    "q47_simhash_neardups",  // LSH collisions (TextAndDedupSpec)
-    "q51_ann_lsh",           // approximate, recall-gated (RecallSpec)
-    "q52_embedding_neardups",// approximate, recall-gated (RecallSpec)
-    "q54_ann_ivf",           // approximate, recall-gated (RecallSpec)
-    "q93_sketch_stats",      // sketches, error-bound (TemporalSketchSpec)
-    "q105_winnow_canonical", // xxhash64 fingerprints (TextAndDedupSpec)
-    "q106_dedup_stream")     // xxhash64 minhash state (DedupStreamSpec)
+    "q51_ann_lsh",           // seeded random hyperplanes, recall-gated (RecallSpec)
+    "q52_embedding_neardups",// seeded random hyperplanes, recall-gated (RecallSpec)
+    "q54_ann_ivf",           // iterative k-means coarse quantizer (RecallSpec; exact scores vs q50)
+    "q93_sketch_stats")      // HLL/CMS sketches, error-bound (TemporalSketchSpec)
 
   test("every oracleSql key names an implemented query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

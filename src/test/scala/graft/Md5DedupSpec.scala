@@ -1,0 +1,159 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.streaming.DedupStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The md5-arithmetic dedup family (round 17): local-reference
+  * properties for the oracle-replayable siblings — the sf0.01 DuckDB
+  * gate (q38/q44/q45/q47/q105/q106) checks E2E hash-exactness, these
+  * pin the pieces against independent driver-side implementations so a
+  * formula drift fails HERE with a readable diff, not as an opaque
+  * oracle hash mismatch. */
+class Md5DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // -- driver-side references (plain Scala, no Spark) ----------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refSlice(unit: String, i: Int): Long =
+    java.lang.Long.parseLong(md5Hex(unit + ":" + (i / 4)).substring(8 * (i % 4), 8 * (i % 4) + 8), 16)
+
+  /** Robust winnowing picks: rightmost minimum of every length-t
+    * window over the k-gram md5 hashes; n < t grams = one window. */
+  private def refWinnow(text: String, k: Int, t: Int): Set[(Long, Long)] = {
+    if (text.length < k) return Set.empty
+    val n = text.length - k + 1
+    val h = (1 to n).map(p =>
+      java.lang.Long.parseLong(md5Hex(text.substring(p - 1, p - 1 + k)).substring(0, 8), 16))
+    val picks = scala.collection.mutable.Set[Int]()
+    if (n < t) {
+      picks += h.lastIndexOf(h.min) + 1
+    } else {
+      for (w <- 1 to n - t + 1) {
+        val window = h.slice(w - 1, w - 1 + t)
+        picks += w + window.lastIndexOf(window.min)
+      }
+    }
+    picks.map(p => (p.toLong, h(p - 1))).toSet
+  }
+
+  test("md5Slice matches the reference digest slices") {
+    val got = Seq("ab").toDF("u")
+      .select((0 until 8).map(i => Dedup.md5Slice(col("u"), i).as(s"h$i")): _*)
+      .collect().head
+    for (i <- 0 until 8)
+      assert(got.getLong(i) === refSlice("ab", i), s"slice $i")
+  }
+
+  test("md5AgreeMin is exact-ceil integer arithmetic") {
+    assert(Dedup.md5AgreeMin(16, 950000L) === 14L) // ceil(16 * 0.85)
+    assert(Dedup.md5AgreeMin(16, 900000L) === 13L) // ceil(16 * 0.80) = 12.8 -> 13
+    assert(Dedup.md5AgreeMin(8, 500000L) === 4L)   // ceil(8 * 0.4) = 3.2 -> 4
+    assert(Dedup.md5AgreeMin(16, 1000000L) === 15L) // ceil(16 * 0.9) = 14.4 -> 15
+  }
+
+  test("winnowSelectedMd5 equals the reference pick set, incl. tie runs and boundaries") {
+    // small alphabet forces REPEATED k-grams (equal hashes) so the
+    // rightmost-tie rule is actually exercised; lengths straddle the
+    // no-gram (len < k), single-gram (len = k) and single-window
+    // (n < t) boundaries
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { id =>
+      val len = 2 + rnd.nextInt(60)
+      (id, (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString)
+    } :+ (99L, "aaaaaaaaaaaaaaaaaaaaaaaa") // all-tie run
+    val df = docs.toDF("doc_id", "text")
+    for ((k, t) <- Seq((4, 3), (16, 8))) {
+      val got = Dedup.winnowSelectedMd5(df, "text", "doc_id", k, t)
+        .select("id", "p", "h").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      for ((id, text) <- docs) {
+        val want = refWinnow(text, k, t)
+        assert(got.getOrElse(id, Set.empty) === want, s"doc $id k=$k t=$t text=$text")
+      }
+    }
+  }
+
+  test("minhashCanonicalIdsMd5 clusters exact and near copies to the min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // exact copy
+      (3L, base + " omega"),                        // 20/21 shared -> J = 0.952
+      (4L, "a wholly different corpus about parquet row groups and shuffle hash joins"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = Dedup.minhashCanonicalIdsMd5(docs, "text", "doc_id",
+        tauMicros = 900000L)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L)
+    assert(got(2L) === 1L)
+    // near copies share a band only probabilistically (2 bands x 8
+    // minima; the LSH recall contract) — but IF a candidate forms it
+    // must verify at tau=0.9 and land on the cluster minimum
+    assert(Set(1L, 3L).contains(got(3L)), s"near copy mapped to ${got(3L)}")
+    assert(got(4L) === 4L)
+    assert(got(5L) === 5L, "token-less docs carry no signature and self-map")
+  }
+
+  test("simhash32Md5 matches a driver-side reference and is 0 for token-less docs") {
+    def refSimhash(text: String): Long = {
+      val toks = text.trim match {
+        case "" => Seq.empty[String]
+        case s => s.split("\\s+").toSeq
+      }
+      val hs = toks.map(u => java.lang.Long.parseLong(md5Hex(u).substring(0, 8), 16))
+      (0 until 32).map { b =>
+        val s = hs.map(h => if (((h >> b) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << b else 0L
+      }.sum
+    }
+    val docs = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "  "),
+      (4L, "one one one two")).toDF("doc_id", "text")
+    val got = Dedup.simhash32Md5(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === refSimhash("the quick brown fox"))
+    assert(got(2L) === 0L)
+    assert(got(3L) === 0L)
+    assert(got(4L) === refSimhash("one one one two"), "multiset weighting")
+  }
+
+  test("simhashCanonicalIdsMd5 groups identical docs, leaves distinct docs alone") {
+    val docs = Seq(
+      (1L, "spark catalyst optimizer rules rewrite logical plans"),
+      (2L, "spark catalyst optimizer rules rewrite logical plans"),
+      (7L, "an unrelated sentence about winnowing fingerprints entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashCanonicalIdsMd5(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(7L) === 7L)
+  }
+
+  test("bandVerdictsMd5 stream: state carries across micro-batches, copies resolve to min id") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("md5stream").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, base), (2L, "other text about column pruning and predicate pushdown"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f=1")
+    Seq((10L, base), (11L, "fresh unrelated content on adaptive query execution"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f=2")
+    val name = s"md5_sink_${System.nanoTime()}"
+    val q = DedupStream.bandVerdictsMd5(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir),
+        "text", "doc_id", tauMicros = 950000L)
+      .toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = DedupStream.resolveCanonical(spark.table(name))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1L)
+    assert(got(10L) === 1L, "later micro-batch copy matched via bucket state")
+    assert(got(2L) === 2L && got(11L) === 11L)
+  }
+}

@@ -128,10 +128,16 @@ class OracleConsistencySpec extends AnyFunSuite {
   test("the pairing arg-pick key is uniform across all oracle CTEs") {
     // every arg_min/arg_max in the status/trend oracles must order by
     // the same visit key the engine uses (struct(date, id) rendered as
-    // mdate || '|' || id) — a divergent key breaks tie-handling parity
+    // mdate || '|' || id) — a divergent key breaks tie-handling parity.
+    // The one non-visit arg-pick is q38's winnow first-fingerprint
+    // (arg_min over the 1-based gram position p, unique per doc by
+    // construction) — pinned here so a new divergent key still fails.
     val argPick = "arg_(?:min|max)\\(([^)]*?), ([^)]+)\\)".r
-    val keys = SparkEntry.oracleSql.values.toSeq.flatMap(sql =>
-      argPick.findAllMatchIn(sql).map(_.group(2)).toSeq).toSet
-    assert(keys == Set("mdate || '|' || id"), s"divergent arg-pick keys: $keys")
+    def keysOf(sql: String) = argPick.findAllMatchIn(sql).map(_.group(2)).toSet
+    val visitKeys = (SparkEntry.oracleSql - "q38_docs_winnow").values.toSeq
+      .flatMap(keysOf).toSet
+    assert(visitKeys == Set("mdate || '|' || id"),
+      s"divergent arg-pick keys: $visitKeys")
+    assert(keysOf(SparkEntry.oracleSql("q38_docs_winnow")) == Set("p"))
   }
 }
