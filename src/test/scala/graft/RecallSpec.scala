@@ -290,4 +290,49 @@ class RecallSpec extends SparkSuite {
     // is BitextSpec's ≥80% gate)
     assert(recall >= 0.10, f"bounded-probe cosine recall regressed: $recall%.3f")
   }
+
+  test("ivfPqCosineTopK recall sweep: monotone in shortlist; nprobe needs shortlist to grow with it") {
+    // the operating guidance for picking nprobe/shortlist at scale
+    // (README's bounds table documents the measured curve): train the
+    // quantizers ONCE (the q203 cached-state serving tier), sweep the
+    // two knobs. Monotonicity in `shortlist` is a THEOREM — a deeper
+    // ADC shortlist is a superset, and an exact-top-5 member survives
+    // any exact-cosine re-rank that includes it — so it is asserted
+    // strictly pairwise. `nprobe` at a FIXED shortlist is measurably
+    // NOT monotone on this corpus (nprobe 1→2 at shortlist 25 reads
+    // 0.46→0.44): newly probed cells contribute ADC-close but
+    // cosine-wrong candidates that displace true neighbors from the
+    // fixed-depth shortlist. That is the real tuning lesson — the
+    // shortlist is the recall bottleneck and the knobs must grow
+    // TOGETHER — so the sweep pins (a) shortlist monotonicity exactly,
+    // (b) nprobe drift at fixed shortlist within one displaced query
+    // hit (0.04 = 2 of the 50 exact pairs), and (c) the measured
+    // curve's corners.
+    val queries = e.where(col("vec_id") < 10)
+    val exact = pairSet(Ann.bruteForceTopK(queries, e, "vec_id", "embedding", 5),
+      "query_id", "neighbor_id")
+    val state = Ann.ivfPqTrainState(e, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2)
+    val shortlists = Seq(8, 25, 64)
+    val nprobes = Seq(1, 2, 4)
+    val recall = (for (sl <- shortlists; np <- nprobes) yield {
+      val approx = pairSet(Ann.ivfPqCosineTopKWithState(state, queries, e,
+        "vec_id", "embedding", nprobe = np, shortlist = sl, topK = 5),
+        "query_id", "neighbor_id")
+      (sl, np) -> (exact & approx).size.toDouble / exact.size
+    }).toMap
+    for (np <- nprobes)
+      info(f"nprobe=$np: " + shortlists.map(sl =>
+        f"sl=$sl%2d -> ${recall((sl, np))}%.2f").mkString("  "))
+    for (np <- nprobes; (a, b) <- shortlists.zip(shortlists.tail))
+      assert(recall((a, np)) <= recall((b, np)),
+        s"recall fell when shortlist grew $a -> $b at nprobe=$np")
+    for (sl <- shortlists; (a, b) <- nprobes.zip(nprobes.tail))
+      assert(recall((sl, b)) >= recall((sl, a)) - 0.04,
+        s"nprobe $a -> $b at shortlist=$sl lost more than one displaced hit")
+    // growing BOTH knobs never loses recall (the actual tuning path),
+    // and the deepest corner clears a 3x multiple of the q203 floor
+    assert(recall((64, 4)) >= recall((8, 1)))
+    assert(recall((64, 4)) >= 0.30)
+  }
 }
