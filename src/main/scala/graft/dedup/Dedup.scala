@@ -886,80 +886,41 @@ object Dedup {
     canonicalFromEdges(docs, idCol, edges)
   }
 
-  /** Unsigned 32-bit slice j (hex digits 8j+1..8j+8) of an md5 digest
-    * — the byte-level twin of [[md5Slice]]'s conv(substr(md5..)) and
-    * of DuckDB's CAST('0x'||substr(md5..) AS BIGINT); pinned equal in
-    * Md5DedupSpec. */
-  private def digestSlice(digest: Array[Byte], j: Int): Long = {
-    val o = 4 * j
-    ((digest(o) & 0xffL) << 24) | ((digest(o + 1) & 0xffL) << 16) |
-      ((digest(o + 2) & 0xffL) << 8) | (digest(o + 3) & 0xffL)
-  }
-
-  /** JVM kernel for one doc's robust-winnowing picks: 1-based
-    * positions of the rightmost minimum of every length-t window over
-    * the k-gram md5 hashes (n < t grams = one whole-doc window),
-    * emitted as (p, h, n) in position order. */
-  private def winnowPicks(text: String, k: Int, t: Int): Seq[(Long, Long, Long)] = {
-    if (text == null || text.length < k) return Nil
-    val n = text.length - k + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = new Array[Long](n)
-    var p = 0
-    while (p < n) {
-      h(p) = digestSlice(md.digest(text.substring(p, p + k).getBytes("UTF-8")), 0)
-      p += 1
-    }
-    val picks = new java.util.TreeSet[Integer]()
-    if (n < t) {
-      var best = 0; var i = 1
-      while (i < n) { if (h(i) <= h(best)) best = i; i += 1 }
-      picks.add(best)
-    } else {
-      var w = 0
-      while (w <= n - t) {
-        var best = w; var i = w + 1
-        while (i < w + t) { if (h(i) <= h(best)) best = i; i += 1 }
-        picks.add(best)
-        w += 1
-      }
-    }
-    import scala.jdk.CollectionConverters._
-    picks.iterator().asScala.map(p0 => ((p0 + 1).toLong, h(p0), n.toLong)).toSeq
-  }
-
-  /** md5 winnowing pick set (MOSS robust winnowing over character
+  /** md5 winnowing pick set (MOSS robust winnowing over codepoint
     * k-grams, window t): the SELECTED fingerprints of each doc as
     * (id, p, h, n) rows — position p (1-based gram index), gram hash h
-    * (first 8 md5 hex digits of the k-char substring), n the doc's
-    * gram count. A position is selected iff it is the RIGHTMOST
+    * (first 8 md5 hex digits of the k-codepoint substring), n the
+    * doc's gram count. A position is selected iff it is the RIGHTMOST
     * minimum of at least one length-t window — exactly the set robust
-    * winnowing records. Docs shorter than k have no grams and vanish;
-    * docs with fewer than t grams form one whole-doc window. Requires
-    * a long-typed id column.
+    * winnowing records. Docs shorter than k codepoints have no grams
+    * and vanish; docs with fewer than t grams form one whole-doc
+    * window. Requires a long-typed id column. Gram indexing counts
+    * CODEPOINTS (matching the oracle's len()/substring() semantics),
+    * not UTF-16 units.
     *
-    * Execution is a map-only typed flatMap running the compiled
-    * [[winnowPicks]] kernel per doc — no gram explode, no window
+    * Execution is a map-only explode of the native codegen generator
+    * [[graft.functions.WinnowPicksMd5]] — no gram explode, no window
     * shuffle (the per-doc sequential scan is the textbook case for a
-    * per-partition kernel; a declarative lag/lead formulation measured
+    * fused per-row kernel; a declarative lag/lead formulation measured
     * 25× slower at sf0.1 because every gram paid an exploded row plus
-    * a doc-partitioned sort). The ORACLE replays the equivalent
-    * per-position characterization declaratively: selected ⟺ for some
-    * before-span j1 ∈ [0, t-1], all j1 preceding hashes are ≥ h and
-    * all t-1-j1 following hashes are > h (ties break rightward) with
-    * the window inside [1, n] — the cross-formulation equality is what
-    * the sf0.01 hash gate proves, and Md5DedupSpec pins the kernel
-    * against an independent per-window reference. */
+    * a doc-partitioned sort, and the round-17 typed-Dataset flatMap
+    * paid an encoder boundary plus a substring+digest allocation per
+    * gram — q38 0.78→native, the word_spans/q161 move). The ORACLE
+    * replays the equivalent per-position characterization
+    * declaratively: selected ⟺ for some before-span j1 ∈ [0, t-1],
+    * all j1 preceding hashes are ≥ h and all t-1-j1 following hashes
+    * are > h (ties break rightward) with the window inside [1, n] —
+    * the cross-formulation equality is what the sf0.01 hash gate
+    * proves, and Md5DedupSpec pins the kernel against an independent
+    * per-window reference. */
   def winnowSelectedMd5(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 16, t: Int = 8): DataFrame = {
     require(k >= 1 && t >= 2, s"need k>=1, t>=2; got k=$k t=$t")
-    val sp = docs.sparkSession
-    import sp.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("txt"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        winnowPicks(text, k, t).map { case (p, h, n) => (id, p, h, n) } }
-      .toDF("id", "p", "h", "n")
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(graft.functions.HashFunctions
+          .winnowPicksMd5(col(textCol), k, t)).as("pk"))
+      .select(col("id"), col("pk.p").as("p"), col("pk.h").as("h"),
+        col("pk.n").as("n"))
   }
 
   /** Winnowing canonical ids, md5-arithmetic — the oracle-replayable

@@ -169,6 +169,86 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  // MD5 MessageDigest is stateful but reusable after digest(); one
+  // instance per executor thread avoids the per-row getInstance cost
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Robust-winnowing picks over codepoint k-grams with md5 hashes —
+    * the fused kernel behind [[WinnowPicksMd5]] (the oracle-replayable
+    * md5 sibling of [[winnow]]): gram p (0-based) covers codepoints
+    * [p, p+k) of the text, its hash is the first 32 bits of
+    * md5(UTF-8 bytes of the gram) — a codepoint gram's UTF-8 encoding
+    * is the contiguous byte slice between codepoint boundaries, so no
+    * substring materializes and the thread-local digest writes into a
+    * reused 16-byte buffer (zero allocation per gram beyond the hash
+    * array). Codepoint indexing (not UTF-16 units) is the contract:
+    * DuckDB's len()/substring() count codepoints, so a supplementary-
+    * plane character would otherwise desync engine and oracle.
+    *
+    * A position is selected iff it is the RIGHTMOST minimum (ties
+    * break rightward) of at least one length-t window over the gram
+    * hashes; fewer than t grams form one whole-doc window. The
+    * rightmost-min index is monotone non-decreasing as the window
+    * slides (the dropped leftmost element can only move the min right;
+    * a tie already resolved rightward), so picks emit in position
+    * order with a last-pick dedup — no pick set materializes. Output:
+    * array<struct<p,h,n>> with p the 1-based gram index, h the gram
+    * hash, n the doc's gram count; empty below k codepoints. */
+  def winnowPicksMd5(text: UTF8String, k: Int, t: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    var cp = 0
+    var i = 0
+    while (i < nb) { i += UTF8String.numBytesForFirstByte(bytes(i)); cp += 1 }
+    val n = cp - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](cp + 1)
+    i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(cp) = nb
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val h = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      md.reset()
+      md.update(bytes, offs(p), offs(p + k) - offs(p))
+      md.digest(dig, 0, 16)
+      h(p) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      p += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / t + 1)
+    def emit(p0: Int): Unit =
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        (p0 + 1).toLong, h(p0), n.toLong)
+    if (n < t) {
+      var best = 0
+      var j = 1
+      while (j < n) { if (h(j) <= h(best)) best = j; j += 1 }
+      emit(best)
+    } else {
+      var lastPick = -1
+      var w = 0
+      while (w <= n - t) {
+        var best = w
+        var j = w + 1
+        while (j < w + t) { if (h(j) <= h(best)) best = j; j += 1 }
+        if (best != lastPick) { emit(best); lastPick = best }
+        w += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** `k` Bloom bit positions of a string: pos_s = floorMod(
     * xxhash64(bytes, seed = s), mBits) for s in 0 until k. The build
     * side of the Bloom prefilter — positions, not bits, so the
@@ -379,6 +459,35 @@ case class WordSpans(child: Expression, w: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** winnow_picks_md5(text, k, t) -> array<struct<p:bigint, h:bigint,
+  * n:bigint>>: the md5-arithmetic robust-winnowing pick rows of one
+  * document ([[HashKernels.winnowPicksMd5]]) — the native replacement
+  * for the typed-Dataset flatMap that ran this kernel through an
+  * encoder boundary (row ser/de plus a String substring + getBytes +
+  * fresh digest allocation per gram — measured as q38 0.14→0.78s /
+  * q105 2.7→5.2s when the md5 family landed; the same move as
+  * word_spans/q161, 11× there). The consumer explodes the array;
+  * per-doc sequential window scans stay inside whole-stage codegen. */
+case class WinnowPicksMd5(child: Expression, k: Int, t: Int)
+    extends UnaryExpression {
+  require(k >= 1 && t >= 2, s"need k >= 1, t >= 2; got k=$k t=$t")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p", LongType, nullable = false),
+    StructField("h", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_picks_md5"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnowPicksMd5(v.asInstanceOf[UTF8String], k, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.winnowPicksMd5($c, $k, $t)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowPicksMd5 =
+    copy(child = c)
+}
+
 /** bloom_positions(string, k, mBits) -> array<int> of the k seeded
   * bit positions — the BUILD side of the Bloom prefilter. */
 case class BloomPositions(child: Expression, k: Int, mBits: Int)
@@ -442,6 +551,9 @@ object HashFunctions {
 
   def winnowFingerprint(text: Column, k: Int, t: Int): Column =
     GraftBridge.column(WinnowFingerprint(GraftBridge.expression(text), k, t))
+
+  def winnowPicksMd5(text: Column, k: Int, t: Int): Column =
+    GraftBridge.column(WinnowPicksMd5(GraftBridge.expression(text), k, t))
 
   def minhashSignature(tokens: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), k))

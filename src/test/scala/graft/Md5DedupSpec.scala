@@ -24,12 +24,17 @@ class Md5DedupSpec extends SparkSuite {
     java.lang.Long.parseLong(md5Hex(unit + ":" + (i / 4)).substring(8 * (i % 4), 8 * (i % 4) + 8), 16)
 
   /** Robust winnowing picks: rightmost minimum of every length-t
-    * window over the k-gram md5 hashes; n < t grams = one window. */
+    * window over the k-gram md5 hashes; n < t grams = one window.
+    * Grams index by CODEPOINT (the oracle's len()/substring()
+    * semantics) — `cps` materializes the codepoint sequence so the
+    * reference stays correct on supplementary-plane text too. */
   private def refWinnow(text: String, k: Int, t: Int): Set[(Long, Long)] = {
-    if (text.length < k) return Set.empty
-    val n = text.length - k + 1
+    val cps = text.codePoints().toArray
+    if (cps.length < k) return Set.empty
+    val n = cps.length - k + 1
     val h = (1 to n).map(p =>
-      java.lang.Long.parseLong(md5Hex(text.substring(p - 1, p - 1 + k)).substring(0, 8), 16))
+      java.lang.Long.parseLong(
+        md5Hex(new String(cps, p - 1, k)).substring(0, 8), 16))
     val picks = scala.collection.mutable.Set[Int]()
     if (n < t) {
       picks += h.lastIndexOf(h.min) + 1
@@ -75,6 +80,28 @@ class Md5DedupSpec extends SparkSuite {
       for ((id, text) <- docs) {
         val want = refWinnow(text, k, t)
         assert(got.getOrElse(id, Set.empty) === want, s"doc $id k=$k t=$t text=$text")
+      }
+    }
+  }
+
+  test("winnowSelectedMd5 indexes grams by codepoint, not UTF-16 unit") {
+    // "𝕏" (U+1D54F) is one codepoint but two UTF-16 units: a
+    // UTF-16-unit kernel would see one extra gram position and feed
+    // split-surrogate bytes into md5, desyncing from the oracle's
+    // codepoint-based len()/substring(). The reference here iterates
+    // codepoints, matching DuckDB.
+    val docs = Seq(
+      (1L, "ab𝕏cd ef𝕏gh ij"),   // supplementary plane mid-text
+      (2L, "😀😀😀😀😀😀a"),      // gram boundaries all on astral chars
+      (3L, "plain ascii text")).toDF("doc_id", "text")
+    for ((k, t) <- Seq((4, 3), (3, 2))) {
+      val got = Dedup.winnowSelectedMd5(docs, "text", "doc_id", k, t)
+        .select("id", "p", "h").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      for ((id, text) <- Seq((1L, "ab𝕏cd ef𝕏gh ij"),
+          (2L, "😀😀😀😀😀😀a"), (3L, "plain ascii text"))) {
+        assert(got.getOrElse(id, Set.empty) === refWinnow(text, k, t),
+          s"doc $id k=$k t=$t")
       }
     }
   }
