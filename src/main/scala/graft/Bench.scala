@@ -88,6 +88,15 @@ object Bench {
       .filter { case (name, _) =>
         onlyArg.forall(set => set.contains(name) || set.contains("q" + short(name))) }
       .filter { case (name, _) => maxQ.forall(qnum(name) <= _) }
+    // the stdout worst10 map keys by qNNN prefix — two full names
+    // sharing a prefix would silently overwrite each other's entry.
+    // Validate BEFORE the timing loops: a collision discovered after
+    // measurement would discard the whole run's results
+    require(queries.map(q => short(q._1)).distinct.size == queries.size,
+      s"duplicate qNNN prefixes among queries: ${
+        queries.map(_._1).groupBy(short).collect {
+          case (_, ns) if ns.size > 1 => ns.mkString("/")
+        }.mkString(", ")}")
     val samples = (1 to runs).flatMap { _ =>
       queries.map { case (name, fn) => name -> timeOnce(fn) }
     }
@@ -105,10 +114,6 @@ object Bench {
     // regression at the 2x gate).
     val isoRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_RUNS", "3").toInt
     val worst = results.sortBy(-_._2).take(10)
-    // the stdout worst10 map keys by qNNN prefix — two full names
-    // sharing a prefix would silently overwrite each other's entry
-    require(worst.map(w => short(w._1)).distinct.size == worst.size,
-      s"duplicate qNNN prefixes in worst-10: ${worst.map(_._1).mkString(", ")}")
     val isolated = worst.map { case (name, _) =>
       name -> median((1 to isoRuns).map(_ => timeOnce(SparkEntry.queries(name))))
     }.toMap

@@ -490,7 +490,7 @@ object SparkEntry {
       val sink = "graft_q106_sink"
       graft.streaming.Events.withStatePartitions(s, 8) {
         val q = graft.streaming.DedupStream
-          .bandVerdictsMd5(stream, "text", "doc_id", tauMicros = 950000L)
+          .bandVerdictsMd5(stream, "text", "doc_id", tauMicros = Md5MinhashTauMicros)
           .writeStream.format("memory").queryName(sink).outputMode("append").start()
         q.processAllAvailable()
         q.stop()
@@ -584,7 +584,8 @@ object SparkEntry {
     // xxhash64 form (minhashCanonicalIds) stays the throughput path.
     "q45_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashCanonicalIdsMd5(t(s, dir, "documents"), "text", "doc_id",
-          tauMicros = 950000L, shingleSize = 1, k = 16, bands = 2)
+          tauMicros = Md5MinhashTauMicros, shingleSize = 1,
+          k = Md5MinhashK, bands = 2)
         .where(col("canonical_id") =!= col("doc_id"))),
 
     // ---- blocked exact n-gram Jaccard pairs ----
@@ -5384,6 +5385,16 @@ object SparkEntry {
          |        WHERE query_id <> neighbor_id$codeFilter)""".stripMargin
   }
 
+  /** q45/q106 lockstep md5-MinHash tuning: k signature components at
+    * Jaccard threshold tau (micros). BOTH the engine call sites and
+    * the oracle-SQL interpolations read these — retuning one side
+    * cannot silently desync the other (the agreement floor below
+    * derives from the same pair via `Dedup.md5AgreeMin`). */
+  private[graft] val Md5MinhashK = 16
+  private[graft] val Md5MinhashTauMicros = 950000L
+  private def md5MinhashAgreeMin: Long =
+    graft.dedup.Dedup.md5AgreeMin(Md5MinhashK, Md5MinhashTauMicros)
+
   /** Shared md5-MinHash oracle fragments (q44/q45/q106 — the round-17
     * upgrade of the signature family to hash-exact oracles via the
     * q202 md5-arithmetic technique; OracleConsistencySpec pins the
@@ -5512,7 +5523,7 @@ object SparkEntry {
          |  FROM cand0 c JOIN sig sa ON sa.doc_id = c.id_a
          |  JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
          |  GROUP BY 1, 2
-         |  HAVING count(*) FILTER (WHERE sa.mh = sb.mh) >= ${Dedup.md5AgreeMin(16, 950000L)}),
+         |  HAVING count(*) FILTER (WHERE sa.mh = sb.mh) >= ${md5MinhashAgreeMin}),
          |ninter AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
          |  FROM agr p JOIN tok ta ON ta.doc_id = p.id_a
          |  JOIN tok tb ON tb.doc_id = p.id_b AND tb.u = ta.u
@@ -5520,7 +5531,7 @@ object SparkEntry {
          |edges AS (SELECT n.id_a, n.id_b
          |  FROM ninter n JOIN cnt ca ON ca.doc_id = n.id_a
          |  JOIN cnt cb ON cb.doc_id = n.id_b
-         |  WHERE n.inter * 1000000 // (ca.n_u + cb.n_u - n.inter) >= 950000),
+         |  WHERE n.inter * 1000000 // (ca.n_u + cb.n_u - n.inter) >= ${Md5MinhashTauMicros}),
          |${ccCtes}
          |SELECT node AS doc_id, comp AS canonical_id
          |FROM comp WHERE comp <> node""".stripMargin,
@@ -5584,7 +5595,7 @@ object SparkEntry {
          |  FROM prs p JOIN sig sa ON sa.doc_id = p.hi
          |  JOIN sig sb ON sb.doc_id = p.lo AND sb.i = sa.i
          |  GROUP BY 1, 2, 3
-         |  HAVING count(*) FILTER (WHERE sa.mh = sb.mh) >= ${Dedup.md5AgreeMin(16, 950000L)}),
+         |  HAVING count(*) FILTER (WHERE sa.mh = sb.mh) >= ${md5MinhashAgreeMin}),
          |reach AS (SELECT band, doc_id AS node, doc_id AS m FROM bands
          |  UNION SELECT e.band, e.hi, r.m
          |  FROM mt e JOIN reach r ON r.band = e.band AND r.node = e.lo),
