@@ -2094,6 +2094,30 @@ object SparkEntry {
         kc = 4, m = 4, pqK = 4, iters = 2, nprobe = 2, shortlist = 8)
     }),
 
+    // ---- the COMPOSED nightly ingest gate (ml.Eval.ingestAudit —
+    // q200's PSI + q201's AUC + q204's ECE fused off ONE documents
+    // scan into one per-source report row, the shape a shard-admission
+    // pipeline actually runs). The corpus collapses to the
+    // per-(source, score) histogram in one map-side-combined groupBy —
+    // the only corpus-scale shuffle — and one source-partitioned
+    // exchange later the CDF window (AUC), the per-bin windows
+    // (ECE + PSI score-decile categories) and the final fold all run
+    // shuffle-free: 1 scan / 2 shuffles, pinned. PSI's reference
+    // window is the even/odd doc_id A/A control (q200's convention);
+    // each audit's math is its original's verbatim, so the whole
+    // report stays hash-exact. ----
+    "q208_ingest_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Eval.ingestAudit(
+        d.select(col("source"), col("doc_id"),
+          round(Text.qualityScore(col("text")) * lit(1e6), 0)
+            .cast("long").as("score_micros"),
+          (col("lang") === "en").as("label")),
+        "source", "score_micros", "label",
+        isRef = col("doc_id") % 2 === 0, nBins = 10,
+        psiThresholdMicros = 200000L)
+    }),
+
     // ---- bitext mining over WRITTEN per-direction indexes
     // (Bitext.marginMiningIndexed — q203 through q169's persistent
     // cell-partitioned layout): each side's codes are built ON DISK
@@ -5658,6 +5682,71 @@ object SparkEntry {
     "q207_bitext_train_e2e" -> bitextApproxOracleSql(kc = 4, m = 4,
       pqK = 4, dim = 64, nprobe = 2, shortlist = 8, k = 4,
       minMargin = "1.02e0"),
+
+    // q208: the composed ingest gate — q201's score CTE verbatim
+    // (extended with the even/odd A/A reference flag), then ONE
+    // histogram from which the q201 midrank-AUC chain, the q204
+    // bin/gap/ECE chain and the q200 fixed-order PSI term (applied at
+    // bin grain) all derive — each audit's oracle math token-for-token
+    // (the lockstep pin extends to this oracle).
+    "q208_ingest_audit" ->
+      """WITH q AS (
+        |  SELECT source, doc_id % 2 = 0 AS is_ref, lang = 'en' AS label,
+        |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
+        |        + 0.4 * (1.0 - punct_ratio)
+        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT) AS s
+        |  FROM (
+        |    SELECT doc_id, source, lang, len(toks) AS n_tokens,
+        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, source, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))),
+        |hist AS (
+        |  SELECT source, s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM q GROUP BY 1, 2),
+        |cdf AS (
+        |  SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum,
+        |    least(CAST(9 AS BIGINT), (s * 10) // 1000000) AS bin
+        |  FROM hist),
+        |tot AS (
+        |  SELECT source,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(p * (2 * cum - n + 1)) AS BIGINT) AS r2_pos,
+        |    CAST(sum(r) AS BIGINT) AS nref,
+        |    CAST(sum(n - r) AS BIGINT) AS ncur
+        |  FROM cdf GROUP BY 1),
+        |g AS (
+        |  SELECT source, bin, CAST(sum(n) AS BIGINT) AS bn,
+        |    CAST(sum(p) AS BIGINT) AS bp,
+        |    CAST(sum(s * n) AS BIGINT) AS bconf,
+        |    CAST(sum(r) AS BIGINT) AS bref,
+        |    CAST(sum(n - r) AS BIGINT) AS bcur
+        |  FROM cdf GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT source, bn,
+        |    abs(bp * 1000000 // bn - bconf // bn) AS gap,
+        |    CASE WHEN bref > 0 AND bcur > 0 THEN CAST(floor(
+        |        (CAST(bcur AS DOUBLE) / CAST(ncur AS DOUBLE)
+        |          - CAST(bref AS DOUBLE) / CAST(nref AS DOUBLE))
+        |        * ln((CAST(bcur AS DOUBLE) * CAST(nref AS DOUBLE))
+        |              / (CAST(bref AS DOUBLE) * CAST(ncur AS DOUBLE)))
+        |        * 1e6 + 0.5) AS BIGINT) END AS term
+        |  FROM g JOIN tot USING (source)),
+        |ag AS (
+        |  SELECT source, CAST(sum(bn * gap) AS BIGINT) AS gapw,
+        |    CAST(sum(term) AS BIGINT) AS psi
+        |  FROM bt GROUP BY 1)
+        |SELECT source, nn AS n, n_pos, nn - n_pos AS n_neg,
+        |  r2_pos - n_pos * (n_pos + 1) AS u2,
+        |  CASE WHEN n_pos > 0 AND nn - n_pos > 0 THEN
+        |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * (nn - n_pos))
+        |  END AS auc_micros,
+        |  gapw // nn AS ece_micros,
+        |  COALESCE(psi, 0) AS psi_total_micros,
+        |  COALESCE(psi, 0) >= 200000 AS drifted
+        |FROM tot JOIN ag USING (source)""".stripMargin,
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6

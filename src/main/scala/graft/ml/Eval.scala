@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -88,19 +88,24 @@ object Eval {
     * Returns one row per non-empty (group, bin): (group, bin, n,
     * n_pos, avg_conf_micros, acc_micros, gap_micros, ece_micros) with
     * the group's ECE repeated per bin (q200's report convention). */
+  /** Equal-width confidence bin over [0, 1e6]; the top edge folds
+    * into the last bin so a perfect-confidence row is never its own
+    * bin. Column arithmetic on the long-cast conf (not an expr()
+    * splice of the raw column name): identifier-safe, and immune to
+    * int overflow of conf * nBins. floor(double) here is exact: the
+    * numerator is ≤ 1e6·nBins ≪ 2^53 and the quotient sits ≥ 1e-6
+    * from any integer while its ulp is ~1e-13. Shared by
+    * [[calibrationReport]] and [[ingestAudit]] so the two bin
+    * definitions cannot drift. */
+  private def confBin(conf: Column, nBins: Int): Column =
+    least(lit(nBins - 1L),
+      floor(conf * lit(nBins.toLong) / lit(1000000.0)).cast("long"))
+
   def calibrationReport(df: DataFrame, groupCol: String, confCol: String,
                         labelCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, s"need a positive bin count, got $nBins")
     val conf = col(confCol).cast("long")
-    // equal-width bins over [0, 1e6]; the top edge folds into the
-    // last bin so a perfect-confidence row is never its own bin.
-    // Column arithmetic on the long-cast conf (not an expr() splice of
-    // the raw column name): identifier-safe, and immune to int
-    // overflow of conf * nBins. floor(double) here is exact: the
-    // numerator is ≤ 1e6·nBins ≪ 2^53 and the quotient sits ≥ 1e-6
-    // from any integer while its ulp is ~1e-13.
-    val bin = least(lit(nBins - 1L),
-      floor(conf * lit(nBins.toLong) / lit(1000000.0)).cast("long"))
+    val bin = confBin(conf, nBins)
     val w = Window.partitionBy(col(groupCol))
     df.groupBy(col(groupCol), bin.as("bin"))
       .agg(count(lit(1)).as("n"),
@@ -115,5 +120,96 @@ object Eval {
       .select(col(groupCol), col("bin"), col("n"), col("n_pos"),
         col("avg_conf_micros"), col("acc_micros"), col("gap_micros"),
         col("ece_micros"))
+  }
+
+  /** The composed nightly ingest gate — PSI + rank-AUC + ECE off ONE
+    * corpus scan into one per-group report row: the three audits a
+    * shard-admission pipeline runs before trusting a quality filter
+    * ([[graft.ops.Drift.psiReport]]'s drift check of the score
+    * distribution between the `isRef` and current windows,
+    * [[rankAuc]]'s ranking power, [[calibrationReport]]'s value
+    * calibration), fused so the corpus is read and hashed once
+    * instead of three times.
+    *
+    * All three audits share the q199/q201/q204 histogram-CDF recipe,
+    * so the fusion is exact, not approximate: the corpus collapses to
+    * the per-(group, conf) histogram in one map-side-combined groupBy
+    * — the ONLY corpus-scale shuffle — carrying (n, n_pos, n_ref) per
+    * distinct score. One further group-partitioned exchange puts the
+    * histogram rows on their group, and from there the CDF window
+    * (AUC), the per-bin windows (ECE + PSI categories — a
+    * HashPartitioning on `group` already satisfies the (group, bin)
+    * clustering, so these are sorts, not shuffles) and the final
+    * per-group fold all run without another exchange: 1 scan,
+    * 2 shuffles total, pinned in ScanCountSpec.
+    *
+    * Math is each audit's verbatim: AUC the doubled-midrank integer
+    * recipe of [[rankAuc]]; ECE the integer floor-division chain of
+    * [[calibrationReport]] (bins via [[confBin]], the shared
+    * expression); PSI the fixed-order transcendental term of
+    * `Drift.psiFromCounts` applied at bin grain — categories are the
+    * ECE's confidence bins, so "drift" means the score DISTRIBUTION
+    * moved between windows. One-sided bins get a NULL term and are
+    * excluded (the q200 contract). Returns one row per group:
+    * (group, n, n_pos, n_neg, u2, auc_micros, ece_micros,
+    * psi_total_micros, drifted). */
+  def ingestAudit(df: DataFrame, groupCol: String, confCol: String,
+                  labelCol: String, isRef: Column, nBins: Int,
+                  psiThresholdMicros: Long): DataFrame = {
+    require(nBins >= 1, s"need a positive bin count, got $nBins")
+    val conf = col(confCol).cast("long")
+    val hist = df
+      .groupBy(col(groupCol), conf.as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__p"),
+        sum(when(isRef, 1L).otherwise(0L)).as("__r"))
+    val wCdf = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+    val wBin = Window.partitionBy(col(groupCol), col("__b"))
+    val wBinOrd = wBin.orderBy(col("__s"))
+    val wG = Window.partitionBy(col(groupCol))
+    val rows = hist
+      .withColumn("__cum", sum("__n").over(wCdf))
+      .withColumn("__b", confBin(col("__s"), nBins))
+      .withColumn("__bn", sum("__n").over(wBin))
+      .withColumn("__bp", sum("__p").over(wBin))
+      .withColumn("__bconf", sum(col("__s") * col("__n")).over(wBin))
+      .withColumn("__bref", sum("__r").over(wBin))
+      .withColumn("__bcur", sum(col("__n") - col("__r")).over(wBin))
+      // one representative histogram row per bin carries the bin-level
+      // ECE/PSI contributions into the per-group fold
+      .withColumn("__rn", row_number().over(wBinOrd))
+      .withColumn("__nref", sum("__r").over(wG))
+      .withColumn("__ncur", sum(col("__n") - col("__r")).over(wG))
+    // per-bin calibration gap — calibrationReport's integer chain
+    val gap = abs(expr("__bp * 1000000L div __bn") - expr("__bconf div __bn"))
+    // per-bin PSI term — Drift.psiFromCounts' fixed-order double
+    // expression snapped to micros, at bin grain
+    val pRef = col("__bref").cast("double") / col("__nref").cast("double")
+    val pCur = col("__bcur").cast("double") / col("__ncur").cast("double")
+    val ratio = (col("__bcur").cast("double") * col("__nref").cast("double")) /
+      (col("__bref").cast("double") * col("__ncur").cast("double"))
+    val term = floor((pCur - pRef) * log(ratio) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val binRep = col("__rn") === 1
+    rows.groupBy(col(groupCol))
+      .agg(
+        sum("__n").as("n"),
+        sum("__p").as("n_pos"),
+        sum(col("__p") * (lit(2L) * col("__cum") - col("__n") + lit(1L)))
+          .as("__r2"),
+        sum(when(binRep, col("__bn") * gap)).as("__gapw"),
+        sum(when(binRep && col("__bref") > 0 && col("__bcur") > 0, term))
+          .as("__psi"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+      .withColumn("u2", col("__r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .withColumn("auc_micros",
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          expr("u2 * 1000000L div (2L * n_pos * n_neg)")))
+      .withColumn("ece_micros", expr("__gapw div n"))
+      .withColumn("psi_total_micros", coalesce(col("__psi"), lit(0L)))
+      .withColumn("drifted", col("psi_total_micros") >= psiThresholdMicros)
+      .select(col(groupCol), col("n"), col("n_pos"), col("n_neg"),
+        col("u2"), col("auc_micros"), col("ece_micros"),
+        col("psi_total_micros"), col("drifted"))
   }
 }

@@ -140,4 +140,67 @@ class EvalSpec extends SparkSuite {
       "BroadcastExchange".r.findAllIn(qe.executedPlan.toString).size
     assert(scans <= 1 && exchanges <= 3)
   }
+
+  test("composed ingest audit equals its three component audits") {
+    // the fusion contract: ingestAudit's AUC columns must equal
+    // rankAuc's, its ECE calibrationReport's, and its PSI the
+    // bin-grain psiReport's — on a randomized fixture with planted
+    // window skew so the PSI is nonzero and some bins are one-sided
+    import org.apache.spark.sql.functions.{col, floor => ffloor, least, lit}
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 600L).map { i =>
+      // skew: odd ids (current window) score higher in group g0
+      val base = rnd.nextInt(900001).toLong
+      val s = if (i % 2 == 1 && i % 3 == 0) base + 100000L else base
+      (s"g${(i % 3)}", i, s, rnd.nextBoolean())
+    }
+    val df = rows.toDF("g", "id", "s", "y")
+    val isRef = col("id") % 2 === 0
+    val got = Eval.ingestAudit(df, "g", "s", "y", isRef, nBins = 10,
+        psiThresholdMicros = 200000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val auc = Eval.rankAuc(df, "g", "s", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ece = Eval.calibrationReport(df, "g", "s", "y", nBins = 10)
+      .collect().map(r => r.getString(0) ->
+        r.getLong(r.fieldIndex("ece_micros"))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val r = got(g); val a = auc(g)
+      assert(r.getLong(r.fieldIndex("n_pos")) ===
+        a.getLong(a.fieldIndex("n_pos")), s"$g n_pos")
+      assert(r.getLong(r.fieldIndex("n_neg")) ===
+        a.getLong(a.fieldIndex("n_neg")), s"$g n_neg")
+      assert(r.getLong(r.fieldIndex("u2")) ===
+        a.getLong(a.fieldIndex("u2")), s"$g u2")
+      assert(r.getLong(r.fieldIndex("auc_micros")) ===
+        a.getLong(a.fieldIndex("auc_micros")), s"$g auc")
+      assert(r.getLong(r.fieldIndex("ece_micros")) === ece(g), s"$g ece")
+      // PSI: the bin-grain drift report over this group's rows alone
+      val binned = df.where(col("g") === g)
+        .withColumn("bin", least(lit(9L),
+          ffloor(col("s") * lit(10L) / lit(1000000.0)).cast("long")))
+      val psi = graft.ops.Drift.psiReport(binned, "bin", isRef, 200000L)
+        .collect().head
+      assert(r.getLong(r.fieldIndex("psi_total_micros")) ===
+        psi.getLong(psi.fieldIndex("psi_total_micros")), s"$g psi")
+      assert(r.getBoolean(r.fieldIndex("drifted")) ===
+        psi.getBoolean(psi.fieldIndex("drifted")), s"$g drifted")
+    }
+    // the planted skew must register: equality with psiReport would
+    // hold trivially if both sides degenerated to zero
+    assert(Seq("g0", "g1", "g2").exists { g =>
+      got(g).getLong(got(g).fieldIndex("psi_total_micros")) > 0L
+    }, "planted window skew produced no PSI signal anywhere")
+  }
+
+  test("plan: q208 one scan, one corpus shuffle + one source exchange") {
+    val qe = SparkEntry.queries("q208_ingest_audit")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val scans =
+      "file:[^\\]\\s]*\\.parquet".r.findAllMatchIn(qe.sparkPlan.toString).size
+    val exchanges = "Exchange".r.findAllIn(qe.executedPlan.toString).size -
+      "BroadcastExchange".r.findAllIn(qe.executedPlan.toString).size
+    assert(scans <= 1, s"q208 scans: $scans")
+    assert(exchanges <= 2, s"q208 shuffles: $exchanges")
+  }
 }
