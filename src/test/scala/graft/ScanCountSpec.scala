@@ -284,6 +284,12 @@ class ScanCountSpec extends SparkSuite {
     // q203's shortlist-sized set
     assert(scanCount("q206_bitext_indexed") <= 6)
     assert(shuffleCount("q206_bitext_indexed") <= 8)
+    // q207 full-train bitext E2E: q203's topology with BOTH
+    // directions' coarse+PQ trainings in-query — training collects are
+    // bounded (kc×dim / m×k×dsub) and run eagerly at construction, so
+    // the plannable tail is exactly q203's serving shape
+    assert(scanCount("q207_bitext_train_e2e") <= 8)
+    assert(shuffleCount("q207_bitext_train_e2e") <= 8)
   }
 
   test("the group-any window plans one scan and one shuffle") {
@@ -327,28 +333,43 @@ class ScanCountSpec extends SparkSuite {
   }
 
   test("dedup family keeps bounded scans and shuffles") {
-    // The suite's two slowest queries (q105/q106) and the LSH pair had
-    // no plan pins — only PlanGuardSpec's cartesian check. Bounds are
-    // the measured r12 shapes:
-    //   q45 minhash: one documents scan for signatures + band explode,
-    //     the band self-join probe side reuses it (broadcast), CC edges
-    //     resolve driver-side below the 2^20 cap — no shuffle exchange;
+    // Bounds are the measured shapes of the ROUND-17 md5-arithmetic
+    // forms (the r12 comments described the xxhash64 forms these
+    // queries no longer execute):
+    //   q38 winnow picks: one documents scan through the native
+    //     winnow_picks_md5 generator (map-only), then the per-doc
+    //     stats aggregation — 2 shuffles (partial/final);
+    //   q44 signatures: three map-side documents scans by design (the
+    //     SimHash bit-vote aggregate, its all-docs left-join back, and
+    //     the MinHash signature aggregate) joined on doc_id;
+    //   q45 minhash: one documents scan to md5 signatures + band
+    //     explode; candidates checkpoint at construction and the
+    //     verify joins broadcast, CC edges resolve driver-side below
+    //     the 2^20 cap — no shuffle exchange in the final plan;
     //   q46 blocked jaccard: shingle-set build + length-block self-join
     //     (broadcast) + exact-verify;
+    //   q47 simhash: one documents scan to 32-bit md5 signatures;
+    //     4×8-bit band edges + Hamming verify resolve like q45's CC —
+    //     no shuffle exchange in the final plan;
     //   q105 winnow canonical: fingerprint scan + broadcast doc->rep
     //     resolve, no shuffle;
     //   q106 dedup stream: batch tail only (the streaming replay runs
     //     before this plan exists) — the cross-band min resolve over
     //     the memory sink is pinned by shuffle count, scans are 0.
     for ((q, s, sh) <- Seq(
+        ("q38_docs_winnow", 1, 2),
+        ("q44_docs_signatures", 3, 2),
         ("q45_minhash_neardups", 1, 0),
         ("q46_blocked_jaccard", 4, 0),
+        ("q47_simhash_neardups", 1, 0),
         ("q105_winnow_canonical", 1, 0))) {
       assert(scanCount(q) <= s, s"$q scans")
       assert(shuffleCount(q) <= sh, s"$q shuffles")
     }
-    info("dedup plan counts: " + Seq("q45_minhash_neardups",
-      "q46_blocked_jaccard", "q105_winnow_canonical")
+    info("dedup plan counts: " + Seq("q38_docs_winnow",
+      "q44_docs_signatures", "q45_minhash_neardups",
+      "q46_blocked_jaccard", "q47_simhash_neardups",
+      "q105_winnow_canonical")
       .map(q => s"$q=${scanCount(q)}/${shuffleCount(q)}").mkString(", "))
     // q106 invoked ONCE (its construction replays the stream); only the
     // batch resolve tail is plannable here
