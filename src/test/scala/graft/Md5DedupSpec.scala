@@ -161,6 +161,71 @@ class Md5DedupSpec extends SparkSuite {
     assert(got(1L) === 1L && got(2L) === 1L && got(7L) === 7L)
   }
 
+  test("md5 and xxhash64 families produce identical canonical clusters on planted dups") {
+    // The cross-family confidence transfer: the md5 siblings are the
+    // oracle-gated forms, the xxhash64 kernels the 100 TB throughput
+    // path — on a fixture whose clusters are exact copies (identical
+    // signatures in EVERY hash family, so LSH recall is deterministic,
+    // the verify trivially passes, and the CC closure sees the same
+    // edge set), the two families must emit byte-identical
+    // doc→canonical maps. A drift here means the throughput path no
+    // longer computes what the gated path verifies.
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen"
+    val docs = Seq(
+      (1L, base1), (5L, base1), (9L, base1),  // 3-way chain -> min id 1
+      (2L, base2), (7L, base2),               // 2-way -> min id 2
+      (3L, "completely different text about parquet row groups and stats"),
+      (4L, ""),                               // token-less: self-maps
+      (8L, "another singleton document on shuffle hash join strategies"))
+      .toDF("doc_id", "text")
+    def cmap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col(df.columns.head), col("canonical_id"))
+        .as[(Long, Long)].collect().toMap
+    val mhM = cmap(Dedup.minhashCanonicalIdsMd5(docs, "text", "doc_id",
+      tauMicros = 900000L))
+    val mhX = cmap(Dedup.minhashCanonicalIds(docs, "text", "doc_id",
+      threshold = 0.9))
+    assert(mhM === mhX, "minhash md5 vs xxhash64 clusters")
+    assert(mhM(1L) === 1L && mhM(5L) === 1L && mhM(9L) === 1L)
+    assert(mhM(2L) === 2L && mhM(7L) === 2L && mhM(4L) === 4L)
+    val shM = cmap(Dedup.simhashCanonicalIdsMd5(docs, "text", "doc_id",
+      maxHamming = 3))
+    val shX = cmap(Dedup.simhashCanonicalIds(docs, "text", "doc_id",
+      maxHamming = 3))
+    assert(shM === shX, "simhash md5(32-bit) vs xxhash64(64-bit) clusters")
+    val wM = cmap(Dedup.winnowCanonicalIdsMd5(docs, "text", "doc_id",
+      k = 16, t = 8, minShared = 2, maxDf = 50))
+    val wX = cmap(Dedup.winnowCanonicalIds(docs, "text", "doc_id",
+      k = 16, t = 8, minShared = 2, maxDf = 50))
+    assert(wM === wX, "winnow md5(codepoint-gram) vs xxhash64(Rabin) clusters")
+    assert(wM(1L) === 1L && wM(9L) === 1L && wM(3L) === 3L)
+  }
+
+  test("32-bit md5 SimHash: no false-positive clusters on random distinct docs") {
+    // The md5 SimHash sibling buckets on 32 bits (vs the throughput
+    // form's 64) with maxHamming = 3 — a narrower signature means a
+    // higher collision risk, so the precision trade is pinned: for
+    // uniform random signatures P(Hamming(a,b) <= 3) =
+    // (C(32,0)+C(32,1)+C(32,2)+C(32,3))/2^32 ≈ 1.3e-6, so 300 distinct
+    // docs (~45k pairs) expect ~0.06 false merges. Real token-vote
+    // signatures are not perfectly uniform, hence the generous bound:
+    // at most 1% of docs may be falsely clustered; the seeded fixture
+    // is deterministic, so today's observed count (expected 0) cannot
+    // silently grow.
+    val rnd = new scala.util.Random(1234)
+    val vocab = (0 until 800).map(i => s"w${i}x${rnd.nextInt(1000)}")
+    val docs = (1L to 300L).map { id =>
+      (id, (0 until 12 + rnd.nextInt(20))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val merged = Dedup.simhashCanonicalIdsMd5(docs, "text", "doc_id",
+        maxHamming = 3)
+      .where(col("canonical_id") =!= col("doc_id")).count()
+    assert(merged <= 3, s"false-positive simhash32 merges: $merged of 300")
+  }
+
   test("bandVerdictsMd5 stream: state carries across micro-batches, copies resolve to min id") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
