@@ -5459,10 +5459,12 @@ object SparkEntry {
       |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Shared md5 robust-winnowing pick-set fragment (q38/q105
-    * lockstep), mirroring `Dedup.winnowSelectedMd5`'s lag/lead
-    * formula exactly: gram hash = first 8 md5 hex digits of the
-    * k-char substring; a position is selected iff it is the rightmost
-    * minimum of at least one length-t window. */
+    * lockstep) — the declarative lag/lead replay of
+    * `Dedup.winnowSelectedMd5`'s native per-doc window kernel: gram
+    * hash = first 8 md5 hex digits of the k-codepoint substring
+    * (DuckDB substring counts codepoints, as does the kernel); a
+    * position is selected iff it is the rightmost minimum of at least
+    * one length-t window. */
   private def winnowSelCtes(k: Int, t: Int): String = {
     val lags = (1 until t).map(j => s"lag(h, $j) OVER win AS l$j").mkString(", ")
     val leads = (1 until t).map(j => s"lead(h, $j) OVER win AS d$j").mkString(", ")

@@ -795,11 +795,15 @@ object Dedup {
     * components; output is (idCol, canonical_id) for EVERY doc —
     * token-less docs carry no signature and self-map.
     *
-    * Scale shape is [[minhashCanonicalIds]]'s: the corpus collapses
-    * to signatures in one map-side-combined groupBy, only
-    * (band, id, sig) rows shuffle, candidate edges are doc→rep (never
-    * all-pairs in a bucket), and the verify joins re-derive units for
-    * the candidate sliver only. */
+    * Scale shape is [[minhashCanonicalIds]]'s, one step better since
+    * round 18: the corpus collapses to signatures MAP-SIDE via the
+    * fused [[graft.functions.Md5MinhashSig]] kernel (one per-row loop
+    * over distinct units, one digest per (unit, md5 group) — no hex
+    * render/re-parse, no aggregation shuffle; byte-identical to
+    * `md5Slice`, pinned by the q45 hash gate), only (band, id, sig)
+    * rows shuffle, candidate edges are doc→rep (never all-pairs in a
+    * bucket), and the verify joins re-derive units for the candidate
+    * sliver only. */
   def minhashCanonicalIdsMd5(docs: DataFrame, textCol: String, idCol: String,
                              tauMicros: Long = 950000L, shingleSize: Int = 1,
                              k: Int = 16, bands: Int = 2): DataFrame = {
@@ -808,10 +812,17 @@ object Dedup {
     val r = k / bands
     val agreeMin = md5AgreeMin(k, tauMicros)
     val tok = md5Units(docs, textCol, idCol, shingleSize)
-    val sig = md5Signatures(tok, k)
+    val toks0 = Text.tokens(col(textCol))
+    val units0 = if (shingleSize <= 1) toks0 else Text.shingles(toks0, shingleSize)
+    val sig = docs
+      .select(col(idCol).as("id"),
+        graft.functions.HashFunctions.md5MinhashSig(units0, k).as("ms"))
+      .where(col("ms").isNotNull) // unit-less docs carry no signature
+      .select(col("id"), col("ms.n_u").as("n_u"), col("ms.sig").as("sig"))
     val bandCols = (0 until bands).map { b =>
       concat_ws("|",
-        lit(b.toString) +: (b * r until (b + 1) * r).map(i => col(s"h$i")): _*)
+        lit(b.toString) +: (b * r until (b + 1) * r)
+          .map(i => col("sig").getItem(i)): _*)
     }
     val banded = sig.select(col("id"), col("n_u"), col("sig"),
       explode(array(bandCols: _*)).as("band"))
@@ -842,23 +853,23 @@ object Dedup {
   /** Per-doc 32-bit md5 SimHash: (id, sig) for EVERY doc (token-less
     * docs get sig 0, mirroring the 64-bit kernel). Bit b of the
     * signature is set when the multiset of token hashes — first 8 hex
-    * digits of md5(token) — has more b-bits set than clear. */
-  def simhash32Md5(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val th = docs
-      .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("u"))
-      .select(col("id"),
-        conv(substring(md5(col("u")), 1, 8), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b"))
-    val sig0 = th.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sigExpr = (0 until 32)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    docs.select(col(idCol).as("id"))
-      .join(sig0.select(col("id"), sigExpr.as("sig")), Seq("id"), "left")
-      .na.fill(0L, Seq("sig"))
-  }
+    * digits of md5(token) — has more b-bits set than clear.
+    *
+    * Map-only since round 18: the fused
+    * [[graft.functions.Md5SimHash32]] kernel votes all 32 bit planes
+    * in one per-row loop over the token array (thread-local digest,
+    * no hex render/re-parse), replacing the explode → 32-way bit-vote
+    * groupBy → all-docs join-back (3 corpus scans + a shuffle became
+    * 1 scan + 0); empty token arrays vote to 0, so the join-back for
+    * token-less docs is unnecessary. Byte-identical to the DuckDB
+    * replay (Md5DedupSpec reference + the q44/q47 hash gates). */
+  def simhash32Md5(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      // coalesce: a NULL text has no tokens and signs 0 like "" (the
+      // old join-back + fill contract)
+      coalesce(graft.functions.HashFunctions
+          .md5Simhash32(Text.tokens(col(textCol))), lit(0L))
+        .as("sig"))
 
   /** SimHash near-dup canonical ids, md5-arithmetic — the
     * oracle-replayable sibling of [[simhashCanonicalIds]]: 32-bit

@@ -249,6 +249,96 @@ object HashKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** 32-bit md5 SimHash of a token multiset — the fused kernel behind
+    * [[Md5SimHash32]] (the oracle-replayable md5 sibling of
+    * [[simhash64]]): per token, the first 32 bits of md5(UTF-8 bytes);
+    * bit b of the result is set when the multiset has more b-bits set
+    * than clear. Byte-identical to the declarative
+    * conv(substring(md5(u),1,8),16,10) bit-vote aggregation it
+    * replaces (which paid a hex-string render + re-parse per token
+    * plus a corpus explode/groupBy/join-back), and to the DuckDB
+    * replay. Empty input → 0 (all votes tie toward clear), matching
+    * the "token-less docs get sig 0" contract. */
+  def md5Simhash32(tokens: ArrayData): Long = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val counts = new Array[Int](32)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        md.update(tokens.getUTF8String(t).getBytes)
+        md.digest(dig, 0, 16)
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** md5-arithmetic MinHash signature of a unit array — the fused
+    * kernel behind [[Md5MinhashSig]]: permutation i reads 32-bit slice
+    * i%4 of md5(unit || ':' || i/4) (one digest drives four
+    * permutations — `Dedup.md5Slice`'s byte-level twin), the signature
+    * is the k per-permutation minima over DISTINCT units (min is
+    * duplicate-insensitive, but skipping repeats also skips their
+    * digests), and n_u is the distinct-unit count the Jaccard verify
+    * consumes. Returns null for unit-less input — such docs carry no
+    * signature and can near-dup nothing (the family contract).
+    * Replaces the explode → 4-digest hex projection → map-side-combined
+    * groupBy with a map-only per-row loop: no hex render/re-parse, no
+    * aggregation pass. */
+  def md5MinhashSig(units: ArrayData, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val groups = k / 4
+    val suffixes = new Array[Array[Byte]](groups)
+    var g = 0
+    while (g < groups) { suffixes(g) = (":" + g).getBytes("UTF-8"); g += 1 }
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new java.util.HashSet[UTF8String]()
+    val n = units.numElements()
+    var t = 0
+    while (t < n) {
+      if (!units.isNullAt(t)) {
+        val u = units.getUTF8String(t)
+        if (seen.add(u)) {
+          val ub = u.getBytes
+          var g2 = 0
+          while (g2 < groups) {
+            md.reset()
+            md.update(ub)
+            md.update(suffixes(g2))
+            md.digest(dig, 0, 16)
+            var j = 0
+            while (j < 4) {
+              val o = 4 * j
+              val v = ((dig(o) & 0xffL) << 24) | ((dig(o + 1) & 0xffL) << 16) |
+                ((dig(o + 2) & 0xffL) << 8) | (dig(o + 3) & 0xffL)
+              if (v < mins(g2 * 4 + j)) mins(g2 * 4 + j) = v
+              j += 1
+            }
+            g2 += 1
+          }
+        }
+      }
+      t += 1
+    }
+    if (seen.isEmpty) null
+    else org.apache.spark.sql.catalyst.InternalRow(
+      seen.size.toLong, new GenericArrayData(mins))
+  }
+
   /** `k` Bloom bit positions of a string: pos_s = floorMod(
     * xxhash64(bytes, seed = s), mBits) for s in 0 until k. The build
     * side of the Bloom prefilter — positions, not bits, so the
@@ -488,6 +578,48 @@ case class WinnowPicksMd5(child: Expression, k: Int, t: Int)
     copy(child = c)
 }
 
+/** md5_simhash32(array<string>) -> bigint: the 32-bit md5 SimHash
+  * ([[HashKernels.md5Simhash32]]). */
+case class Md5SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash32"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Simhash32(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.md5Simhash32($c)")
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHash32 =
+    copy(child = c)
+}
+
+/** md5_minhash_sig(array<string>, k) -> struct<n_u:bigint,
+  * sig:array<bigint>>, null for unit-less input
+  * ([[HashKernels.md5MinhashSig]]). */
+case class Md5MinhashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k % 4 == 0 && k <= 512,
+    s"md5 minhash k must be a positive multiple of 4 <= 512, got $k")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_u", LongType, nullable = false),
+    StructField("sig", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5MinhashSig(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashKernels.md5MinhashSig($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(c: Expression): Md5MinhashSig =
+    copy(child = c)
+}
+
 /** bloom_positions(string, k, mBits) -> array<int> of the k seeded
   * bit positions — the BUILD side of the Bloom prefilter. */
 case class BloomPositions(child: Expression, k: Int, mBits: Int)
@@ -554,6 +686,12 @@ object HashFunctions {
 
   def winnowPicksMd5(text: Column, k: Int, t: Int): Column =
     GraftBridge.column(WinnowPicksMd5(GraftBridge.expression(text), k, t))
+
+  def md5Simhash32(tokens: Column): Column =
+    GraftBridge.column(Md5SimHash32(GraftBridge.expression(tokens)))
+
+  def md5MinhashSig(units: Column, k: Int): Column =
+    GraftBridge.column(Md5MinhashSig(GraftBridge.expression(units), k))
 
   def minhashSignature(tokens: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), k))

@@ -44,7 +44,14 @@ object ScaleCurve {
     // late-r16: the ECE audit (histogram-flat, like q199/q201) and
     // the index-served bitext miner (indexes cached per sf dir, so
     // this measures the SERVING cost — the q169 convention)
-    "q204_calibration_audit", "q206_bitext_indexed")
+    "q204_calibration_audit", "q206_bitext_indexed",
+    // round-18 additions: the md5-arithmetic dedup siblings that now
+    // EXECUTE on the driver surface (the r17 curve predated the swap —
+    // q45 above already runs md5; these complete the family), the
+    // full-train bitext E2E (fixed training cost, should amortize),
+    // and the composed single-scan ingest audit
+    "q38_docs_winnow", "q47_simhash_neardups", "q105_winnow_canonical",
+    "q207_bitext_train_e2e", "q208_ingest_audit")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily

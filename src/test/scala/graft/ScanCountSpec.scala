@@ -339,13 +339,16 @@ class ScanCountSpec extends SparkSuite {
     //   q38 winnow picks: one documents scan through the native
     //     winnow_picks_md5 generator (map-only), then the per-doc
     //     stats aggregation — 2 shuffles (partial/final);
-    //   q44 signatures: three map-side documents scans by design (the
-    //     SimHash bit-vote aggregate, its all-docs left-join back, and
-    //     the MinHash signature aggregate) joined on doc_id;
-    //   q45 minhash: one documents scan to md5 signatures + band
-    //     explode; candidates checkpoint at construction and the
-    //     verify joins broadcast, CC edges resolve driver-side below
-    //     the 2^20 cap — no shuffle exchange in the final plan;
+    //   q44 signatures: two map-side documents scans (the fused
+    //     Md5SimHash32 kernel projection and the MinHash signature
+    //     aggregate) joined on doc_id — the round-18 kernels removed
+    //     the bit-vote groupBy + all-docs join-back branch;
+    //   q45 minhash: one documents scan to MAP-SIDE md5 signatures
+    //     (the fused Md5MinhashSig kernel — no signature aggregation
+    //     shuffle) + band explode; candidates checkpoint at
+    //     construction and the verify joins broadcast, CC edges
+    //     resolve driver-side below the 2^20 cap — no shuffle
+    //     exchange in the final plan;
     //   q46 blocked jaccard: shingle-set build + length-block self-join
     //     (broadcast) + exact-verify;
     //   q47 simhash: one documents scan to 32-bit md5 signatures;
@@ -358,7 +361,7 @@ class ScanCountSpec extends SparkSuite {
     //     the memory sink is pinned by shuffle count, scans are 0.
     for ((q, s, sh) <- Seq(
         ("q38_docs_winnow", 1, 2),
-        ("q44_docs_signatures", 3, 2),
+        ("q44_docs_signatures", 2, 1),
         ("q45_minhash_neardups", 1, 0),
         ("q46_blocked_jaccard", 4, 0),
         ("q47_simhash_neardups", 1, 0),
