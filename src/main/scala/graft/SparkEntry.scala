@@ -9408,10 +9408,12 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     // q202: the docs/sh0 shingle grammar is q190's verbatim; the
-    // MinHash "permutations" are the md5 arithmetic of q82 applied to
-    // shingle || ':' || i, band keys concatenate the per-band integer
-    // minima in permutation order, and the verify stage is an exact
-    // shingle-set intersection with Jaccard as one integer division.
+    // MinHash "permutations" are the q45 family's md5-slice
+    // arithmetic (hex digits 8j+1..8j+8 of md5(shingle || ':' || g) —
+    // unified in round 18, one digest drives four permutations), band
+    // keys concatenate the per-band integer minima in permutation
+    // order, and the verify stage is an exact shingle-set
+    // intersection with Jaccard as one integer division.
     "q202_fuzzy_decontam" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -9422,9 +9424,9 @@ object SparkEntry {
         |  FROM docs),
         |sh AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh0),
         |hx AS (
-        |  SELECT doc_id, shingle, i,
-        |    CAST(('0x' || substr(md5(shingle || ':' || i), 1, 8)) AS BIGINT) AS h
-        |  FROM sh CROSS JOIN range(8) r(i)),
+        |  SELECT doc_id, shingle, g * 4 + j AS i,
+        |    CAST(('0x' || substr(md5(shingle || ':' || g), 1 + 8 * j, 8)) AS BIGINT) AS h
+        |  FROM sh CROSS JOIN range(2) rg(g) CROSS JOIN range(4) rj(j)),
         |sig AS (SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, CAST(i // 2 AS VARCHAR) || '|' ||

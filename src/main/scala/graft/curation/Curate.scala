@@ -635,10 +635,11 @@ object Curate {
     * `tauMicros`, found via MinHash-LSH banding so the corpus never
     * self-joins.
     *
-    * Determinism & oracle parity: the MinHash "permutations" are md5
-    * arithmetic (first 8 hex digits of md5(shingle || ':' || i)), the
-    * same cross-engine hash primitive as [[hashSplit]] — unlike the
-    * xxhash64 signature family (q44/q45, rows-only checkable), every
+    * Determinism & oracle parity: the MinHash "permutations" are the
+    * md5-slice arithmetic of the q45 signature family (permutation i
+    * reads hex digits 8·(i%4)+1..+8 of md5(shingle || ':' || i/4) —
+    * [[graft.dedup.Dedup.md5Slice]]; one digest drives four
+    * permutations) — unlike the xxhash64 signature family, every
     * stage here replays exactly in ANSI SQL: band keys are string
     * concatenations of integer minima, verification is an exact
     * shingle-set intersection, and Jaccard is emitted as one integer
@@ -647,32 +648,37 @@ object Curate {
     * Scale shape: the eval side is a benchmark — tiny by construction
     * — so its band table and shingle sets BROADCAST; the training
     * corpus is never shuffled whole. Pass 1 collapses the corpus to
-    * per-doc signatures (one map-side-combined groupBy over the
-    * shingle explode, emitting k minima + the distinct-shingle count
-    * in the same aggregate). The band join then yields candidate
-    * pairs — near-dups of eval docs, a sliver — and only candidates'
-    * shingles are re-derived in pass 2 (scan pruned by a broadcast
-    * semi-join on candidate ids) for exact verification. */
+    * per-doc signatures MAP-SIDE through the fused
+    * [[graft.functions.Md5MinhashSig]] kernel (distinct shingles
+    * deduped in-row, k minima + the distinct-shingle count in one
+    * struct — round 18 removed both the per-permutation digests and
+    * the signature aggregation shuffle). The band join then yields
+    * candidate pairs — near-dups of eval docs, a sliver — and only
+    * candidates' shingles are re-derived in pass 2 (scan pruned by a
+    * broadcast semi-join on candidate ids) for exact verification. */
   def fuzzyDecontam(docs: DataFrame, isEval: Column, n: Int = 3,
                     k: Int = 8, bands: Int = 4, tauMicros: Long = 500000L,
                     idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(k % bands == 0, s"k=$k must split into bands=$bands")
+    require(k % 4 == 0, s"k=$k must split into 32-bit md5 slices")
     val r = k / bands
     def shingled(df: DataFrame) = df
       .select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(array_distinct(
           Text.shingles(Text.tokens(col(textCol)), n))).as("shingle"))
-    def permHash(i: Int) =
-      conv(substring(md5(concat(col("shingle"), lit(":" + i))), 1, 8),
-        16, 10).cast("long")
     val sh = shingled(docs)
-    val sig = sh.groupBy(col("id"), col("is_eval"))
-      .agg(count(lit(1)).as("n_sh"),
-        (0 until k).map(i => min(permHash(i)).as(s"h$i")): _*)
+    val sig = docs
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
+        graft.functions.HashFunctions.md5MinhashSig(
+          Text.shingles(Text.tokens(col(textCol)), n), k).as("ms"))
+      .where(col("ms").isNotNull) // shingle-less docs carry no signature
+      .select(col("id"), col("is_eval"), col("ms.n_u").as("n_sh"),
+        col("ms.sig").as("sig"))
     val bandCols = (0 until bands).map { b =>
       concat_ws("|",
-        lit(b.toString) +: (b * r until (b + 1) * r).map(j => col(s"h$j")): _*)
+        lit(b.toString) +: (b * r until (b + 1) * r)
+          .map(j => col("sig").getItem(j)): _*)
     }
     val banded = sig
       .select(col("id"), col("is_eval"), col("n_sh"),

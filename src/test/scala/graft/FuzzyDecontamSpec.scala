@@ -13,8 +13,12 @@ class FuzzyDecontamSpec extends SparkSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  // the q45-family md5-slice permutation: hex digits 8·(i%4)+1..+8 of
+  // md5(shingle ':' i/4) — Dedup.md5Slice's formula (round 18 unified
+  // the fuzzy-decontam arithmetic with the signature family's)
   private def permHash(shingle: String, i: Int): Long =
-    java.lang.Long.parseLong(md5hex(shingle + ":" + i).take(8), 16)
+    java.lang.Long.parseLong(
+      md5hex(shingle + ":" + (i / 4)).substring(8 * (i % 4), 8 * (i % 4) + 8), 16)
 
   private def shingleSet(text: String, n: Int): Set[String] = {
     val toks = text.trim.split("\\s+").toSeq
