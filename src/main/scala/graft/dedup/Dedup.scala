@@ -943,8 +943,19 @@ object Dedup {
   def winnowCanonicalIdsMd5(docs: DataFrame, textCol: String, idCol: String,
                             k: Int = 16, t: Int = 8, minShared: Int = 2,
                             maxDf: Int = 50): DataFrame = {
-    val fps = winnowSelectedMd5(docs, textCol, idCol, k, t)
-      .select(col("id"), col("h").as("fp")).distinct()
+    // per-doc DISTINCT pick hashes straight off the kernel's struct
+    // array — array_distinct in-row replaces the corpus-wide
+    // (id, fp).distinct() exchange the exploded form needed. The
+    // transform runs in a SEPARATE projection whose lambda child is a
+    // bare attribute (the q161 rule: an interpreted HOF re-evaluates
+    // its child per element, which must never be the kernel itself).
+    val fps = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.HashFunctions.winnowPicksMd5(col(textCol), k, t)
+          .as("pks"))
+      .select(col("id"),
+        explode(array_distinct(
+          transform(col("pks"), p => p.getField("h")))).as("fp"))
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)
