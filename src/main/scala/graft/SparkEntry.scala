@@ -2118,6 +2118,33 @@ object SparkEntry {
         psiThresholdMicros = 200000L)
     }),
 
+    // ---- JSONL corpus ingest round trip (io.Jsonl — the raw-corpus
+    // shard format: one JSON object per line, gzipped shards; the
+    // q143/q144 value-invisible convention): documents write out as
+    // 4 .jsonl.gz shards and read back through the supplied-schema
+    // PERMISSIVE reader (corrupt lines would land in _corrupt_record
+    // — counted in the report, expected 0; the malformed-line paths
+    // are JsonlSpec's). The per-group md5 content checksum makes the
+    // gate sensitive to any text mangling in the JSON encode/decode,
+    // not just row counts. ----
+    "q209_jsonl_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q209") + "/docs_jsonl"
+      graft.io.Jsonl.write(d.repartition(4), path)
+      val back = graft.io.Jsonl.read(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      back.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"),
+          sum(when(col(graft.io.Jsonl.CorruptCol).isNotNull, 1L)
+            .otherwise(0L)).as("n_corrupt"))
+    }),
+
     // ---- bitext mining over WRITTEN per-direction indexes
     // (Bitext.marginMiningIndexed — q203 through q169's persistent
     // cell-partitioned layout): each side's codes are built ON DISK
@@ -5749,6 +5776,17 @@ object SparkEntry {
         |  COALESCE(psi, 0) AS psi_total_micros,
         |  COALESCE(psi, 0) >= 200000 AS drifted
         |FROM tot JOIN ag USING (source)""".stripMargin,
+
+    // q209: the JSONL round trip must be value-invisible — the oracle
+    // replays counts, char totals and the md5 content checksum from
+    // raw parquet; a clean read has zero corrupt rows by definition.
+    "q209_jsonl_ingest" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6
