@@ -84,7 +84,11 @@ final case class ParquetSource(path: String) extends Source {
   * the §2.11 corpus pipeline; never `inferSchema` — §1.3 applies to
   * every text format). Malformed lines land in NULL rows rather than
   * failing the scan (PERMISSIVE), so a bad record is a filterable
-  * data-quality fact, not a task failure. */
+  * data-quality fact, not a task failure. The registry facade keeps
+  * the declared schema unchanged; for the audit-grade ingest surface
+  * — corrupt lines captured WHOLE in `_corrupt_record`, a FAILFAST
+  * strict twin, and the gzip shard writer — use [[graft.io.Jsonl]]
+  * (q209's oracle-gated round trip). */
 final case class JsonLinesSource(path: String, schema: StructType) extends Source {
   def load(spark: SparkSession): DataFrame =
     spark.read.schema(schema).json(path)
