@@ -69,6 +69,11 @@ object GraftExtensions {
     "squared_l2_micros" -> (es => graft.functions.SquaredL2Micros(es(0), es(1))),
     "vec_sub" -> (es => graft.functions.VecSub(es(0), es(1))),
     "word_spans" -> (es => graft.functions.WordSpans(es(0), intArg(es(1), "w"))),
+    "winnow_picks_md5" -> (es => graft.functions.WinnowPicksMd5(es(0),
+      intArg(es(1), "k"), intArg(es(2), "t"))),
+    "md5_simhash32" -> (es => graft.functions.Md5SimHash32(es(0))),
+    "md5_minhash_sig" -> (es => graft.functions.Md5MinhashSig(es(0),
+      intArg(es(1), "k"))),
     "int_counts" -> (es => graft.functions.IntCounts(es(0), intArg(es(1), "k"))),
     "sign_bits" -> (es => graft.functions.SignBits(es(0))),
     "bpe_apply_merge" -> (es => graft.text.BpeApplyMerge(es(0),

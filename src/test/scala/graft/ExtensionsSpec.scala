@@ -47,6 +47,23 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT long_dot(array(2L, 3L), array(5L, 7L)) AS d").as[Long].collect().head
     assert(dot === 31L)
 
+    // r18 additions: the md5-arithmetic dedup kernels
+    val msim = spark.sql("SELECT md5_simhash32(array('a','b')) AS s")
+      .as[Long].collect().head
+    val msimCol = Seq(Seq("a", "b")).toDF("t")
+      .select(graft.functions.HashFunctions.md5Simhash32(col("t")))
+      .as[Long].collect().head
+    assert(msim === msimCol)
+    val mms = spark.sql(
+      "SELECT md5_minhash_sig(array('a','b'), 8) AS m")
+      .selectExpr("m.n_u", "size(m.sig)").as[(Long, Int)].collect().head
+    assert(mms === ((2L, 8)))
+    val wp = spark.sql(
+      "SELECT winnow_picks_md5('abcdefgh', 4, 2) AS p")
+      .selectExpr("size(p)", "p[0].n").as[(Int, Long)].collect().head
+    assert(wp._2 === 5L) // 8 chars, k=4 -> 5 grams
+    assert(wp._1 >= 1)
+
     val ddot = spark.sql(
       "SELECT double_dot(array(0.5D, 2.0D), array(4.0D, 0.25D)) AS d")
       .as[Double].collect().head
