@@ -2145,6 +2145,25 @@ object SparkEntry {
             .otherwise(0L)).as("n_corrupt"))
     }),
 
+    // ---- ORC interchange round trip (core.OrcSource — the Hive-era
+    // columnar format; q209's convention minus the corrupt-line
+    // machinery, which ORC's binary layout makes a task failure by
+    // construction). Upgrades the registry's ORC dispatch from
+    // spec-only to oracle-gated: documents write as zlib ORC shards,
+    // read back through the registry source, and the same md5 content
+    // checksum catches any value mangling. ----
+    "q210_orc_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q210") + "/docs_orc"
+      d.repartition(4).write.mode("overwrite").orc(path)
+      val back = graft.core.OrcSource(path).load(s)
+      back.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }),
+
     // ---- bitext mining over WRITTEN per-direction indexes
     // (Bitext.marginMiningIndexed — q203 through q169's persistent
     // cell-partitioned layout): each side's codes are built ON DISK
@@ -5786,6 +5805,15 @@ object SparkEntry {
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
         |    AS text_checksum,
         |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q210: the ORC round trip is value-invisible like q209's —
+    // counts, char totals and the content checksum replay from parquet
+    "q210_orc_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
