@@ -490,7 +490,9 @@ object SparkEntry {
       val sink = "graft_q106_sink"
       graft.streaming.Events.withStatePartitions(s, 8) {
         val q = graft.streaming.DedupStream
-          .bandVerdictsMd5(stream, "text", "doc_id", tauMicros = Md5MinhashTauMicros)
+          .bandVerdictsMd5(stream, "text", "doc_id",
+            tauMicros = Md5MinhashTauMicros, k = Md5MinhashK,
+            bands = Md5MinhashBands)
           .writeStream.format("memory").queryName(sink).outputMode("append").start()
         q.processAllAvailable()
         q.stop()
@@ -565,10 +567,13 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val sim = Dedup.simhash32Md5(d, "text", "doc_id")
         .select(col("id").as("doc_id"), col("sig").as("simhash"))
-      val mh = Dedup.md5Signatures(Dedup.md5Units(d, "text", "doc_id", 1), 16)
+      val mh = Dedup.md5Signatures(
+          Dedup.md5Units(d, "text", "doc_id", 1), Md5MinhashK)
         .select(col("id").as("doc_id"),
-          col("h0").as("minhash_first"), col("h15").as("minhash_last"),
-          (0 until 16).map(i => col(s"h$i")).reduce(_ + _).as("minhash_fold"))
+          col("h0").as("minhash_first"),
+          col(s"h${Md5MinhashK - 1}").as("minhash_last"),
+          (0 until Md5MinhashK).map(i => col(s"h$i")).reduce(_ + _)
+            .as("minhash_fold"))
       sim.join(mh, Seq("doc_id"), "left")
     }),
 
@@ -585,7 +590,7 @@ object SparkEntry {
     "q45_minhash_neardups" -> ((s, dir) =>
       Dedup.minhashCanonicalIdsMd5(t(s, dir, "documents"), "text", "doc_id",
           tauMicros = Md5MinhashTauMicros, shingleSize = 1,
-          k = Md5MinhashK, bands = 2)
+          k = Md5MinhashK, bands = Md5MinhashBands)
         .where(col("canonical_id") =!= col("doc_id"))),
 
     // ---- blocked exact n-gram Jaccard pairs ----
@@ -5455,12 +5460,14 @@ object SparkEntry {
          |        WHERE query_id <> neighbor_id$codeFilter)""".stripMargin
   }
 
-  /** q45/q106 lockstep md5-MinHash tuning: k signature components at
-    * Jaccard threshold tau (micros). BOTH the engine call sites and
-    * the oracle-SQL interpolations read these — retuning one side
-    * cannot silently desync the other (the agreement floor below
-    * derives from the same pair via `Dedup.md5AgreeMin`). */
+  /** q45/q106 lockstep md5-MinHash tuning: k signature components in
+    * `bands` bands at Jaccard threshold tau (micros). BOTH the engine
+    * call sites and the oracle-SQL interpolations (the
+    * [[md5SigCtes]] digest-group/band structure, the agreement floor
+    * via `Dedup.md5AgreeMin`) read these — retuning one side cannot
+    * silently desync the other. */
   private[graft] val Md5MinhashK = 16
+  private[graft] val Md5MinhashBands = 2
   private[graft] val Md5MinhashTauMicros = 950000L
   private def md5MinhashAgreeMin: Long =
     graft.dedup.Dedup.md5AgreeMin(Md5MinhashK, Md5MinhashTauMicros)
@@ -5474,18 +5481,18 @@ object SparkEntry {
     * 8·(i%4)+1..+8 of md5(u || ':' || i/4) — `Dedup.md5Slice`),
     * per-doc minima, and the 2-band × 8-minima band-key strings. */
   private def md5SigCtes: String =
-    """docs AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
-      |  WHERE length(trim(text)) > 0),
-      |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS u FROM docs),
-      |hx AS (SELECT doc_id, u, g * 4 + j AS i,
-      |    CAST(('0x' || substr(md5(u || ':' || g), 1 + 8 * j, 8)) AS BIGINT) AS h
-      |  FROM tok CROSS JOIN range(4) rg(g) CROSS JOIN range(4) rj(j)),
-      |sig AS (SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2),
-      |bands AS (
-      |  SELECT doc_id, CAST(i // 8 AS VARCHAR) || '|' ||
-      |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band
-      |  FROM sig GROUP BY doc_id, i // 8)""".stripMargin
+    s"""docs AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+       |  WHERE length(trim(text)) > 0),
+       |tok AS (SELECT DISTINCT doc_id, unnest(toks) AS u FROM docs),
+       |hx AS (SELECT doc_id, u, g * 4 + j AS i,
+       |    CAST(('0x' || substr(md5(u || ':' || g), 1 + 8 * j, 8)) AS BIGINT) AS h
+       |  FROM tok CROSS JOIN range(${Md5MinhashK / 4}) rg(g) CROSS JOIN range(4) rj(j)),
+       |sig AS (SELECT doc_id, i, min(h) AS mh FROM hx GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, CAST(i // ${Md5MinhashK / Md5MinhashBands} AS VARCHAR) || '|' ||
+       |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i) AS band
+       |  FROM sig GROUP BY doc_id, i // ${Md5MinhashK / Md5MinhashBands})""".stripMargin
 
   /** Shared md5 32-bit SimHash oracle fragment (q44/q47 lockstep):
     * token-hash bit planes from the first 8 md5 hex digits, bit b set
@@ -5572,7 +5579,7 @@ object SparkEntry {
          |${md5SigCtes},
          |mrow AS (SELECT doc_id,
          |    min(CASE WHEN i = 0 THEN mh END) AS minhash_first,
-         |    min(CASE WHEN i = 15 THEN mh END) AS minhash_last,
+         |    min(CASE WHEN i = ${Md5MinhashK - 1} THEN mh END) AS minhash_last,
          |    CAST(sum(mh) AS BIGINT) AS minhash_fold
          |  FROM sig GROUP BY 1)
          |SELECT d.doc_id, COALESCE(s0.sig, 0) AS simhash,

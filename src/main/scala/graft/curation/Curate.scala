@@ -663,15 +663,17 @@ object Curate {
     require(k % bands == 0, s"k=$k must split into bands=$bands")
     require(k % 4 == 0, s"k=$k must split into 32-bit md5 slices")
     val r = k / bands
+    // the ONE shingle definition the signature pass and the exact
+    // verify share — the Jaccard formula is only sound when both
+    // sides shingle identically
+    def unitExpr = Text.shingles(Text.tokens(col(textCol)), n)
     def shingled(df: DataFrame) = df
       .select(col(idCol).as("id"), isEval.as("is_eval"),
-        explode(array_distinct(
-          Text.shingles(Text.tokens(col(textCol)), n))).as("shingle"))
+        explode(array_distinct(unitExpr)).as("shingle"))
     val sh = shingled(docs)
     val sig = docs
       .select(col(idCol).as("id"), isEval.as("is_eval"),
-        graft.functions.HashFunctions.md5MinhashSig(
-          Text.shingles(Text.tokens(col(textCol)), n), k).as("ms"))
+        graft.functions.HashFunctions.md5MinhashSig(unitExpr, k).as("ms"))
       .where(col("ms").isNotNull) // shingle-less docs carry no signature
       .select(col("id"), col("is_eval"), col("ms.n_u").as("n_sh"),
         col("ms.sig").as("sig"))

@@ -756,15 +756,22 @@ object Dedup {
   def md5AgreeMin(k: Int, tauMicros: Long): Long =
     (k * (tauMicros - 100000L) + 999999L) / 1000000L
 
+  /** The unit array (tokens or shingles) of one doc's text — the ONE
+    * definition both the signature pass and the exact-Jaccard verify
+    * derive units from; the `inter/(n_a + n_b − inter)` formula is
+    * only sound when both sides tokenize identically. */
+  private[graft] def md5UnitExpr(textCol: String, shingleSize: Int): Column = {
+    val toks = Text.tokens(col(textCol))
+    if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
+  }
+
   /** (id, u) distinct shingle/token units of each doc — empty-token
     * docs vanish here, which is the md5 family's documented contract
     * (an empty doc has no signature and can near-dup nothing). */
   private[graft] def md5Units(docs: DataFrame, textCol: String, idCol: String,
-                       shingleSize: Int): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val units = if (shingleSize <= 1) toks else Text.shingles(toks, shingleSize)
-    docs.select(col(idCol).as("id"), explode(array_distinct(units)).as("u"))
-  }
+                       shingleSize: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(md5UnitExpr(textCol, shingleSize))).as("u"))
 
   /** Per-doc md5-MinHash signature table: (id, n_u, h0..h{k-1}, sig)
     * with `sig` the k minima as an array. One digest projection per
@@ -812,11 +819,10 @@ object Dedup {
     val r = k / bands
     val agreeMin = md5AgreeMin(k, tauMicros)
     val tok = md5Units(docs, textCol, idCol, shingleSize)
-    val toks0 = Text.tokens(col(textCol))
-    val units0 = if (shingleSize <= 1) toks0 else Text.shingles(toks0, shingleSize)
     val sig = docs
       .select(col(idCol).as("id"),
-        graft.functions.HashFunctions.md5MinhashSig(units0, k).as("ms"))
+        graft.functions.HashFunctions
+          .md5MinhashSig(md5UnitExpr(textCol, shingleSize), k).as("ms"))
       .where(col("ms").isNotNull) // unit-less docs carry no signature
       .select(col("id"), col("ms.n_u").as("n_u"), col("ms.sig").as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -946,16 +952,14 @@ object Dedup {
     // per-doc DISTINCT pick hashes straight off the kernel's struct
     // array — array_distinct in-row replaces the corpus-wide
     // (id, fp).distinct() exchange the exploded form needed. The
-    // transform runs in a SEPARATE projection whose lambda child is a
-    // bare attribute (the q161 rule: an interpreted HOF re-evaluates
-    // its child per element, which must never be the kernel itself).
+    // kernel is the HOF's ARGUMENT (evaluated once per row), not a
+    // lambda-body capture — only expressions inside the lambda pay
+    // the q161 per-element re-evaluation.
     val fps = docs
       .select(col(idCol).cast("long").as("id"),
-        graft.functions.HashFunctions.winnowPicksMd5(col(textCol), k, t)
-          .as("pks"))
-      .select(col("id"),
-        explode(array_distinct(
-          transform(col("pks"), p => p.getField("h")))).as("fp"))
+        explode(array_distinct(transform(
+          graft.functions.HashFunctions.winnowPicksMd5(col(textCol), k, t),
+          p => p.getField("h")))).as("fp"))
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)

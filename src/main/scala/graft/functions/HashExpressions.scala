@@ -298,13 +298,20 @@ object HashKernels {
     * Replaces the explode → 4-digest hex projection → map-side-combined
     * groupBy with a map-only per-row loop: no hex render/re-parse, no
     * aggregation pass. */
+  // the ':g' group-suffix bytes depend only on k (≤ 512 → ≤ 128
+  // entries) — cached so the corpus-scale signature pass does not
+  // re-allocate them per row
+  private val md5SuffixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def md5Suffixes(groups: Int): Array[Array[Byte]] =
+    md5SuffixCache.computeIfAbsent(groups,
+      g => Array.tabulate(g)(i => (":" + i).getBytes("UTF-8")))
+
   def md5MinhashSig(units: ArrayData, k: Int): org.apache.spark.sql.catalyst.InternalRow = {
     val md = md5Local.get()
     val dig = new Array[Byte](16)
     val groups = k / 4
-    val suffixes = new Array[Array[Byte]](groups)
-    var g = 0
-    while (g < groups) { suffixes(g) = (":" + g).getBytes("UTF-8"); g += 1 }
+    val suffixes = md5Suffixes(groups)
     val mins = Array.fill(k)(Long.MaxValue)
     val seen = new java.util.HashSet[UTF8String]()
     val n = units.numElements()

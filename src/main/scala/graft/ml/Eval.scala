@@ -62,6 +62,19 @@ object Eval {
         col("auc_micros"))
   }
 
+  /** Equal-width confidence bin over [0, 1e6]; the top edge folds
+    * into the last bin so a perfect-confidence row is never its own
+    * bin. Column arithmetic on the long-cast conf (not an expr()
+    * splice of the raw column name): identifier-safe, and immune to
+    * int overflow of conf * nBins. floor(double) here is exact: the
+    * numerator is ≤ 1e6·nBins ≪ 2^53 and the quotient sits ≥ 1e-6
+    * from any integer while its ulp is ~1e-13. Shared by
+    * [[calibrationReport]] and [[ingestAudit]] so the two bin
+    * definitions cannot drift. */
+  private def confBin(conf: Column, nBins: Int): Column =
+    least(lit(nBins - 1L),
+      floor(conf * lit(nBins.toLong) / lit(1000000.0)).cast("long"))
+
   /** Per-group calibration audit — the Expected Calibration Error
     * report (Guo et al. 2017, "On Calibration of Modern Neural
     * Networks", §2): a score used as a probability is CALIBRATED when
@@ -88,19 +101,6 @@ object Eval {
     * Returns one row per non-empty (group, bin): (group, bin, n,
     * n_pos, avg_conf_micros, acc_micros, gap_micros, ece_micros) with
     * the group's ECE repeated per bin (q200's report convention). */
-  /** Equal-width confidence bin over [0, 1e6]; the top edge folds
-    * into the last bin so a perfect-confidence row is never its own
-    * bin. Column arithmetic on the long-cast conf (not an expr()
-    * splice of the raw column name): identifier-safe, and immune to
-    * int overflow of conf * nBins. floor(double) here is exact: the
-    * numerator is ≤ 1e6·nBins ≪ 2^53 and the quotient sits ≥ 1e-6
-    * from any integer while its ulp is ~1e-13. Shared by
-    * [[calibrationReport]] and [[ingestAudit]] so the two bin
-    * definitions cannot drift. */
-  private def confBin(conf: Column, nBins: Int): Column =
-    least(lit(nBins - 1L),
-      floor(conf * lit(nBins.toLong) / lit(1000000.0)).cast("long"))
-
   def calibrationReport(df: DataFrame, groupCol: String, confCol: String,
                         labelCol: String, nBins: Int): DataFrame = {
     require(nBins >= 1, s"need a positive bin count, got $nBins")
