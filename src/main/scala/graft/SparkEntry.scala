@@ -2123,6 +2123,25 @@ object SparkEntry {
         psiThresholdMicros = 200000L)
     }),
 
+    // ---- PLANTED-drift ingest audit (q208's expected-to-fire twin):
+    // the reference window is the ENGLISH docs, whose quality-score
+    // distribution genuinely differs (the stopword-ratio term), so
+    // the PSI total is nonzero and the bin-grain transcendental term
+    // is hash-proven on real values, not just the A/A zero (the
+    // q92/q200 ln-recipe convention: fixed inputs, fixed op order,
+    // micros snap). Same 1-scan/2-shuffle fused plan as q208. ----
+    "q211_ingest_audit_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ml.Eval.ingestAudit(
+        d.select(col("source"), col("lang"),
+          round(Text.qualityScore(col("text")) * lit(1e6), 0)
+            .cast("long").as("score_micros"),
+          (col("lang") === "en").as("label")),
+        "source", "score_micros", "label",
+        isRef = col("lang") === "en", nBins = 10,
+        psiThresholdMicros = 100000L)
+    }),
+
     // ---- JSONL corpus ingest round trip (io.Jsonl — the raw-corpus
     // shard format: one JSON object per line, gzipped shards; the
     // q143/q144 value-invisible convention): documents write out as
@@ -5235,6 +5254,69 @@ object SparkEntry {
          |      FROM adc) t
          |WHERE rk <= $topK""".stripMargin
 
+  /** The q208/q211 composed-ingest-audit oracle chain, parameterized
+    * by the reference-window predicate and the PSI alert threshold —
+    * ONE builder so the A/A control and the planted-drift twin cannot
+    * drift apart. */
+  private def ingestAuditOracleSql(isRefSql: String, thresholdMicros: Long): String =
+    s"""WITH q AS (
+       |  SELECT source, $isRefSql AS is_ref, lang = 'en' AS label,
+       |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
+       |        + 0.4 * (1.0 - punct_ratio)
+       |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT) AS s
+       |  FROM (
+       |    SELECT doc_id, source, lang, len(toks) AS n_tokens,
+       |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+       |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+       |    FROM (SELECT doc_id, source, lang, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents))),
+       |hist AS (
+       |  SELECT source, s, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS r
+       |  FROM q GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum,
+       |    least(CAST(9 AS BIGINT), (s * 10) // 1000000) AS bin
+       |  FROM hist),
+       |tot AS (
+       |  SELECT source,
+       |    CAST(sum(n) AS BIGINT) AS nn,
+       |    CAST(sum(p) AS BIGINT) AS n_pos,
+       |    CAST(sum(p * (2 * cum - n + 1)) AS BIGINT) AS r2_pos,
+       |    CAST(sum(r) AS BIGINT) AS nref,
+       |    CAST(sum(n - r) AS BIGINT) AS ncur
+       |  FROM cdf GROUP BY 1),
+       |g AS (
+       |  SELECT source, bin, CAST(sum(n) AS BIGINT) AS bn,
+       |    CAST(sum(p) AS BIGINT) AS bp,
+       |    CAST(sum(s * n) AS BIGINT) AS bconf,
+       |    CAST(sum(r) AS BIGINT) AS bref,
+       |    CAST(sum(n - r) AS BIGINT) AS bcur
+       |  FROM cdf GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT source, bn,
+       |    abs(bp * 1000000 // bn - bconf // bn) AS gap,
+       |    CASE WHEN bref > 0 AND bcur > 0 THEN CAST(floor(
+       |        (CAST(bcur AS DOUBLE) / CAST(ncur AS DOUBLE)
+       |          - CAST(bref AS DOUBLE) / CAST(nref AS DOUBLE))
+       |        * ln((CAST(bcur AS DOUBLE) * CAST(nref AS DOUBLE))
+       |              / (CAST(bref AS DOUBLE) * CAST(ncur AS DOUBLE)))
+       |        * 1e6 + 0.5) AS BIGINT) END AS term
+       |  FROM g JOIN tot USING (source)),
+       |ag AS (
+       |  SELECT source, CAST(sum(bn * gap) AS BIGINT) AS gapw,
+       |    CAST(sum(term) AS BIGINT) AS psi
+       |  FROM bt GROUP BY 1)
+       |SELECT source, nn AS n, n_pos, nn - n_pos AS n_neg,
+       |  r2_pos - n_pos * (n_pos + 1) AS u2,
+       |  CASE WHEN n_pos > 0 AND nn - n_pos > 0 THEN
+       |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * (nn - n_pos))
+       |  END AS auc_micros,
+       |  gapw // nn AS ece_micros,
+       |  COALESCE(psi, 0) AS psi_total_micros,
+       |  COALESCE(psi, 0) >= $thresholdMicros AS drifted
+       |FROM tot JOIN ag USING (source)""".stripMargin
+
   /** q200's oracle, shared verbatim by its streaming twin q205 (the
     * q190/q196 convention: batch-identical single-micro-batch runs
     * ride the batch oracle). The A/A split (even/odd event_id), the
@@ -5738,70 +5820,18 @@ object SparkEntry {
       pqK = 4, dim = 64, nprobe = 2, shortlist = 8, k = 4,
       minMargin = "1.02e0"),
 
-    // q208: the composed ingest gate — q201's score CTE verbatim
-    // (extended with the even/odd A/A reference flag), then ONE
-    // histogram from which the q201 midrank-AUC chain, the q204
-    // bin/gap/ECE chain and the q200 fixed-order PSI term (applied at
-    // bin grain) all derive — each audit's oracle math token-for-token
-    // (the lockstep pin extends to this oracle).
+    // q208/q211: the composed ingest gate — q201's score CTE verbatim
+    // (extended with a reference-window flag), then ONE histogram from
+    // which the q201 midrank-AUC chain, the q204 bin/gap/ECE chain and
+    // the q200 fixed-order PSI term (applied at bin grain) all derive
+    // — each audit's oracle math token-for-token (the lockstep pin
+    // extends to these oracles). q208 splits even/odd doc_id (the A/A
+    // control, PSI 0); q211 splits on lang = 'en' (planted drift, the
+    // nonzero-term proof of the ln recipe at bin grain).
     "q208_ingest_audit" ->
-      """WITH q AS (
-        |  SELECT source, doc_id % 2 = 0 AS is_ref, lang = 'en' AS label,
-        |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
-        |        + 0.4 * (1.0 - punct_ratio)
-        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT) AS s
-        |  FROM (
-        |    SELECT doc_id, source, lang, len(toks) AS n_tokens,
-        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
-        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
-        |    FROM (SELECT doc_id, source, lang, text, string_split_regex(trim(text), '\s+') AS toks FROM documents))),
-        |hist AS (
-        |  SELECT source, s, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS p,
-        |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS r
-        |  FROM q GROUP BY 1, 2),
-        |cdf AS (
-        |  SELECT *, CAST(sum(n) OVER (PARTITION BY source ORDER BY s) AS BIGINT) AS cum,
-        |    least(CAST(9 AS BIGINT), (s * 10) // 1000000) AS bin
-        |  FROM hist),
-        |tot AS (
-        |  SELECT source,
-        |    CAST(sum(n) AS BIGINT) AS nn,
-        |    CAST(sum(p) AS BIGINT) AS n_pos,
-        |    CAST(sum(p * (2 * cum - n + 1)) AS BIGINT) AS r2_pos,
-        |    CAST(sum(r) AS BIGINT) AS nref,
-        |    CAST(sum(n - r) AS BIGINT) AS ncur
-        |  FROM cdf GROUP BY 1),
-        |g AS (
-        |  SELECT source, bin, CAST(sum(n) AS BIGINT) AS bn,
-        |    CAST(sum(p) AS BIGINT) AS bp,
-        |    CAST(sum(s * n) AS BIGINT) AS bconf,
-        |    CAST(sum(r) AS BIGINT) AS bref,
-        |    CAST(sum(n - r) AS BIGINT) AS bcur
-        |  FROM cdf GROUP BY 1, 2),
-        |bt AS (
-        |  SELECT source, bn,
-        |    abs(bp * 1000000 // bn - bconf // bn) AS gap,
-        |    CASE WHEN bref > 0 AND bcur > 0 THEN CAST(floor(
-        |        (CAST(bcur AS DOUBLE) / CAST(ncur AS DOUBLE)
-        |          - CAST(bref AS DOUBLE) / CAST(nref AS DOUBLE))
-        |        * ln((CAST(bcur AS DOUBLE) * CAST(nref AS DOUBLE))
-        |              / (CAST(bref AS DOUBLE) * CAST(ncur AS DOUBLE)))
-        |        * 1e6 + 0.5) AS BIGINT) END AS term
-        |  FROM g JOIN tot USING (source)),
-        |ag AS (
-        |  SELECT source, CAST(sum(bn * gap) AS BIGINT) AS gapw,
-        |    CAST(sum(term) AS BIGINT) AS psi
-        |  FROM bt GROUP BY 1)
-        |SELECT source, nn AS n, n_pos, nn - n_pos AS n_neg,
-        |  r2_pos - n_pos * (n_pos + 1) AS u2,
-        |  CASE WHEN n_pos > 0 AND nn - n_pos > 0 THEN
-        |    (r2_pos - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * (nn - n_pos))
-        |  END AS auc_micros,
-        |  gapw // nn AS ece_micros,
-        |  COALESCE(psi, 0) AS psi_total_micros,
-        |  COALESCE(psi, 0) >= 200000 AS drifted
-        |FROM tot JOIN ag USING (source)""".stripMargin,
+      ingestAuditOracleSql("doc_id % 2 = 0", 200000L),
+    "q211_ingest_audit_drift" ->
+      ingestAuditOracleSql("lang = 'en'", 100000L),
 
     // q209: the JSONL round trip must be value-invisible — the oracle
     // replays counts, char totals and the md5 content checksum from

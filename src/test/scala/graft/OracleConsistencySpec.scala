@@ -107,7 +107,8 @@ class OracleConsistencySpec extends AnyFunSuite {
       "(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio",
       "x -> x IN ('the','a','of','and','to','in','is','it')")
     for (q <- Seq("q42_docs_quality", "q201_quality_auc",
-        "q204_calibration_audit", "q208_ingest_audit"); f <- frags)
+        "q204_calibration_audit", "q208_ingest_audit",
+        "q211_ingest_audit_drift"); f <- frags)
       assert(norm(SparkEntry.oracleSql(q)).contains(norm(f)),
         s"$q lost quality-formula fragment: $f")
   }
