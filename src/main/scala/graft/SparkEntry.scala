@@ -561,20 +561,27 @@ object SparkEntry {
     // projections of the 16-component md5-MinHash signature (first /
     // last / integer-sum fold) rather than the raw array<bigint>: the
     // driver's compare sorts every output column, which arrays break.
-    // The xxhash64 kernels (simhash64 / minhashSignature) stay the
+    // ONE map-only scan since round 19: both fused kernels
+    // (Md5SimHash32 + Md5MinhashSig) compute side by side in a single
+    // projection — the round-18 report still paid a second documents
+    // scan + a doc_id join to emit both families; with both kernels
+    // per-row there is nothing to join (token-less docs: sig 0 via
+    // the coalesce contract, null minhash columns via the kernel's
+    // null struct — exactly the old left join's gap rows). The
+    // xxhash64 kernels (simhash64 / minhashSignature) stay the
     // codegen'd throughput path. ----
     "q44_docs_signatures" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val sim = Dedup.simhash32Md5(d, "text", "doc_id")
-        .select(col("id").as("doc_id"), col("sig").as("simhash"))
-      val mh = Dedup.md5Signatures(
-          Dedup.md5Units(d, "text", "doc_id", 1), Md5MinhashK)
-        .select(col("id").as("doc_id"),
-          col("h0").as("minhash_first"),
-          col(s"h${Md5MinhashK - 1}").as("minhash_last"),
-          (0 until Md5MinhashK).map(i => col(s"h$i")).reduce(_ + _)
+      d.select(col("doc_id"),
+          coalesce(HashFunctions.md5Simhash32(Text.tokens(col("text"))),
+            lit(0L)).as("simhash"),
+          HashFunctions.md5MinhashSig(
+            Dedup.md5UnitExpr("text", 1), Md5MinhashK).as("__ms"))
+        .select(col("doc_id"), col("simhash"),
+          col("__ms.sig").getItem(0).as("minhash_first"),
+          col("__ms.sig").getItem(Md5MinhashK - 1).as("minhash_last"),
+          aggregate(col("__ms.sig"), lit(0L), (acc, x) => acc + x)
             .as("minhash_fold"))
-      sim.join(mh, Seq("doc_id"), "left")
     }),
 
     // ---- MinHash-LSH near-dup detection (md5-arithmetic since round
@@ -2188,6 +2195,66 @@ object SparkEntry {
             .as("text_checksum"))
     }),
 
+    // ---- the COMPOSED corpus-ingest E2E off JSONL SHARD DELIVERIES
+    // (q100's admission chain fed by io.Jsonl instead of parquet — the
+    // scenario Jsonl.scala documents: real crawl drops arrive as
+    // .jsonl.gz shards, not columnar files). The batch writes out as 4
+    // gzip shards PLUS one planted truncated line in its own shard;
+    // the PERMISSIVE read captures it whole in _corrupt_record (data
+    // columns null), the audit row counts it, and ONLY audited-clean
+    // rows enter the admission chain (quality floor → within-batch
+    // exact dedup → against-corpus anti-join → decontamination →
+    // append). Output = the ingested corpus per-(lang, source) with
+    // q209's md5 content checksum — any JSON text mangling OR a
+    // corrupt line leaking past the audit breaks the hash gate — plus
+    // the '__audit__' corrupt-line row. ----
+    "q212_jsonl_corpus_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = t(s, dir, "documents")
+      val path = tempResultDir("graft-q212") + "/batch_jsonl"
+      graft.io.Jsonl.write(docs.where(col("doc_id") % 3 =!= 0).repartition(4), path)
+      // one truncated line as its own delivery shard — the exact
+      // failure a million-shard drop ships at least once
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "shard-corrupt.jsonl"),
+        """{"doc_id": -1, "text": "truncat""")
+      val back = graft.io.Jsonl.read(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      val clean = back.where(col(graft.io.Jsonl.CorruptCol).isNull)
+        .drop(graft.io.Jsonl.CorruptCol)
+      val ingested = graft.pipelines.CorpusIngest.ingest(
+        corpus = docs.where(col("doc_id") % 3 === 0),
+        batch = clean,
+        bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30)
+      val summary = ingested.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+      // the delivery-audit rows: corrupt-line AND parsed-line counts
+      // from the SAME read. Both counts survive into the output, which
+      // keeps a data column in the scan's required schema — a
+      // corrupt-count-only aggregate prunes to the corrupt column
+      // alone and the JSON source (rightly) rejects that shape, since
+      // corruptness is only defined relative to parsing data columns.
+      val audit = back.agg(
+          sum(when(col(graft.io.Jsonl.CorruptCol).isNotNull, 1L)
+            .otherwise(0L)).as("n_corrupt"),
+          count(col("doc_id")).as("n_parsed"))
+        .select(explode(array(
+          struct(lit("__audit__").as("lang"), lit("corrupt_lines").as("source"),
+            col("n_corrupt").as("n_docs"), lit(0L).as("chars_total"),
+            lit(0L).as("text_checksum")),
+          struct(lit("__audit__").as("lang"), lit("parsed_lines").as("source"),
+            col("n_parsed").as("n_docs"), lit(0L).as("chars_total"),
+            lit(0L).as("text_checksum")))).as("r"))
+        .select("r.*")
+      summary.unionByName(audit)
+    }),
+
     // ---- bitext mining over WRITTEN per-direction indexes
     // (Bitext.marginMiningIndexed — q203 through q169's persistent
     // cell-partitioned layout): each side's codes are built ON DISK
@@ -2244,6 +2311,31 @@ object SparkEntry {
           kc = 4, m = 4, k = 4, iters = 2, path)
         graft.similarity.Ann.ivfPqAppendIndex(built,
           e.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+      })
+      graft.similarity.Ann.ivfPqSearchIndex(idx, e.where(col("vec_id") < 4),
+        "vec_id", "embedding", nprobe = 2, topK = 5)
+    }),
+
+    // ---- IVFADC index COMPACTION (Ann.ivfPqCompactIndex — the
+    // fourth leg of maintenance CRUD, closing build q169 / append
+    // q192 / delete q197): q192's build-on-base + frozen-state append
+    // leaves every touched cell holding base + delta files; compaction
+    // rewrites ONLY the fragmented cells to one file each (the delete
+    // path's dynamic partition overwrite pointed at fragmentation).
+    // Rows, codes and the arithmetic sidecar digest are untouched by
+    // construction, so the probe output is IDENTICAL to q192's and
+    // rides its oracle (the q169 ≡ q162 convention); the numFiles
+    // shrink + untouched-cell mtimes are IvfPqIndexSpec's pins. ----
+    "q213_ivfpq_index_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = SparkEntry.ivfPqIndexCache.computeIfAbsent(s"$dir#compact", _ => {
+        val path = tempResultDir("ivfpq_cmp") + "/codes"
+        val built = graft.similarity.Ann.ivfPqBuildIndex(
+          e.where(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+          kc = 4, m = 4, k = 4, iters = 2, path)
+        graft.similarity.Ann.ivfPqAppendIndex(built,
+          e.where(col("vec_id") % 5 === 4), "vec_id", "embedding")
+        graft.similarity.Ann.ivfPqCompactIndex(s, built)
       })
       graft.similarity.Ann.ivfPqSearchIndex(idx, e.where(col("vec_id") < 4),
         "vec_id", "embedding", nprobe = 2, topK = 5)
@@ -3139,7 +3231,36 @@ object SparkEntry {
         .select(col("media_id"),
           graft.functions.MediaFunctions.imageMeta(col("media")).as("m"))
         .select(col("media_id"), col("m.width").as("width"),
-          col("m.height").as("height"), col("m.mean_px").as("mean_px")))
+          col("m.height").as("height"), col("m.mean_px").as("mean_px"))),
+
+    // ---- REAL multi-frame CONTAINER decode (animated GIF through the
+    // JDK sequence codec — the q104 treatment for the last stubbed
+    // decode class): per doc, doc_id % 3 + 1 constant-fill gray frames
+    // with closed-form values encode as ONE GIF container, then
+    // gif_frames decodes every frame back to (frame, dims, mean_px) —
+    // generate and decode both native codegen'd expressions, one fused
+    // loop, and the oracle recomputes the closed form per frame. The
+    // identity gray palette represents constant fills exactly and
+    // heights stay >= 5 (the probed JDK small-frame codec quirk —
+    // GifKernels.grayGif), so the round trip is hash-exact; frame
+    // rasters also bridge into Media.resizeRaster's real-resample
+    // branch (IoMediaStreamSpec pins that chain + the mapPartitions
+    // batch-variant identity). ----
+    "q214_gif_container_decode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          graft.functions.MediaFunctions.grayGif(
+            (col("doc_id") % 13 + 3).cast("int"),
+            (col("doc_id") % 7 + 5).cast("int"),
+            transform(sequence(lit(0L), col("doc_id") % 3),
+              f => ((col("doc_id") * 7 + f * 31) % 251).cast("int")))
+            .as("media"))
+        .select(col("media_id"),
+          explode(graft.functions.MediaFunctions.gifFrames(col("media")))
+            .as("fr"))
+        .select(col("media_id"), col("fr.frame").as("frame"),
+          col("fr.width").as("width"), col("fr.height").as("height"),
+          col("fr.mean_px").as("mean_px")))
   )
 
   /** LSVI demo inputs derived from the harness tables: scale-free
@@ -5322,6 +5443,50 @@ object SparkEntry {
     * ride the batch oracle). The A/A split (even/odd event_id), the
     * fixed-order transcendental term and the micros snap mirror
     * `Drift.psiFromCounts` token for token. */
+  /** The q100 admission-chain CTE block (corpus ∪ surviving batch docs
+    * after quality floor → within-batch exact dedup → against-corpus
+    * anti-join → decontamination), shared verbatim by the q100 replay
+    * and q212's JSONL-fed E2E so the two oracles cannot drift. Ends at
+    * the `clean` CTE; callers add their own final SELECT. */
+  private val corpusIngestChainSql: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 = 0),
+      |batch AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 <> 0),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |quality AS (
+      |  SELECT * FROM batch WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+      |fp AS (
+      |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM quality),
+      |dedup AS (
+      |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
+      |  WHERE doc_id = canon),
+      |corpusfp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      |  FROM corpus),
+      |fresh AS (
+      |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM dedup d
+      |  WHERE NOT EXISTS (SELECT 1 FROM corpusfp c WHERE c.f = d.f)),
+      |fsh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+      |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM fresh)),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(
+      |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 3 + 2),
+      |                i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench)),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
+      |  JOIN bsh USING (shingle)),
+      |clean AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM fresh
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
   private val DriftPsiOracleSql: String =
     """WITH c AS (
       |  SELECT event_type,
@@ -5800,6 +5965,12 @@ object SparkEntry {
     "q197_ivfpq_index_delete" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
       dim = 64, nQueries = 4, nprobe = 2, topK = 5,
       codePred = Some("neighbor_id % 7 <> 3")),
+    // q213 = q192's oracle verbatim: compaction rewrites fragmented
+    // cells file-for-file but row-for-row — identical codes, identical
+    // search — so the gate proves the rewrite is value-invisible.
+    "q213_ivfpq_index_compact" -> ivfPqSearchOracleSql(kc = 4, m = 4, k = 4,
+      dim = 64, nQueries = 4, nprobe = 2, topK = 5,
+      trainPred = Some("vec_id % 5 <> 4")),
     // q203 = TWO of q162's chains (one per mining direction, each
     // trained on its own label-split corpus) + cosine re-rank of the
     // ADC shortlists + q176's margin tail — the bounded-probe bitext
@@ -5852,6 +6023,31 @@ object SparkEntry {
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
         |    AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q212: the JSONL round trip is value-invisible (q209's gate), so
+    // the oracle replays q100's admission chain from raw parquet —
+    // the SHARED corpusIngestChainSql — aggregates the ingested
+    // corpus with q209's content checksum, and appends the audit row:
+    // exactly ONE planted corrupt line, zero leaked data columns.
+    "q212_jsonl_corpus_e2e" ->
+      s"""WITH $corpusIngestChainSql,
+        |ingested AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM corpus
+        |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM clean)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum
+        |FROM ingested GROUP BY 1, 2
+        |UNION ALL
+        |SELECT '__audit__' AS lang, 'corrupt_lines' AS source,
+        |  CAST(1 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS chars_total,
+        |  CAST(0 AS BIGINT) AS text_checksum
+        |UNION ALL
+        |SELECT '__audit__' AS lang, 'parsed_lines' AS source,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 <> 0)
+        |    AS n_docs, CAST(0 AS BIGINT) AS chars_total,
+        |  CAST(0 AS BIGINT) AS text_checksum""".stripMargin,
 
     // q174: DSIR — the fit CTEs mirror the two-model chain (add-1
     // smoothing over the 8-bucket spine, each ln snapped to 1e-6
@@ -9290,45 +9486,11 @@ object SparkEntry {
         | AND m.y > r.y0 AND m.y < r.y0 + 30.0""".stripMargin),
 
     // q100: replay of the ingestion round. Shingle CTEs mirror q81;
-    // fingerprints mirror q40's normalized-md5.
+    // fingerprints mirror q40's normalized-md5. The chain is the
+    // shared corpusIngestChainSql so q212 (the JSONL-fed E2E) cannot
+    // drift from it.
     "q100_corpus_ingest" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 = 0),
-        |batch AS (
-        |  SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 3 <> 0),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        |quality AS (
-        |  SELECT * FROM batch WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
-        |fp AS (
-        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM quality),
-        |dedup AS (
-        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
-        |  WHERE doc_id = canon),
-        |corpusfp AS (
-        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
-        |  FROM corpus),
-        |fresh AS (
-        |  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars FROM dedup d
-        |  WHERE NOT EXISTS (SELECT 1 FROM corpusfp c WHERE c.f = d.f)),
-        |fsh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
-        |                i -> array_to_string(toks[i:i+2], ' ')) END AS shingles
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM fresh)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(
-        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 3 + 2),
-        |                i -> array_to_string(toks[i:i+2], ' ')) END) AS shingle
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench)),
-        |contaminated AS (
-        |  SELECT DISTINCT t.doc_id
-        |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
-        |  JOIN bsh USING (shingle)),
-        |clean AS (
-        |  SELECT doc_id, text, lang, source, n_chars FROM fresh
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      s"""WITH $corpusIngestChainSql
         |SELECT doc_id, text, lang, source, n_chars FROM corpus
         |UNION ALL SELECT doc_id, text, lang, source, n_chars FROM clean""".stripMargin,
 
@@ -9854,6 +10016,17 @@ object SparkEntry {
         | CAST(doc_id % 13 + 3 AS INT) AS width,
         | CAST(doc_id % 7 + 2 AS INT) AS height,
         | CAST(doc_id % 251 AS DOUBLE) AS mean_px
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // q214: the container round trip replays frame-for-frame from the
+    // closed form (constant fills survive the 256-gray GIF palette
+    // exactly; a constant frame's double mean is the exact fill value)
+    "q214_gif_container_decode" ->
+      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame,
+        | CAST(doc_id % 13 + 3 AS INT) AS width,
+        | CAST(doc_id % 7 + 5 AS INT) AS height,
+        | CAST((doc_id * 7 + f * 31) % 251 AS DOUBLE) AS mean_px
+        |FROM documents CROSS JOIN range(0, 3) t(f)
+        |WHERE f <= doc_id % 3""".stripMargin
   )
 }

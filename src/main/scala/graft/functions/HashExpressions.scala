@@ -258,7 +258,12 @@ object HashKernels {
     * replaces (which paid a hex-string render + re-parse per token
     * plus a corpus explode/groupBy/join-back), and to the DuckDB
     * replay. Empty input → 0 (all votes tie toward clear), matching
-    * the "token-less docs get sig 0" contract. */
+    * the "token-less docs get sig 0" contract. A NULL element votes
+    * −1 on every bit — exactly what the replaced declarative form did
+    * (`when(bit === 1, 1).otherwise(-1)` takes the otherwise branch on
+    * a null hash); Text.tokens never emits nulls, but the
+    * SQL-registered `md5_simhash32` accepts arbitrary arrays and the
+    * byte-identity claim must hold there too. */
   def md5Simhash32(tokens: ArrayData): Long = {
     val md = md5Local.get()
     val dig = new Array[Byte](16)
@@ -266,7 +271,10 @@ object HashKernels {
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      if (!tokens.isNullAt(t)) {
+      if (tokens.isNullAt(t)) {
+        var j = 0
+        while (j < 32) { counts(j) -= 1; j += 1 }
+      } else {
         md.reset()
         md.update(tokens.getUTF8String(t).getBytes)
         md.digest(dig, 0, 16)

@@ -188,6 +188,220 @@ case class ImageMetaExpr(child: Expression) extends UnaryExpression
     copy(child = c)
 }
 
+/** Multi-frame CONTAINER kernels: animated GIF through the JDK's
+  * ImageIO sequence API — the last stubbed decode class (video/
+  * container) made real for an in-sandbox codec. A GIF is a genuine
+  * container (header + palette + N encoded frames), so the
+  * generate→decode chain exercises the container path end-to-end:
+  * per-frame decode, frame stats, and raw-raster extraction feeding
+  * [[graft.multimodal.Media.resizeRaster]]'s real-resample branch. */
+object GifKernels {
+
+  /** The identity 256-gray sRGB palette: index i = color (i, i, i).
+    * Frames are built TYPE_BYTE_INDEXED over this palette — NOT
+    * TYPE_BYTE_GRAY, whose linear-gray color space the GIF writer
+    * gamma-converts to sRGB (a 50-gray frame came back ~25) — so the
+    * stored index IS the gray level and the round trip is exact. */
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  /** Encode constant-fill grayscale frames as ONE animated GIF via
+    * the real JDK codec (writeToSequence). Deterministic payload
+    * generator for tests and oracle-backed decode queries: frame f is
+    * a width×height fill of values[f], stored as an index into the
+    * identity gray palette, so the closed form round-trips exactly. */
+  def grayGif(width: Int, height: Int, values: ArrayData): Array[Byte] = {
+    require(width > 0 && height > 0, "dims must be positive")
+    // probed empirically on JDK 17: the JDK GIF codec zeroes the
+    // trailing row(s) of frames with height <= 4 (every width, every
+    // fill value; height >= 5 always round-trips exactly). Loud-fail
+    // rather than silently emit payloads the decoder corrupts.
+    require(height >= 5,
+      s"JDK GIF codec corrupts frames under 5 rows (got height=$height)")
+    require(values.numElements() > 0, "need at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < values.numElements()) {
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+          grayPalette)
+        val raster = img.getRaster
+        val v = values.getInt(f) & 0xFF
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def gifReader(bytes: Array[Byte]): Option[javax.imageio.ImageReader] = {
+    val ins = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val it = javax.imageio.ImageIO.getImageReaders(ins)
+    if (!it.hasNext) { ins.close(); None }
+    else { val r = it.next(); r.setInput(ins); Some(r) }
+  }
+
+  /** Gray value of a pixel regardless of the decoded color model:
+    * GIF frames come back INDEXED, where band 0 is the palette index,
+    * not the luminance — go through sRGB and take a channel (R=G=B
+    * for gray payloads). */
+  private def grayAt(img: java.awt.image.BufferedImage, x: Int, y: Int): Int =
+    img.getRGB(x, y) & 0xFF
+
+  /** Per-frame stats of every frame in a container: (frame, width,
+    * height, mean_px). Undecodable payloads yield an EMPTY array —
+    * per-row degradation, the task never dies. */
+  def gifFrameStats(bytes: Array[Byte]): ArrayData =
+    gifReader(bytes) match {
+      case None => new GenericArrayData(Array.empty[Any])
+      case Some(reader) =>
+        try {
+          val n = reader.getNumImages(true)
+          val out = new Array[Any](n)
+          var f = 0
+          while (f < n) {
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += grayAt(img, x, y); x += 1 }
+              y += 1
+            }
+            val cnt = w.toLong * h
+            out(f) = InternalRow(f, w, h, if (cnt > 0) sum / cnt else 0.0)
+            f += 1
+          }
+          new GenericArrayData(out)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            new GenericArrayData(Array.empty[Any])
+        } finally reader.dispose()
+    }
+
+  /** Decode ONE frame of a container to a raw 8-bit grayscale raster
+    * (width·height bytes, row-major) — the shape
+    * [[graft.multimodal.Media.resizeRaster]]'s real-resample branch
+    * consumes, bridging container blobs into the raster pipeline.
+    * Null when the payload cannot be decoded or has no such frame. */
+  def gifFrameRaster(bytes: Array[Byte], frame: Int): Array[Byte] =
+    gifReader(bytes) match {
+      case None => null
+      case Some(reader) =>
+        try {
+          if (frame < 0 || frame >= reader.getNumImages(true)) null
+          else {
+            val img = reader.read(frame)
+            val w = img.getWidth; val h = img.getHeight
+            val out = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                out(y * w + x) = grayAt(img, x, y).toByte
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+        finally reader.dispose()
+    }
+}
+
+/** gray_gif(width, height, values array<int>) -> binary: constant-fill
+  * multi-frame grayscale GIF via the real JDK sequence codec,
+  * codegen'd ([[GrayPngExpr]]'s container sibling). */
+case class GrayGifExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(IntegerType, IntegerType, ArrayType(IntegerType, containsNull = false))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gray_gif"
+
+  override def nullSafeEval(w: Any, h: Any, v: Any): Any =
+    GifKernels.grayGif(w.asInstanceOf[Int], h.asInstanceOf[Int],
+      v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, h, v) => s"graft.functions.GifKernels.grayGif($w, $h, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GrayGifExpr =
+    copy(first = f, second = s, third = t)
+}
+
+/** gif_frames(binary) -> array<struct<frame int, width int, height
+  * int, mean_px double>>: real per-frame container decode fused into
+  * codegen; undecodable payloads yield an empty array. */
+case class GifFrameStatsExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_px", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gif_frames"
+
+  override def nullSafeEval(v: Any): Any =
+    GifKernels.gifFrameStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GifKernels.gifFrameStats($c)")
+
+  override protected def withNewChildInternal(c: Expression): GifFrameStatsExpr =
+    copy(child = c)
+}
+
+/** gif_frame_raster(binary, frame) -> binary: one container frame as
+  * a raw 8-bit grayscale raster (the resizeRaster input shape); NULL
+  * for undecodable payloads or out-of-range frames. */
+case class GifFrameRasterExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(BinaryType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frame_raster"
+
+  override def nullSafeEval(b: Any, f: Any): Any =
+    GifKernels.gifFrameRaster(b.asInstanceOf[Array[Byte]], f.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, f) => s"""
+      ${ev.value} = graft.functions.GifKernels.gifFrameRaster($b, $f);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GifFrameRasterExpr =
+    copy(left = l, right = r)
+}
+
 object MediaFunctions {
   def pcmWindowFeatures(bin: Column, window: Int): Column =
     GraftBridge.column(PcmWindowFeatures(GraftBridge.expression(bin), window))
@@ -198,4 +412,15 @@ object MediaFunctions {
 
   def imageMeta(bin: Column): Column =
     GraftBridge.column(ImageMetaExpr(GraftBridge.expression(bin)))
+
+  def grayGif(width: Column, height: Column, values: Column): Column =
+    GraftBridge.column(GrayGifExpr(GraftBridge.expression(width),
+      GraftBridge.expression(height), GraftBridge.expression(values)))
+
+  def gifFrames(bin: Column): Column =
+    GraftBridge.column(GifFrameStatsExpr(GraftBridge.expression(bin)))
+
+  def gifFrameRaster(bin: Column, frame: Column): Column =
+    GraftBridge.column(GifFrameRasterExpr(GraftBridge.expression(bin),
+      GraftBridge.expression(frame)))
 }

@@ -457,6 +457,88 @@ object Vc {
     }
   }
 
+  /** Compact FRAGMENTED partitions of a [[writePartitioned]] table —
+    * the fourth leg of the maintenance story (write / append / delete
+    * / compact): every [[appendPartitioned]] leaves one more small
+    * file per touched partition, and after N shard arrivals a hot
+    * partition is N delta files whose per-file open/footer cost
+    * dominates the scan. Compaction rewrites ONLY partitions holding
+    * more than `maxFilesPerPartition` data files (the
+    * [[deleteFromPartitioned]] dynamic-overwrite machinery pointed at
+    * fragmentation instead of rows): their rows are materialized
+    * (they are the fragmented slice, small relative to the table),
+    * re-sorted per the sidecar sort key, and dynamically overwritten
+    * as one file per partition. The row set is IDENTICAL, so the
+    * sidecar — including the order-independent arithmetic
+    * `data_hash` — is untouched by construction, untouched partitions
+    * keep their files (and mtimes), and `readPartitioned(verify =
+    * true)` still passes. Returns the partition-value rows that were
+    * rewritten (bounded driver state, like delete's cell list). */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         maxFilesPerPartition: Int = 1): Seq[Seq[String]] = {
+    require(maxFilesPerPartition >= 1,
+      s"need maxFilesPerPartition >= 1, got $maxFilesPerPartition")
+    val blocks = parseSidecar(Files.readString(Paths.get(dir, "_vc.yml")))
+    val generic = blocks.find(_._1 == "..generic").getOrElse(
+      throw new IllegalStateException(s"$dir/_vc.yml has no ..generic block"))
+    val cols = blocks.filterNot(_._1 == "..generic").map(_._1)
+    val partitionCols = generic._3.getOrElse("partitioning", Nil)
+    require(partitionCols.nonEmpty,
+      s"$dir is not a partitioned table (no partitioning in sidecar)")
+    val sortKeys = generic._3.getOrElse("sorting", Nil)
+    // walk the hive layout for fragmented leaves: <dir>/p1=v1/.../pk=vk
+    // holding > maxFilesPerPartition part files. Directory listing is
+    // driver-side but O(partitions), the same cost class as the file
+    // index every scan of the table already builds.
+    def leaves(p: java.io.File, depth: Int): Seq[java.io.File] =
+      if (depth == partitionCols.length) Seq(p)
+      else Option(p.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(c => c.isDirectory &&
+          c.getName.startsWith(partitionCols(depth) + "="))
+        .flatMap(c => leaves(c, depth + 1))
+    val fragmented = leaves(new java.io.File(dir), 0).filter { leaf =>
+      Option(leaf.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.startsWith("part-")) > maxFilesPerPartition
+    }
+    if (fragmented.isEmpty) return Nil
+    // partition values from the fragmented leaves' directory names
+    val base = Paths.get(dir)
+    val values: Seq[Seq[String]] = fragmented.map { leaf =>
+      val rel = base.relativize(leaf.toPath)
+      (0 until partitionCols.length)
+        .map(i => rel.getName(i).toString.split("=", 2)(1))
+    }
+    val df = readPartitioned(spark, dir, verify = false)
+    // literal-side cast keeps the predicate foldable, so the rewrite's
+    // own read PRUNES to the fragmented partitions' files
+    val cellPred = values.map { vs =>
+      partitionCols.zip(vs)
+        .map { case (c, v) =>
+          col(c) === lit(v).cast(df.schema(c).dataType) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    // eager checkpoint: the rewrite reads the very files it replaces
+    // (the delete-path contract)
+    val kept = df.where(cellPred).select(cols.map(col): _*)
+      .localCheckpoint(true)
+    val sorted =
+      if (sortKeys.nonEmpty)
+        kept.repartition(partitionCols.map(col): _*)
+          .sortWithinPartitions(sortKeys.map(col): _*)
+      else kept.repartition(partitionCols.map(col): _*)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      sorted.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    values
+  }
+
   /** Verified read of a [[writePartitioned]] table: restores the
     * sidecar column order and classes (the partition column comes back
     * from directory names, so its sidecar class wins over inference),

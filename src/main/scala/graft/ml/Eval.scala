@@ -183,7 +183,15 @@ object Eval {
     // per-bin calibration gap — calibrationReport's integer chain
     val gap = abs(expr("__bp * 1000000L div __bn") - expr("__bconf div __bn"))
     // per-bin PSI term — Drift.psiFromCounts' fixed-order double
-    // expression snapped to micros, at bin grain
+    // expression snapped to micros, at bin grain. Known residual risk
+    // (round-18 advice): the snap assumes JVM Math.log and DuckDB ln
+    // agree to the last bit on these inputs — neither is guaranteed
+    // correctly rounded, so a term landing within an ulp of a
+    // 0.5-micro boundary could one day flip the q211 gate. Accepted
+    // under the q92/q200 ln-recipe convention (fixed inputs, fixed op
+    // order ⟹ deterministic per build; q208/q211 verified green at
+    // sf0.01 AND sf0.1); if it ever flakes, widen the gate tolerance
+    // rather than reordering the arithmetic.
     val pRef = col("__bref").cast("double") / col("__nref").cast("double")
     val pCur = col("__bcur").cast("double") / col("__ncur").cast("double")
     val ratio = (col("__bcur").cast("double") * col("__nref").cast("double")) /

@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
   * by content-size band so decode work balances across executors even
   * when a few files are huge.
   *
-  * STUB — the actual codec step: this container ships no image/audio
-  * libraries, so `decodeStub` below produces deterministic fake
-  * features derived from the raw bytes. Swap `decodeStub` for a JNI/
-  * javacv decoder in production; every signature and the batch shape
-  * stay identical.
+  * Decode reality (round 19): still images (PNG/BMP/GIF via the JDK's
+  * ImageIO — [[decodeImageMeta]]), 16-bit PCM audio
+  * ([[graft.functions.MediaKernels]]) and multi-frame GIF CONTAINERS
+  * ([[decodeGifFrames]] / the `gif_frames` kernel — per-frame decode
+  * plus `gif_frame_raster` bridging frames into [[resizeRaster]]'s
+  * real-resample branch) all decode for REAL with zero new
+  * dependencies. STUB — only non-JDK codecs (MP4/webm/compressed
+  * audio): this container ships no such libraries, so `decodeStub`
+  * below produces deterministic fake features from the raw bytes for
+  * those kinds. Swap it for a JNI/javacv decoder in production; every
+  * signature and the batch shape stay identical.
   */
 object Media {
 
@@ -142,6 +148,30 @@ object Media {
       })
   }
 
+  case class GifFrameMeta(media_id: Long, frame: Int, width: Int, height: Int,
+                          mean_px: Double)
+
+  /** REAL multi-frame CONTAINER decode (animated GIF via the JDK
+    * sequence codec) in the same batched per-partition shape as
+    * [[decodeImageMeta]] — the typed-Dataset twin of the codegen'd
+    * `gif_frames` expression (q214; `IoMediaStreamSpec` pins the two
+    * row-identical). One output row per decoded frame; undecodable
+    * payloads yield no rows but stay visible through
+    * [[extractFeatures]]'s stub path. */
+  def decodeGifFrames(spark: SparkSession, media: DataFrame): Dataset[GifFrameMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long").as("media_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val arr = graft.functions.GifKernels.gifFrameStats(bytes)
+        (0 until arr.numElements()).map { i =>
+          val r = arr.getStruct(i, 4)
+          GifFrameMeta(id, r.getInt(0), r.getInt(1), r.getInt(2),
+            r.getDouble(3))
+        }
+      })
+  }
+
   /** Frame/segment sampling plumbing: fixed-size byte windows every
     * `strideBytes` — the partition/batch shape of real frame sampling,
     * with byte slicing standing in for codec seeks. */
@@ -166,9 +196,11 @@ object Media {
 
   /** Resize: REAL nearest-neighbor resampling when the blob is a raw
     * 8-bit grayscale raster (width*height == byte length — the shape a
-    * real decoder would hand over); blobs still in a codec container
-    * pass through unchanged, marked by width/height 0, because the
-    * decode step is the stubbed part. Same mapPartitions batch shape as
+    * real decoder hands over; for GIF containers, `gif_frame_raster`
+    * produces exactly this shape, so container→raster→resize runs
+    * end-to-end with real codecs — IoMediaStreamSpec pins the chain);
+    * blobs still in an UNDECODED codec container pass through
+    * unchanged, marked by width/height 0. Same mapPartitions batch shape as
     * [[extractFeatures]]: at scale each partition streams its blobs
     * through one task, no driver collection, size-balanced upstream by
     * [[balancedBySize]]. */

@@ -872,6 +872,26 @@ object Ann {
     index
   }
 
+  /** Compact a WRITTEN IVFADC index — the fourth leg of maintenance
+    * CRUD (build / append / delete / compact): every
+    * [[ivfPqAppendIndex]] adds one more small delta file per touched
+    * cell, and after N shard arrivals a probe of a hot cell opens N
+    * files instead of one. Compaction rewrites ONLY fragmented cells
+    * (more than `maxFilesPerCell` data files) as one file each via
+    * [[graft.io.Vc.compactPartitioned]] — the delete path's
+    * dynamic-overwrite machinery pointed at fragmentation: rows and
+    * codes are bit-identical, the arithmetic sidecar digest is
+    * untouched by construction, untouched cells keep their files and
+    * mtimes, and searches over the compacted index are IDENTICAL
+    * (the q213 oracle gate rides q192's chain). Cost is O(fragmented
+    * cells), never a full rebuild. */
+  def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                        index: IvfPqIndex,
+                        maxFilesPerCell: Int = 1): IvfPqIndex = {
+    graft.io.Vc.compactPartitioned(spark, index.path, maxFilesPerCell)
+    index
+  }
+
   /** Delete vectors from a WRITTEN IVFADC index — the third leg of
     * maintenance CRUD (build [[ivfPqBuildIndex]] / append
     * [[ivfPqAppendIndex]] / delete): rows matching `pred` leave the

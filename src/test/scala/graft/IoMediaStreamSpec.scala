@@ -191,6 +191,71 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(out(2L).width === 0)
   }
 
+  test("gif container: native frame kernels match the batch path and feed resizeRaster") {
+    import graft.functions.MediaFunctions
+    // 3 docs x (1..3) constant-fill frames through the REAL JDK
+    // sequence codec — q214's generate→decode chain in miniature
+    // heights ride >= 5: the probed JDK small-frame GIF quirk zeroes
+    // trailing rows below that (grayGif loud-fails on it)
+    val gifs = spark.range(1, 4).select(col("id").cast("long").as("media_id"),
+      MediaFunctions.grayGif((col("id") + 3).cast("int"),
+        (col("id") + 5).cast("int"),
+        transform(sequence(lit(0L), col("id") % 3),
+          f => ((col("id") * 50 + f * 30) % 251).cast("int"))).as("media"))
+    val viaExpr = gifs.select(col("media_id"),
+        explode(MediaFunctions.gifFrames(col("media"))).as("fr"))
+      .select(col("media_id"), col("fr.frame"), col("fr.width"),
+        col("fr.height"), col("fr.mean_px"))
+      .orderBy("media_id", "frame").collect().toSeq
+    // frame counts and the closed-form round trip
+    assert(viaExpr.map(r => (r.getLong(0), r.getInt(1))) ===
+      Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2), (3L, 0)))
+    viaExpr.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getInt(1))
+      assert(r.getInt(2) === id + 3 && r.getInt(3) === id + 5)
+      assert(r.getDouble(4) === ((id * 50 + f * 30) % 251).toDouble)
+    }
+    // the mapPartitions batch variant is row-identical to the kernel
+    val viaBatch = Media.decodeGifFrames(spark, gifs).toDF()
+      .select("media_id", "frame", "width", "height", "mean_px")
+      .orderBy("media_id", "frame").collect().toSeq
+    assert(viaExpr.map(_.toString) === viaBatch.map(_.toString))
+    // corrupt payloads degrade per-row: no frames, no task death
+    val corrupt = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "media")
+    assert(Media.decodeGifFrames(spark, corrupt).isEmpty)
+    assert(corrupt.select(explode(MediaFunctions.gifFrames(col("media"))))
+      .isEmpty)
+  }
+
+  test("gif_frame_raster bridges a container frame into resizeRaster's real branch") {
+    import graft.functions.MediaFunctions
+    // one 6x6 two-frame container; frame 1 (fill 200) extracts as a
+    // raw gray raster, which resizeRaster REALLY resamples — the
+    // container pass-through branch is no longer the only route for
+    // codec blobs
+    val rows = spark.range(1, 2).select(lit(1L).as("media_id"),
+        lit("image/gif").as("kind"),
+        MediaFunctions.grayGif(lit(6), lit(6),
+          array(lit(10), lit(200))).as("gif"))
+      .select(col("media_id"), col("kind"),
+        MediaFunctions.gifFrameRaster(col("gif"), lit(1)).as("media"),
+        lit(6).as("width"), lit(6).as("height"), lit(0).as("sample_rate"))
+    val raster = rows.select("media").head().getAs[Array[Byte]](0)
+    assert(raster.length === 36 && raster.forall(b => (b & 0xFF) === 200))
+    val resized = Media.resizeRaster(spark, rows, 3, 2).collect()
+    assert(resized.length === 1)
+    assert(resized.head.width === 3 && resized.head.height === 2)
+    assert(resized.head.media.toSeq === Seq.fill(6)(200.toByte))
+    // out-of-range frame and undecodable payload yield NULL, not death
+    val nulls = spark.range(1, 2).select(
+      MediaFunctions.gifFrameRaster(
+        MediaFunctions.grayGif(lit(5), lit(5), array(lit(1))), lit(5))
+        .as("missing"),
+      MediaFunctions.gifFrameRaster(lit(Array[Byte](1, 2, 3)), lit(0))
+        .as("corrupt")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("Media.sampleSegments produces stride-aligned byte windows") {
     val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val segs = Media.sampleSegments(Media.fromText(docs, "doc_id", "text", "blob"), 4, 4)

@@ -135,6 +135,60 @@ class IvfPqIndexSpec extends SparkSuite {
     assert(after.where(col("gcell") === victim).isEmpty)
   }
 
+  test("compact: fragmented cells shrink to one file, untouched cells and digest survive") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-compact")
+      .toString + "/codes"
+    val base = emb.where(col("vec_id") % 5 =!= 4)
+    val built = Ann.ivfPqBuildIndex(base, "vec_id", "embedding",
+      kc = 4, m = 4, k = 4, iters = 2, path)
+    // two shard arrivals fragment their cells (base + 2 delta files)
+    Ann.ivfPqAppendIndex(built, emb.where(col("vec_id") % 5 === 4
+      && col("vec_id") % 2 === 0), "vec_id", "embedding")
+    Ann.ivfPqAppendIndex(built, emb.where(col("vec_id") % 5 === 4
+      && col("vec_id") % 2 === 1), "vec_id", "embedding")
+    def filesPerCell: Map[String, Seq[String]] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.startsWith("part-"))
+            .map(_.getName).toSeq.sorted).toMap
+    val before = filesPerCell
+    val fragmentedCells = before.filter(_._2.size > 1).keySet
+    assert(fragmentedCells.nonEmpty,
+      "fixture must fragment at least one cell for the pin to bite")
+    val untouched = before.filter(_._2.size <= 1).keys.toSeq
+    val untouchedMtimes = untouched.map { cell =>
+      cell -> new java.io.File(s"$path/$cell").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+    }.toMap
+    val sidecarBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_vc.yml"))
+    val expected = graft.io.Vc.readPartitioned(spark, path, verify = false)
+      .orderBy("neighbor_id").collect().toSeq
+    Ann.ivfPqCompactIndex(spark, built)
+    val after = filesPerCell
+    // every fragmented cell is now ONE file; numFiles strictly shrank
+    fragmentedCells.foreach { cell =>
+      assert(after(cell).size === 1,
+        s"$cell still holds ${after(cell).size} files")
+    }
+    assert(after.values.map(_.size).sum < before.values.map(_.size).sum)
+    // untouched cells were not rewritten (names AND mtimes)
+    untouched.foreach { cell =>
+      assert(new java.io.File(s"$path/$cell").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap
+        === untouchedMtimes(cell), s"untouched $cell was rewritten")
+    }
+    // sidecar byte-identical (the row set did not change, so neither
+    // may the arithmetic digest) and the full verified audit passes
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_vc.yml")) === sidecarBefore)
+    val got = graft.io.Vc.readPartitioned(spark, path, verify = true)
+      .orderBy("neighbor_id").collect().toSeq
+    assert(got === expected)
+    // idempotent: a second pass finds nothing fragmented
+    assert(graft.io.Vc.compactPartitioned(spark, path).isEmpty)
+  }
+
   test("append loud-fails on a drifted delta schema") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq-drift")
       .toString + "/codes"

@@ -203,6 +203,28 @@ class Md5DedupSpec extends SparkSuite {
     assert(wM(1L) === 1L && wM(9L) === 1L && wM(3L) === 3L)
   }
 
+  test("md5Simhash32 kernel: NULL elements vote -1 on every bit (declarative parity)") {
+    // The kernel documents byte-identity to the declarative bit-vote
+    // aggregation it replaced, whose when(bit === 1, 1).otherwise(-1)
+    // takes the otherwise branch on a NULL hash — so a null element
+    // must vote -1 on all 32 bits, not be skipped. Text.tokens never
+    // emits nulls, but the SQL-registered md5_simhash32 accepts
+    // arbitrary arrays (round-18 advice).
+    // ('alpha', NULL): every bit's vote is 1−1 = 0 or −1−1 = −2, never
+    // positive, so the signature is 0 — while a null-SKIPPING kernel
+    // would return simhash32('alpha') ≠ 0. (An even token count plus
+    // one null cannot distinguish the two — the tie already breaks
+    // low — hence the single-token fixture.)
+    val got = spark.range(1).select(
+      graft.functions.HashFunctions.md5Simhash32(
+        array(lit("alpha"), lit(null).cast("string"))).as("s"),
+      graft.functions.HashFunctions.md5Simhash32(
+        array(lit("alpha"))).as("alone"))
+      .head()
+    assert(got.getLong(0) === 0L, "null element must vote -1 on every bit")
+    assert(got.getLong(1) !== 0L, "fixture must distinguish skip from -1 vote")
+  }
+
   test("32-bit md5 SimHash: no false-positive clusters on random distinct docs") {
     // The md5 SimHash sibling buckets on 32 bits (vs the throughput
     // form's 64) with maxHamming = 3 — a narrower signature means a
