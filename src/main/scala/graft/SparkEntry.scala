@@ -3260,7 +3260,60 @@ object SparkEntry {
             .as("fr"))
         .select(col("media_id"), col("fr.frame").as("frame"),
           col("fr.width").as("width"), col("fr.height").as("height"),
-          col("fr.mean_px").as("mean_px")))
+          col("fr.mean_px").as("mean_px"))),
+
+    // ---- RAW-TEXT corpus shards (io.RawText — the other corpus
+    // delivery format next to JSONL: plain .txt.gz, one doc per
+    // line): documents' text writes out as 4 gzip text shards and
+    // reads back through the native text source; the report is ONE
+    // order-independent row (count, char total, md5 content
+    // checksum), so any line mangling — splitting, truncation,
+    // encoding damage — fails the hash gate. Line mode cannot carry
+    // embedded newlines by format contract (this corpus has none);
+    // the per-FILE wholetext mode is RawTextSpec's. ----
+    "q215_rawtext_ingest" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q215") + "/docs_txt"
+      graft.io.RawText.writeLines(d.select(col("text")).repartition(4), path)
+      graft.io.RawText.readLines(s, path)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("value"))).as("chars_total"),
+          sum(conv(substring(md5(col("value")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }),
+
+    // ---- semicolon-CSV delivery AUDIT (Csv2.readAudit — the q212
+    // corrupt-capture convention on the reference's own interchange
+    // format): documents write as one `;`-CSV via Csv2.write, plus a
+    // planted shard whose data line has 7 fields against the 5-column
+    // schema; PERMISSIVE capture lands it whole in _corrupt_record
+    // (data columns null), where it surfaces as the (NULL, NULL)
+    // group with n_corrupt = 1 — leaking it into a real group or
+    // dropping it breaks the hash gate. ----
+    "q216_csv2_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q216") + "/docs_csv"
+      graft.io.Csv2.write(
+        d.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), path)
+      // its own shard with a header line (the directory-read contract
+      // skips line 1 per file) and ONE 7-field data line
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "shard-corrupt.csv"),
+        "doc_id;text;lang;source;n_chars\n-1;torn;line;with;too;many;fields\n")
+      val back = graft.io.Csv2.readAudit(s, path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      back.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"),
+          sum(when(col(graft.io.Csv2.CorruptCol).isNotNull, 1L)
+            .otherwise(0L)).as("n_corrupt"))
+    })
   )
 
   /** LSVI demo inputs derived from the harness tables: scale-free
@@ -10027,6 +10080,29 @@ object SparkEntry {
         | CAST(doc_id % 7 + 5 AS INT) AS height,
         | CAST((doc_id * 7 + f * 31) % 251 AS DOUBLE) AS mean_px
         |FROM documents CROSS JOIN range(0, 3) t(f)
-        |WHERE f <= doc_id % 3""".stripMargin
+        |WHERE f <= doc_id % 3""".stripMargin,
+
+    // q215: the raw-text round trip is value-invisible — one
+    // order-independent report row replayed from parquet
+    "q215_rawtext_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum
+        |FROM documents""".stripMargin,
+
+    // q216: q209's per-group replay plus the planted corrupt line's
+    // (NULL, NULL) group — exactly one row, all data aggregates NULL
+    "q216_csv2_audit" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY 1, 2
+        |UNION ALL
+        |SELECT NULL AS lang, NULL AS source, CAST(1 AS BIGINT) AS n_docs,
+        |  CAST(NULL AS BIGINT) AS chars_total,
+        |  CAST(NULL AS BIGINT) AS text_checksum, CAST(1 AS BIGINT) AS n_corrupt""".stripMargin
   )
 }

@@ -412,6 +412,12 @@ class ScanCountSpec extends SparkSuite {
     assert(nodeShape("q211_ingest_audit_drift") === nodeShape("q208_ingest_audit"))
     assert(scanCount("q211_ingest_audit_drift") <= 1)
     assert(shuffleCount("q211_ingest_audit_drift") <= 2)
+    // q215/q216 (round 19): same one-scan contract for the raw-text
+    // and audited-CSV round trips
+    assert(formatScanCount("q215_rawtext_ingest", "text") <= 1)
+    assert(shuffleCount("q215_rawtext_ingest") <= 1)
+    assert(formatScanCount("q216_csv2_audit", "csv") <= 1)
+    assert(shuffleCount("q216_csv2_audit") <= 1)
     // q212: the JSONL-fed admission E2E — the delivery is read by the
     // audit aggregate plus twice by the admission chain (the fresh
     // subtree re-plans for both its uses, q100's own topology); the
