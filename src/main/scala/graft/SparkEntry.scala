@@ -2423,6 +2423,48 @@ object SparkEntry {
       s.table(sink)
     }),
 
+    // ---- STREAMING JSONL shard-delivery ingest (q187's stateful
+    // dedup admission fed by io.Jsonl.readStream — the continuous
+    // form of q212's delivery layer): the delta docs arrive as a
+    // .jsonl.gz shard PLUS a planted truncated line; the PERMISSIVE
+    // streaming read carries the torn line as a _corrupt_record row
+    // (a FAILFAST stance would kill the continuous job), the
+    // admission filter drops it map-side, and the clean rows label
+    // against the static base fingerprint index through the same
+    // one-boolean-per-fingerprint state. Single delivery = one
+    // ordered micro-batch, so labels equal the batch twin's and
+    // q187's ORACLE gates the whole streaming JSONL path hash-exact
+    // — emitting the corrupt row's null doc_id, or dying on it,
+    // both break the gate. ----
+    "q217_jsonl_ingest_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val docs = t(s, dir, "documents")
+      val baseFp = docs.where(col("doc_id") % 3 =!= 0)
+        .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
+      val path = tempResultDir("graft-q217") + "/delta_jsonl"
+      graft.io.Jsonl.write(docs.where(col("doc_id") % 3 === 0)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1), path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "shard-corrupt.jsonl"),
+        """{"doc_id": -1, "text": "truncat""")
+      val stream = graft.io.Jsonl.readStream(s, path, StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .where(col(graft.io.Jsonl.CorruptCol).isNull)
+        .drop(graft.io.Jsonl.CorruptCol)
+      val sink = "graft_q217_sink"
+      graft.streaming.Events.withStatePartitions(s, 8) {
+        val q = graft.streaming.IngestDedupStream
+          .statusStream(s, stream, baseFp, "text", "doc_id")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(sink)
+    }),
+
     // ---- PMI collocations (text.Colloc, Church & Hanks 1990): top
     // adjacent pairs by pointwise mutual information, pair count ≥ 5.
     // One checkpointed explode feeds counts + totals; PMI is one ln
@@ -5540,6 +5582,27 @@ object SparkEntry {
       |  SELECT doc_id, text, lang, source, n_chars FROM fresh
       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
 
+  /** The q187 incremental-dedup labeling chain, shared verbatim with
+    * q217 (the same admission semantics fed from JSONL shards — one
+    * builder, the twins cannot drift). */
+  private val ingestDedupStreamOracleSql: String =
+    """WITH basefp AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      |    AS fingerprint
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |delta AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+      |    min(doc_id) OVER (
+      |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+      |      AS first_id
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT d.doc_id, d.fingerprint,
+      |  CASE WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
+      |       WHEN d.first_id <> d.doc_id THEN 'dup_in_delta'
+      |       ELSE 'new' END AS status
+      |FROM delta d LEFT JOIN basefp b ON d.fingerprint = b.fingerprint""".stripMargin
+
   private val DriftPsiOracleSql: String =
     """WITH c AS (
       |  SELECT event_type,
@@ -6564,23 +6627,13 @@ object SparkEntry {
 
     // q187: the streaming twin's output equals the batch q184 exactly
     // (single ordered micro-batch) -> same oracle SQL.
-    "q187_ingest_dedup_stream" ->
-      """WITH basefp AS (
-        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-        |    AS fingerprint
-        |  FROM documents WHERE doc_id % 3 <> 0),
-        |delta AS (
-        |  SELECT doc_id,
-        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-        |    min(doc_id) OVER (
-        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
-        |      AS first_id
-        |  FROM documents WHERE doc_id % 3 = 0)
-        |SELECT d.doc_id, d.fingerprint,
-        |  CASE WHEN b.fingerprint IS NOT NULL THEN 'dup_of_base'
-        |       WHEN d.first_id <> d.doc_id THEN 'dup_in_delta'
-        |       ELSE 'new' END AS status
-        |FROM delta d LEFT JOIN basefp b ON d.fingerprint = b.fingerprint""".stripMargin,
+    "q187_ingest_dedup_stream" -> ingestDedupStreamOracleSql,
+
+    // q217 = q187's chain verbatim: the JSONL round trip is
+    // value-invisible (q209's gate) and the planted corrupt line is
+    // filtered before the state path, so the streamed-from-shards
+    // labels must equal the streamed-from-parquet labels exactly.
+    "q217_jsonl_ingest_stream" -> ingestDedupStreamOracleSql,
 
     // q186: PMI = ln of the exact rational in the same multiply order
     // (c_ab·N1·N1 over N2·c_a·c_b), 1e-6-floored; (pmi DESC, w1, w2).

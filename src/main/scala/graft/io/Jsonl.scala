@@ -54,6 +54,25 @@ object Jsonl {
                  schema: StructType): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** STREAMING form of [[read]] — shard deliveries arriving over time
+    * (each new .jsonl.gz file under `path` becomes part of the next
+    * micro-batch), with the same PERMISSIVE corrupt-line capture: a
+    * torn line in a streamed shard flows through as a
+    * [[CorruptCol]]-marked row instead of killing the continuous
+    * ingestion job, and the admission pipeline filters or audits it
+    * exactly like the batch path (q217). */
+  def readStream(spark: SparkSession, path: String,
+                 schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"supplied schema must not already contain $CorruptCol")
+    spark.readStream
+      .schema(StructType(schema.fields :+
+        StructField(CorruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+
   /** Write one JSON object per line under `path` (default gzip —
     * the shard format ingest expects back). Partition count is the
     * caller's: each partition becomes one .jsonl.gz shard. */

@@ -71,6 +71,32 @@ class JsonlSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("readStream: corrupt lines in later shard deliveries don't kill the stream") {
+    // the q217 contract across micro-batches: shard 1 is clean,
+    // shard 2 carries a torn line — the continuous job must keep
+    // emitting clean rows and carry the corrupt one as a marked row
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "a_shard1.jsonl"),
+      """{"id": 1, "text": "first", "score": 1.0}""" + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "b_shard2.jsonl"),
+      """{"id": 2, "text": "second", "score": 2.0}""" + "\n" +
+        """{"id": 3, "text": "torn""" + "\n")
+    val name = s"jsonl_stream_${System.nanoTime()}"
+    val q = Jsonl.readStream(spark, dir, docSchema)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("jsonl_ck").toString)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table(name).cache()
+    assert(rows.where(col(Jsonl.CorruptCol).isNull)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(rows.where(col(Jsonl.CorruptCol).isNotNull).count() === 1)
+    rows.unpersist()
+  }
+
   test("a schema already containing _corrupt_record is rejected") {
     val bad = StructType(docSchema.fields :+
       StructField(Jsonl.CorruptCol, StringType))
