@@ -3304,6 +3304,53 @@ object SparkEntry {
           col("fr.width").as("width"), col("fr.height").as("height"),
           col("fr.mean_px").as("mean_px"))),
 
+    // ---- FRAME SAMPLING + RESIZE over real containers (the
+    // multimodal preprocessing composition: container → sample every
+    // 2nd frame → raw raster → nearest-neighbor resize → features):
+    // per doc a doc_id % 6 + 1 frame GIF; gif_frames picks the
+    // sampled frame ids, gif_frame_raster decodes ONLY those to raw
+    // rasters (GIF is sequential-decode, so sampling saves the
+    // downstream work, not the codec pass), and Media.resizeRaster's
+    // REAL resample branch shrinks each to 4x3. Output = per sampled
+    // frame the resized byte count and byte sum — for constant fills
+    // the closed form v*12, so the oracle gates the resize OUTPUT
+    // BYTES end to end (the nearest-neighbor pick semantics on
+    // gradients are IoMediaStreamSpec's pin). ----
+    "q218_gif_frame_sample" -> ((s, dir) => {
+      val gifs = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          graft.functions.MediaFunctions.grayGif(
+            (col("doc_id") % 13 + 3).cast("int"),
+            (col("doc_id") % 7 + 5).cast("int"),
+            transform(sequence(lit(0L), col("doc_id") % 6),
+              f => ((col("doc_id") * 11 + f * 37) % 251).cast("int")))
+            .as("media"),
+          (col("doc_id") % 13 + 3).cast("int").as("width"),
+          (col("doc_id") % 7 + 5).cast("int").as("height"))
+      val sampled = gifs
+        .select(col("media_id"), col("media"), col("width"), col("height"),
+          explode(graft.functions.MediaFunctions.gifFrames(col("media")))
+            .as("fr"))
+        .where(col("fr.frame") % 2 === 0)
+        // synthetic row key: frame count <= 6, so media_id*8+frame is
+        // collision-free and survives resizeRaster's fixed row shape
+        .select((col("media_id") * 8 + col("fr.frame")).as("media_id"),
+          lit("image/gif").as("kind"),
+          graft.functions.MediaFunctions
+            .gifFrameRaster(col("media"), col("fr.frame")).as("media"),
+          col("width"), col("height"), lit(0).as("sample_rate"))
+      graft.multimodal.Media.resizeRaster(s, sampled, targetW = 4, targetH = 3)
+        .toDF()
+        .select((col("media_id") / 8).cast("long").as("media_id"),
+          (col("media_id") % 8).cast("int").as("frame"),
+          length(col("media")).as("n_bytes"),
+          // resized-bytes checksum via the q153 hex convention
+          // (DuckDB's md5 is VARCHAR-only, so both engines hash the
+          // uppercase hex rendering of the bytes)
+          conv(substring(md5(hex(col("media"))), 1, 8), 16, 10).cast("long")
+            .as("resized_checksum"))
+    }),
+
     // ---- RAW-TEXT corpus shards (io.RawText — the other corpus
     // delivery format next to JSONL: plain .txt.gz, one doc per
     // line): documents' text writes out as 4 gzip text shards and
@@ -10134,6 +10181,20 @@ object SparkEntry {
         | CAST((doc_id * 7 + f * 31) % 251 AS DOUBLE) AS mean_px
         |FROM documents CROSS JOIN range(0, 3) t(f)
         |WHERE f <= doc_id % 3""".stripMargin,
+
+    // q218: the sampled frames' fills are the q214 closed form with
+    // the q218 constants; a resized constant raster is the fill byte
+    // repeated targetW*targetH times, hashed under the shared
+    // hex-rendering convention (Spark hex() and DuckDB hex() both
+    // render uppercase)
+    "q218_gif_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame,
+        |  CAST(12 AS INTEGER) AS n_bytes,
+        |  CAST(('0x' || substr(md5(hex(repeat(
+        |      unhex(format('{:02x}', (doc_id * 11 + f * 37) % 251)), 12))),
+        |    1, 8)) AS BIGINT) AS resized_checksum
+        |FROM documents CROSS JOIN range(0, 6) t(f)
+        |WHERE f <= doc_id % 6 AND f % 2 = 0""".stripMargin,
 
     // q215: the raw-text round trip is value-invisible — one
     // order-independent report row replayed from parquet

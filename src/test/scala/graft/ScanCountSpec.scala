@@ -412,6 +412,11 @@ class ScanCountSpec extends SparkSuite {
     assert(nodeShape("q211_ingest_audit_drift") === nodeShape("q208_ingest_audit"))
     assert(scanCount("q211_ingest_audit_drift") <= 1)
     assert(shuffleCount("q211_ingest_audit_drift") <= 2)
+    // q218 (round 19): the container frame-sample + resize chain is
+    // map-only — generate, per-frame decode, explode, filter and the
+    // typed resize pass all ride one documents scan, no exchange
+    assert(scanCount("q218_gif_frame_sample") <= 1)
+    assert(shuffleCount("q218_gif_frame_sample") === 0)
     // q215/q216 (round 19): same one-scan contract for the raw-text
     // and audited-CSV round trips
     assert(formatScanCount("q215_rawtext_ingest", "text") <= 1)
