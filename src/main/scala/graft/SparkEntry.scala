@@ -3351,6 +3351,87 @@ object SparkEntry {
             .as("resized_checksum"))
     }),
 
+    // ---- TOKEN TRAINING-SHARD EXPORT (io.TokenShards — the LLM
+    // pipeline's last mile: the corpus leaves the engine as binary
+    // int32-LE shards of back-to-back 64-token sequences, the layout a
+    // training loader memory-maps). Docs in doc-id order, one EOS
+    // (=vocab) each, partial tail sequence dropped, 16 seqs per shard.
+    // Every byte is oracle-recomputable: token ids are the md5-slice
+    // hash, so the DuckDB gate rebuilds the exact stream from parquet
+    // and checks each shard's count/sum AND the position-weighted
+    // polynomial checksum — the bytes on disk must encode exactly the
+    // right tokens in exactly the right order. manifest_match pins the
+    // writer's self-report against the re-read bytes. Plan: one
+    // documents scan; offsets move (doc_id, cost) pairs only; the text
+    // shuffles once (offsets join), the token stream once (shard
+    // exchange); the read-back is a map-only binaryFile scan through
+    // the fused token_shard_stats kernel — shard contents never reach
+    // a shuffle, only 3-field stat structs do. ----
+    "q219_token_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q219") + "/shards"
+      val packed = graft.io.TokenShards.pack(d, "doc_id", "text",
+        vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
+      val manifest = graft.io.TokenShards.write(packed, path)
+      graft.io.TokenShards.readStats(s, path)
+        .join(broadcast(manifest.withColumnRenamed("n_tokens", "m_tokens")),
+          "shard_id")
+        .select(col("shard_id"),
+          expr("n_tokens div 64L").as("n_seqs"),
+          col("n_tokens"), col("token_sum"), col("poly_mod"),
+          (col("n_tokens") === col("m_tokens") &&
+            col("n_bytes") === col("n_tokens") * 4).as("manifest_match"))
+    }),
+
+    // ---- AVRO interchange round trip (core.AvroSource / io.Avro —
+    // the row-oriented lake/streaming delivery format next to q210's
+    // columnar ORC; the jar set has no spark-avro connector, so the
+    // container blocks are parsed DIRECTLY with avro-core over
+    // per-shard-file bytes, which is also the honest parallelism
+    // grain: one map task per shard like the gzip JSONL deliveries).
+    // documents write as 4 deflate container shards and read back
+    // through the registry source with the supplied schema as the
+    // Avro READER schema; q209's md5 content checksum gates any
+    // encode/decode value mangling. ----
+    "q221_avro_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q221") + "/docs_avro"
+      graft.io.Avro.write(d.repartition(4), path)
+      val back = graft.core.AvroSource(path, StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))).load(s)
+      back.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }),
+
+    // ---- SPECTRAL audio feature (functions.PcmDftBin — the
+    // frequency-domain half of the PCM path; q153 is the time-domain
+    // half): per 256-sample window the single-bin DFT projection onto
+    // bin 4 (250 Hz at 16 kHz), as exact int64 micro-scaled sums.
+    // The twiddle tables are computed ONCE in Scala (StrictMath) and
+    // the SAME numbers are embedded as literal lists in the oracle
+    // SQL, so — unlike the ln-recipe audits — there is NO cross-engine
+    // transcendental at all: both engines multiply int16 samples by
+    // the same integer table. Map-only scan; only 3-field window
+    // structs leave it. ----
+    "q220_pcm_spectral" -> ((s, dir) => {
+      val media = Media.fromText(t(s, dir, "documents"), "doc_id", "text", "audio")
+      media.select(col("media_id"),
+          explode(graft.functions.MediaFunctions
+            .pcmDftBin(col("media"), 256, 4)).as("w"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(expr("abs(w.re_u) div 1000")).as("re_mag_sum"),
+          sum(expr("abs(w.im_u) div 1000")).as("im_mag_sum"),
+          max(expr("abs(w.re_u) div 1000 + abs(w.im_u) div 1000"))
+            .as("peak_bin_energy"))
+    }),
+
     // ---- RAW-TEXT corpus shards (io.RawText — the other corpus
     // delivery format next to JSONL: plain .txt.gz, one doc per
     // line): documents' text writes out as 4 gzip text shards and
@@ -10217,6 +10298,91 @@ object SparkEntry {
         |UNION ALL
         |SELECT NULL AS lang, NULL AS source, CAST(1 AS BIGINT) AS n_docs,
         |  CAST(NULL AS BIGINT) AS chars_total,
-        |  CAST(NULL AS BIGINT) AS text_checksum, CAST(1 AS BIGINT) AS n_corrupt""".stripMargin
+        |  CAST(NULL AS BIGINT) AS text_checksum, CAST(1 AS BIGINT) AS n_corrupt""".stripMargin,
+
+    // q219: rebuild the exact token stream the shards encode — md5-slice
+    // ids + EOS(4096) per doc in doc-id order, global positions via the
+    // cumulative window, partial tail sequence dropped at total//64*64 —
+    // then per shard the count/sum and the position-weighted polynomial
+    // checksum mod 1e9+7 (rn is 1-based within the shard, matching the
+    // kernel's i+1). The Spark side derives every value from RE-READ
+    // shard BYTES, so a hash match proves the on-disk int32-LE layout.
+    "q219_token_shards" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    list_append(
+        |      list_transform(
+        |        CASE WHEN length(trim(text)) = 0 THEN []
+        |             ELSE string_split_regex(trim(text), '\s+') END,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
+        |      4096) AS ids
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, ids,
+        |    coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
+        |    sum(len(ids)) OVER () AS total
+        |  FROM ids),
+        |toks AS (
+        |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
+        |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
+        |        FROM offs) t),
+        |sh AS (
+        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+        |  FROM toks WHERE gpos < (total // 64) * 64),
+        |st AS (
+        |  SELECT shard_id, tid,
+        |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
+        |  FROM sh)
+        |SELECT shard_id, CAST(count(*) // 64 AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tid) AS BIGINT) AS token_sum,
+        |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
+        |    AS poly_mod,
+        |  true AS manifest_match
+        |FROM st GROUP BY 1""".stripMargin,
+
+    // q221: the Avro round trip is value-invisible like q209/q210's —
+    // the same per-group content-checksum replay from parquet
+    "q221_avro_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q220: q153's int16-LE sample reconstruction, then the single-bin
+    // projection against the SAME micro-scaled twiddle tables the
+    // engine kernel uses — embedded below as literal lists from
+    // DftTables (one build computes both sides; no cross-engine
+    // transcendental). j is the in-window sample index; the partial
+    // final window sums its shorter run of the same table.
+    "q220_pcm_spectral" -> {
+      val cosList = graft.functions.MediaKernels.DftTables
+        .cosMicros(256, 4).mkString("[", ", ", "]")
+      val sinList = graft.functions.MediaKernels.DftTables
+        .sinMicros(256, 4).mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+        |             octet_length(encode(text)) // 2 AS n
+        |           FROM documents),
+        |sm AS (SELECT doc_id, i,
+        |         CAST(('0x' || substr(h, 4*i + 3, 2) || substr(h, 4*i + 1, 2))
+        |              AS INTEGER) AS v
+        |       FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM m) t),
+        |sg AS (SELECT doc_id, i // 256 AS win, CAST(i % 256 AS BIGINT) AS j,
+        |         CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        |       FROM sm),
+        |ct AS (SELECT $cosList AS c, $sinList AS sn),
+        |w AS (SELECT doc_id, win,
+        |        CAST(sum(CAST(s AS BIGINT) * ct.c[j + 1]) AS BIGINT) AS re_u,
+        |        CAST(-sum(CAST(s AS BIGINT) * ct.sn[j + 1]) AS BIGINT) AS im_u
+        |      FROM sg, ct GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(abs(re_u) // 1000) AS BIGINT) AS re_mag_sum,
+        |  CAST(sum(abs(im_u) // 1000) AS BIGINT) AS im_mag_sum,
+        |  CAST(max(abs(re_u) // 1000 + abs(im_u) // 1000) AS BIGINT)
+        |    AS peak_bin_energy
+        |FROM w GROUP BY 1""".stripMargin
+    }
   )
 }

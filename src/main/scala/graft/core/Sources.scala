@@ -99,6 +99,16 @@ final case class OrcSource(path: String) extends Source {
   def load(spark: SparkSession): DataFrame = spark.read.orc(path)
 }
 
+/** Avro container shards (the row-oriented lake/streaming interchange
+  * format — Kafka dumps, CDC extracts; parsed with avro-core over
+  * per-shard-file bytes since the jar set has no spark-avro connector,
+  * see [[graft.io.Avro]]). Supplied schema = Avro READER schema, so
+  * pruning/reordering ride Avro's own resolution rules. */
+final case class AvroSource(path: String, schema: StructType) extends Source {
+  def load(spark: SparkSession): DataFrame =
+    graft.io.Avro.read(spark, path, schema)
+}
+
 /** S6: ESRI shapefile layer (attributes + WKB `geometry`). */
 final case class ShapefileSource(base: String) extends Source {
   def load(spark: SparkSession): DataFrame = graft.geo.Shapefile.read(spark, base)

@@ -56,6 +56,67 @@ object MediaKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Micro-scaled DFT twiddle tables, memoized per (window, k). The
+    * values are computed ONCE here (StrictMath — bit-identical on any
+    * JVM) and the SAME arrays are embedded as literal lists in the
+    * DuckDB oracle SQL ([[graft.SparkEntry]] q220), so the spectral
+    * feature is exact integer arithmetic end to end with ZERO
+    * cross-engine transcendental risk — unlike the ln/log recipes,
+    * nothing here depends on two math libraries rounding alike. */
+  object DftTables {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), (Array[Long], Array[Long])]()
+    def tables(window: Int, k: Int): (Array[Long], Array[Long]) =
+      cache.computeIfAbsent((window, k), { case (w, kk) =>
+        val c = new Array[Long](w); val s = new Array[Long](w)
+        var j = 0
+        while (j < w) {
+          val a = 2.0 * StrictMath.PI * kk * j / w
+          c(j) = StrictMath.floor(StrictMath.cos(a) * 1e6 + 0.5).toLong
+          s(j) = StrictMath.floor(StrictMath.sin(a) * 1e6 + 0.5).toLong
+          j += 1
+        }
+        (c, s)
+      })
+    def cosMicros(window: Int, k: Int): Array[Long] = tables(window, k)._1
+    def sinMicros(window: Int, k: Int): Array[Long] = tables(window, k)._2
+  }
+
+  /** Single-bin DFT over little-endian int16 PCM windows — the
+    * spectral half of the audio feature path (q153 covers the
+    * time-domain stats): per window of `window` samples, the exact
+    * integer micro-scaled projections re = Σ s[j]·cos_µ[j] and
+    * im = −Σ s[j]·sin_µ[j] onto bin `k` (at 16 kHz / window 256,
+    * bin k sits at k·62.5 Hz). The final partial window sums its own
+    * shorter run of the same tables. All arithmetic is exact int64
+    * (|re| ≤ window·32767·10⁶ ≈ 8.4e15). */
+  def pcmDftWindows(bytes: Array[Byte], window: Int, k: Int): ArrayData = {
+    val (cosT, sinT) = DftTables.tables(window, k)
+    val n = bytes.length / 2
+    val nWin = (n + window - 1) / window
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val start = w * window
+      val end = math.min(start + window, n)
+      var re = 0L
+      var im = 0L
+      var i = start
+      while (i < end) {
+        val lo = bytes(2 * i) & 0xFF
+        val hi = bytes(2 * i + 1).toInt // sign-extends
+        val s = ((hi << 8) | lo).toLong
+        val j = i - start
+        re += s * cosT(j)
+        im -= s * sinT(j)
+        i += 1
+      }
+      out(w) = InternalRow(w, re, im)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** pcm_windows(binary, window) -> array<struct<win int, rms_micros
@@ -79,6 +140,31 @@ case class PcmWindowFeatures(child: Expression, window: Int)
       c => s"graft.functions.MediaKernels.pcmWindows($c, $window)")
 
   override protected def withNewChildInternal(c: Expression): PcmWindowFeatures =
+    copy(child = c)
+}
+
+/** pcm_dft_bin(binary, window, k) -> array<struct<win int, re_u
+  * bigint, im_u bigint>>: per-window single-bin DFT projections in
+  * exact micro-scaled integers (see [[MediaKernels.pcmDftWindows]]).
+  * Empty array for payloads under 2 bytes. */
+case class PcmDftBin(child: Expression, window: Int, k: Int)
+    extends UnaryExpression {
+  require(window >= 1, s"need window >= 1; got $window")
+  require(k >= 0 && k < window, s"need bin k in [0, window); got $k of $window")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("win", IntegerType, nullable = false),
+    StructField("re_u", LongType, nullable = false),
+    StructField("im_u", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pcm_dft_bin"
+
+  override def nullSafeEval(v: Any): Any =
+    MediaKernels.pcmDftWindows(v.asInstanceOf[Array[Byte]], window, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaKernels.pcmDftWindows($c, $window, $k)")
+
+  override protected def withNewChildInternal(c: Expression): PcmDftBin =
     copy(child = c)
 }
 
@@ -405,6 +491,9 @@ case class GifFrameRasterExpr(left: Expression, right: Expression)
 object MediaFunctions {
   def pcmWindowFeatures(bin: Column, window: Int): Column =
     GraftBridge.column(PcmWindowFeatures(GraftBridge.expression(bin), window))
+
+  def pcmDftBin(bin: Column, window: Int, k: Int): Column =
+    GraftBridge.column(PcmDftBin(GraftBridge.expression(bin), window, k))
 
   def grayPng(width: Column, height: Column, value: Column): Column =
     GraftBridge.column(GrayPngExpr(GraftBridge.expression(width),

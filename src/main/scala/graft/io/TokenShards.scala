@@ -1,0 +1,195 @@
+package graft.io
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Fixed-length token-sequence training shards — the LAST MILE of an
+  * LLM data pipeline: after curation/dedup/packing decisions, the
+  * corpus leaves the engine as binary shards of back-to-back
+  * `seqLen`-token sequences (int32 little-endian), the layout a
+  * training loader memory-maps. The reference has no training-export
+  * surface; this is a §2.11 scale-layer sink like
+  * [[Jsonl]]/[[RawText]] are sources.
+  *
+  * The contract mirrors the classic GPT-style pretraining pack:
+  * documents are laid end to end in a deterministic global order
+  * (doc id), each terminated by one EOS token; the resulting token
+  * stream is cut into consecutive `seqLen` sequences; the final
+  * partial sequence is DROPPED (training wants full windows only);
+  * `seqsPerShard` sequences make one shard file. Token ids are the
+  * oracle-replayable md5-slice hash (`conv(substr(md5(token),1,8))
+  * mod vocab`, the q40/q45 family's arithmetic) with `vocab` itself
+  * as the EOS id, so every byte of every shard is independently
+  * recomputable by another engine from the source table — which is
+  * exactly what q219's DuckDB gate does.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - global positions come from the two-pass offsets pattern
+  *    ([[graft.curation.Curate.packBudget]]'s): per-doc costs are
+  *    cumulated WITHIN doc-id range buckets by a window, and only the
+  *    per-bucket totals (`nBuckets` rows, bounded) ever reach the
+  *    driver — no single-partition global window, no global sort;
+  *  - the document TEXT shuffles exactly once (the offsets join back
+  *    to the docs), and the token stream shuffles exactly once (the
+  *    exchange onto shard ids before the writer) — a contiguous
+  *    global repack cannot move less than that;
+  *  - the writer streams int32s per partition through the Hadoop
+  *    FileSystem API (iterator in, bytes out — constant memory per
+  *    task however large a shard is), writing to an attempt-unique
+  *    temp name and renaming, so a retried task republishes its
+  *    shards instead of interleaving with a dead attempt's partial
+  *    file.
+  */
+object TokenShards {
+
+  /** Oracle-replayable token id: first 32 md5 bits mod `vocab`
+    * (DuckDB: `CAST('0x' || substr(md5(t),1,8) AS BIGINT) % vocab`).
+    * Non-negative by construction (the hash slice is unsigned). */
+  def tokenId(token: Column, vocab: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % vocab
+
+  /** The packed token stream: one row per token,
+    * `(shard_id, seq_id, gpos, tid)`, EOS-terminated docs laid out in
+    * doc-id order, partial tail sequence dropped. `nBuckets` bounds
+    * the driver-side offsets collect. */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+           vocab: Int, seqLen: Int, seqsPerShard: Int,
+           nBuckets: Int = 32): DataFrame = {
+    require(vocab > 0 && seqLen > 0 && seqsPerShard > 0 && nBuckets > 0,
+      s"vocab/seqLen/seqsPerShard/nBuckets must be positive, " +
+        s"got $vocab/$seqLen/$seqsPerShard/$nBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // ids per doc: md5-slice token ids + one EOS (= vocab); an
+    // empty-text doc is a lone EOS. Computed BEFORE the offsets join
+    // so the window/join below move (doc_id, cost) pairs, not text.
+    val withIds = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      concat(
+        transform(graft.text.Text.tokens(col(textCol)),
+          t => tokenId(t, vocab).cast("int")),
+        array(lit(vocab))).as("ids"))
+    val costs = withIds.select(col("doc_id"),
+      size(col("ids")).cast("long").as("cost"))
+
+    // doc-id range buckets: pid is monotone in doc_id, so bucket-local
+    // cumsums + per-bucket offsets reproduce the global doc-id-ordered
+    // running sum. maxId is one bounded driver scalar.
+    val maxId = Option(costs.agg(max("doc_id")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val block = math.max(1L, maxId / nBuckets + 1L)
+    val bucketed = costs.withColumn("pid",
+      expr(s"doc_id div ${block}L").cast("int"))
+    val perBucket = bucketed.groupBy("pid")
+      .agg(sum("cost").as("total"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offs = perBucket.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, tot)) => (pid, acc + tot)
+    }
+    val pidOff = perBucket.map(_._1).zip(offs.map(_._2)).toMap
+    val totalTokens = perBucket.map(_._2).sum
+    val completeSeqs = totalTokens / seqLen
+    val offDf = broadcast(pidOff.toSeq.toDF("pid", "pid_off"))
+
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docOff = bucketed
+      .join(offDf, "pid")
+      .withColumn("doc_off",
+        coalesce(sum(col("cost")).over(w), lit(0L)) + col("pid_off"))
+      .select(col("doc_id"), col("doc_off"))
+
+    withIds
+      .join(docOff, "doc_id") // the one text-bearing shuffle
+      .select(col("doc_off"), posexplode(col("ids")).as(Seq("pos", "tid")))
+      .select((col("doc_off") + col("pos")).as("gpos"), col("tid"))
+      .where(col("gpos") < completeSeqs * seqLen)
+      .withColumn("seq_id", expr(s"gpos div ${seqLen}L"))
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+      .select(col("shard_id"), col("seq_id"), col("gpos"), col("tid"))
+  }
+
+  /** Write `packed` (shard_id, gpos, tid) as `shard-NNNNN.bin` int32-LE
+    * files under `path`; runs EAGERLY (the files must exist before any
+    * [[readStats]] plan lists them) and returns the manifest
+    * (shard_id, n_tokens, n_bytes) as a local DataFrame — shard count
+    * is bounded (corpus / (seqLen·seqsPerShard tokens), i.e. the file
+    * listing itself), so the collect is driver-safe the same way the
+    * offsets collect is. */
+  def write(packed: DataFrame, path: String): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+
+    val manifest = packed
+      .select(col("shard_id").cast("long"), col("gpos").cast("long"),
+        col("tid").cast("int"))
+      .as[(Long, Long, Int)]
+      // one exchange onto shard ids; in-task order is (shard, gpos)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("gpos"))
+      .mapPartitions { it =>
+        // executor-side FS from the deployment's own core-site.xml —
+        // the standard executor-classpath config channel
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        var cur = Long.MinValue
+        var stream: java.io.DataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var n = 0L
+        val buf = new Array[Byte](4)
+        def close(): Unit = if (stream != null) {
+          stream.close()
+          // publish atomically: delete-then-rename makes a retried
+          // task republish rather than append/interleave
+          val fin = new org.apache.hadoop.fs.Path(path, f"shard-$cur%05d.bin")
+          if (fs.exists(fin)) fs.delete(fin, false)
+          fs.rename(tmp, fin)
+          out += ((cur, n, n * 4L))
+          stream = null; n = 0L
+        }
+        it.foreach { case (shard, _, tid) =>
+          if (shard != cur) {
+            close(); cur = shard
+            tmp = new org.apache.hadoop.fs.Path(path,
+              f".shard-$cur%05d.bin.$attempt%d.tmp")
+            stream = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
+          }
+          buf(0) = tid.toByte; buf(1) = (tid >>> 8).toByte
+          buf(2) = (tid >>> 16).toByte; buf(3) = (tid >>> 24).toByte
+          stream.write(buf); n += 1L
+        }
+        close()
+        out.iterator
+      }
+      .collect()
+    manifest.toSeq.toDF("shard_id", "n_tokens", "n_bytes")
+  }
+
+  /** Re-read written shards and reduce each to its layout-proving
+    * stats via the codegen'd [[graft.functions.ShardKernels]] pass:
+    * token count, token sum, and the position-weighted polynomial
+    * checksum (order-sensitive — a swapped pair of tokens changes it,
+    * a re-ordered byte layout cannot hash-match the oracle). One
+    * binaryFile scan, map-only; waveform-sized contents never reach a
+    * shuffle, only the 3-long stat struct does. */
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile")
+      .load(path + "/shard-*.bin")
+      .select(
+        regexp_extract(col("path"), "shard-(\\d+)\\.bin", 1)
+          .cast("long").as("shard_id"),
+        graft.functions.ShardFunctions.tokenShardStats(col("content")).as("st"))
+      .select(col("shard_id"), col("st.n_tokens").as("n_tokens"),
+        col("st.token_sum").as("token_sum"), col("st.poly_mod").as("poly_mod"))
+}

@@ -434,6 +434,31 @@ class ScanCountSpec extends SparkSuite {
     assert(shuffleCount("q212_jsonl_corpus_e2e") <= 8)
   }
 
+  test("token-shard export and the spectral kernel keep their pinned plans") {
+    // q219: pack/write run eagerly at construction (their documented
+    // cost is the two-exchange repack: offsets join + shard exchange);
+    // the RETURNED plan re-reads the written shards only — one
+    // binaryFile scan through the fused token_shard_stats kernel with
+    // the bounded manifest broadcast-joined in, zero parquet scans,
+    // zero shuffles. A parquet scan or exchange here means the
+    // verification pass regressed to re-deriving from the corpus.
+    assert(formatScanCount("q219_token_shards", "binaryFile") <= 1)
+    assert(scanCount("q219_token_shards") === 0)
+    assert(shuffleCount("q219_token_shards") === 0)
+    // q220: the single-bin DFT is map-only (per-window structs, never
+    // waveform bytes, reach the aggregate) — one documents scan, one
+    // per-media exchange
+    assert(scanCount("q220_pcm_spectral") <= 1)
+    assert(shuffleCount("q220_pcm_spectral") <= 1)
+    // q221: the avro-core parse is an RDD boundary (no spark-avro
+    // connector in the jar set), so the returned plan is the ExistingRDD
+    // scan + the one report exchange — zero parquet scans (the write
+    // runs eagerly), and column pruning happens at PARSE time via the
+    // Avro reader schema rather than in Catalyst (AvroSpec pins it)
+    assert(scanCount("q221_avro_roundtrip") === 0)
+    assert(shuffleCount("q221_avro_roundtrip") <= 1)
+  }
+
   test("weighted estimators plan like their unweighted siblings") {
     // the weighted overloads swap counts for Σw aggregates in the SAME
     // single-chain shape — still one scan, latest-per-point + stratum

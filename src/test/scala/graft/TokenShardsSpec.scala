@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.ShardKernels
+import graft.io.TokenShards
+import org.apache.spark.sql.functions._
+
+/** Token training-shard export (q219): stream construction (doc-id
+  * order, EOS termination, tail drop), on-disk int32-LE layout, the
+  * verification kernel, and writer idempotence. */
+class TokenShardsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Vocab = 4096
+
+  /** Local reference of the md5-slice token id. */
+  private def refId(token: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(token.getBytes("UTF-8"))
+    val h = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    (h % Vocab).toInt
+  }
+
+  /** Local reference of the full packed stream: doc-id order, ids +
+    * EOS per doc, partial tail sequence dropped. */
+  private def refStream(docs: Seq[(Long, String)], seqLen: Int): Seq[Int] = {
+    val all = docs.sortBy(_._1).flatMap { case (_, text) =>
+      val toks = if (text.trim.isEmpty) Seq.empty
+                 else text.trim.split("\\s+").toSeq
+      toks.map(refId) :+ Vocab
+    }
+    all.take(all.size / seqLen * seqLen)
+  }
+
+  private val docs = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog"),
+    (11L, ""),                        // empty text -> lone EOS
+    (12L, "  padded   whitespace  "), // trim + \s+ split
+    (13L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (14L, "one two three four five six seven eight nine ten eleven twelve"))
+
+  test("pack reproduces the doc-id-ordered EOS-terminated stream with tail drop") {
+    val df = docs.toDF("doc_id", "text")
+    val packed = TokenShards.pack(df, "doc_id", "text",
+      vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+    val got = packed.orderBy("gpos").select("gpos", "tid")
+      .as[(Long, Int)].collect()
+    val want = refStream(docs, seqLen = 8)
+    assert(got.map(_._1).toSeq === (0L until want.size.toLong))
+    assert(got.map(_._2).toSeq === want)
+    // shard/seq assignment is pure arithmetic on gpos
+    val ids = packed.select("shard_id", "seq_id", "gpos")
+      .as[(Long, Long, Long)].collect()
+    ids.foreach { case (sh, sq, g) =>
+      assert(sq === g / 8); assert(sh === sq / 2)
+    }
+  }
+
+  test("write emits int32-LE shard files the kernel and manifest agree on") {
+    val df = docs.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("tokshard").toString
+    val packed = TokenShards.pack(df, "doc_id", "text",
+      vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+    val manifest = TokenShards.write(packed, s"$dir/shards")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val want = refStream(docs, seqLen = 8)
+    val nShards = (want.size / 8 + 1) / 2 // ceil(seqs / seqsPerShard)
+    assert(manifest.map(_._1).toSeq === (0L until nShards.toLong))
+    assert(manifest.map(_._2).sum === want.size.toLong)
+    manifest.foreach { case (_, n, bytes) => assert(bytes === n * 4) }
+    // bytes on disk decode to exactly the reference stream slice
+    manifest.foreach { case (sh, n, _) =>
+      val f = java.nio.file.Paths.get(s"$dir/shards", f"shard-$sh%05d.bin")
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      assert(bytes.length === n * 4)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val decoded = (0 until n.toInt).map(_ => bb.getInt())
+      assert(decoded === want.slice(sh.toInt * 16, sh.toInt * 16 + n.toInt))
+    }
+    // readStats (the codegen kernel over binaryFile) agrees with a
+    // direct recomputation from the reference stream
+    val stats = TokenShards.readStats(spark, s"$dir/shards")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    stats.foreach { case (sh, n, sum, poly) =>
+      val slice = want.slice(sh.toInt * 16, sh.toInt * 16 + n.toInt)
+      assert(sum === slice.map(_.toLong).sum)
+      val refPoly = slice.zipWithIndex.map { case (t, i) =>
+        (i + 1L) * (t + 1L)
+      }.sum % ShardKernels.PolyMod
+      assert(poly === refPoly)
+    }
+  }
+
+  test("polynomial checksum is order-sensitive; plain sum is not") {
+    val a = Array[Byte](1, 0, 0, 0, 2, 0, 0, 0) // tokens [1, 2]
+    val b = Array[Byte](2, 0, 0, 0, 1, 0, 0, 0) // tokens [2, 1]
+    val sa = ShardKernels.tokenShardStats(a)
+    val sb = ShardKernels.tokenShardStats(b)
+    assert(sa.getLong(1) === sb.getLong(1))   // same sum
+    assert(sa.getLong(2) !== sb.getLong(2))   // different poly
+  }
+
+  test("kernel ignores trailing bytes past the last full int32") {
+    val whole = Array[Byte](5, 0, 0, 0)
+    val ragged = Array[Byte](5, 0, 0, 0, 9, 9)
+    assert(ShardKernels.tokenShardStats(whole) ===
+      ShardKernels.tokenShardStats(ragged))
+    val empty = ShardKernels.tokenShardStats(Array.emptyByteArray)
+    assert(empty.getLong(0) === 0L)
+  }
+
+  test("re-write over an existing export replaces it cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("tokshard2").toString
+    val big = docs.toDF("doc_id", "text")
+    val small = docs.take(2).toDF("doc_id", "text")
+    TokenShards.write(TokenShards.pack(big, "doc_id", "text",
+      Vocab, 8, 2, 3), s"$dir/shards")
+    val m2 = TokenShards.write(TokenShards.pack(small, "doc_id", "text",
+      Vocab, 8, 2, 3), s"$dir/shards").as[(Long, Long, Long)].collect()
+    // the second (smaller) export fully replaces the first: on-disk
+    // shard set == second manifest, no stale shard files
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.getName).sorted
+    assert(files.toSeq === m2.map(_._1).sorted.map(s => f"shard-$s%05d.bin").toSeq)
+  }
+}
