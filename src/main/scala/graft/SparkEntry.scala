@@ -3409,6 +3409,26 @@ object SparkEntry {
             .as("text_checksum"))
     }),
 
+    // ---- VERSIONED-SNAPSHOT DIFF (ops.Relational.snapshotDiff — the
+    // publish-audit question "what changed between version A and B" as
+    // one query). Version A = the corpus minus the doc_id%11 rows with
+    // the %17 rows' text amended (' v2' suffix); version B = the
+    // corpus minus the %13 rows — so added/removed/changed rows all
+    // genuinely occur and the oracle replays the same derivation. Both
+    // sides collapse map-side to (doc_id, md5 row fingerprint); only
+    // 16-byte digests reach the full outer join, never text. Report =
+    // the non-unchanged rows. ----
+    "q222_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val nw = d.where(col("doc_id") % 13 =!= 0)
+      graft.ops.Relational.snapshotDiff(old, nw, Seq("doc_id"),
+          Seq("text", "lang", "source", "n_chars"))
+        .where(col("change") =!= "unchanged")
+    }),
+
     // ---- SPECTRAL audio feature (functions.PcmDftBin — the
     // frequency-domain half of the PCM path; q153 is the time-domain
     // half): per 256-sample window the single-bin DFT projection onto
@@ -10350,6 +10370,36 @@ object SparkEntry {
         |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
         |    AS text_checksum
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // q222: replay the same two derived versions and the same
+    // \x01-joined \x02-sentinel md5 row fingerprint (chr(1)/chr(2) in
+    // DuckDB), classify via the full outer join, drop unchanged.
+    "q222_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |nw AS (SELECT doc_id, text, lang, source, n_chars
+        |       FROM documents WHERE doc_id % 13 <> 0),
+        |o AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce(text, chr(2)), coalesce(lang, chr(2)),
+        |        coalesce(source, chr(2)),
+        |        coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS fp
+        |      FROM old),
+        |n AS (SELECT doc_id, md5(concat_ws(chr(1),
+        |        coalesce(text, chr(2)), coalesce(lang, chr(2)),
+        |        coalesce(source, chr(2)),
+        |        coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS fp
+        |      FROM nw),
+        |cls AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.fp <> n.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
 
     // q220: q153's int16-LE sample reconstruction, then the single-bin
     // projection against the SAME micro-scaled twiddle tables the

@@ -95,4 +95,43 @@ object Relational {
   def applyPatches(df: DataFrame, patches: DataFrame, keys: Seq[String]): DataFrame =
     df.join(patches.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(patches, allowMissingColumns = true)
+
+  /** Versioned-snapshot DIFF — "what changed between published version
+    * A and version B" (the audit question every reference publish
+    * round answers by eye; the engine answers it as a query). Each
+    * side collapses MAP-SIDE to (key, row-fingerprint) — fingerprint =
+    * md5 over a \u0001-joined string render of `valueCols` with a
+    * \u0002 null sentinel (oracle-replayable; concat_ws alone would
+    * conflate NULL with empty) — so the full outer join shuffles
+    * 16-byte digests, never the row payloads. Classification:
+    *
+    *   - `added`     key only in `newDf`
+    *   - `removed`   key only in `oldDf`
+    *   - `changed`   key in both, fingerprints differ
+    *   - `unchanged` key in both, fingerprints equal
+    *
+    * Callers filter `unchanged` out for the publish-audit report; the
+    * classifier keeps it so counts reconcile to both inputs. Keys must
+    * be unique per side (the versioned tables' own contract — Vc sorts
+    * and hash-verifies on write). One shuffle per side on the keys.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                   valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "snapshotDiff needs at least one key and one value column")
+    def fingerprinted(df: DataFrame, fpName: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        md5(concat_ws("\u0001",
+          valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+          .as(fpName): _*)
+    val o = fingerprinted(oldDf, "__fp_old")
+    val n = fingerprinted(newDf, "__fp_new")
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .drop("__fp_old", "__fp_new")
+  }
 }

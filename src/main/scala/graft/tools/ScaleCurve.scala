@@ -51,7 +51,15 @@ object ScaleCurve {
     // full-train bitext E2E (fixed training cost, should amortize),
     // and the composed single-scan ingest audit
     "q38_docs_winnow", "q47_simhash_neardups", "q105_winnow_canonical",
-    "q207_bitext_train_e2e", "q208_ingest_audit")
+    "q207_bitext_train_e2e", "q208_ingest_audit",
+    // round-19 additions: the JSONL-fed admission E2E and the shard
+    // delivery round trips (per-file gzip/deflate parallelism), index
+    // compaction (O(fragmented cells) — should stay flat), the token
+    // training-shard export (two bounded exchanges + binary write/
+    // re-read), and the spectral kernel (map-only, like q153)
+    "q212_jsonl_corpus_e2e", "q213_ivfpq_index_compact",
+    "q215_rawtext_ingest", "q219_token_shards", "q220_pcm_spectral",
+    "q221_avro_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily

@@ -161,4 +161,22 @@ class OpsSpec extends SparkSuite {
     val incoming = Seq((2, "B"), (3, "C")).toDF("id", "v")
     assert(Checks.overlap(old, incoming, Seq("id")).count() === 1)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged (q222)") {
+    val old = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option("c"), 30L), (4L, None, 40L), (5L, Option(""), 50L))
+      .toDF("id", "v", "w")
+    val nw = Seq((2L, Option("b"), 20L), (3L, Option("CHANGED"), 30L),
+      (4L, Option(""), 40L), (5L, Option(""), 50L), (6L, Option("f"), 60L))
+      .toDF("id", "v", "w")
+    val got = Relational.snapshotDiff(old, nw, Seq("id"), Seq("v", "w"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "removed",   // only in old
+      2L -> "unchanged",
+      3L -> "changed",
+      4L -> "changed",   // NULL -> "" must NOT read as unchanged
+      5L -> "unchanged", // "" -> "" stays unchanged
+      6L -> "added"))
+  }
 }

@@ -457,6 +457,12 @@ class ScanCountSpec extends SparkSuite {
     // Avro reader schema rather than in Catalyst (AvroSpec pins it)
     assert(scanCount("q221_avro_roundtrip") === 0)
     assert(shuffleCount("q221_avro_roundtrip") <= 1)
+    // q222: snapshot diff — each version is its own scan (two, from
+    // the same base table here) collapsed map-side to (key, digest);
+    // one exchange per side feeds the full outer join. A third scan or
+    // extra exchange means a fingerprint subtree re-planned.
+    assert(scanCount("q222_snapshot_diff") <= 2)
+    assert(shuffleCount("q222_snapshot_diff") <= 2)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
