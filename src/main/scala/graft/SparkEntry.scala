@@ -3429,6 +3429,51 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- LATE-DATA accounting (streaming.Events.hourlyCountsAppend —
+    // the append-mode watermark contract q32's complete-mode twin
+    // cannot show): three ordered deliveries — the bulk backfill, a
+    // fresh trickle, and a REPLAYED OLD SHARD (the classic upstream
+    // re-send) — stream through the 90-minute watermark; windows emit
+    // exactly once when the watermark passes, and the replayed shard's
+    // rows are DROPPED because their windows were already evicted. The
+    // oracle replays the measured semantics: the trigger-N late filter
+    // uses trigger N−1's watermark (drop iff window end <= previous
+    // trigger's wm), emission iff window end <= the final wm. The
+    // delivery split is SF-independent (fresh = within 24h of max ts);
+    // explicit file mtimes pin the delivery order. ----
+    "q223_late_data_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+      val ev = t(s, dir, "events").select("event_id", "ts", "event_type")
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
+      val base = tempResultDir("graft-q223")
+      val d1 = ev.where(col("event_id") % 5 =!= 0)
+      val d2 = ev.where(col("event_id") % 5 === 0 && col("ts") >= lit(cutoff))
+      val d3 = ev.where(col("event_id") % 5 === 0 && col("ts") < lit(cutoff))
+      Seq(d1 -> "d=1", d2 -> "d=2", d3 -> "d=3").foreach { case (df, n) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$base/$n")
+      }
+      Seq("d=1", "d=2", "d=3").zipWithIndex.foreach { case (n, i) =>
+        new java.io.File(s"$base/$n").listFiles()
+          .foreach(_.setLastModified(1700000000000L + i * 60000L))
+      }
+      val schema = StructType(Seq(StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("event_type", StringType)))
+      val sink = "graft_q223_sink"
+      Events.withStatePartitions(s, 8) {
+        val q = Events.hourlyCountsAppend(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+              .parquet(base))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      s.table(sink).select(
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("hour_end"),
+        col("event_type"), col("n_events"))
+    }),
+
     // ---- SPECTRAL audio feature (functions.PcmDftBin — the
     // frequency-domain half of the PCM path; q153 is the time-domain
     // half): per 256-sample window the single-bin DFT projection onto
@@ -10400,6 +10445,34 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q223: replay the measured append-mode watermark semantics — the
+    // trigger-N late filter uses trigger N-1's watermark, so delivery
+    // 2 (trigger 1, previous wm = -inf) survives whole while delivery
+    // 3 keeps only rows whose hourly window outlives delivery 1's
+    // watermark; emission = window end <= final watermark (global max
+    // ts - 90 min). Window ends are epoch-aligned hour boundaries on
+    // a UTC-session timestamp, identical on both engines.
+    "q223_late_data_audit" ->
+      """WITH ev AS (SELECT event_id, ts, event_type FROM events),
+        |mx AS (SELECT max(ts) AS m FROM ev),
+        |d1 AS (SELECT ev.* FROM ev WHERE event_id % 5 <> 0),
+        |d2 AS (SELECT ev.* FROM ev, mx
+        |       WHERE event_id % 5 = 0 AND ts >= m - INTERVAL 24 HOUR),
+        |d3 AS (SELECT ev.* FROM ev, mx
+        |       WHERE event_id % 5 = 0 AND ts < m - INTERVAL 24 HOUR),
+        |wm1 AS (SELECT max(ts) - INTERVAL 90 MINUTE AS w FROM d1),
+        |wmf AS (SELECT max(ts) - INTERVAL 90 MINUTE AS w FROM ev),
+        |surv AS (
+        |  SELECT ts, event_type FROM d1
+        |  UNION ALL SELECT ts, event_type FROM d2
+        |  UNION ALL SELECT d3.ts, d3.event_type FROM d3, wm1
+        |    WHERE date_trunc('hour', d3.ts) + INTERVAL 1 HOUR > wm1.w),
+        |agg AS (SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+        |          event_type, count(*) AS n FROM surv GROUP BY 1, 2)
+        |SELECT strftime(agg.wend, '%Y-%m-%d %H:%M:%S') AS hour_end,
+        |  agg.event_type, CAST(agg.n AS BIGINT) AS n_events
+        |FROM agg, wmf WHERE agg.wend <= wmf.w""".stripMargin,
 
     // q220: q153's int16-LE sample reconstruction, then the single-bin
     // projection against the SAME micro-scaled twiddle tables the

@@ -35,6 +35,27 @@ object Events {
         count(lit(1)).as("n_events"),
         (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
 
+  /** APPEND-mode hourly counts — the watermark form with REAL
+    * late-data accounting. [[hourlyStatsStream]] runs complete mode
+    * (every window lives in state forever and re-emits each trigger —
+    * fine for a bounded replay, unbounded state on a real stream);
+    * this one emits each window EXACTLY ONCE when the watermark passes
+    * its end, evicts its state, and DROPS late rows whose window was
+    * already evicted — the at-scale contract for continuous event
+    * ingestion. Measured drop semantics (pinned by q223's oracle and
+    * LateDataSpec): the late filter in trigger N uses the watermark in
+    * effect during trigger N−1 (one-trigger lag — a late row is
+    * dropped iff its window end ≤ the PREVIOUS trigger's watermark,
+    * i.e. iff its window was evicted at the end of an earlier
+    * trigger), while eviction/emission use trigger N's own watermark;
+    * the closing no-data trigger flushes every window whose end ≤ the
+    * final watermark. */
+  def hourlyCountsAppend(events: DataFrame,
+                         delay: String = "90 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Batch sessionization: a session breaks after `gapMinutes` of user
     * inactivity. Session id = running count of gap-breaks per user —
     * one window over (user_id, ts) and no state store needed in batch. */

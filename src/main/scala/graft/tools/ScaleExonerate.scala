@@ -83,6 +83,18 @@ object ScaleExonerate {
         graft.similarity.Bitext.marginMining(
           e.where(col("label") < 5), e.where(col("label") >= 5),
           "vec_id", "embedding", k = 4, minMargin = 1.02).count()
+      }),
+      // round 19: the token-shard export landed at 3.8x on the curve —
+      // expected LINEAR (two token-stream exchanges + a binary write +
+      // re-read, all O(tokens); the small end pays the fixed offsets/
+      // manifest collects and sbt/codegen constants)
+      Case("q219_token_shards", "linear", docDirs, dir => {
+        val out = s"$dir-q219-shards"
+        val packed = graft.io.TokenShards.pack(
+          spark.read.parquet(dir), "doc_id", "text",
+          vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
+        graft.io.TokenShards.write(packed, out)
+        graft.io.TokenShards.readStats(spark, out).count()
       })
     )
 
