@@ -3429,6 +3429,37 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- CDC ROUND TRIP (ops.Relational.changeFeed/applyChangeFeed —
+    // q222's diff made actionable: the feed carries the new payload
+    // for upserts and NULL for removals, and applying it to version A
+    // must reconstruct version B EXACTLY). Same derived versions as
+    // q222; the report aggregates the RECONSTRUCTED table per (lang,
+    // source) with the content checksum, so any wrong/missing/extra
+    // row after apply breaks the hash gate — the oracle aggregates
+    // the derived version B directly. Feed payloads join back only
+    // for touched keys; the diff itself still moves digests only. ----
+    "q224_cdc_roundtrip" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 17 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val nw = d.where(col("doc_id") % 13 =!= 0)
+      val vals = Seq("text", "lang", "source", "n_chars")
+      // the feed is a shipped artifact in real CDC (the batch another
+      // system consumes) — materialize it, then apply FROM DISK, so
+      // the returned plan is old + feed, not a re-planned diff per use
+      val feedPath = tempResultDir("graft-q224") + "/feed"
+      graft.ops.Relational.changeFeed(old, nw, Seq("doc_id"), vals)
+        .write.mode("overwrite").parquet(feedPath)
+      val feed = s.read.parquet(feedPath)
+      graft.ops.Relational.applyChangeFeed(old, feed, Seq("doc_id"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("text_checksum"))
+    }),
+
     // ---- LATE-DATA accounting (streaming.Events.hourlyCountsAppend —
     // the append-mode watermark contract q32's complete-mode twin
     // cannot show): three ordered deliveries — the bulk backfill, a
@@ -10445,6 +10476,15 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q224: the reconstruction must equal version B exactly, so the
+    // oracle aggregates the derived version B directly
+    "q224_cdc_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+        |    AS text_checksum
+        |FROM documents WHERE doc_id % 13 <> 0 GROUP BY 1, 2""".stripMargin,
 
     // q223: replay the measured append-mode watermark semantics — the
     // trigger-N late filter uses trigger N-1's watermark, so delivery

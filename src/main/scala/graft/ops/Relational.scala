@@ -134,4 +134,34 @@ object Relational {
           .otherwise(lit("unchanged")))
       .drop("__fp_old", "__fp_new")
   }
+
+  /** CDC CHANGE FEED — [[snapshotDiff]] with payloads, i.e. the batch
+    * another system needs to go from version A to version B: one row
+    * per touched key, `change` ∈ added/changed/removed, value columns
+    * carrying the NEW payload for upserts and NULL for removals.
+    * Payloads join back only for the TOUCHED keys (the diff itself
+    * still moves digests only), so the feed's cost is proportional to
+    * the change set, not the table. */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+                 valueCols: Seq[String]): DataFrame =
+    // one chain, no union: a LEFT join against the new side gives
+    // upserts their payload and removals their NULLs in the same pass
+    // (a removed key is absent from newDf by definition), so the diff
+    // subtree plans exactly once
+    snapshotDiff(oldDf, newDf, keyCols, valueCols)
+      .where(col("change") =!= "unchanged")
+      .join(newDf.select((keyCols ++ valueCols).map(col): _*), keyCols, "left")
+      .select(keyCols.map(col) ++ Seq(col("change")) ++
+        valueCols.map(col): _*)
+
+  /** Apply a [[changeFeed]] batch to version A, reconstructing version
+    * B exactly: untouched keys keep their old rows (anti-join against
+    * the feed's keys), upsert rows come from the feed verbatim,
+    * removals simply never re-enter. q224 gates the round-trip
+    * identity `applyChangeFeed(A, changeFeed(A, B)) = B`. */
+  def applyChangeFeed(oldDf: DataFrame, feed: DataFrame,
+                      keyCols: Seq[String]): DataFrame =
+    oldDf.join(feed.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(
+        feed.where(col("change").isin("added", "changed")).drop("change"))
 }

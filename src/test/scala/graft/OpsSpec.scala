@@ -179,4 +179,23 @@ class OpsSpec extends SparkSuite {
       5L -> "unchanged", // "" -> "" stays unchanged
       6L -> "added"))
   }
+
+  test("changeFeed + applyChangeFeed reconstructs version B exactly (q224)") {
+    val old = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option("c"), 30L), (4L, None, 40L)).toDF("id", "v", "w")
+    val nw = Seq((2L, Option("b"), 20L), (3L, Option("C2"), 30L),
+      (4L, Option(""), 40L), (6L, Option("f"), 60L)).toDF("id", "v", "w")
+    val feed = Relational.changeFeed(old, nw, Seq("id"), Seq("v", "w"))
+      .as[(Long, String, Option[String], Option[Long])].collect().toSet
+    assert(feed === Set(
+      (1L, "removed", None, None), // removals carry NULL payloads
+      (3L, "changed", Option("C2"), Option(30L)),
+      (4L, "changed", Option(""), Option(40L)),
+      (6L, "added", Option("f"), Option(60L))))
+    val rebuilt = Relational.applyChangeFeed(old,
+        Relational.changeFeed(old, nw, Seq("id"), Seq("v", "w")), Seq("id"))
+      .as[(Long, Option[String], Long)].collect().toSet
+    val want = nw.as[(Long, Option[String], Long)].collect().toSet
+    assert(rebuilt === want)
+  }
 }

@@ -124,6 +124,11 @@ class OracleConsistencySpec extends AnyFunSuite {
       SparkEntry.oracleSql("q200_drift_psi"))
     assert(SparkEntry.oracleSql("q169_ivfpq_index_probe") ===
       SparkEntry.oracleSql("q162_ivfpq_search"))
+    // q221 (Avro) is a format-swap twin of q210 (ORC): both are
+    // value-invisible round trips gated by the same per-group content
+    // checksum, so their oracles are the same SQL by definition
+    assert(SparkEntry.oracleSql("q221_avro_roundtrip") ===
+      SparkEntry.oracleSql("q210_orc_roundtrip"))
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

@@ -463,6 +463,13 @@ class ScanCountSpec extends SparkSuite {
     // extra exchange means a fingerprint subtree re-planned.
     assert(scanCount("q222_snapshot_diff") <= 2)
     assert(shuffleCount("q222_snapshot_diff") <= 2)
+    // q224: the feed is materialized at construction (the shipped CDC
+    // artifact), so the RETURNED apply plan is old + written feed: one
+    // base-table scan, the feed's key anti-join broadcast, one report
+    // exchange. The first cut that applied the UNmaterialized feed
+    // planned 11 scans — this pin is what keeps that from returning.
+    assert(scanCount("q224_cdc_roundtrip") <= 1)
+    assert(shuffleCount("q224_cdc_roundtrip") <= 1)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
