@@ -3429,6 +3429,21 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- DOC-BOUNDARY SIDECAR of the token-shard export
+    // (io.TokenShards.docSpans — the masking metadata a real training
+    // shard ships with: where each document starts inside each packed
+    // sequence, so the loader resets attention/position state and
+    // packed sequences train without cross-document attention).
+    // Computed at DOC grain straight from the shared offsets stage —
+    // a bounded integer explode per doc, never the token stream:
+    // O(docs + sequence-crossings) rows, not O(tokens). The oracle
+    // replays the same interval arithmetic from the cumulative
+    // window; q219's bytes and this sidecar derive from ONE offsets
+    // definition, so they cannot drift. ----
+    "q225_shard_doc_spans" -> ((s, dir) =>
+      graft.io.TokenShards.docSpans(t(s, dir, "documents"), "doc_id", "text",
+        vocab = 4096, seqLen = 64, nBuckets = 8)),
+
     // ---- CDC ROUND TRIP (ops.Relational.changeFeed/applyChangeFeed —
     // q222's diff made actionable: the feed carries the new payload
     // for upserts and NULL for removals, and applying it to version A
@@ -10476,6 +10491,33 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q225: doc-grain replay of the span arithmetic — cost = token
+    // count + EOS, offsets via the cumulative window (q219's stream
+    // definition), one row per (sequence, doc) interval overlap,
+    // clipped to the complete-sequence count.
+    "q225_shard_doc_spans" ->
+      """WITH ids AS (
+        |  SELECT doc_id,
+        |    len(CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END) + 1 AS cost
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, cost,
+        |    CAST(coalesce(sum(cost) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off,
+        |    CAST(sum(cost) OVER () AS BIGINT) AS total
+        |  FROM ids),
+        |sp AS (
+        |  SELECT doc_id, cost, doc_off, total,
+        |    unnest(range(doc_off // 64, (doc_off + cost - 1) // 64 + 1)) AS seq_id
+        |  FROM offs)
+        |SELECT seq_id, doc_id,
+        |  CAST(greatest(0, doc_off - seq_id * 64) AS BIGINT) AS start_off,
+        |  CAST(least(doc_off + cost, (seq_id + 1) * 64)
+        |       - greatest(doc_off, seq_id * 64) AS BIGINT) AS n_tokens
+        |FROM sp WHERE seq_id < total // 64""".stripMargin,
 
     // q224: the reconstruction must equal version B exactly, so the
     // oracle aggregates the derived version B directly

@@ -53,12 +53,13 @@ object TokenShards {
     * `(shard_id, seq_id, gpos, tid)`, EOS-terminated docs laid out in
     * doc-id order, partial tail sequence dropped. `nBuckets` bounds
     * the driver-side offsets collect. */
-  def pack(docs: DataFrame, idCol: String, textCol: String,
-           vocab: Int, seqLen: Int, seqsPerShard: Int,
-           nBuckets: Int = 32): DataFrame = {
-    require(vocab > 0 && seqLen > 0 && seqsPerShard > 0 && nBuckets > 0,
-      s"vocab/seqLen/seqsPerShard/nBuckets must be positive, " +
-        s"got $vocab/$seqLen/$seqsPerShard/$nBuckets")
+  /** The shared offsets stage: per-doc token-id arrays with their
+    * global stream offsets, plus the complete-sequence count. Returns
+    * (doc_id, ids, cost, doc_off) and completeSeqs — [[pack]] explodes
+    * it to the token stream, [[docSpans]] reads it at DOC grain. */
+  private def withOffsets(docs: DataFrame, idCol: String, textCol: String,
+                          vocab: Int, seqLen: Int,
+                          nBuckets: Int): (DataFrame, Long) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -101,14 +102,57 @@ object TokenShards {
         coalesce(sum(col("cost")).over(w), lit(0L)) + col("pid_off"))
       .select(col("doc_id"), col("doc_off"))
 
-    withIds
+    val joined = withIds
       .join(docOff, "doc_id") // the one text-bearing shuffle
+      .select(col("doc_id"), col("ids"),
+        size(col("ids")).cast("long").as("cost"), col("doc_off"))
+    (joined, completeSeqs)
+  }
+
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+           vocab: Int, seqLen: Int, seqsPerShard: Int,
+           nBuckets: Int = 32): DataFrame = {
+    require(vocab > 0 && seqLen > 0 && seqsPerShard > 0 && nBuckets > 0,
+      s"vocab/seqLen/seqsPerShard/nBuckets must be positive, " +
+        s"got $vocab/$seqLen/$seqsPerShard/$nBuckets")
+    val (offset, completeSeqs) =
+      withOffsets(docs, idCol, textCol, vocab, seqLen, nBuckets)
+    offset
       .select(col("doc_off"), posexplode(col("ids")).as(Seq("pos", "tid")))
       .select((col("doc_off") + col("pos")).as("gpos"), col("tid"))
       .where(col("gpos") < completeSeqs * seqLen)
       .withColumn("seq_id", expr(s"gpos div ${seqLen}L"))
       .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
       .select(col("shard_id"), col("seq_id"), col("gpos"), col("tid"))
+  }
+
+  /** The DOC-BOUNDARY SIDECAR of a [[pack]]ed export — the masking
+    * metadata a real training shard ships with: one row per
+    * (sequence, document) overlap, `(seq_id, doc_id, start_off,
+    * n_tokens)` with `start_off` the document's first position WITHIN
+    * the sequence. A loader resets attention/position state at each
+    * `start_off`, so packed sequences train without cross-document
+    * attention. Computed at DOC grain straight from the offsets stage
+    * (doc d covers global positions [doc_off, doc_off+cost); it
+    * overlaps sequences doc_off/seqLen .. (doc_off+cost-1)/seqLen) —
+    * a bounded integer `sequence` explode per doc, NEVER the token
+    * stream; cost is O(docs + crossings), not O(tokens). */
+  def docSpans(docs: DataFrame, idCol: String, textCol: String,
+               vocab: Int, seqLen: Int, nBuckets: Int = 32): DataFrame = {
+    require(vocab > 0 && seqLen > 0 && nBuckets > 0,
+      s"vocab/seqLen/nBuckets must be positive, got $vocab/$seqLen/$nBuckets")
+    val (offset, completeSeqs) =
+      withOffsets(docs, idCol, textCol, vocab, seqLen, nBuckets)
+    offset
+      .select(col("doc_id"), col("doc_off"), col("cost"),
+        explode(sequence(expr(s"doc_off div ${seqLen}L"),
+          expr(s"(doc_off + cost - 1L) div ${seqLen}L"))).as("seq_id"))
+      .where(col("seq_id") < completeSeqs)
+      .select(col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("doc_off") - col("seq_id") * seqLen)
+          .as("start_off"),
+        (least(col("doc_off") + col("cost"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("doc_off"), col("seq_id") * seqLen)).as("n_tokens"))
   }
 
   /** Write `packed` (shard_id, gpos, tid) as `shard-NNNNN.bin` int32-LE

@@ -470,6 +470,12 @@ class ScanCountSpec extends SparkSuite {
     // planned 11 scans — this pin is what keeps that from returning.
     assert(scanCount("q224_cdc_roundtrip") <= 1)
     assert(shuffleCount("q224_cdc_roundtrip") <= 1)
+    // q225: the doc-spans sidecar stays at DOC grain — two scans (the
+    // ids side + the cost side of the offsets join) and the one
+    // doc-grain exchange; a token-grain formulation would show up as
+    // extra exchanges of the exploded stream
+    assert(scanCount("q225_shard_doc_spans") <= 2)
+    assert(shuffleCount("q225_shard_doc_spans") <= 2)
   }
 
   test("weighted estimators plan like their unweighted siblings") {

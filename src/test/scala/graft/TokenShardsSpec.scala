@@ -110,6 +110,32 @@ class TokenShardsSpec extends SparkSuite {
     assert(empty.getLong(0) === 0L)
   }
 
+  test("docSpans sidecar agrees with the packed token stream (q225)") {
+    val df = docs.toDF("doc_id", "text")
+    val spans = TokenShards.docSpans(df, "doc_id", "text",
+      vocab = Vocab, seqLen = 8, nBuckets = 3)
+      .as[(Long, Long, Long, Long)].collect().sortBy(s => (s._1, s._3))
+    // reference: doc offsets from the same local stream definition
+    val sorted = docs.sortBy(_._1)
+    val costs = sorted.map { case (id, t) =>
+      (id, (if (t.trim.isEmpty) 0 else t.trim.split("\\s+").length) + 1L)
+    }
+    val offsets = costs.scanLeft(0L)(_ + _._2).init
+    val total = costs.map(_._2).sum
+    val complete = total / 8
+    val want = costs.zip(offsets).flatMap { case ((id, cost), off) =>
+      (off / 8 to (off + cost - 1) / 8).filter(_ < complete).map { s =>
+        (s, id, math.max(0L, off - s * 8),
+          math.min(off + cost, (s + 1) * 8) - math.max(off, s * 8))
+      }
+    }.sortBy(s => (s._1, s._3))
+    assert(spans.toSeq === want)
+    // every complete sequence is fully covered: spans tile exactly
+    spans.groupBy(_._1).foreach { case (_, ss) =>
+      assert(ss.map(_._4).sum === 8L)
+    }
+  }
+
   test("re-write over an existing export replaces it cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("tokshard2").toString
     val big = docs.toDF("doc_id", "text")
