@@ -3429,6 +3429,18 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- T5-STYLE SPAN CORRUPTION (curation.Curate.spanCorrupt — the
+    // denoising-objective constructor: masked token blocks leave the
+    // input as <extra_id_j> sentinels and become the target, one ready
+    // (input_text, target_text) training pair per doc). Deterministic
+    // block selection — block b masked iff (b + doc_id) % 7 == 0, the
+    // sentinel ordinal a closed form — so the HASH GATE covers every
+    // output byte of both strings. Map-only: one scan, all array
+    // lambdas in codegen. ----
+    "q226_span_corruption" -> ((s, dir) =>
+      graft.curation.Curate.spanCorrupt(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // ---- DOC-BOUNDARY SIDECAR of the token-shard export
     // (io.TokenShards.docSpans — the masking metadata a real training
     // shard ships with: where each document starts inside each packed
@@ -10491,6 +10503,35 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q226: positional replay — same block/mask/sentinel arithmetic
+    // over the unnested token stream, strings rebuilt via ordered
+    // string_agg (NULL-skipping on both engines); token-less docs are
+    // excluded on both sides.
+    "q226_span_corruption" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, ts, unnest(range(len(ts))) AS i
+        |  FROM toks WHERE len(ts) > 0),
+        |mk AS (
+        |  SELECT doc_id, i, ts[i + 1] AS tok, i // 3 AS b,
+        |    ((i // 3) + doc_id) % 7 = 0 AS masked,
+        |    '<extra_id_' ||
+        |      CAST(((i // 3) - (7 - doc_id % 7) % 7) // 7 AS VARCHAR) ||
+        |      '>' AS sent
+        |  FROM pos)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  coalesce(string_agg(CASE WHEN NOT masked THEN tok
+        |      WHEN i % 3 = 0 THEN sent END, ' ' ORDER BY i), '') AS input_text,
+        |  coalesce(string_agg(CASE WHEN masked AND i % 3 = 0
+        |        THEN sent || ' ' || tok
+        |      WHEN masked THEN tok END, ' ' ORDER BY i), '') AS target_text
+        |FROM mk GROUP BY doc_id""".stripMargin,
 
     // q225: doc-grain replay of the span arithmetic — cost = token
     // count + EOS, offsets via the cumulative window (q219's stream

@@ -717,4 +717,57 @@ object Curate {
         col("eval_id").as("best_eval_id"), col("jaccard_micros"),
         (col("jaccard_micros") >= tauMicros).as("contaminated"))
   }
+
+  /** T5-style SPAN CORRUPTION — the denoising-objective constructor of
+    * encoder-decoder pretraining: contiguous token blocks are masked
+    * out of the input (each replaced by one `<extra_id_j>` sentinel)
+    * and become the target (each span prefixed by its sentinel), so
+    * `(input_text, target_text)` is a ready training pair. Block
+    * selection is DETERMINISTIC by construction rather than sampled:
+    * token block b (of `blockLen` tokens) is masked iff
+    * (b + id) % period == 0 — every doc masks ~1/period of its blocks
+    * (the T5 15% corruption rate at period 7, blockLen 3 ≈ mean span
+    * 3), the masked pattern varies per doc via the id offset, and the
+    * sentinel ordinal has the closed form j = (b − b0)/period with
+    * b0 = (−id) mod period — no scan, no state, every output byte
+    * replayable by another engine. Map-only: one corpus scan, the
+    * whole construction is array lambdas inside whole-stage codegen;
+    * token-less docs are excluded (no pair to build). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  blockLen: Int = 3, period: Int = 7): DataFrame = {
+    require(blockLen > 0 && period > 1,
+      s"need blockLen > 0 and period > 1, got $blockLen/$period")
+    val id = col(idCol).cast("long")
+    val b0 = (lit(period.toLong) - pmod(id, lit(period.toLong))) % period
+    // i is a non-negative int lambda variable: floor-div via double is
+    // exact far past any real document length (< 2^53)
+    def block(i: Column) = floor(i.cast("long") / blockLen).cast("long")
+    def isMasked(i: Column) =
+      pmod(block(i) + id, lit(period.toLong)) === 0
+    def sentinel(i: Column) =
+      concat(lit("<extra_id_"),
+        floor((block(i) - b0) / period).cast("long").cast("string"), lit(">"))
+    val toks = graft.text.Text.tokens(col(textCol))
+    val inputArr = filter(
+      transform(toks, (t, i) =>
+        when(!isMasked(i), t)
+          .when(i % blockLen === 0, sentinel(i))
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    val targetArr = filter(
+      transform(toks, (t, i) =>
+        when(isMasked(i) && i % blockLen === 0,
+          concat(sentinel(i), lit(" "), t))
+          .when(isMasked(i), t)
+          .otherwise(lit(null))),
+      x => x.isNotNull)
+    val nMasked = size(filter(
+      transform(toks, (t, i) => when(isMasked(i), t).otherwise(lit(null))),
+      x => x.isNotNull))
+    docs.where(size(graft.text.Text.tokens(col(textCol))) > 0)
+      .select(id.as("doc_id"),
+        nMasked.cast("long").as("n_masked"),
+        array_join(inputArr, " ").as("input_text"),
+        array_join(targetArr, " ").as("target_text"))
+  }
 }

@@ -343,4 +343,36 @@ class CurateSpec extends SparkSuite {
       assert(s.max - s.min <= 1, s"$l terciles $s")
     }
   }
+
+  test("spanCorrupt builds invertible denoising pairs (q226)") {
+    import spark.implicits._
+    // doc 0: block b masked iff b % 7 == 0 -> tokens 0-2 and 21-23
+    val words = (0 until 24).map(i => s"w$i")
+    val df = Seq((0L, words.mkString(" ")), (3L, "a b c d e"), (7L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.curation.Curate.spanCorrupt(df, "doc_id", "text")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(0L, 3L)) // empty doc excluded
+    val (_, n0, in0, tg0) = got(0)
+    assert(n0 === 6L)
+    assert(in0 === ("<extra_id_0> " + (3 to 20).map(i => s"w$i")
+      .mkString(" ") + " <extra_id_1>"))
+    assert(tg0 === "<extra_id_0> w0 w1 w2 <extra_id_1> w21 w22 w23")
+    // doc 3: b0 = (7-3)%7 = 4 -> first masked block is 4 (tokens 12+),
+    // doc has 5 tokens (blocks 0,1) -> nothing masked
+    val (_, n3, in3, tg3) = got(1)
+    assert(n3 === 0L && in3 === "a b c d e" && tg3 === "")
+    // INVERSION: splicing each target span back at its sentinel
+    // reconstructs the original token stream exactly
+    got.foreach { case (_, _, in, tg) =>
+      val spans = "<extra_id_\\d+>".r.split(tg).map(_.trim).filter(_.nonEmpty)
+      var rebuilt = in
+      spans.zipWithIndex.foreach { case (sp, j) =>
+        rebuilt = rebuilt.replace(s"<extra_id_$j>", sp)
+      }
+      val orig = df.where(col("doc_id") === got.find(g => g._3 == in).get._1)
+        .select("text").as[String].head()
+      assert(rebuilt === orig.trim.split("\\s+").mkString(" "))
+    }
+  }
 }

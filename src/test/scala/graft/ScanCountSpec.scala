@@ -476,6 +476,10 @@ class ScanCountSpec extends SparkSuite {
     // extra exchanges of the exploded stream
     assert(scanCount("q225_shard_doc_spans") <= 2)
     assert(shuffleCount("q225_shard_doc_spans") <= 2)
+    // q226: span corruption is pure array lambdas — one scan, ZERO
+    // exchanges; any shuffle means the construction left codegen
+    assert(scanCount("q226_span_corruption") <= 1)
+    assert(shuffleCount("q226_span_corruption") === 0)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
