@@ -3429,6 +3429,24 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- PER-DOCUMENT ADMISSION AUDIT (CorpusIngest.rejectionReasons
+    // — the "why was my doc rejected?" answer q100's funnel counts
+    // cannot give): q100's exact corpus/batch/bench split, one row per
+    // batch doc with its FIRST failing gate (quality → dup_in_batch →
+    // dup_of_corpus → contaminated → admitted) in ingest's own stage
+    // order. The oracle extends the SHARED corpusIngestChainSql with a
+    // CASE over the chain's own CTEs, so the audit and the chain
+    // cannot drift; CorpusIngestSpec pins admitted ≡ what ingest
+    // actually appends. ----
+    "q227_ingest_rejection_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.pipelines.CorpusIngest.rejectionReasons(
+        corpus = docs.where(col("doc_id") % 3 === 0),
+        batch = docs.where(col("doc_id") % 3 =!= 0),
+        bench = docs.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30)
+    }),
+
     // ---- T5-STYLE SPAN CORRUPTION (curation.Curate.spanCorrupt — the
     // denoising-objective constructor: masked token blocks leave the
     // input as <extra_id_j> sentinels and become the target, one ready
@@ -10503,6 +10521,22 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q227: the shared admission chain's own CTEs classify each batch
+    // doc by its first failing gate — one CASE, no re-derivation
+    "q227_ingest_rejection_audit" ->
+      s"""WITH $corpusIngestChainSql
+        |SELECT b.doc_id,
+        |  CASE WHEN len(string_split_regex(trim(b.text), '\\s+')) < 30
+        |         THEN 'quality'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM dedup)
+        |         THEN 'dup_in_batch'
+        |       WHEN b.doc_id NOT IN (SELECT doc_id FROM fresh)
+        |         THEN 'dup_of_corpus'
+        |       WHEN b.doc_id IN (SELECT doc_id FROM contaminated)
+        |         THEN 'contaminated'
+        |       ELSE 'admitted' END AS reason
+        |FROM batch b""".stripMargin,
 
     // q226: positional replay — same block/mask/sentinel arithmetic
     // over the unnested token stream, strings rebuilt via ordered

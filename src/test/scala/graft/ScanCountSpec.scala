@@ -480,6 +480,12 @@ class ScanCountSpec extends SparkSuite {
     // exchanges; any shuffle means the construction left codegen
     assert(scanCount("q226_span_corruption") <= 1)
     assert(shuffleCount("q226_span_corruption") === 0)
+    // q227: the per-doc audit reads the batch (flags pass), the dedup
+    // subtree for contamination, the corpus fingerprints and the bench
+    // — 4 scans / 5 exchanges measured; a jump means a gate started
+    // re-deriving a subtree per reason
+    assert(scanCount("q227_ingest_rejection_audit") <= 4)
+    assert(shuffleCount("q227_ingest_rejection_audit") <= 5)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
