@@ -3429,6 +3429,15 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- FILL-IN-THE-MIDDLE transform (Curate.fimTransform — the
+    // decoder-model sibling of q226's span corruption, the PSM format
+    // of OpenAI-FIM/StarCoder): deterministic third-boundary cuts so
+    // the hash gate covers every byte of the re-serialized training
+    // string. Map-only, zero exchanges. ----
+    "q228_fim_transform" -> ((s, dir) =>
+      graft.curation.Curate.fimTransform(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // ---- PER-DOCUMENT ADMISSION AUDIT (CorpusIngest.rejectionReasons
     // — the "why was my doc rejected?" answer q100's funnel counts
     // cannot give): q100's exact corpus/batch/bench split, one row per
@@ -10521,6 +10530,26 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q228: same third-boundary slices via 1-based list ranges;
+    // concat_ws includes empty segments identically on both engines
+    // (docs under 3 tokens are excluded so none occur)
+    "q228_fim_transform" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS ts
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id, ts, len(ts) AS n,
+        |    len(ts) // 3 AS p1, (len(ts) * 2) // 3 AS p2
+        |  FROM toks WHERE len(ts) >= 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  concat_ws(' ',
+        |    '<fim_prefix>', array_to_string(ts[1:p1], ' '),
+        |    '<fim_suffix>', array_to_string(ts[p2+1:n], ' '),
+        |    '<fim_middle>', array_to_string(ts[p1+1:p2], ' ')) AS fim_text
+        |FROM cut""".stripMargin,
 
     // q227: the shared admission chain's own CTEs classify each batch
     // doc by its first failing gate — one CASE, no re-derivation

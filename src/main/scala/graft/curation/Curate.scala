@@ -770,4 +770,32 @@ object Curate {
         array_join(inputArr, " ").as("input_text"),
         array_join(targetArr, " ").as("target_text"))
   }
+
+  /** FILL-IN-THE-MIDDLE transform — the decoder-model sibling of
+    * [[spanCorrupt]] (OpenAI FIM / StarCoder PSM format): the document
+    * is cut at the deterministic third-boundaries p1 = ⌊n/3⌋,
+    * p2 = ⌊2n/3⌋ and re-serialized as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, so the model
+    * learns to produce the middle conditioned on both sides. Fixed
+    * boundaries instead of sampled ones keep every output byte
+    * oracle-replayable (list slices on both engines); docs under 3
+    * tokens have no non-empty three-way cut and are excluded. Map-only
+    * — one scan, array slices in codegen, zero exchanges. */
+  def fimTransform(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val toks = graft.text.Text.tokens(col(textCol))
+    val n = size(toks)
+    // n is a non-negative int: floor-div via double is exact here
+    val p1 = floor(n / 3.0).cast("int")
+    val p2 = floor(n * 2.0 / 3.0).cast("int")
+    docs.where(size(graft.text.Text.tokens(col(textCol))) >= 3)
+      .select(col(idCol).cast("long").as("doc_id"),
+        n.cast("long").as("n_tokens"),
+        concat_ws(" ",
+          lit("<fim_prefix>"), array_join(slice(toks, lit(1), p1), " "),
+          lit("<fim_suffix>"),
+          array_join(slice(toks, p2 + 1, n - p2), " "),
+          lit("<fim_middle>"),
+          array_join(slice(toks, p1 + 1, p2 - p1), " ")).as("fim_text"))
+  }
 }

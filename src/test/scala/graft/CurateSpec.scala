@@ -375,4 +375,25 @@ class CurateSpec extends SparkSuite {
       assert(rebuilt === orig.trim.split("\\s+").mkString(" "))
     }
   }
+
+  test("fimTransform cuts at thirds and reassembles to the original (q228)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "t1 t2 t3 t4 t5 t6 t7"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = graft.curation.Curate.fimTransform(df, "doc_id", "text")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L)) // under-3-token doc excluded
+    assert(got(0)._3 === "<fim_prefix> a <fim_suffix> c <fim_middle> b")
+    // n=7 -> p1=2, p2=4: prefix t1 t2, middle t3 t4, suffix t5 t6 t7
+    assert(got(1)._3 ===
+      "<fim_prefix> t1 t2 <fim_suffix> t5 t6 t7 <fim_middle> t3 t4")
+    // PSM reassembly: prefix + middle + suffix == original tokens
+    got.foreach { case (id, _, fim) =>
+      val m = "<fim_prefix> (.*) <fim_suffix> (.*) <fim_middle> (.*)".r
+      val m(p, s2, mid) = fim
+      val orig = df.where(col("doc_id") === id).select("text").as[String]
+        .head().trim.split("\\s+").mkString(" ")
+      assert(s"$p $mid $s2" === orig)
+    }
+  }
 }

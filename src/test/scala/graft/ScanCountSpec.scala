@@ -486,6 +486,9 @@ class ScanCountSpec extends SparkSuite {
     // re-deriving a subtree per reason
     assert(scanCount("q227_ingest_rejection_audit") <= 4)
     assert(shuffleCount("q227_ingest_rejection_audit") <= 5)
+    // q228: FIM is array slices — one scan, zero exchanges
+    assert(scanCount("q228_fim_transform") <= 1)
+    assert(shuffleCount("q228_fim_transform") === 0)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
