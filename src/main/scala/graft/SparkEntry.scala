@@ -3327,17 +3327,21 @@ object SparkEntry {
             .as("media"),
           (col("doc_id") % 13 + 3).cast("int").as("width"),
           (col("doc_id") % 7 + 5).cast("int").as("height"))
+      // the FUSED sampling decode (gif_frame_rasters): one container
+      // pass per doc instead of a per-frame re-open — the per-frame
+      // form walked frames 0..f-1 to reach each sampled f (O(F²)
+      // container work; this query's round-18 shape benched 5.3s
+      // isolated at sf0.1, the fused form ~1.3s). Output identical:
+      // the kernel emits exactly the frame % 2 == 0 rasters, pinned
+      // byte-equal to the per-frame kernel in IoMediaStreamSpec.
       val sampled = gifs
-        .select(col("media_id"), col("media"), col("width"), col("height"),
-          explode(graft.functions.MediaFunctions.gifFrames(col("media")))
-            .as("fr"))
-        .where(col("fr.frame") % 2 === 0)
+        .select(col("media_id"), col("width"), col("height"),
+          explode(graft.functions.MediaFunctions
+            .gifFrameRasters(col("media"), 2)).as("fr"))
         // synthetic row key: frame count <= 6, so media_id*8+frame is
         // collision-free and survives resizeRaster's fixed row shape
         .select((col("media_id") * 8 + col("fr.frame")).as("media_id"),
-          lit("image/gif").as("kind"),
-          graft.functions.MediaFunctions
-            .gifFrameRaster(col("media"), col("fr.frame")).as("media"),
+          lit("image/gif").as("kind"), col("fr.raster").as("media"),
           col("width"), col("height"), lit(0).as("sample_rate"))
       graft.multimodal.Media.resizeRaster(s, sampled, targetW = 4, targetH = 3)
         .toDF()

@@ -382,6 +382,49 @@ object GifKernels {
         } finally reader.dispose()
     }
 
+  /** FUSED sampling decode: every `stride`-th frame of a container to
+    * its raw grayscale raster in ONE reader pass. The per-frame
+    * [[gifFrameRaster]] re-opens the container per call, and GIF is
+    * sequential — locating frame f means walking frames 0..f−1 — so a
+    * frame-sampling pipeline built on it pays O(F²) container walks;
+    * this kernel keeps one reader, reads the sampled frames in
+    * ascending order (the reader caches frame positions), and pays
+    * O(F) once. Byte-identical rasters to the per-frame kernel
+    * (spec-pinned); undecodable payloads yield an empty array —
+    * per-row degradation, the task never dies. */
+  def gifFrameRasters(bytes: Array[Byte], stride: Int): ArrayData =
+    gifReader(bytes) match {
+      case None => new GenericArrayData(Array.empty[Any])
+      case Some(reader) =>
+        try {
+          val n = reader.getNumImages(true)
+          val out = scala.collection.mutable.ArrayBuffer[Any]()
+          var f = 0
+          while (f < n) {
+            if (f % stride == 0) {
+              val img = reader.read(f)
+              val w = img.getWidth; val h = img.getHeight
+              val raster = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster(y * w + x) = grayAt(img, x, y).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              out += InternalRow(f, raster)
+            }
+            f += 1
+          }
+          new GenericArrayData(out.toArray)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            new GenericArrayData(Array.empty[Any])
+        } finally reader.dispose()
+    }
+
   /** Decode ONE frame of a container to a raw 8-bit grayscale raster
     * (width·height bytes, row-major) — the shape
     * [[graft.multimodal.Media.resizeRaster]]'s real-resample branch
@@ -488,6 +531,33 @@ case class GifFrameRasterExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** gif_frame_rasters(binary, stride) -> array<struct<frame int,
+  * raster binary>>: every stride-th frame's raw grayscale raster in
+  * ONE container pass (see [[GifKernels.gifFrameRasters]] — the
+  * O(F)-not-O(F²) form of sampled container decode). Empty array for
+  * undecodable payloads. */
+case class GifFrameRastersExpr(child: Expression, stride: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(stride >= 1, s"need stride >= 1; got $stride")
+  override def inputTypes: Seq[org.apache.spark.sql.GraftBridge.AbstractType] =
+    Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame", IntegerType, nullable = false),
+    StructField("raster", BinaryType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gif_frame_rasters"
+
+  override def nullSafeEval(v: Any): Any =
+    GifKernels.gifFrameRasters(v.asInstanceOf[Array[Byte]], stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GifKernels.gifFrameRasters($c, $stride)")
+
+  override protected def withNewChildInternal(c: Expression): GifFrameRastersExpr =
+    copy(child = c)
+}
+
 object MediaFunctions {
   def pcmWindowFeatures(bin: Column, window: Int): Column =
     GraftBridge.column(PcmWindowFeatures(GraftBridge.expression(bin), window))
@@ -512,4 +582,7 @@ object MediaFunctions {
   def gifFrameRaster(bin: Column, frame: Column): Column =
     GraftBridge.column(GifFrameRasterExpr(GraftBridge.expression(bin),
       GraftBridge.expression(frame)))
+
+  def gifFrameRasters(bin: Column, stride: Int): Column =
+    GraftBridge.column(GifFrameRastersExpr(GraftBridge.expression(bin), stride))
 }

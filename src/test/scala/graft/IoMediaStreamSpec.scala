@@ -256,6 +256,32 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("gif_frame_rasters (fused one-pass sampler) is byte-identical to per-frame decode") {
+    import graft.functions.MediaFunctions
+    // a 5-frame container: stride 2 must emit frames 0, 2, 4 with the
+    // exact bytes the per-frame kernel extracts
+    val gif = spark.range(1, 2).select(
+        MediaFunctions.grayGif(lit(7), lit(5),
+          array(lit(10), lit(40), lit(90), lit(160), lit(250))).as("g"))
+    val fused = gif.select(explode(
+        MediaFunctions.gifFrameRasters(col("g"), 2)).as("fr"))
+      .select(col("fr.frame"), col("fr.raster"))
+      .as[(Int, Array[Byte])].collect().sortBy(_._1)
+    assert(fused.map(_._1).toSeq === Seq(0, 2, 4))
+    fused.foreach { case (f, raster) =>
+      val single = gif.select(
+        MediaFunctions.gifFrameRaster(col("g"), lit(f))).head()
+        .getAs[Array[Byte]](0)
+      assert(raster.toSeq === single.toSeq, s"frame $f")
+    }
+    // stride 1 emits every frame; corrupt payload degrades to empty
+    assert(gif.select(size(MediaFunctions.gifFrameRasters(col("g"), 1)))
+      .head().getInt(0) === 5)
+    assert(spark.range(1, 2).select(size(
+        MediaFunctions.gifFrameRasters(lit(Array[Byte](9, 9)), 2)))
+      .head().getInt(0) === 0)
+  }
+
   test("Media.sampleSegments produces stride-aligned byte windows") {
     val docs = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
     val segs = Media.sampleSegments(Media.fromText(docs, "doc_id", "text", "blob"), 4, 4)
