@@ -3433,6 +3433,50 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- STREAMING RESTART RECOVERY (the production semantic no
+    // single-run streaming query shows: the q187 stateful dedup
+    // admission run as TWO SEPARATE query starts sharing one
+    // checkpoint + file sink — delivery A, stop, delivery B lands,
+    // restart). Exactly-once across the restart comes from the source
+    // offset log (run 2 reads ONLY B) and the sink's _spark_metadata
+    // (run 1's files are never re-committed); the dedup STATE is
+    // restored from the state store, so a fingerprint first seen in A
+    // labels its B arrivals dup_in_delta — only possible via restored
+    // state. The oracle replays the delivery-split semantics: 'new'
+    // goes to the min id of the FIRST delivery containing the
+    // fingerprint (A if present there, else B). ----
+    "q229_restart_recovery" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val baseFp = docs.where(col("doc_id") % 3 =!= 0)
+        .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
+      val streamed = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val base = tempResultDir("graft-q229")
+      val src = s"$base/src"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      def run(): Unit = Events.withStatePartitions(s, 8) {
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType)))
+        val q = graft.streaming.IngestDedupStream
+          .statusStream(s, s.readStream.schema(schema).parquet(src),
+            baseFp, "text", "doc_id")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      streamed.where(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/d=1")
+      run() // delivery A processed, state checkpointed, query STOPPED
+      streamed.where(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/d=2")
+      run() // RESTART: offsets + state recovered, only B processed
+      s.read.parquet(out)
+    }),
+
     // ---- FILL-IN-THE-MIDDLE transform (Curate.fimTransform — the
     // decoder-model sibling of q226's span corruption, the PSM format
     // of OpenAI-FIM/StarCoder): deterministic third-boundary cuts so
@@ -10534,6 +10578,37 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q229: the two-delivery replay of q187's labeling — 'dup_of_base'
+    // wins outright; otherwise 'new' goes to the min id of the FIRST
+    // delivery (A = even ids) containing the fingerprint, everything
+    // later is dup_in_delta (the restored-state semantics).
+    "q229_restart_recovery" ->
+      """WITH strm AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |basefp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS fingerprint
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |f AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |    doc_id % 2 = 0 AS in_a
+        |  FROM strm),
+        |firsts AS (
+        |  SELECT fingerprint,
+        |    min(CASE WHEN in_a THEN doc_id END) AS min_a,
+        |    min(CASE WHEN NOT in_a THEN doc_id END) AS min_b
+        |  FROM f GROUP BY 1)
+        |SELECT f.doc_id, f.fingerprint,
+        |  CASE WHEN f.fingerprint IN (SELECT fingerprint FROM basefp)
+        |         THEN 'dup_of_base'
+        |       WHEN firsts.min_a IS NOT NULL AND f.doc_id = firsts.min_a
+        |         THEN 'new'
+        |       WHEN firsts.min_a IS NULL AND f.doc_id = firsts.min_b
+        |         THEN 'new'
+        |       ELSE 'dup_in_delta' END AS status
+        |FROM f JOIN firsts USING (fingerprint)""".stripMargin,
 
     // q228: same third-boundary slices via 1-based list ranges;
     // concat_ws includes empty segments identically on both engines
