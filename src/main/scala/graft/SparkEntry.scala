@@ -3433,6 +3433,16 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
+    // interaction logs become supervised fine-tuning documents: each
+    // 30-min-gap session collapses to one role-alternating transcript
+    // truncated to its LAST 8 turns, the context-window trim). Turn
+    // order is the total (ts, event_id) order, so the oracle gates
+    // every transcript character. One (user, session) shuffle. ----
+    "q230_sft_transcripts" -> ((s, dir) =>
+      Events.sftTranscripts(t(s, dir, "events"), gapMinutes = 30,
+        maxTurns = 8)),
+
     // ---- STREAMING RESTART RECOVERY (the production semantic no
     // single-run streaming query shows: the q187 stateful dedup
     // admission run as TWO SEPARATE query starts sharing one
@@ -10578,6 +10588,38 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
+    // role by kept-index parity, transcript via ordered string_agg
+    // (chr(10) joiner on both engines)
+    "q230_sft_transcripts" ->
+      """WITH sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+        |           WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+        |           ELSE 0 END AS is_new
+        |    FROM events)),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT user_id, session_seq, ts, event_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id, session_seq
+        |                         ORDER BY ts DESC, event_id DESC) AS rnd
+        |    FROM sess) WHERE rnd <= 8),
+        |lines AS (
+        |  SELECT user_id, session_seq, ts, event_id,
+        |    (CASE WHEN (count(*) OVER (PARTITION BY user_id, session_seq)
+        |                - rnd) % 2 = 0
+        |          THEN 'user' ELSE 'assistant' END)
+        |      || ': ' || event_type AS line
+        |  FROM kept)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
+        |  count(*) AS n_turns,
+        |  string_agg(line, chr(10) ORDER BY ts, event_id) AS transcript
+        |FROM lines GROUP BY 1, 2""".stripMargin,
 
     // q229: the two-delivery replay of q187's labeling — 'dup_of_base'
     // wins outright; otherwise 'new' goes to the min id of the FIRST

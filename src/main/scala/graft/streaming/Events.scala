@@ -75,6 +75,39 @@ object Events {
       .drop("prev_ts", "is_new_session")
   }
 
+  /** SFT TRANSCRIPT assembly — interaction logs become supervised
+    * fine-tuning examples: each (user, session) collapses to ONE
+    * training document of role-alternating turns ("user: …" /
+    * "assistant: …" by kept-turn parity), truncated to the LAST
+    * `maxTurns` turns (the context-window trim a conversation dataset
+    * applies — the tail of a session is the part that fits). Turn
+    * order is the total (ts, event_id) order, so the transcript bytes
+    * are deterministic and the oracle gates every character. One
+    * shuffle on (user, session); the truncation is a per-session
+    * window, never a global sort. */
+  def sftTranscripts(events: DataFrame, gapMinutes: Int,
+                     maxTurns: Int): DataFrame = {
+    require(maxTurns > 0, s"need maxTurns > 0, got $maxTurns")
+    val bySession = Window.partitionBy("user_id", "session_seq")
+    val kept = sessionize(events, gapMinutes)
+      .withColumn("__rnd", row_number().over(
+        bySession.orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("__rnd") <= maxTurns)
+      .withColumn("__n", count(lit(1)).over(bySession))
+      // 0-based ascending index within the KEPT turns
+      .withColumn("__idx", col("__n") - col("__rnd"))
+      .withColumn("__line",
+        concat(when(col("__idx") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")), lit(": "), col("event_type")))
+    kept.groupBy(col("user_id"), col("session_seq").as("session_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+            col("__line").as("l")))),
+          r => r.getField("l")), "\n").as("transcript"))
+  }
+
   /** Per-user session count (batch; oracle-checkable). */
   def sessionCounts(events: DataFrame, gapMinutes: Int): DataFrame =
     sessionize(events, gapMinutes)

@@ -291,6 +291,26 @@ class IoMediaStreamSpec extends SparkSuite {
     assert(segs === Seq((0L, "abcd"), (1L, "efgh"), (2L, "ij")))
   }
 
+  test("sftTranscripts assembles role-alternating, tail-truncated sessions (q230)") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    // user 1: one session of 10 turns (truncates to the LAST 8);
+    // user 2: two sessions split by the 30-min gap
+    val evs = ((1 to 10).map(i => (i.toLong, ts(i), 1L, s"e$i", 0.0, "{}")) ++
+      Seq((20L, ts(100), 2L, "a", 0.0, "{}"), (21L, ts(101), 2L, "b", 0.0, "{}"),
+          (22L, ts(200), 2L, "c", 0.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.sftTranscripts(evs, gapMinutes = 30, maxTurns = 8)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // user 1: turns 3..10 kept; kept index 0 (e3) is 'user', alternating
+    val want1 = (3 to 10).zipWithIndex.map { case (i, idx) =>
+      s"${if (idx % 2 == 0) "user" else "assistant"}: e$i"
+    }.mkString("\n")
+    assert(got((1L, 1L)) === (8L, want1))
+    assert(got((2L, 1L)) === (2L, "user: a\nassistant: b"))
+    assert(got((2L, 2L)) === (1L, "user: c"))
+  }
+
   test("sessionize splits on gap and streaming twin matches batch counts") {
     def ts(min: Long) = new Timestamp(min * 60000L)
     val evs = Seq(

@@ -489,6 +489,11 @@ class ScanCountSpec extends SparkSuite {
     // q228: FIM is array slices — one scan, zero exchanges
     assert(scanCount("q228_fim_transform") <= 1)
     assert(shuffleCount("q228_fim_transform") === 0)
+    // q230: transcripts ride one events scan and one (user, session)
+    // exchange chain — sessionize, truncate window and the final
+    // group share the user partitioning
+    assert(scanCount("q230_sft_transcripts") <= 1)
+    assert(shuffleCount("q230_sft_transcripts") <= 2)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
