@@ -59,7 +59,12 @@ object ScaleCurve {
     // re-read), and the spectral kernel (map-only, like q153)
     "q212_jsonl_corpus_e2e", "q213_ivfpq_index_compact",
     "q215_rawtext_ingest", "q219_token_shards", "q220_pcm_spectral",
-    "q221_avro_roundtrip")
+    "q221_avro_roundtrip",
+    // late round-19 additions: digest-only diff + CDC apply, the two
+    // objective constructors (map-only), the per-doc admission audit,
+    // and the transcript assembly (user-keyed windows)
+    "q222_snapshot_diff", "q224_cdc_roundtrip", "q226_span_corruption",
+    "q227_ingest_rejection_audit", "q230_sft_transcripts")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily
