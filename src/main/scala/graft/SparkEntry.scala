@@ -3433,6 +3433,17 @@ object SparkEntry {
         .where(col("change") =!= "unchanged")
     }),
 
+    // ---- PREFERENCE-PAIR construction (Curate.preferencePairs — the
+    // DPO/reward-model data shape: per (lang, source) group the
+    // highest-quality doc is `chosen`, the lowest `rejected`, margin
+    // carried). Picks ride ONE composite integer key (score·10¹² +
+    // inverted id) so max/min ARE the rounded-score-then-id arg-picks
+    // and the identical arithmetic replays in the oracle. One group
+    // shuffle; never a corpus sort. ----
+    "q231_preference_pairs" -> ((s, dir) =>
+      graft.curation.Curate.preferencePairs(t(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", "text")),
+
     // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
     // interaction logs become supervised fine-tuning documents: each
     // 30-min-gap session collapses to one role-alternating transcript
@@ -10588,6 +10599,29 @@ object SparkEntry {
         |         ELSE 'unchanged' END AS change
         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
         |SELECT doc_id, change FROM cls WHERE change <> 'unchanged'""".stripMargin,
+
+    // q231: q42's quality-micros formula feeds the same composite
+    // arg-pick key; max/min + modular decode recover the picked ids
+    "q231_preference_pairs" ->
+      """WITH q AS (
+        |  SELECT lang, source, doc_id,
+        |    CAST(round(round(0.4 * least(1.0, n_tokens / 100.0)
+        |        + 0.4 * (1.0 - punct_ratio)
+        |        + 0.2 * (1.0 - abs(stop_ratio - 0.4)), 6) * 1e6) AS BIGINT)
+        |      * 1000000000000 + (999999999999 - doc_id) AS k
+        |  FROM (
+        |    SELECT doc_id, lang, source, len(toks) AS n_tokens,
+        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
+        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |    FROM (SELECT doc_id, lang, source, text,
+        |            string_split_regex(trim(text), '\s+') AS toks
+        |          FROM documents)))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(999999999999 - max(k) % 1000000000000 AS BIGINT) AS chosen_id,
+        |  CAST(999999999999 - min(k) % 1000000000000 AS BIGINT) AS rejected_id,
+        |  CAST(max(k) // 1000000000000 - min(k) // 1000000000000 AS BIGINT)
+        |    AS margin_micros
+        |FROM q GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
     // role by kept-index parity, transcript via ordered string_agg

@@ -771,6 +771,44 @@ object Curate {
         array_join(targetArr, " ").as("target_text"))
   }
 
+  /** PREFERENCE-PAIR construction — the DPO/reward-model data shape:
+    * within each group (a prompt cluster; here any grouping column
+    * set), the highest-quality document becomes `chosen` and the
+    * lowest `rejected`, with the quality margin carried for filtering.
+    * Ranking follows the repo's determinism convention — micro-scaled
+    * ROUNDED score with the unique id as tiebreak — so the pick is
+    * bit-stable and oracle-replayable (arg-pick via the same
+    * score-then-id key on both engines). Groups with fewer than two
+    * documents produce no pair; a group whose best and worst tie on
+    * the rounded score still emits (margin 0) — the caller's filter
+    * decides. One shuffle on the group key; each group reduces to two
+    * arg-picks, never a sort of the whole corpus. */
+  def preferencePairs(docs: DataFrame, groupCols: Seq[String],
+                      idCol: String, textCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "preferencePairs needs grouping columns")
+    val score = round(graft.text.Text.qualityScore(col(textCol)) * lit(1e6), 0)
+      .cast("long")
+    // composite arg-pick key: score·10¹² + (10¹²−1 − id) — max picks
+    // (best score, then SMALLEST id), min picks (worst score, then
+    // LARGEST id); the identical integer expression replays in the
+    // oracle, with score ≤ 10⁶ micros the key stays well inside int64
+    val M = 999999999999L
+    val scored = docs.select(
+      groupCols.map(col) ++ Seq(
+        (score * lit(1000000000000L) +
+          (lit(M) - col(idCol).cast("long"))).as("__k")): _*)
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__k")).as("__kmax"), min(col("__k")).as("__kmin"))
+      .where(col("n_docs") >= 2)
+      .select(groupCols.map(col) ++ Seq(
+        col("n_docs"),
+        (lit(M) - pmod(col("__kmax"), lit(1000000000000L))).as("chosen_id"),
+        (lit(M) - pmod(col("__kmin"), lit(1000000000000L))).as("rejected_id"),
+        (expr("__kmax div 1000000000000L") -
+          expr("__kmin div 1000000000000L")).as("margin_micros")): _*)
+  }
+
   /** FILL-IN-THE-MIDDLE transform — the decoder-model sibling of
     * [[spanCorrupt]] (OpenAI FIM / StarCoder PSM format): the document
     * is cut at the deterministic third-boundaries p1 = ⌊n/3⌋,

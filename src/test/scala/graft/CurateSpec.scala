@@ -376,6 +376,29 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("preferencePairs picks best/worst with id tiebreaks (q231)") {
+    import spark.implicits._
+    // group g1: distinct qualities -> clear best/worst; group g2: ALL
+    // texts identical -> rounded scores tie, chosen must be the MIN id
+    // and rejected the MAX id (margin 0); group g3: singleton -> no pair
+    val long = (1 to 60).map(i => s"w$i").mkString(" ") // high quality
+    val df = Seq(
+      (1L, long, "g1"), (2L, "!!! ??? !!!", "g1"), (3L, "mid size text here", "g1"),
+      (10L, "same same same", "g2"), (11L, "same same same", "g2"),
+      (12L, "same same same", "g2"),
+      (20L, "alone", "g3"))
+      .toDF("doc_id", "text", "grp")
+    val got = graft.curation.Curate
+      .preferencePairs(df, Seq("grp"), "doc_id", "text")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(!got.contains("g3"))
+    val (n1, c1, r1, m1) = got("g1")
+    assert(n1 === 3L && c1 === 1L && r1 === 2L && m1 > 0L)
+    val (n2, c2, r2, m2) = got("g2")
+    assert(n2 === 3L && c2 === 10L && r2 === 12L && m2 === 0L)
+  }
+
   test("fimTransform cuts at thirds and reassembles to the original (q228)") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "t1 t2 t3 t4 t5 t6 t7"), (3L, "x y"))

@@ -494,6 +494,10 @@ class ScanCountSpec extends SparkSuite {
     // group share the user partitioning
     assert(scanCount("q230_sft_transcripts") <= 1)
     assert(shuffleCount("q230_sft_transcripts") <= 2)
+    // q231: preference pairs collapse to max/min of one composite key
+    // — one scan, one group exchange, never a corpus sort
+    assert(scanCount("q231_preference_pairs") <= 1)
+    assert(shuffleCount("q231_preference_pairs") <= 1)
   }
 
   test("weighted estimators plan like their unweighted siblings") {
