@@ -3370,21 +3370,23 @@ object SparkEntry {
     // shuffles once (offsets join), the token stream once (shard
     // exchange); the read-back is a map-only binaryFile scan through
     // the fused token_shard_stats kernel — shard contents never reach
-    // a shuffle, only 3-field stat structs do. ----
+    // a shuffle, only 3-field stat structs do. manifest_match is a
+    // GATE, not a reported bit: verifyManifest THROWS on any
+    // readStats-vs-manifest divergence (missing/extra/short shard), so
+    // a bad write is a loud err row in CORRECTNESS, never a silent
+    // hash mismatch. ----
     "q219_token_shards" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val path = tempResultDir("graft-q219") + "/shards"
       val packed = graft.io.TokenShards.pack(d, "doc_id", "text",
         vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
       val manifest = graft.io.TokenShards.write(packed, path)
-      graft.io.TokenShards.readStats(s, path)
-        .join(broadcast(manifest.withColumnRenamed("n_tokens", "m_tokens")),
-          "shard_id")
+      graft.io.TokenShards
+        .verifyManifest(graft.io.TokenShards.readStats(s, path), manifest)
         .select(col("shard_id"),
           expr("n_tokens div 64L").as("n_seqs"),
           col("n_tokens"), col("token_sum"), col("poly_mod"),
-          (col("n_tokens") === col("m_tokens") &&
-            col("n_bytes") === col("n_tokens") * 4).as("manifest_match"))
+          lit(true).as("manifest_match"))
     }),
 
     // ---- AVRO interchange round trip (core.AvroSource / io.Avro —
@@ -3443,6 +3445,41 @@ object SparkEntry {
     "q231_preference_pairs" -> ((s, dir) =>
       graft.curation.Curate.preferencePairs(t(s, dir, "documents"),
         Seq("lang", "source"), "doc_id", "text")),
+
+    // ---- PRETRAINING-RELEASE E2E (pipelines.PretrainRelease — the
+    // export-side analogue of q100's admission chain, the chain a real
+    // data release runs as ONE query: curation floor → exact dedup →
+    // benchmark decontamination (bench = the %97≡0 split; 5-gram
+    // shingles — the release-grade grain: the synthetic corpus's
+    // shared phrase pool makes 3-grams wipe 98% of sf0.1, while 5-grams
+    // leave a real-but-active contamination stage at both SFs) →
+    // α=0.5 temperature mixture with weights over the CLEAN set
+    // (q165's copies) → token-shard export + doc-span-capable stream +
+    // VERIFIED manifest (q219's writer behind the verifyManifest
+    // gate). Copy c of doc d packs as release_id = d·16 + c−1, so
+    // copies are adjacent and the oracle replays the global order as
+    // plain integer order. Scale shape: the gates move ids + 16-byte
+    // digests only (quality flag map-only, dedup window on (id, fp),
+    // contamination via broadcast bench shingles, mixture histogram
+    // bounded driver state); document text shuffles exactly twice
+    // (admitted-copies join + pack's offsets join), the token stream
+    // once. The oracle shares q100's fp/dedup text, q81's shingle
+    // CTEs, q165's mixture CTEs, and q219's stream tail verbatim —
+    // OracleConsistencySpec pins the lockstep. ----
+    "q232_pretrain_release" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = tempResultDir("graft-q232") + "/release"
+      graft.pipelines.PretrainRelease.releaseShards(
+        docs = d.where(col("doc_id") % 97 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        path = path, minTokens = 30, alphaQuarters = 2,
+        vocab = 4096, seqLen = 64, seqsPerShard = 16, ngram = 5,
+        nBuckets = 8)
+        .select(col("shard_id"),
+          expr("n_tokens div 64L").as("n_seqs"),
+          col("n_tokens"), col("token_sum"), col("poly_mod"),
+          lit(true).as("manifest_match"))
+    }),
 
     // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
     // interaction logs become supervised fine-tuning documents: each
@@ -10611,10 +10648,13 @@ object SparkEntry {
         |      * 1000000000000 + (999999999999 - doc_id) AS k
         |  FROM (
         |    SELECT doc_id, lang, source, len(toks) AS n_tokens,
-        |      (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) AS punct_ratio,
-        |      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) AS stop_ratio
+        |      CASE WHEN length(text) = 0 THEN 0.0
+        |           ELSE (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / length(text) END AS punct_ratio,
+        |      CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT) / len(toks) END AS stop_ratio
         |    FROM (SELECT doc_id, lang, source, text,
-        |            string_split_regex(trim(text), '\s+') AS toks
+        |            CASE WHEN length(trim(text)) = 0 THEN []
+        |                 ELSE string_split_regex(trim(text), '\s+') END AS toks
         |          FROM documents)))
         |SELECT lang, source, count(*) AS n_docs,
         |  CAST(999999999999 - max(k) % 1000000000000 AS BIGINT) AS chosen_id,
@@ -10622,6 +10662,94 @@ object SparkEntry {
         |  CAST(max(k) // 1000000000000 - min(k) // 1000000000000 AS BIGINT)
         |    AS margin_micros
         |FROM q GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q232: the whole release replayed — q100's quality/fp/dedup text,
+    // q81's shingle CTEs, q165's mixture CTEs (over the CLEAN set),
+    // then q219's stream tail over release_id = doc_id·16 + copy−1.
+    // OracleConsistencySpec pins each shared fragment in lockstep with
+    // its component oracle.
+    "q232_pretrain_release" ->
+      """WITH rel_docs AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |quality AS (
+        |  SELECT * FROM rel_docs WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+        |fp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM quality),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
+        |  WHERE doc_id = canon),
+        |fsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench)),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
+        |  JOIN bsh USING (shingle)),
+        |clean AS (
+        |  SELECT doc_id, text, lang FROM dedup
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |g AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+        |ga AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM g),
+        |tot AS (SELECT sum(n) AS nn,
+        |          sum(CAST(floor(a*1048576.0 + 0.5) AS BIGINT)) AS s FROM ga),
+        |wd AS (SELECT d.doc_id, d.text,
+        |         (CAST(tot.nn AS DOUBLE) * ga.a * 1048576.0)
+        |           / (CAST(ga.n AS DOUBLE) * CAST(tot.s AS DOUBLE)) AS w
+        |       FROM clean d JOIN ga ON d.lang = ga.lang, tot),
+        |c AS (SELECT doc_id, text,
+        |        CAST(floor(w) AS INTEGER) +
+        |          CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+        |                 / CAST(4294967296 AS DOUBLE) < w - floor(w)
+        |               THEN 1 ELSE 0 END AS n_copies
+        |      FROM wd),
+        |cc AS (SELECT doc_id, text,
+        |         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_no
+        |       FROM c WHERE n_copies >= 1),
+        |release AS (
+        |  SELECT doc_id * 16 + copy_no - 1 AS release_id, text FROM cc),
+        |ids AS (
+        |  SELECT release_id,
+        |    list_append(
+        |      list_transform(
+        |        CASE WHEN length(trim(text)) = 0 THEN []
+        |             ELSE string_split_regex(trim(text), '\s+') END,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
+        |      4096) AS ids
+        |  FROM release),
+        |offs AS (
+        |  SELECT release_id, ids,
+        |    coalesce(sum(len(ids)) OVER (ORDER BY release_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
+        |    sum(len(ids)) OVER () AS total
+        |  FROM ids),
+        |toks AS (
+        |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
+        |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
+        |        FROM offs) t),
+        |sh AS (
+        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+        |  FROM toks WHERE gpos < (total // 64) * 64),
+        |st AS (
+        |  SELECT shard_id, tid,
+        |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
+        |  FROM sh)
+        |SELECT shard_id, CAST(count(*) // 64 AS BIGINT) AS n_seqs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tid) AS BIGINT) AS token_sum,
+        |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
+        |    AS poly_mod,
+        |  true AS manifest_match
+        |FROM st GROUP BY 1""".stripMargin,
 
     // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
     // role by kept-index parity, transcript via ordered string_agg

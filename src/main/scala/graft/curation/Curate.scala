@@ -791,12 +791,27 @@ object Curate {
     // composite arg-pick key: score·10¹² + (10¹²−1 − id) — max picks
     // (best score, then SMALLEST id), min picks (worst score, then
     // LARGEST id); the identical integer expression replays in the
-    // oracle, with score ≤ 10⁶ micros the key stays well inside int64
+    // oracle, with score ≤ 10⁶ micros the key stays well inside int64.
+    // The key arithmetic is only an arg-pick when 0 ≤ id ≤ M and
+    // score ≥ 0 — an id outside the domain would wrap into the score
+    // digits and silently corrupt chosen/rejected/margin, so both are
+    // CHECKED per row (raise_error, stays in codegen) like this
+    // function's other preconditions.
     val M = 999999999999L
+    val rawId = col(idCol).cast("long")
+    val checkedId = when(rawId.isNull || rawId < 0 || rawId > M,
+      raise_error(concat(
+        lit(s"preferencePairs: $idCol outside [0, $M]: "),
+        coalesce(rawId.cast("string"), lit("null")))).cast("long"))
+      .otherwise(rawId)
+    val checkedScore = when(score.isNull || score < 0,
+      raise_error(concat(lit("preferencePairs: negative/null quality score: "),
+        coalesce(score.cast("string"), lit("null")))).cast("long"))
+      .otherwise(score)
     val scored = docs.select(
       groupCols.map(col) ++ Seq(
-        (score * lit(1000000000000L) +
-          (lit(M) - col(idCol).cast("long"))).as("__k")): _*)
+        (checkedScore * lit(1000000000000L) +
+          (lit(M) - checkedId)).as("__k")): _*)
     scored.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         max(col("__k")).as("__kmax"), min(col("__k")).as("__kmin"))

@@ -67,8 +67,13 @@ object Avro {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    if (fs.exists(root)) fs.delete(root, true)
-    fs.mkdirs(root)
+    if (fs.exists(root)) require(fs.delete(root, true),
+      s"failed to clear existing Avro dir $root")
+    require(fs.mkdirs(root), s"failed to create Avro dir $root")
+    // driver hadoop conf (spark.hadoop.* included) broadcast into the
+    // writer tasks — the same channel every built-in Spark sink uses.
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
 
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -76,7 +81,7 @@ object Avro {
         val tc = org.apache.spark.TaskContext.get()
         val pid = tc.partitionId(); val attempt = tc.taskAttemptId()
         val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(bc.value.value)
         val tmp = new org.apache.hadoop.fs.Path(path,
           f".part-$pid%05d.avro.$attempt%d.tmp")
         val writer = new DataFileWriter(
@@ -94,9 +99,14 @@ object Avro {
             writer.append(rec)
           }
         } finally writer.close()
+        // publish CHECKED: rename/delete report failure by returning
+        // false on RawLocalFileSystem et al. — an unpublished shard
+        // must be a loud task failure, never a silent absence.
         val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        if (fs.exists(fin)) fs.delete(fin, false)
-        fs.rename(tmp, fin)
+        if (fs.exists(fin)) require(fs.delete(fin, false),
+          s"failed to delete stale shard $fin before republish")
+        require(fs.rename(tmp, fin),
+          s"failed to publish shard $tmp -> $fin (fs.rename returned false)")
         ()
       }
     }
@@ -110,7 +120,11 @@ object Avro {
     import spark.implicits._
     val readerJson = avroSchema(schema).toString
     val fields = schema.fields
-    val rows = spark.read.format("binaryFile").load(path + "/*.avro")
+    // pathGlobFilter over the directory, not a glob path: a glob load
+    // makes FileStreamSink.hasMetadata log a spurious full
+    // FileNotFoundException stack trace at WARN on every read
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .rdd.flatMap { case (_, bytes) =>
         val reader = new GenericDatumReader[GenericRecord](

@@ -158,18 +158,38 @@ object TokenShards {
   /** Write `packed` (shard_id, gpos, tid) as `shard-NNNNN.bin` int32-LE
     * files under `path`; runs EAGERLY (the files must exist before any
     * [[readStats]] plan lists them) and returns the manifest
-    * (shard_id, n_tokens, n_bytes) as a local DataFrame — shard count
-    * is bounded (corpus / (seqLen·seqsPerShard tokens), i.e. the file
-    * listing itself), so the collect is driver-safe the same way the
-    * offsets collect is. */
+    * (shard_id, n_tokens, n_bytes) as a local DataFrame.
+    *
+    * Driver-state bound: the manifest collect is O(#shard files) —
+    * the SAME order as the file listing the read side must do anyway,
+    * so it adds no new scaling term; but it is the caller's job to
+    * size shards like files, not rows. The default
+    * `seqsPerShard` in a real export should put a shard around 10⁸
+    * bytes (e.g. seqLen 2048 × seqsPerShard 16384 ≈ 128 MiB of
+    * int32s), so a 100 TB corpus is ~10⁶ shard files — file-listing
+    * territory, never a per-row driver structure.
+    *
+    * Publish is checked, not hopeful: `fs.rename`/`fs.delete` report
+    * failure by RETURNING false on several FileSystem impls
+    * (RawLocalFileSystem included) rather than throwing, so the
+    * writer requires both — a failed publish is a loud task failure
+    * (and thus a task retry), never a manifest entry for bytes that
+    * never landed. */
   def write(packed: DataFrame, path: String): DataFrame = {
     val spark = packed.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    if (fs.exists(root)) fs.delete(root, true)
-    fs.mkdirs(root)
+    if (fs.exists(root)) require(fs.delete(root, true),
+      s"failed to clear existing shard dir $root")
+    require(fs.mkdirs(root), s"failed to create shard dir $root")
+    // the driver session's hadoop conf (incl. spark.hadoop.* overrides
+    // — object-store credentials/endpoints) rides a broadcast into the
+    // writer tasks, matching every built-in Spark sink; a bare
+    // `new Configuration()` would only see executor-classpath XML.
+    val bconf = new org.apache.spark.util.SerializableConfiguration(conf)
+    val bc = spark.sparkContext.broadcast(bconf)
 
     val manifest = packed
       .select(col("shard_id").cast("long"), col("gpos").cast("long"),
@@ -179,10 +199,8 @@ object TokenShards {
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("gpos"))
       .mapPartitions { it =>
-        // executor-side FS from the deployment's own core-site.xml —
-        // the standard executor-classpath config channel
         val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(bc.value.value)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
@@ -194,10 +212,15 @@ object TokenShards {
         def close(): Unit = if (stream != null) {
           stream.close()
           // publish atomically: delete-then-rename makes a retried
-          // task republish rather than append/interleave
+          // task republish rather than append/interleave. Both calls
+          // CHECKED — RawLocalFileSystem signals failure by returning
+          // false, and an unpublished shard must fail the task, not
+          // silently emit a manifest row for absent bytes.
           val fin = new org.apache.hadoop.fs.Path(path, f"shard-$cur%05d.bin")
-          if (fs.exists(fin)) fs.delete(fin, false)
-          fs.rename(tmp, fin)
+          if (fs.exists(fin)) require(fs.delete(fin, false),
+            s"failed to delete stale shard $fin before republish")
+          require(fs.rename(tmp, fin),
+            s"failed to publish shard $tmp -> $fin (fs.rename returned false)")
           out += ((cur, n, n * 4L))
           stream = null; n = 0L
         }
@@ -220,16 +243,51 @@ object TokenShards {
     manifest.toSeq.toDF("shard_id", "n_tokens", "n_bytes")
   }
 
+  /** GATE a shard re-read against the writer's manifest: full-outer
+    * compare [[readStats]] to the manifest on shard_id and THROW on
+    * ANY divergence — a shard file missing on disk, an unmanifested
+    * extra file, a token-count mismatch, or a byte length that is not
+    * 4·n_tokens. This is what makes a bad write an ERROR instead of a
+    * silently different answer: a publish that lost bytes cannot
+    * produce a plausible-but-wrong stats row, it kills the query. The
+    * divergence collect is bounded by the shard count (file-listing
+    * order, same as the manifest itself). Returns `stats` unchanged
+    * for fluent use. */
+  def verifyManifest(stats: DataFrame, manifest: DataFrame): DataFrame = {
+    val m = manifest.select(col("shard_id"),
+      col("n_tokens").as("m_tokens"), col("n_bytes").as("m_bytes"))
+    val bad = stats
+      .join(broadcast(m), Seq("shard_id"), "full_outer")
+      .where(col("n_tokens").isNull || col("m_tokens").isNull ||
+        col("n_tokens") =!= col("m_tokens") ||
+        col("m_bytes") =!= col("n_tokens") * 4)
+      .select(col("shard_id"), col("n_tokens"), col("m_tokens"), col("m_bytes"))
+      .collect()
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"token-shard manifest divergence on ${bad.length} shard(s): " +
+        bad.take(8).map { r =>
+          s"shard_id=${r.get(0)} read_tokens=${r.get(1)} " +
+            s"manifest_tokens=${r.get(2)} manifest_bytes=${r.get(3)}"
+        }.mkString("; ") +
+        (if (bad.length > 8) " ..." else ""))
+    stats
+  }
+
   /** Re-read written shards and reduce each to its layout-proving
     * stats via the codegen'd [[graft.functions.ShardKernels]] pass:
     * token count, token sum, and the position-weighted polynomial
     * checksum (order-sensitive — a swapped pair of tokens changes it,
     * a re-ordered byte layout cannot hash-match the oracle). One
     * binaryFile scan, map-only; waveform-sized contents never reach a
-    * shuffle, only the 3-long stat struct does. */
+    * shuffle, only the 3-long stat struct does. The shard files are
+    * selected via `pathGlobFilter` over the DIRECTORY (not a glob in
+    * the load path): a glob path makes `FileStreamSink.hasMetadata`
+    * log a spurious full FileNotFoundException stack trace at WARN on
+    * every successful read. */
   def readStats(spark: SparkSession, path: String): DataFrame =
     spark.read.format("binaryFile")
-      .load(path + "/shard-*.bin")
+      .option("pathGlobFilter", "shard-*.bin")
+      .load(path)
       .select(
         regexp_extract(col("path"), "shard-(\\d+)\\.bin", 1)
           .cast("long").as("shard_id"),

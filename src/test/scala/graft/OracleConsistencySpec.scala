@@ -131,6 +131,57 @@ class OracleConsistencySpec extends AnyFunSuite {
       SparkEntry.oracleSql("q210_orc_roundtrip"))
   }
 
+  test("q232's release chain shares each component oracle's fragments in lockstep") {
+    val rel = norm(SparkEntry.oracleSql("q232_pretrain_release"))
+
+    // q100's fingerprint/dedup text (the shared ingest-chain form)
+    for (f <- Seq(
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f",
+      "SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp) WHERE doc_id = canon"))
+      assert(rel.contains(norm(f)), s"q232 lost the q100 dedup fragment: $f")
+    assert(norm(SparkEntry.oracleSql("q100_corpus_ingest"))
+      .contains(norm("md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f")),
+      "q100 fingerprint text moved — update the q232 lockstep")
+
+    // q81's shingle CTE shape, re-parameterized n=3 → n=5: substituting
+    // the gram width back must recover q81's text verbatim
+    val shingle5 = norm("""CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 5 + 2),
+        i -> array_to_string(toks[i:i+4], ' ')) END""")
+    assert(rel.contains(shingle5), "q232 lost the 5-gram shingle CTE")
+    val shingle3 = shingle5.replace("<= 5", "<= 3")
+      .replace("- 5 + 2", "- 3 + 2").replace("i:i+4", "i:i+2")
+    assert(norm(SparkEntry.oracleSql("q81_decontamination")).contains(shingle3),
+      "q81 shingle text drifted from the q232 lockstep shape")
+
+    // q165's mixture CTEs with the histogram re-sourced clean ←
+    // documents: substituting the source back must recover q165's text
+    val mix = norm("""ga AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM g),
+      tot AS (SELECT sum(n) AS nn,
+        sum(CAST(floor(a*1048576.0 + 0.5) AS BIGINT)) AS s FROM ga)""")
+    assert(rel.contains(mix), "q232 lost the q165 mixture weight CTEs")
+    assert(norm(SparkEntry.oracleSql("q165_temperature_mixture")).contains(mix),
+      "q165 mixture text drifted from the q232 lockstep shape")
+    val bern = norm("""CAST(floor(w) AS INTEGER) +
+      CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+        / CAST(4294967296 AS DOUBLE) < w - floor(w)
+        THEN 1 ELSE 0 END AS n_copies""")
+    assert(rel.contains(bern) &&
+      norm(SparkEntry.oracleSql("q165_temperature_mixture")).contains(bern),
+      "the hash-Bernoulli copy text diverged between q232 and q165")
+
+    // q219's stream tail, re-keyed doc_id → release_id: substituting
+    // the key back must recover q219's tail verbatim
+    val tail219 = "(?s)ids AS \\(.*GROUP BY 1".r
+    val relTail = tail219.findFirstIn(SparkEntry.oracleSql("q232_pretrain_release"))
+      .getOrElse(fail("q232 oracle lost its token-stream tail"))
+    val q219Tail = tail219.findFirstIn(SparkEntry.oracleSql("q219_token_shards"))
+      .getOrElse(fail("q219 oracle lost its token-stream tail"))
+    assert(norm(relTail.replace("release_id", "doc_id")
+        .replace("FROM release", "FROM documents")) == norm(q219Tail),
+      "q232 stream tail drifted from q219's (modulo the release_id key)")
+  }
+
   test("the pairing arg-pick key is uniform across all oracle CTEs") {
     // every arg_min/arg_max in the status/trend oracles must order by
     // the same visit key the engine uses (struct(date, id) rendered as

@@ -1,0 +1,125 @@
+package graft
+
+import graft.pipelines.PretrainRelease
+import org.apache.spark.sql.functions._
+
+/** Pretraining-release composition (q232): gate-chain semantics on a
+  * hand-computed fixture, the copyCap loud-fail, and the persisted
+  * two-pass plan shape (gates cached once; only the corpus text plans
+  * twice). */
+class PretrainReleaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 30-token doc body of doc-SPECIFIC tokens — no 5-gram is shared
+    * between different heads, so contamination only fires where the
+    * fixture plants it. */
+  private def body(head: String): String =
+    (1 to 30).map(i => s"$head$i").mkString(" ")
+
+  test("releaseDocs applies floor, min-id dedup, 5-gram decontam, and unit-weight copies") {
+    // clean set by construction: 4 docs per lang × 2 langs, so the
+    // α-temperature weight is exactly √n·2²⁰/⌊√n·2²⁰+0.5⌋ = 1.0 for
+    // n=4 (2²¹ is integral) — exactly one copy per doc, no Bernoulli
+    val benchText = body("benchhead")
+    val docs = Seq(
+      (10L, body("a1"), "aa"), (11L, body("a2"), "aa"),
+      (12L, body("a3"), "aa"), (13L, body("a4"), "aa"),
+      (20L, body("b1"), "bb"), (21L, body("b2"), "bb"),
+      (22L, body("b3"), "bb"), (23L, body("b4"), "bb"),
+      // duplicate of a1 (differs only in case/whitespace): loses min-id
+      (30L, "  " + body("a1").toUpperCase + " ", "aa"),
+      // shares 30 consecutive tokens with the bench doc: contaminated
+      (31L, benchText, "bb"),
+      // under the 30-token floor: quality-rejected
+      (32L, "too short", "aa")).toDF("doc_id", "text", "lang")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+
+    val rel = PretrainRelease.releaseDocs(docs, bench,
+        minTokens = 30, alphaQuarters = 2, ngram = 5)
+      .select("release_id").as[Long].collect().sorted
+    assert(rel.toSeq === Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L)
+      .map(_ * 16))
+  }
+
+  test("a copy count past copyCap fails the release loudly, never wraps the encoding") {
+    // lang 'aa' is 1 doc among 9 → weight ≈ 2.35 → ≥2 copies; with
+    // copyCap=1 the checked encoding must raise, not wrap
+    val docs = ((1 to 8).map(i => (i.toLong + 10L, body(s"b$i"), "bb")) :+
+      (1L, body("rare"), "aa")).toDF("doc_id", "text", "lang")
+    val bench = Seq((99L, body("z"))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      // collect(), not count(): count prunes the projection and with
+      // it the checked expression — the real consumer (pack) always
+      // evaluates release_id
+      PretrainRelease.releaseDocs(docs, bench, minTokens = 30,
+        alphaQuarters = 2, ngram = 5, copyCap = 1).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("copyCap"),
+      s"expected a copyCap raise, got: ${e.getMessage}")
+  }
+
+  test("the persisted release pack plans the gates ONCE and the corpus text twice") {
+    // replicate releaseShards' persisted scope up to (not including)
+    // the write: the packed plan must reference the cached copy list
+    // from BOTH prefix-sum passes (2 cache refs) while the only
+    // uncached relations are the per-pass text scans (2) — i.e. the
+    // q219 two-pass shape with the gate chain evaluated once
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = d.where(col("doc_id") % 97 =!= 0)
+    val bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val copies = PretrainRelease.admittedCopies(docs, bench,
+        minTokens = 30, alphaQuarters = 2, ngram = 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      copies.count()
+      val rel = copies
+        .join(docs.select(col("doc_id"), col("text").as("__text")), "doc_id")
+        .select((col("doc_id") * 16 + col("copy_no") - 1).as("release_id"),
+          col("__text").as("text"))
+      val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
+        vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
+      val lp = packed.queryExecution.optimizedPlan
+      val cacheRefs = lp.collect {
+        case r if r.getClass.getSimpleName == "InMemoryRelation" => r
+      }.size
+      val uncachedScans = lp.collect {
+        case r if r.getClass.getSimpleName == "LogicalRelation" => r
+      }.size
+      assert(cacheRefs === 2,
+        s"expected the copy list cached and referenced by both passes, got $cacheRefs")
+      assert(uncachedScans === 2,
+        s"expected only the two per-pass text scans uncached, got $uncachedScans")
+    } finally { copies.unpersist(false); () }
+  }
+
+  test("releaseShards round trip agrees with a releaseDocs-driven local reference") {
+    val dir = java.nio.file.Files.createTempDirectory("pretrain-rel").toString
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = d.where(col("doc_id") % 97 =!= 0)
+    val bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val stats = PretrainRelease.releaseShards(docs, bench, s"$dir/shards",
+      minTokens = 30, alphaQuarters = 2, vocab = 4096, seqLen = 64,
+      seqsPerShard = 16, ngram = 5, nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.nonEmpty)
+    // reference: token counts from the release stream itself
+    val rel = PretrainRelease.releaseDocs(docs, bench, minTokens = 30,
+        alphaQuarters = 2, ngram = 5)
+      .orderBy("release_id").as[(Long, String)].collect()
+    val stream = rel.flatMap { case (_, text) =>
+      (if (text.trim.isEmpty) Array.empty[String]
+       else text.trim.split("\\s+")).map { tok =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dg = md.digest(tok.getBytes("UTF-8"))
+        ((((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+          ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)) % 4096).toInt
+      } :+ 4096
+    }
+    val want = stream.take(stream.length / 64 * 64)
+    assert(stats.map(_._2).sum === want.length.toLong)
+    stats.foreach { case (sh, n, sum, _) =>
+      val slice = want.slice(sh.toInt * 1024, sh.toInt * 1024 + n.toInt)
+      assert(sum === slice.map(_.toLong).sum, s"shard $sh token sum")
+    }
+  }
+}

@@ -136,6 +136,67 @@ class TokenShardsSpec extends SparkSuite {
     }
   }
 
+  test("verifyManifest passes a clean export and THROWS on missing or short shards (q219 gate)") {
+    val dir = java.nio.file.Files.createTempDirectory("tokshard3").toString
+    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+      vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+    val manifest = TokenShards.write(packed, s"$dir/shards")
+    // clean export: the gate is a pass-through
+    val gated = TokenShards.verifyManifest(
+      TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    assert(gated.count() === manifest.count())
+
+    // a shard file that never landed (the silent-rename-failure shape
+    // the gate exists for) must be a loud error, not a wrong answer.
+    // The local-FS CRC sidecar is dropped along with each tamper —
+    // with it in place Hadoop's checksum layer already fails the read
+    // loudly (also fine), but the gate is what this test pins.
+    val victim = java.nio.file.Paths.get(s"$dir/shards", "shard-00000.bin")
+    val crc = java.nio.file.Paths.get(s"$dir/shards", ".shard-00000.bin.crc")
+    val bytes = java.nio.file.Files.readAllBytes(victim)
+    java.nio.file.Files.delete(victim)
+    java.nio.file.Files.deleteIfExists(crc)
+    val missing = intercept[IllegalStateException] {
+      TokenShards.verifyManifest(
+        TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    }
+    assert(missing.getMessage.contains("manifest divergence"))
+    assert(missing.getMessage.contains("shard_id=0"))
+
+    // a truncated shard (partial publish) must also fail the gate
+    java.nio.file.Files.write(victim, bytes.dropRight(4))
+    val short = intercept[IllegalStateException] {
+      TokenShards.verifyManifest(
+        TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    }
+    assert(short.getMessage.contains("shard_id=0"))
+
+    // an unmanifested extra file is equally a divergence
+    java.nio.file.Files.write(victim, bytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shards", "shard-00099.bin"),
+      Array[Byte](7, 0, 0, 0))
+    val extra = intercept[IllegalStateException] {
+      TokenShards.verifyManifest(
+        TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    }
+    assert(extra.getMessage.contains("shard_id=99"))
+  }
+
+  test("write fails loudly when the export root cannot be created") {
+    // a regular FILE where the parent dir should be: every FS call in
+    // the publish path is checked, so this dies loudly instead of
+    // emitting a manifest for bytes that never landed (the test runs
+    // as root, so permission fixtures don't bite — a file-as-parent
+    // does)
+    val f = java.nio.file.Files.createTempFile("tokshard-parent", "")
+    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+      vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+    intercept[Exception] {
+      TokenShards.write(packed, s"$f/shards")
+    }
+  }
+
   test("re-write over an existing export replaces it cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("tokshard2").toString
     val big = docs.toDF("doc_id", "text")
