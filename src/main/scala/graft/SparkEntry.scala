@@ -3481,6 +3481,65 @@ object SparkEntry {
           lit(true).as("manifest_match"))
     }),
 
+    // ---- RELEASE DOC-SPAN SIDECAR (PretrainRelease.releaseDocSpans —
+    // q225's masking metadata at the RELEASE grain: where each
+    // admitted copy starts inside each packed sequence of the q232
+    // export, so a loader of the released shards resets attention
+    // state at copy boundaries). Same gate chain as q232 (shared
+    // CTEs, lockstep-pinned), q225's interval tail keyed by
+    // release_id; O(release docs + crossings) rows, the token stream
+    // never explodes. ----
+    "q233_release_doc_spans" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipelines.PretrainRelease.releaseDocSpans(
+        docs = d.where(col("doc_id") % 97 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30, alphaQuarters = 2, vocab = 4096, seqLen = 64,
+        ngram = 5, nBuckets = 8)
+        .select(col("seq_id"), col("doc_id").as("release_id"),
+          col("start_off"), col("n_tokens"))
+    }),
+
+    // ---- RELEASE DATA CARD (PretrainRelease.releaseDataCard — the
+    // per-group accounting a release ships in its model card: docs
+    // admitted, training copies, stream tokens (EOS included — what
+    // the shards actually encode), token share in ppm). Token costs
+    // computed map-side at the scan; the copies join and the group
+    // aggregate move ids + ints only; the cross-group total is a
+    // window over the bounded group rows. Same shared chain as
+    // q232/q233. ----
+    "q234_release_data_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipelines.PretrainRelease.releaseDataCard(
+        docs = d.where(col("doc_id") % 97 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30, alphaQuarters = 2, ngram = 5)
+    }),
+
+    // ---- INCREMENTAL RELEASE DROP (PretrainRelease.releaseDeltaShards
+    // — "a new crawl landed after the release shipped": the %3≡0
+    // slice releases first (full q232 chain, shards 0..k−1); the rest
+    // arrives as a delta, runs the SAME admission gates (floor,
+    // within-batch min-id dedup, anti-join against the RELEASED
+    // fingerprints — 16 bytes per shipped doc, never text — and
+    // benchmark decontamination) and packs into NEW files with shard
+    // ids continuing after k. Shipped bytes are never rewritten;
+    // per-drop packing keeps full windows only; the delta ships one
+    // copy per doc (the mixture is a property of the initial release).
+    // Both drops' bytes re-read and manifest-gated. ----
+    "q235_release_delta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = tempResultDir("graft-q235")
+      graft.pipelines.PretrainRelease.releaseDeltaShards(
+        corpus = d.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 3 === 0),
+        batch = d.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 3 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        pathA = base + "/drop0", pathB = base + "/drop1",
+        minTokens = 30, alphaQuarters = 2,
+        vocab = 4096, seqLen = 64, seqsPerShard = 16, ngram = 5,
+        nBuckets = 8)
+    }),
+
     // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
     // interaction logs become supervised fine-tuning documents: each
     // 30-min-gap session collapses to one role-alternating transcript
@@ -5965,6 +6024,66 @@ object SparkEntry {
       |clean AS (
       |  SELECT doc_id, text, lang, source, n_chars FROM fresh
       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
+  /** The q232–q235 pretraining-release gate chain — floor → min-id
+    * dedup → 5-gram decontamination → α=0.5 temperature mixture →
+    * release ids — ONE builder shared by the shard export, the
+    * doc-span sidecar, the data card and the delta drop so none can
+    * drift (the corpusIngestChainSql convention). Fragments replay
+    * q100's fingerprint/dedup text, q81's shingle shape (n=5) and
+    * q165's mixture CTEs; OracleConsistencySpec pins each lockstep.
+    * `relPred` selects the candidate corpus (q235 releases only the
+    * %3≡0 slice first, then drops the rest incrementally). */
+  private def pretrainReleaseChainSql(
+      relPred: String = "doc_id % 97 <> 0"): String =
+    s"""rel_docs AS (
+      |  SELECT doc_id, text, lang FROM documents WHERE $relPred),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+      |quality AS (
+      |  SELECT * FROM rel_docs WHERE len(string_split_regex(trim(text), '\\s+')) >= 30),
+      |fp AS (
+      |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM quality),
+      |dedup AS (
+      |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
+      |  WHERE doc_id = canon),
+      |fsh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+      |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM dedup)),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(
+      |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+      |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+      |                i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
+      |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS toks FROM bench)),
+      |contaminated AS (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
+      |  JOIN bsh USING (shingle)),
+      |clean AS (
+      |  SELECT doc_id, text, lang FROM dedup
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |g AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
+      |ga AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM g),
+      |tot AS (SELECT sum(n) AS nn,
+      |          sum(CAST(floor(a*1048576.0 + 0.5) AS BIGINT)) AS s FROM ga),
+      |wd AS (SELECT d.doc_id, d.text,
+      |         (CAST(tot.nn AS DOUBLE) * ga.a * 1048576.0)
+      |           / (CAST(ga.n AS DOUBLE) * CAST(tot.s AS DOUBLE)) AS w
+      |       FROM clean d JOIN ga ON d.lang = ga.lang, tot),
+      |c AS (SELECT doc_id, text,
+      |        CAST(floor(w) AS INTEGER) +
+      |          CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
+      |                 / CAST(4294967296 AS DOUBLE) < w - floor(w)
+      |               THEN 1 ELSE 0 END AS n_copies
+      |      FROM wd),
+      |cc AS (SELECT doc_id, text,
+      |         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_no
+      |       FROM c WHERE n_copies >= 1),
+      |release AS (
+      |  SELECT doc_id * 16 + copy_no - 1 AS release_id, text FROM cc)""".stripMargin
 
   /** The q187 incremental-dedup labeling chain, shared verbatim with
     * q217 (the same admission semantics fed from JSONL shards — one
@@ -10663,66 +10782,20 @@ object SparkEntry {
         |    AS margin_micros
         |FROM q GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
-    // q232: the whole release replayed — q100's quality/fp/dedup text,
-    // q81's shingle CTEs, q165's mixture CTEs (over the CLEAN set),
+    // q232: the whole release replayed — the SHARED
+    // pretrainReleaseChainSql (q100's quality/fp/dedup text, q81's
+    // shingle CTEs at n=5, q165's mixture CTEs over the CLEAN set),
     // then q219's stream tail over release_id = doc_id·16 + copy−1.
     // OracleConsistencySpec pins each shared fragment in lockstep with
     // its component oracle.
     "q232_pretrain_release" ->
-      """WITH rel_docs AS (
-        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0),
-        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
-        |quality AS (
-        |  SELECT * FROM rel_docs WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
-        |fp AS (
-        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM quality),
-        |dedup AS (
-        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM fp)
-        |  WHERE doc_id = canon),
-        |fsh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 5 + 2),
-        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM dedup)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(
-        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(1, len(toks) - 5 + 2),
-        |                i -> array_to_string(toks[i:i+4], ' ')) END) AS shingle
-        |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench)),
-        |contaminated AS (
-        |  SELECT DISTINCT t.doc_id
-        |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM fsh) t
-        |  JOIN bsh USING (shingle)),
-        |clean AS (
-        |  SELECT doc_id, text, lang FROM dedup
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |g AS (SELECT lang, count(*) AS n FROM clean GROUP BY 1),
-        |ga AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS a FROM g),
-        |tot AS (SELECT sum(n) AS nn,
-        |          sum(CAST(floor(a*1048576.0 + 0.5) AS BIGINT)) AS s FROM ga),
-        |wd AS (SELECT d.doc_id, d.text,
-        |         (CAST(tot.nn AS DOUBLE) * ga.a * 1048576.0)
-        |           / (CAST(ga.n AS DOUBLE) * CAST(tot.s AS DOUBLE)) AS w
-        |       FROM clean d JOIN ga ON d.lang = ga.lang, tot),
-        |c AS (SELECT doc_id, text,
-        |        CAST(floor(w) AS INTEGER) +
-        |          CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) AS DOUBLE)
-        |                 / CAST(4294967296 AS DOUBLE) < w - floor(w)
-        |               THEN 1 ELSE 0 END AS n_copies
-        |      FROM wd),
-        |cc AS (SELECT doc_id, text,
-        |         CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_no
-        |       FROM c WHERE n_copies >= 1),
-        |release AS (
-        |  SELECT doc_id * 16 + copy_no - 1 AS release_id, text FROM cc),
+      s"""WITH ${pretrainReleaseChainSql()},
         |ids AS (
         |  SELECT release_id,
         |    list_append(
         |      list_transform(
         |        CASE WHEN length(trim(text)) = 0 THEN []
-        |             ELSE string_split_regex(trim(text), '\s+') END,
+        |             ELSE string_split_regex(trim(text), '\\s+') END,
         |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
         |      4096) AS ids
         |  FROM release),
@@ -10750,6 +10823,159 @@ object SparkEntry {
         |    AS poly_mod,
         |  true AS manifest_match
         |FROM st GROUP BY 1""".stripMargin,
+
+    // q233: the SAME shared chain, then q225's interval tail keyed by
+    // release_id — the sidecar and the shards derive from one chain
+    // definition on both engines, so they cannot drift
+    "q233_release_doc_spans" ->
+      s"""WITH ${pretrainReleaseChainSql()},
+        |ids AS (
+        |  SELECT release_id,
+        |    len(CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(text), '\\s+') END) + 1 AS cost
+        |  FROM release),
+        |offs AS (
+        |  SELECT release_id, cost,
+        |    CAST(coalesce(sum(cost) OVER (ORDER BY release_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS doc_off,
+        |    CAST(sum(cost) OVER () AS BIGINT) AS total
+        |  FROM ids),
+        |sp AS (
+        |  SELECT release_id, cost, doc_off, total,
+        |    unnest(range(doc_off // 64, (doc_off + cost - 1) // 64 + 1)) AS seq_id
+        |  FROM offs)
+        |SELECT seq_id, release_id,
+        |  CAST(greatest(0, doc_off - seq_id * 64) AS BIGINT) AS start_off,
+        |  CAST(least(doc_off + cost, (seq_id + 1) * 64)
+        |       - greatest(doc_off, seq_id * 64) AS BIGINT) AS n_tokens
+        |FROM sp WHERE seq_id < total // 64""".stripMargin,
+
+    // q234: the SAME shared chain; the card aggregates admitted copies
+    // joined back to the corpus slice (EOS-inclusive stream costs —
+    // what the shards encode), share as floor(ppm + 0.5) in the
+    // identical double op order on both engines
+    "q234_release_data_card" ->
+      s"""WITH ${pretrainReleaseChainSql()},
+        |card AS (
+        |  SELECT d.lang,
+        |    CAST(count(DISTINCT cc.doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_copies,
+        |    CAST(sum(len(CASE WHEN length(trim(cc.text)) = 0 THEN []
+        |         ELSE string_split_regex(trim(cc.text), '\\s+') END) + 1)
+        |      AS BIGINT) AS n_tokens
+        |  FROM cc JOIN rel_docs d USING (doc_id)
+        |  GROUP BY 1)
+        |SELECT lang, n_docs, n_copies, n_tokens,
+        |  CAST(floor(CAST(n_tokens AS DOUBLE) * 1000000.0
+        |      / CAST(sum(n_tokens) OVER () AS DOUBLE) + 0.5) AS BIGINT)
+        |    AS token_share_ppm
+        |FROM card""".stripMargin,
+
+    // q235: the shared chain releases the %3≡0 slice (drop 0); the
+    // delta replays the SAME admission gates against the RELEASED
+    // fingerprints (relfp ← clean) and the chain's own bench shingles
+    // (bsh), then both drops run q219's stream tail — the delta's
+    // shard ids offset to continue after drop 0's last file
+    "q235_release_delta" ->
+      s"""WITH ${pretrainReleaseChainSql("doc_id % 97 <> 0 AND doc_id % 3 = 0")},
+        |a_ids AS (
+        |  SELECT release_id,
+        |    list_append(
+        |      list_transform(
+        |        CASE WHEN length(trim(text)) = 0 THEN []
+        |             ELSE string_split_regex(trim(text), '\\s+') END,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
+        |      4096) AS ids
+        |  FROM release),
+        |a_offs AS (
+        |  SELECT release_id, ids,
+        |    coalesce(sum(len(ids)) OVER (ORDER BY release_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
+        |    sum(len(ids)) OVER () AS total
+        |  FROM a_ids),
+        |a_toks AS (
+        |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
+        |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
+        |        FROM a_offs) t),
+        |a_sh AS (
+        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+        |  FROM a_toks WHERE gpos < (total // 64) * 64),
+        |a_st AS (
+        |  SELECT shard_id, tid,
+        |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
+        |  FROM a_sh),
+        |a_off AS (
+        |  SELECT CASE WHEN coalesce(max(total), 0) // 64 = 0 THEN 0
+        |              ELSE (coalesce(max(total), 0) // 64 - 1) // 16 + 1
+        |         END AS shard_off
+        |  FROM a_offs),
+        |bq AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 3 <> 0
+        |    AND len(string_split_regex(trim(text), '\\s+')) >= 30),
+        |bfp AS (
+        |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f FROM bq),
+        |bdedup AS (
+        |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY f) AS canon FROM bfp)
+        |  WHERE doc_id = canon),
+        |relfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        |  FROM clean),
+        |bfresh AS (
+        |  SELECT doc_id, text FROM bdedup
+        |  WHERE f NOT IN (SELECT f FROM relfp)),
+        |bfsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+        |                i -> array_to_string(toks[i:i+4], ' ')) END AS shingles
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM bfresh)),
+        |bcont AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM bfsh) t
+        |  JOIN bsh USING (shingle)),
+        |bclean AS (
+        |  SELECT doc_id, text FROM bfresh
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bcont)),
+        |brel AS (SELECT doc_id * 16 AS release_id, text FROM bclean),
+        |b_ids AS (
+        |  SELECT release_id,
+        |    list_append(
+        |      list_transform(
+        |        CASE WHEN length(trim(text)) = 0 THEN []
+        |             ELSE string_split_regex(trim(text), '\\s+') END,
+        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
+        |      4096) AS ids
+        |  FROM brel),
+        |b_offs AS (
+        |  SELECT release_id, ids,
+        |    coalesce(sum(len(ids)) OVER (ORDER BY release_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
+        |    sum(len(ids)) OVER () AS total
+        |  FROM b_ids),
+        |b_toks AS (
+        |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
+        |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
+        |        FROM b_offs) t),
+        |b_sh AS (
+        |  SELECT (gpos // 64) // 16 + a_off.shard_off AS shard_id, gpos, tid
+        |  FROM b_toks, a_off WHERE gpos < (total // 64) * 64),
+        |b_st AS (
+        |  SELECT shard_id, tid,
+        |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
+        |  FROM b_sh)
+        |SELECT 0 AS drop_no, shard_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tid) AS BIGINT) AS token_sum,
+        |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
+        |    AS poly_mod
+        |FROM a_st GROUP BY 2
+        |UNION ALL
+        |SELECT 1 AS drop_no, shard_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tid) AS BIGINT) AS token_sum,
+        |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
+        |    AS poly_mod
+        |FROM b_st GROUP BY 2""".stripMargin,
 
     // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
     // role by kept-index parity, transcript via ordered string_agg

@@ -109,8 +109,16 @@ object TokenShards {
     (joined, completeSeqs)
   }
 
+  /** Default shard size: with the classic seqLen 2048 this packs
+    * 16384 sequences ≈ 128 MiB of int32s per shard, so a 100 TB
+    * corpus is ~10⁶ shard files — file-listing territory for the
+    * write-manifest collect and the read-side listing alike. Test
+    * fixtures override it downward; production exports should not. */
+  val DefaultSeqsPerShard: Int = 16384
+
   def pack(docs: DataFrame, idCol: String, textCol: String,
-           vocab: Int, seqLen: Int, seqsPerShard: Int,
+           vocab: Int, seqLen: Int,
+           seqsPerShard: Int = DefaultSeqsPerShard,
            nBuckets: Int = 32): DataFrame = {
     require(vocab > 0 && seqLen > 0 && seqsPerShard > 0 && nBuckets > 0,
       s"vocab/seqLen/seqsPerShard/nBuckets must be positive, " +

@@ -56,22 +56,27 @@ object PretrainRelease {
     * list (16 bytes/row) turns that into "the corpus text scans
     * twice" (the q219 shape, unavoidable for a global repack) instead
     * of "the whole gate chain runs twice". */
-  def admittedCopies(docs: DataFrame, bench: DataFrame, minTokens: Int,
-                     alphaQuarters: Int, ngram: Int = 3,
-                     idCol: String = "doc_id", textCol: String = "text",
-                     groupCol: String = "lang"): DataFrame = {
+  /** The CLEAN set — floor → min-id dedup → decontamination — as
+    * `(doc_id, lang, fingerprint)`: ids, the group, one digest; no
+    * text column anywhere in the plan. The fingerprint rides along so
+    * an incremental drop ([[releaseDeltaShards]]) can anti-join
+    * against what was already shipped without recomputing it. */
+  def cleanDocs(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                ngram: Int = 3, idCol: String = "doc_id",
+                textCol: String = "text",
+                groupCol: String = "lang"): DataFrame = {
     require(minTokens > 0, s"minTokens must be positive, got $minTokens")
     val id = col(idCol).cast("long")
 
     // gates ride map-side-reduced columns — ids, flags, one digest
     val gated = docs.select(
-      id.as("doc_id"), col(groupCol).as("__g"),
-      Text.fingerprint(col(textCol)).as("__fp"),
+      id.as("doc_id"), col(groupCol).as("lang"),
+      Text.fingerprint(col(textCol)).as("fingerprint"),
       (Text.tokenCount(col(textCol)) >= minTokens).as("__q"))
     val dedup = gated.where(col("__q"))
-      .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy("__fp")))
+      .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy("fingerprint")))
       .where(col("doc_id") === col("__canon"))
-      .select(col("doc_id"), col("__g"))
+      .select(col("doc_id"), col("lang"), col("fingerprint"))
 
     // per-doc independent: same flags whether evaluated on quality
     // survivors or dedup survivors; ids-only output
@@ -79,13 +84,25 @@ object PretrainRelease {
         docs.where(Text.tokenCount(col(textCol)) >= minTokens),
         bench, ngram, idCol, textCol)
       .select(col(idCol).cast("long").as("doc_id"))
-    val clean = dedup.join(contamIds, Seq("doc_id"), "left_anti")
-
-    Curate.temperatureCopies(
-        clean.withColumnRenamed("__g", groupCol), alphaQuarters,
-        groupCol = groupCol, idCol = "doc_id")
-      .select(col("doc_id"), col("copy_no"))
+    dedup.join(contamIds, Seq("doc_id"), "left_anti")
   }
+
+  /** The admitted (doc_id, copy_no) list — the gates and the mixture,
+    * ids only, NO text column anywhere in the plan. This is the
+    * subtree worth materializing: [[graft.io.TokenShards.pack]]'s
+    * two-pass prefix sum plans its input twice, and a persisted copy
+    * list (16 bytes/row) turns that into "the corpus text scans
+    * twice" (the q219 shape, unavoidable for a global repack) instead
+    * of "the whole gate chain runs twice". */
+  def admittedCopies(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                     alphaQuarters: Int, ngram: Int = 3,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     groupCol: String = "lang"): DataFrame =
+    Curate.temperatureCopies(
+        cleanDocs(docs, bench, minTokens, ngram, idCol, textCol, groupCol)
+          .select(col("doc_id"), col("lang").as(groupCol)),
+        alphaQuarters, groupCol = groupCol, idCol = "doc_id")
+      .select(col("doc_id"), col("copy_no"))
 
   /** Join an admitted copy list back to corpus text as the release
     * stream `(release_id, text)` — the ONE text-bearing join of the
@@ -122,21 +139,35 @@ object PretrainRelease {
         idCol, textCol, groupCol),
       docs, copyCap, idCol, textCol)
 
-  /** Run `body` with the admitted copy list persisted (and always
+  /** Run `body` with a (doc_id, copy_no) list persisted (and always
     * unpersisted after): pack's two passes then share the gate
     * chain's one evaluation instead of re-running dedup/decontam/
     * mixture per pass. The persisted state is O(release docs) ids —
     * 16 bytes a row, disk-spillable — never text. */
-  private def withPersistedCopies[A](docs: DataFrame, bench: DataFrame,
-                                     minTokens: Int, alphaQuarters: Int,
-                                     ngram: Int, copyCap: Int)
-                                    (body: DataFrame => A): A = {
-    val copies = admittedCopies(docs, bench, minTokens, alphaQuarters, ngram)
+  private def withPersisted[A](copies0: DataFrame, docs: DataFrame,
+                               copyCap: Int)(body: DataFrame => A): A = {
+    val copies = copies0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       copies.count() // materialize before the dual-pass consumer plans
       body(joinText(copies, docs, copyCap, "doc_id", "text"))
     } finally { copies.unpersist(false); () }
+  }
+
+  /** Pack a release stream, WRITE it under `path` with every shard id
+    * offset by `shardOffset` (0 for an initial release; the prior
+    * drop's shard count for an incremental one — new drops append new
+    * FILES, they never rewrite shipped bytes), re-read, and gate the
+    * bytes against the manifest. */
+  private def packWriteVerify(rel: DataFrame, path: String, vocab: Int,
+                              seqLen: Int, seqsPerShard: Int, nBuckets: Int,
+                              shardOffset: Long): DataFrame = {
+    val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
+        vocab, seqLen, seqsPerShard, nBuckets)
+      .withColumn("shard_id", col("shard_id") + lit(shardOffset))
+    val manifest = graft.io.TokenShards.write(packed, path)
+    graft.io.TokenShards.verifyManifest(
+      graft.io.TokenShards.readStats(rel.sparkSession, path), manifest)
   }
 
   /** Run the whole release: gate, mix, pack, WRITE shards under
@@ -148,14 +179,97 @@ object PretrainRelease {
                     minTokens: Int, alphaQuarters: Int, vocab: Int,
                     seqLen: Int, seqsPerShard: Int, ngram: Int = 3,
                     copyCap: Int = 16, nBuckets: Int = 32): DataFrame =
-    withPersistedCopies(docs, bench, minTokens, alphaQuarters, ngram,
-      copyCap) { rel =>
-      val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
-        vocab, seqLen, seqsPerShard, nBuckets)
-      val manifest = graft.io.TokenShards.write(packed, path)
-      graft.io.TokenShards.verifyManifest(
-        graft.io.TokenShards.readStats(docs.sparkSession, path), manifest)
+    withPersisted(
+      admittedCopies(docs, bench, minTokens, alphaQuarters, ngram),
+      docs, copyCap) { rel =>
+      packWriteVerify(rel, path, vocab, seqLen, seqsPerShard, nBuckets,
+        shardOffset = 0L)
     }
+
+  /** RELEASE DATA CARD — the per-group accounting a release ships in
+    * its model card: documents admitted, training copies, stream
+    * tokens (EOS terminators included, matching what the shards
+    * actually encode), and each group's token share in parts per
+    * million. Token costs are computed map-side at the scan; the
+    * admitted-copies join and the group aggregate move ids + ints
+    * only, and the cross-group total is a window over the (bounded)
+    * group rows. */
+  def releaseDataCard(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                      alphaQuarters: Int, ngram: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      groupCol: String = "lang"): DataFrame = {
+    val copies = admittedCopies(docs, bench, minTokens, alphaQuarters,
+      ngram, idCol, textCol, groupCol)
+    val costs = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("lang"),
+      (Text.tokenCount(col(textCol)) + 1).cast("long").as("__cost"))
+    val card = copies.join(costs, "doc_id")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_copies"),
+        sum(col("__cost")).as("n_tokens"))
+    card.select(col("lang"), col("n_docs"), col("n_copies"), col("n_tokens"),
+      floor(col("n_tokens").cast("double") * lit(1000000.0) /
+          sum(col("n_tokens")).over(Window.partitionBy()).cast("double")
+        + lit(0.5)).cast("long").as("token_share_ppm"))
+  }
+
+  /** INCREMENTAL RELEASE DROP — the production shape for "a new crawl
+    * landed after the release shipped": the initial release writes
+    * shards 0..k−1 under `pathA`; the delta batch runs the SAME
+    * admission gates (floor, within-batch min-id dedup, anti-join
+    * against the RELEASED fingerprints, benchmark decontamination)
+    * and its survivors pack into NEW files under `pathB` with shard
+    * ids continuing after k — shipped bytes are never rewritten, and
+    * each drop keeps full windows only (per-drop packing: stitching
+    * the delta onto the prior drop's dropped tail would rewrite a
+    * shipped shard). The delta ships one copy per doc — the mixture
+    * is a property of the initial release; re-weighting happens at
+    * training time, not by re-exporting. Returns both drops' verified
+    * stats with a `drop_no` column. */
+  def releaseDeltaShards(corpus: DataFrame, batch: DataFrame,
+                         bench: DataFrame, pathA: String, pathB: String,
+                         minTokens: Int, alphaQuarters: Int, vocab: Int,
+                         seqLen: Int, seqsPerShard: Int, ngram: Int = 3,
+                         copyCap: Int = 16, nBuckets: Int = 32): DataFrame = {
+    val statsA = releaseShards(corpus, bench, pathA, minTokens,
+      alphaQuarters, vocab, seqLen, seqsPerShard, ngram, copyCap, nBuckets)
+    // bounded: one row per shipped shard file
+    val offset = statsA.agg(max(col("shard_id"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0) + 1L
+    }
+
+    // delta admission: the corpus side contributes 16-byte RELEASED
+    // fingerprints, never text
+    val releasedFp = cleanDocs(corpus, bench, minTokens, ngram)
+      .select(col("fingerprint")).distinct()
+    val gatedB = batch.select(
+      col("doc_id").cast("long").as("doc_id"),
+      Text.fingerprint(col("text")).as("fingerprint"),
+      (Text.tokenCount(col("text")) >= minTokens).as("__q"))
+    val dedupB = gatedB.where(col("__q"))
+      .withColumn("__canon",
+        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+      .where(col("doc_id") === col("__canon"))
+    val freshB = dedupB.join(releasedFp, Seq("fingerprint"), "left_anti")
+    val contamB = Curate.contamination(
+        batch.where(Text.tokenCount(col("text")) >= minTokens),
+        bench, ngram)
+      .select(col("doc_id").cast("long").as("doc_id"))
+    val cleanB = freshB.join(contamB, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1).as("copy_no"))
+
+    val statsB = withPersisted(cleanB, batch, copyCap) { rel =>
+      packWriteVerify(rel, pathB, vocab, seqLen, seqsPerShard, nBuckets,
+        shardOffset = offset)
+    }
+    statsA.withColumn("drop_no", lit(0))
+      .unionByName(statsB.withColumn("drop_no", lit(1)))
+      .select(col("drop_no"), col("shard_id"), col("n_tokens"),
+        col("token_sum"), col("poly_mod"))
+  }
 
   /** The release's doc-span sidecar at the same release grain: one
     * row per (sequence, release doc) overlap — the masking metadata

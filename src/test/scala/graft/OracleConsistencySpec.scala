@@ -180,6 +180,51 @@ class OracleConsistencySpec extends AnyFunSuite {
     assert(norm(relTail.replace("release_id", "doc_id")
         .replace("FROM release", "FROM documents")) == norm(q219Tail),
       "q232 stream tail drifted from q219's (modulo the release_id key)")
+
+    // q233 rides the SAME chain builder (structural sharing — both
+    // oracles interpolate pretrainReleaseChainSql), so pin only that
+    // (a) the chain text really is shared and (b) its span tail is
+    // q225's verbatim modulo the release_id key
+    val rel233 = SparkEntry.oracleSql("q233_release_doc_spans")
+    val chainEnd = "AS release_id, text FROM cc)"
+    val chain232 = SparkEntry.oracleSql("q232_pretrain_release")
+      .substring(0, SparkEntry.oracleSql("q232_pretrain_release").indexOf(chainEnd))
+    assert(rel233.startsWith(chain232),
+      "q233 does not share q232's release chain prefix")
+    val tail225 = "(?s)ids AS \\(.*total // 64".r
+    val spanTail = tail225.findFirstIn(rel233)
+      .getOrElse(fail("q233 oracle lost its span tail"))
+    val q225Tail = tail225.findFirstIn(SparkEntry.oracleSql("q225_shard_doc_spans"))
+      .getOrElse(fail("q225 oracle lost its span tail"))
+    assert(norm(spanTail.replace("release_id", "doc_id")
+        .replace("FROM release", "FROM documents")) == norm(q225Tail),
+      "q233 span tail drifted from q225's (modulo the release_id key)")
+
+    // q234 rides the same chain builder; pin the shared prefix and the
+    // EOS-inclusive cost text (the q225/q233 cost shape)
+    assert(SparkEntry.oracleSql("q234_release_data_card").startsWith(chain232),
+      "q234 does not share q232's release chain prefix")
+    assert(norm(SparkEntry.oracleSql("q234_release_data_card")).contains(norm(
+      """len(CASE WHEN length(trim(cc.text)) = 0 THEN []
+         ELSE string_split_regex(trim(cc.text), '\s+') END) + 1""")),
+      "q234 lost the EOS-inclusive stream cost text")
+
+    // q235: drop 0 is the chain re-predicated to the %3≡0 slice (the
+    // builder guarantees the text); pin that both drops' stream CTEs
+    // carry q219's token-id expression verbatim and the delta replays
+    // the chain's fingerprint/shingle text for its gates
+    val rel235 = norm(SparkEntry.oracleSql("q235_release_delta"))
+    val tokenIdText = norm(
+      "t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096)")
+    assert(rel235.sliding(tokenIdText.length).count(_ == tokenIdText) == 2,
+      "q235 must tokenize both drops with q219's id expression")
+    assert(rel235.contains(norm(
+      "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f")),
+      "q235 delta lost the chain's fingerprint text")
+    assert(rel235.contains(shingle5),
+      "q235 delta lost the 5-gram shingle CTE shape")
+    assert(rel235.contains(norm("doc_id % 97 <> 0 AND doc_id % 3 = 0")),
+      "q235 drop-0 predicate moved — update the Spark lambda in lockstep")
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

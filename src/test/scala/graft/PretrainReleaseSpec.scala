@@ -92,6 +92,49 @@ class PretrainReleaseSpec extends SparkSuite {
     } finally { copies.unpersist(false); () }
   }
 
+  test("releaseDeltaShards appends new files after the shipped drop, re-gating both") {
+    val dir = java.nio.file.Files.createTempDirectory("pretrain-delta").toString
+    // corpus: 4+4 per lang (unit weights, one copy each); batch: one
+    // genuinely new doc, one exact re-delivery of a released doc (must
+    // be dropped by the released-fingerprint anti-join), one
+    // contaminated doc, one short doc
+    val benchText = body("benchhead")
+    val corpus = Seq(
+      (10L, body("a1"), "aa"), (11L, body("a2"), "aa"),
+      (12L, body("a3"), "aa"), (13L, body("a4"), "aa"),
+      (20L, body("b1"), "bb"), (21L, body("b2"), "bb"),
+      (22L, body("b3"), "bb"), (23L, body("b4"), "bb"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (50L, body("new1"), "aa"),
+      (51L, body("a1"), "aa"),    // re-delivery of released content
+      (52L, benchText, "bb"),     // contaminated
+      (53L, "too short", "aa"))   // quality-rejected
+      .toDF("doc_id", "text", "lang")
+    val bench = Seq((99L, benchText)).toDF("doc_id", "text")
+
+    val stats = graft.pipelines.PretrainRelease.releaseDeltaShards(
+      corpus, batch, bench, s"$dir/drop0", s"$dir/drop1",
+      minTokens = 30, alphaQuarters = 2, vocab = 4096, seqLen = 8,
+      seqsPerShard = 2, ngram = 5, nBuckets = 3)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(s => (s._1, s._2))
+
+    // drop 0: 8 docs × 31 tokens = 248 → 31 full seqs → 16 shards;
+    // drop 1 admits ONLY doc 50 (31 tokens → 3 full seqs → 2 shards)
+    val a = stats.filter(_._1 == 0); val b = stats.filter(_._1 == 1)
+    assert(a.map(_._2).toSeq === (0L until 16L))
+    assert(a.map(_._3).sum === 248L)
+    assert(b.map(_._2).toSeq === Seq(16L, 17L)) // ids continue after drop 0
+    assert(b.map(_._3).sum === 24L)             // 3 full seqs of 8
+    // on disk: drop 1's files are named by the GLOBAL shard id and
+    // drop 0's files are untouched
+    val filesB = new java.io.File(s"$dir/drop1").listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.getName).sorted
+    assert(filesB.toSeq === Seq("shard-00016.bin", "shard-00017.bin"))
+    assert(new java.io.File(s"$dir/drop0").listFiles()
+      .count(_.getName.endsWith(".bin")) === 16)
+  }
+
   test("releaseShards round trip agrees with a releaseDocs-driven local reference") {
     val dir = java.nio.file.Files.createTempDirectory("pretrain-rel").toString
     val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

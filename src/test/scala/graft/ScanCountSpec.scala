@@ -454,6 +454,19 @@ class ScanCountSpec extends SparkSuite {
     assert(formatScanCount("q232_pretrain_release", "binaryFile") <= 1)
     assert(scanCount("q232_pretrain_release") === 0)
     assert(shuffleCount("q232_pretrain_release") === 0)
+    // q235: both drops' packs/writes run eagerly; the returned plan is
+    // the union of the two read-backs — two binaryFile scans, zero
+    // parquet scans, zero shuffles
+    assert(formatScanCount("q235_release_delta", "binaryFile") <= 2)
+    assert(scanCount("q235_release_delta") === 0)
+    assert(shuffleCount("q235_release_delta") === 0)
+    // q234: the lazy card plan — the gate chain's three logical corpus
+    // inputs (gated projection, contamination train side, bench
+    // shingles) plus the cost projection; exchanges are the fp window,
+    // the shingle/anti joins, the copies join and the group aggregate.
+    // More scans/exchanges means a gate subtree re-planned.
+    assert(scanCount("q234_release_data_card") <= 4)
+    assert(shuffleCount("q234_release_data_card") <= 6)
     // q213 (convention-completeness, r19 judge ask): the compaction
     // runs eagerly; the returned probe plan reads the compacted index
     // parquet once and spends its two exchanges on the ADC shortlist +
