@@ -72,8 +72,11 @@ object TokenShards {
         transform(graft.text.Text.tokens(col(textCol)),
           t => tokenId(t, vocab).cast("int")),
         array(lit(vocab))).as("ids"))
-    val costs = withIds.select(col("doc_id"),
-      size(col("ids")).cast("long").as("cost"))
+    // cost pass: len(ids) ≡ tokenCount + 1 by construction, so the
+    // offsets pass counts PLAIN tokens — it never pays the per-token
+    // md5 (the dominant kernel), which runs once, in the pack pass
+    val costs = docs.select(col(idCol).cast("long").as("doc_id"),
+      (graft.text.Text.tokenCount(col(textCol)) + 1).cast("long").as("cost"))
 
     // doc-id range buckets: pid is monotone in doc_id, so bucket-local
     // cumsums + per-bucket offsets reproduce the global doc-id-ordered

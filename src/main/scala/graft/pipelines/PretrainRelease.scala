@@ -158,16 +158,19 @@ object PretrainRelease {
     * offset by `shardOffset` (0 for an initial release; the prior
     * drop's shard count for an incremental one — new drops append new
     * FILES, they never rewrite shipped bytes), re-read, and gate the
-    * bytes against the manifest. */
+    * bytes against the manifest. Returns (gated stats, manifest) —
+    * the manifest is a LOCAL DataFrame, so follow-up bookkeeping
+    * (e.g. the next drop's shard offset) never re-lists the files. */
   private def packWriteVerify(rel: DataFrame, path: String, vocab: Int,
                               seqLen: Int, seqsPerShard: Int, nBuckets: Int,
-                              shardOffset: Long): DataFrame = {
+                              shardOffset: Long): (DataFrame, DataFrame) = {
     val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
         vocab, seqLen, seqsPerShard, nBuckets)
       .withColumn("shard_id", col("shard_id") + lit(shardOffset))
     val manifest = graft.io.TokenShards.write(packed, path)
-    graft.io.TokenShards.verifyManifest(
-      graft.io.TokenShards.readStats(rel.sparkSession, path), manifest)
+    (graft.io.TokenShards.verifyManifest(
+      graft.io.TokenShards.readStats(rel.sparkSession, path), manifest),
+      manifest)
   }
 
   /** Run the whole release: gate, mix, pack, WRITE shards under
@@ -183,7 +186,7 @@ object PretrainRelease {
       admittedCopies(docs, bench, minTokens, alphaQuarters, ngram),
       docs, copyCap) { rel =>
       packWriteVerify(rel, path, vocab, seqLen, seqsPerShard, nBuckets,
-        shardOffset = 0L)
+        shardOffset = 0L)._1
     }
 
   /** RELEASE DATA CARD — the per-group accounting a release ships in
@@ -233,42 +236,55 @@ object PretrainRelease {
                          minTokens: Int, alphaQuarters: Int, vocab: Int,
                          seqLen: Int, seqsPerShard: Int, ngram: Int = 3,
                          copyCap: Int = 16, nBuckets: Int = 32): DataFrame = {
-    val statsA = releaseShards(corpus, bench, pathA, minTokens,
-      alphaQuarters, vocab, seqLen, seqsPerShard, ngram, copyCap, nBuckets)
-    // bounded: one row per shipped shard file
-    val offset = statsA.agg(max(col("shard_id"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0) + 1L
-    }
+    // the corpus gate chain is needed by BOTH the initial release (its
+    // mixture) and the delta (its released-fingerprint anti-join) —
+    // persist the (id, lang, digest) rows so it evaluates once
+    val cleanA = cleanDocs(corpus, bench, minTokens, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cleanA.count()
+      val copiesA = Curate.temperatureCopies(
+          cleanA.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("copy_no"))
+      val (statsA, manifestA) = withPersisted(copiesA, corpus, copyCap) {
+        rel => packWriteVerify(rel, pathA, vocab, seqLen, seqsPerShard,
+          nBuckets, shardOffset = 0L)
+      }
+      // offset from the LOCAL manifest — never re-lists shipped files
+      val offset = manifestA.agg(max(col("shard_id"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1L
+      }
 
-    // delta admission: the corpus side contributes 16-byte RELEASED
-    // fingerprints, never text
-    val releasedFp = cleanDocs(corpus, bench, minTokens, ngram)
-      .select(col("fingerprint")).distinct()
-    val gatedB = batch.select(
-      col("doc_id").cast("long").as("doc_id"),
-      Text.fingerprint(col("text")).as("fingerprint"),
-      (Text.tokenCount(col("text")) >= minTokens).as("__q"))
-    val dedupB = gatedB.where(col("__q"))
-      .withColumn("__canon",
-        min(col("doc_id")).over(Window.partitionBy("fingerprint")))
-      .where(col("doc_id") === col("__canon"))
-    val freshB = dedupB.join(releasedFp, Seq("fingerprint"), "left_anti")
-    val contamB = Curate.contamination(
-        batch.where(Text.tokenCount(col("text")) >= minTokens),
-        bench, ngram)
-      .select(col("doc_id").cast("long").as("doc_id"))
-    val cleanB = freshB.join(contamB, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(1).as("copy_no"))
+      // delta admission: the corpus side contributes 16-byte RELEASED
+      // fingerprints, never text
+      val releasedFp = cleanA.select(col("fingerprint")).distinct()
+      val gatedB = batch.select(
+        col("doc_id").cast("long").as("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"),
+        (Text.tokenCount(col("text")) >= minTokens).as("__q"))
+      val dedupB = gatedB.where(col("__q"))
+        .withColumn("__canon",
+          min(col("doc_id")).over(Window.partitionBy("fingerprint")))
+        .where(col("doc_id") === col("__canon"))
+      val freshB = dedupB.join(releasedFp, Seq("fingerprint"), "left_anti")
+      val contamB = Curate.contamination(
+          batch.where(Text.tokenCount(col("text")) >= minTokens),
+          bench, ngram)
+        .select(col("doc_id").cast("long").as("doc_id"))
+      val cleanB = freshB.join(contamB, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(1).as("copy_no"))
 
-    val statsB = withPersisted(cleanB, batch, copyCap) { rel =>
-      packWriteVerify(rel, pathB, vocab, seqLen, seqsPerShard, nBuckets,
-        shardOffset = offset)
-    }
-    statsA.withColumn("drop_no", lit(0))
-      .unionByName(statsB.withColumn("drop_no", lit(1)))
-      .select(col("drop_no"), col("shard_id"), col("n_tokens"),
-        col("token_sum"), col("poly_mod"))
+      val statsB = withPersisted(cleanB, batch, copyCap) { rel =>
+        packWriteVerify(rel, pathB, vocab, seqLen, seqsPerShard, nBuckets,
+          shardOffset = offset)._1
+      }
+      statsA.withColumn("drop_no", lit(0))
+        .unionByName(statsB.withColumn("drop_no", lit(1)))
+        .select(col("drop_no"), col("shard_id"), col("n_tokens"),
+          col("token_sum"), col("poly_mod"))
+    } finally { cleanA.unpersist(false); () }
   }
 
   /** The release's doc-span sidecar at the same release grain: one
