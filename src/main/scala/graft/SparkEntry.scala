@@ -3540,6 +3540,22 @@ object SparkEntry {
         nBuckets = 8)
     }),
 
+    // ---- TRAINING-ORDER MANIFEST (PretrainRelease.releaseEpochOrder
+    // — the per-epoch consumption order a loader of the released
+    // shards follows: every released sequence gets a deterministic
+    // shuffled position per epoch, q85's two-pass md5 order at
+    // sequence grain). The sequence count comes from the chain's
+    // ids-only cost sum — one bounded driver scalar; the manifest plan
+    // is a parallel range, no text anywhere. ----
+    "q236_release_epoch_order" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipelines.PretrainRelease.releaseEpochOrder(
+        docs = d.where(col("doc_id") % 97 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30, alphaQuarters = 2, seqLen = 64, epochs = 2,
+        ngram = 5, nPartitions = 8)
+    }),
+
     // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
     // interaction logs become supervised fine-tuning documents: each
     // 30-min-gap session collapses to one role-alternating transcript
@@ -10976,6 +10992,28 @@ object SparkEntry {
         |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
         |    AS poly_mod
         |FROM b_st GROUP BY 2""".stripMargin,
+
+    // q236: the shared chain's ids-only cost sum sizes the sequence
+    // table; positions are q85's md5 order per epoch (the ':seed' salt
+    // rendered as ':' || epoch)
+    "q236_release_epoch_order" ->
+      s"""WITH ${pretrainReleaseChainSql()},
+        |rtot AS (
+        |  SELECT coalesce(CAST(sum(len(CASE WHEN length(trim(text)) = 0 THEN []
+        |       ELSE string_split_regex(trim(text), '\\s+') END) + 1) AS BIGINT), 0)
+        |    AS total
+        |  FROM cc),
+        |seqs AS (
+        |  SELECT unnest(range((SELECT total // 64 FROM rtot))) AS seq_id),
+        |e AS (SELECT 0 AS epoch UNION ALL SELECT 1 AS epoch),
+        |keyed AS (
+        |  SELECT e.epoch, s.seq_id,
+        |    md5(CAST(s.seq_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+        |      AS shuffle_key
+        |  FROM seqs s, e)
+        |SELECT epoch, seq_id, shuffle_key,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key) - 1 AS pos
+        |FROM keyed""".stripMargin,
 
     // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
     // role by kept-index parity, transcript via ordered string_agg

@@ -287,6 +287,34 @@ object PretrainRelease {
     } finally { cleanA.unpersist(false); () }
   }
 
+  /** TRAINING-ORDER MANIFEST — the per-epoch consumption order a
+    * loader of the released shards follows: every released SEQUENCE
+    * (0..S−1, S = the release stream's complete windows) gets a
+    * deterministic shuffled global position per epoch
+    * ([[Curate.epochPositions]]' two-pass order — range-partitioned
+    * md5 sort, never a single-partition window). S comes from the
+    * ids-only cost sum (one bounded driver scalar); the sequence table
+    * is a parallel range, so the manifest is O(S) rows with no text
+    * anywhere in the plan. */
+  def releaseEpochOrder(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                        alphaQuarters: Int, seqLen: Int, epochs: Int,
+                        ngram: Int = 3, nPartitions: Int = 32): DataFrame = {
+    require(seqLen > 0 && epochs > 0,
+      s"seqLen/epochs must be positive, got $seqLen/$epochs")
+    val spark = docs.sparkSession
+    val copies = admittedCopies(docs, bench, minTokens, alphaQuarters, ngram)
+    val costs = docs.select(col("doc_id").cast("long").as("doc_id"),
+      (Text.tokenCount(col("text")) + 1).cast("long").as("__cost"))
+    val total = copies.join(costs, "doc_id")
+      .agg(coalesce(sum(col("__cost")), lit(0L))).head().getLong(0)
+    val seqs = spark.range(total / seqLen).select(col("id").as("seq_id"))
+    (0 until epochs).map { e =>
+      Curate.epochPositions(seqs, e.toLong, nPartitions, idCol = "seq_id")
+        .select(lit(e).as("epoch"), col("seq_id"), col("shuffle_key"),
+          col("pos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The release's doc-span sidecar at the same release grain: one
     * row per (sequence, release doc) overlap — the masking metadata
     * shipped beside the shards ([[graft.io.TokenShards.docSpans]]). */

@@ -72,7 +72,8 @@ object ScaleCurve {
     "q214_gif_container_decode", "q216_csv2_audit", "q218_gif_frame_sample",
     "q225_shard_doc_spans", "q228_fim_transform", "q231_preference_pairs",
     "q232_pretrain_release", "q233_release_doc_spans",
-    "q234_release_data_card", "q235_release_delta")
+    "q234_release_data_card", "q235_release_delta",
+    "q236_release_epoch_order")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily

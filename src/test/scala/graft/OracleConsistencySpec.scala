@@ -225,6 +225,17 @@ class OracleConsistencySpec extends AnyFunSuite {
       "q235 delta lost the 5-gram shingle CTE shape")
     assert(rel235.contains(norm("doc_id % 97 <> 0 AND doc_id % 3 = 0")),
       "q235 drop-0 predicate moved — update the Spark lambda in lockstep")
+
+    // q236: same chain prefix; the position key is q85's md5(id:seed)
+    // shape with the seed rendered per epoch
+    assert(SparkEntry.oracleSql("q236_release_epoch_order").startsWith(chain232),
+      "q236 does not share q232's release chain prefix")
+    assert(norm(SparkEntry.oracleSql("q236_release_epoch_order")).contains(norm(
+      "md5(CAST(s.seq_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))")),
+      "q236 lost q85's md5(id:seed) key shape")
+    assert(norm(SparkEntry.oracleSql("q85_epoch_shuffle")).contains(norm(
+      "md5(CAST(doc_id AS VARCHAR) || ':42')")),
+      "q85 key text moved — update the q236 lockstep")
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

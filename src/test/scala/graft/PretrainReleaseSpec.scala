@@ -135,6 +135,47 @@ class PretrainReleaseSpec extends SparkSuite {
       .count(_.getName.endsWith(".bin")) === 16)
   }
 
+  test("pack output is invariant to nBuckets and input partitioning (byte determinism)") {
+    // the export's determinism claim: the SAME corpus must produce the
+    // SAME bytes whatever the offsets bucketing or the physical layout
+    // of the input — only then is a re-export comparable and a 1000-
+    // executor run reproducible
+    import graft.io.TokenShards
+    val df = Seq(
+      (1L, body("p1")), (2L, body("p2")), (3L, body("p3")),
+      (4L, body("p4")), (5L, body("p5"))).toDF("doc_id", "text")
+    def streamOf(src: org.apache.spark.sql.DataFrame, nBuckets: Int) =
+      TokenShards.pack(src, "doc_id", "text", vocab = 4096, seqLen = 8,
+          seqsPerShard = 2, nBuckets = nBuckets)
+        .orderBy("gpos").as[(Long, Long, Long, Int)].collect().toSeq
+    val base = streamOf(df, 3)
+    assert(streamOf(df, 1) === base)
+    assert(streamOf(df, 7) === base)
+    assert(streamOf(df.repartition(5), 3) === base)
+  }
+
+  test("releaseEpochOrder positions are a permutation per epoch (q236)") {
+    val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val docs = d.where(col("doc_id") % 97 =!= 0)
+    val bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
+    val order = graft.pipelines.PretrainRelease.releaseEpochOrder(
+      docs, bench, minTokens = 30, alphaQuarters = 2, seqLen = 64,
+      epochs = 2, ngram = 5, nPartitions = 4)
+      .as[(Int, Long, String, Long)].collect()
+    val byEpoch = order.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    val n = byEpoch(0).length.toLong
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (0L until n))      // a permutation
+      assert(rows.map(_._2).sorted.toSeq === (0L until n))      // over all seqs
+      // positions follow the md5 key order exactly
+      assert(rows.sortBy(_._3).map(_._4).toSeq === (0L until n))
+    }
+    // epochs genuinely differ
+    assert(byEpoch(0).sortBy(_._2).map(_._4).toSeq !==
+      byEpoch(1).sortBy(_._2).map(_._4).toSeq)
+  }
+
   test("releaseShards round trip agrees with a releaseDocs-driven local reference") {
     val dir = java.nio.file.Files.createTempDirectory("pretrain-rel").toString
     val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")

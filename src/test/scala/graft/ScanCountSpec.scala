@@ -460,6 +460,11 @@ class ScanCountSpec extends SparkSuite {
     assert(formatScanCount("q235_release_delta", "binaryFile") <= 2)
     assert(scanCount("q235_release_delta") === 0)
     assert(shuffleCount("q235_release_delta") === 0)
+    // q236: the sequence count is one eager bounded scalar; the
+    // RETURNED manifest plan is a parallel range — zero parquet scans,
+    // one window re-cluster per epoch
+    assert(scanCount("q236_release_epoch_order") === 0)
+    assert(shuffleCount("q236_release_epoch_order") <= 2)
     // q234: the lazy card plan — the gate chain's three logical corpus
     // inputs (gated projection, contamination train side, bench
     // shingles) plus the cost projection; exchanges are the fp window,
