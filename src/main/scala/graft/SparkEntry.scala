@@ -3556,6 +3556,20 @@ object SparkEntry {
         ngram = 5, nPartitions = 8)
     }),
 
+    // ---- RELEASE FUNNEL (PretrainRelease.releaseFunnel — the
+    // one-row audit header of the release: per-stage survivor counts,
+    // candidates → quality floor → dedup canonical → decontaminated →
+    // training copies; q155's funnel discipline applied to the q232
+    // chain). All counts ids-only distributed aggregates; five
+    // scalars reach the driver. ----
+    "q237_release_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.pipelines.PretrainRelease.releaseFunnel(
+        docs = d.where(col("doc_id") % 97 =!= 0),
+        bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        minTokens = 30, alphaQuarters = 2, ngram = 5)
+    }),
+
     // ---- SFT TRANSCRIPT assembly (Events.sftTranscripts —
     // interaction logs become supervised fine-tuning documents: each
     // 30-min-gap session collapses to one role-alternating transcript
@@ -11014,6 +11028,17 @@ object SparkEntry {
         |SELECT epoch, seq_id, shuffle_key,
         |  row_number() OVER (PARTITION BY epoch ORDER BY shuffle_key) - 1 AS pos
         |FROM keyed""".stripMargin,
+
+    // q237: the shared chain's stage CTEs counted directly — the
+    // funnel and the release derive from one chain definition
+    "q237_release_funnel" ->
+      s"""WITH ${pretrainReleaseChainSql()}
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rel_docs) AS n_candidates,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM quality) AS n_quality,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dedup) AS n_dedup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_copies""".stripMargin,
 
     // q230: q30's session CTE, kept = last-8 by (ts, event_id) desc,
     // role by kept-index parity, transcript via ordered string_agg

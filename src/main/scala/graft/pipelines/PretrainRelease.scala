@@ -287,6 +287,38 @@ object PretrainRelease {
     } finally { cleanA.unpersist(false); () }
   }
 
+  /** RELEASE FUNNEL — the per-stage survivor counts of the gate chain
+    * (candidates → quality floor → dedup canonical → decontaminated →
+    * training copies), the release's one-row audit header. Every
+    * count is a distributed ids-only aggregate (candidates and the
+    * quality flag share one scan; the clean set is persisted so the
+    * copies count reuses it); only five scalars reach the driver. */
+  def releaseFunnel(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                    alphaQuarters: Int, ngram: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qOk = Text.tokenCount(col("text")) >= minTokens
+    val Row0 = docs.agg(count(lit(1)).as("c"),
+      count(when(qOk, lit(1))).as("q")).head()
+    val (nCand, nQual) = (Row0.getLong(0), Row0.getLong(1))
+    val nDedup = docs.where(qOk)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        Text.fingerprint(col("text")).as("__fp"))
+      .withColumn("__canon",
+        min(col("doc_id")).over(Window.partitionBy("__fp")))
+      .where(col("doc_id") === col("__canon")).count()
+    val clean = cleanDocs(docs, bench, minTokens, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nClean = clean.count()
+      val nCopies = Curate.temperatureCopies(
+        clean.select(col("doc_id"), col("lang")),
+        alphaQuarters, groupCol = "lang", idCol = "doc_id").count()
+      Seq((nCand, nQual, nDedup, nClean, nCopies))
+        .toDF("n_candidates", "n_quality", "n_dedup", "n_clean", "n_copies")
+    } finally { clean.unpersist(false); () }
+  }
+
   /** TRAINING-ORDER MANIFEST — the per-epoch consumption order a
     * loader of the released shards follows: every released SEQUENCE
     * (0..S−1, S = the release stream's complete windows) gets a

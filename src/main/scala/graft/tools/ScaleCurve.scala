@@ -73,7 +73,7 @@ object ScaleCurve {
     "q225_shard_doc_spans", "q228_fim_transform", "q231_preference_pairs",
     "q232_pretrain_release", "q233_release_doc_spans",
     "q234_release_data_card", "q235_release_delta",
-    "q236_release_epoch_order")
+    "q236_release_epoch_order", "q237_release_funnel")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily

@@ -236,6 +236,15 @@ class OracleConsistencySpec extends AnyFunSuite {
     assert(norm(SparkEntry.oracleSql("q85_epoch_shuffle")).contains(norm(
       "md5(CAST(doc_id AS VARCHAR) || ':42')")),
       "q85 key text moved — update the q236 lockstep")
+
+    // q237: same chain prefix; the funnel counts name the chain's own
+    // stage CTEs, so the funnel cannot diverge from what q232 ships
+    assert(SparkEntry.oracleSql("q237_release_funnel").startsWith(chain232),
+      "q237 does not share q232's release chain prefix")
+    for (cte <- Seq("FROM rel_docs", "FROM quality", "FROM dedup",
+        "FROM clean", "FROM cc"))
+      assert(SparkEntry.oracleSql("q237_release_funnel").contains(cte),
+        s"q237 funnel lost its $cte stage count")
   }
 
   test("the pairing arg-pick key is uniform across all oracle CTEs") {

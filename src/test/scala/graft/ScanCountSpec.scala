@@ -465,6 +465,10 @@ class ScanCountSpec extends SparkSuite {
     // one window re-cluster per epoch
     assert(scanCount("q236_release_epoch_order") === 0)
     assert(shuffleCount("q236_release_epoch_order") <= 2)
+    // q237: the funnel counts run eagerly as ids-only aggregates; the
+    // returned one-row frame is local
+    assert(scanCount("q237_release_funnel") === 0)
+    assert(shuffleCount("q237_release_funnel") === 0)
     // q234: the lazy card plan — the gate chain's three logical corpus
     // inputs (gated projection, contamination train side, bench
     // shingles) plus the cost projection; exchanges are the fp window,
