@@ -49,13 +49,6 @@ import org.apache.spark.sql.DataFrame
   */
 object PretrainRelease {
 
-  /** The admitted (doc_id, copy_no) list — the gates and the mixture,
-    * ids only, NO text column anywhere in the plan. This is the
-    * subtree worth materializing: [[graft.io.TokenShards.pack]]'s
-    * two-pass prefix sum plans its input twice, and a persisted copy
-    * list (16 bytes/row) turns that into "the corpus text scans
-    * twice" (the q219 shape, unavoidable for a global repack) instead
-    * of "the whole gate chain runs twice". */
   /** The CLEAN set — floor → min-id dedup → decontamination — as
     * `(doc_id, lang, fingerprint)`: ids, the group, one digest; no
     * text column anywhere in the plan. The fingerprint rides along so
@@ -298,9 +291,9 @@ object PretrainRelease {
     val spark = docs.sparkSession
     import spark.implicits._
     val qOk = Text.tokenCount(col("text")) >= minTokens
-    val Row0 = docs.agg(count(lit(1)).as("c"),
+    val hdr = docs.agg(count(lit(1)).as("c"),
       count(when(qOk, lit(1))).as("q")).head()
-    val (nCand, nQual) = (Row0.getLong(0), Row0.getLong(1))
+    val (nCand, nQual) = (hdr.getLong(0), hdr.getLong(1))
     val nDedup = docs.where(qOk)
       .select(col("doc_id").cast("long").as("doc_id"),
         Text.fingerprint(col("text")).as("__fp"))
