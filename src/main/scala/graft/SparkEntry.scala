@@ -54,6 +54,46 @@ object SparkEntry {
     d
   }
 
+  /** r20-verdict diagnostic sidecar for the q219/q232/q235 trio (the
+    * byte-re-read family that has been driver-hash-red two rounds with
+    * no local repro): dump the per-shard stats the query is about to
+    * return plus the session fingerprint to `<name>_DIAG.json` in the
+    * repo root, so a red driver run leaves evidence a human can diff
+    * against a committed green run and name the first diverging
+    * shard/value. The stats frame is LOCAL post-verifyManifest, so the
+    * dump costs one local collect (bounded by the shard count); any
+    * write failure is swallowed (the harness cwd may be read-only). */
+  private def diagSidecar(name: String, dir: String,
+                          stats: DataFrame): DataFrame = {
+    try {
+      val s = stats.sparkSession
+      def c(k: String) =
+        try s.conf.get(k, "unset") catch { case _: Throwable => "unset" }
+      val fp = Seq(
+        "sf_dir" -> dir,
+        "spark_version" -> s.version,
+        "jvm" -> System.getProperty("java.version"),
+        "tmpdir" -> System.getProperty("java.io.tmpdir"),
+        "master" -> s.sparkContext.master,
+        "parallelism" -> s.sparkContext.defaultParallelism.toString,
+        "shuffle_partitions" -> c("spark.sql.shuffle.partitions"),
+        "aqe" -> c("spark.sql.adaptive.enabled"),
+        "ansi" -> c("spark.sql.ansi.enabled"),
+        "speculation" -> c("spark.speculation"))
+      val cols = stats.columns
+      val body = stats.collect().map { r =>
+        cols.indices.map(i => s""""${cols(i)}": ${r.get(i)}""")
+          .mkString("{", ", ", "}")
+      }.mkString("[", ",\n  ", "]")
+      val json = "{\n" +
+        fp.map { case (k, v) => s"""  "$k": "$v"""" }.mkString(",\n") +
+        s""",\n  "shards": $body\n}\n"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"/root/repo/${name}_DIAG.json"), json)
+    } catch { case _: Throwable => () }
+    stats
+  }
+
   /** q169's written IVFADC index, memoized per sf dir: building is the
     * one-time batch job of the serving story, so repeated invocations
     * (bench medians, scale-curve passes) probe the SAME written index;
@@ -3381,8 +3421,35 @@ object SparkEntry {
       val packed = graft.io.TokenShards.pack(d, "doc_id", "text",
         vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
       val manifest = graft.io.TokenShards.write(packed, path)
-      graft.io.TokenShards
+      diagSidecar("Q219", dir, graft.io.TokenShards
         .verifyManifest(graft.io.TokenShards.readStats(s, path), manifest)
+        .select(col("shard_id"),
+          expr("n_tokens div 64L").as("n_seqs"),
+          col("n_tokens"), col("token_sum"), col("poly_mod"),
+          lit(true).as("manifest_match")))
+    }),
+
+    // ---- BYTE-FREE TWIN of q219 (the r20-verdict bifurcation
+    // instrument for the driver-only hash divergence): the IDENTICAL
+    // per-shard report computed straight from pack()'s token stream —
+    // no write, no byte re-read. The within-shard position rn is pure
+    // arithmetic (gpos − shard_id·seqLen·seqsPerShard + 1, shards
+    // being contiguous gpos ranges), so the polynomial folds in one
+    // map-side-combined aggregate; manifest_match is the constant the
+    // oracle emits (there is no manifest here by construction). Gated
+    // by the SAME oracle SQL as q219: twin green + q219 red localizes
+    // the divergence to the write/re-read leg; both red localizes it
+    // to the packed stream vs the oracle's DuckDB replay. ----
+    "q238_token_shards_stream" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.io.TokenShards.pack(d, "doc_id", "text",
+          vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("tid").cast("long")).as("token_sum"),
+          (sum((col("gpos") - col("shard_id") * lit(1024L) + lit(1L)) *
+            (col("tid").cast("long") + lit(1L))) % lit(1000000007L))
+            .as("poly_mod"))
         .select(col("shard_id"),
           expr("n_tokens div 64L").as("n_seqs"),
           col("n_tokens"), col("token_sum"), col("poly_mod"),
@@ -3469,7 +3536,7 @@ object SparkEntry {
     "q232_pretrain_release" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val path = tempResultDir("graft-q232") + "/release"
-      graft.pipelines.PretrainRelease.releaseShards(
+      diagSidecar("Q232", dir, graft.pipelines.PretrainRelease.releaseShards(
         docs = d.where(col("doc_id") % 97 =!= 0),
         bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
         path = path, minTokens = 30, alphaQuarters = 2,
@@ -3478,22 +3545,27 @@ object SparkEntry {
         .select(col("shard_id"),
           expr("n_tokens div 64L").as("n_seqs"),
           col("n_tokens"), col("token_sum"), col("poly_mod"),
-          lit(true).as("manifest_match"))
+          lit(true).as("manifest_match")))
     }),
 
-    // ---- RELEASE DOC-SPAN SIDECAR (PretrainRelease.releaseDocSpans —
-    // q225's masking metadata at the RELEASE grain: where each
+    // ---- RELEASE DOC-SPAN SIDECAR (PretrainRelease.releaseDocSpansTo
+    // — q225's masking metadata at the RELEASE grain: where each
     // admitted copy starts inside each packed sequence of the q232
     // export, so a loader of the released shards resets attention
     // state at copy boundaries). Same gate chain as q232 (shared
     // CTEs, lockstep-pinned), q225's interval tail keyed by
     // release_id; O(release docs + crossings) rows, the token stream
-    // never explodes. ----
+    // never explodes. Since round 21 the sidecar MATERIALIZES to a
+    // temp parquet (the path-scoped form a release ships): the eager
+    // write lets the copy list persist across docSpans' two prefix-sum
+    // passes, so the gate chain evaluates ONCE instead of once per
+    // pass — identical rows, same oracle. ----
     "q233_release_doc_spans" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      graft.pipelines.PretrainRelease.releaseDocSpans(
+      graft.pipelines.PretrainRelease.releaseDocSpansTo(
         docs = d.where(col("doc_id") % 97 =!= 0),
         bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
+        path = tempResultDir("graft-q233") + "/spans",
         minTokens = 30, alphaQuarters = 2, vocab = 4096, seqLen = 64,
         ngram = 5, nBuckets = 8)
         .select(col("seq_id"), col("doc_id").as("release_id"),
@@ -3530,14 +3602,14 @@ object SparkEntry {
     "q235_release_delta" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val base = tempResultDir("graft-q235")
-      graft.pipelines.PretrainRelease.releaseDeltaShards(
+      diagSidecar("Q235", dir, graft.pipelines.PretrainRelease.releaseDeltaShards(
         corpus = d.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 3 === 0),
         batch = d.where(col("doc_id") % 97 =!= 0 && col("doc_id") % 3 =!= 0),
         bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text"),
         pathA = base + "/drop0", pathB = base + "/drop1",
         minTokens = 30, alphaQuarters = 2,
         vocab = 4096, seqLen = 64, seqsPerShard = 16, ngram = 5,
-        nBuckets = 8)
+        nBuckets = 8))
     }),
 
     // ---- TRAINING-ORDER MANIFEST (PretrainRelease.releaseEpochOrder
@@ -6165,6 +6237,46 @@ object SparkEntry {
     * embeddings (q176's cosine text, same round/tie order as
     * `Ann.ivfPqCosineTopK`), then q176's margin tail verbatim over
     * the two approximate top-`k` lists. */
+  /** q219's shard-stream replay, shared VERBATIM with its byte-free
+    * twin q238: the stream is replayed arithmetically (gpos computed
+    * from cumulative doc costs, never from row order), cut at the
+    * complete-sequence boundary, and reduced per shard to count / sum
+    * / position-weighted polynomial mod 1e9+7. */
+  private val tokenShardsStreamOracleSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id,
+      |    list_append(
+      |      list_transform(
+      |        CASE WHEN length(trim(text)) = 0 THEN []
+      |             ELSE string_split_regex(trim(text), '\s+') END,
+      |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
+      |      4096) AS ids
+      |  FROM documents),
+      |offs AS (
+      |  SELECT doc_id, ids,
+      |    coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
+      |    sum(len(ids)) OVER () AS total
+      |  FROM ids),
+      |toks AS (
+      |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
+      |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
+      |        FROM offs) t),
+      |sh AS (
+      |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+      |  FROM toks WHERE gpos < (total // 64) * 64),
+      |st AS (
+      |  SELECT shard_id, tid,
+      |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
+      |  FROM sh)
+      |SELECT shard_id, CAST(count(*) // 64 AS BIGINT) AS n_seqs,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(tid) AS BIGINT) AS token_sum,
+      |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
+      |    AS poly_mod,
+      |  true AS manifest_match
+      |FROM st GROUP BY 1""".stripMargin
+
   private def bitextApproxOracleSql(kc: Int, m: Int, pqK: Int, dim: Int,
                                     nprobe: Int, shortlist: Int, k: Int,
                                     minMargin: String): String = {
@@ -10712,40 +10824,11 @@ object SparkEntry {
     // checksum mod 1e9+7 (rn is 1-based within the shard, matching the
     // kernel's i+1). The Spark side derives every value from RE-READ
     // shard BYTES, so a hash match proves the on-disk int32-LE layout.
-    "q219_token_shards" ->
-      """WITH ids AS (
-        |  SELECT doc_id,
-        |    list_append(
-        |      list_transform(
-        |        CASE WHEN length(trim(text)) = 0 THEN []
-        |             ELSE string_split_regex(trim(text), '\s+') END,
-        |        t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 4096),
-        |      4096) AS ids
-        |  FROM documents),
-        |offs AS (
-        |  SELECT doc_id, ids,
-        |    coalesce(sum(len(ids)) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS doc_off,
-        |    sum(len(ids)) OVER () AS total
-        |  FROM ids),
-        |toks AS (
-        |  SELECT doc_off + i AS gpos, ids[i + 1] AS tid, total
-        |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
-        |        FROM offs) t),
-        |sh AS (
-        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
-        |  FROM toks WHERE gpos < (total // 64) * 64),
-        |st AS (
-        |  SELECT shard_id, tid,
-        |    row_number() OVER (PARTITION BY shard_id ORDER BY gpos) AS rn
-        |  FROM sh)
-        |SELECT shard_id, CAST(count(*) // 64 AS BIGINT) AS n_seqs,
-        |  CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(tid) AS BIGINT) AS token_sum,
-        |  CAST(CAST(sum(rn * (tid + 1)) AS HUGEINT) % 1000000007 AS BIGINT)
-        |    AS poly_mod,
-        |  true AS manifest_match
-        |FROM st GROUP BY 1""".stripMargin,
+    // q219 and its byte-free twin q238 share ONE oracle text verbatim
+    // (the r20-verdict bifurcation: identical replay, different Spark
+    // leg — write+re-read vs direct stream aggregate)
+    "q219_token_shards" -> tokenShardsStreamOracleSql,
+    "q238_token_shards_stream" -> tokenShardsStreamOracleSql,
 
     // q221: the Avro round trip is value-invisible like q209/q210's —
     // the same per-group content-checksum replay from parquet

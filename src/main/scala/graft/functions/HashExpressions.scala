@@ -294,6 +294,38 @@ object HashKernels {
     out
   }
 
+  /** EOS-terminated md5-slice token ids — the fused kernel behind
+    * [[Md5TokenIds]] ([[graft.io.TokenShards.tokenId]]'s array form):
+    * per token the first 32 bits of md5(UTF-8 bytes) mod `vocab`, plus
+    * one trailing EOS id (= vocab). Byte-identical to the declarative
+    * `concat(transform(toks, t -> conv(substring(md5(t),1,8),16,10) %
+    * vocab), array(vocab))` it replaces — ArrayTransform is
+    * CodegenFallback, so that form evaluated INTERPRETED and paid a
+    * hex-string render + re-parse per token (the md5_simhash32
+    * move, applied to the shard-pack stream). A null element maps to
+    * a null id (the declarative form's null propagation); Text.tokens
+    * never emits nulls. */
+  def md5TokenIds(tokens: ArrayData, vocab: Int): ArrayData = {
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val n = tokens.numElements()
+    val out = new Array[Any](n + 1)
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        md.update(tokens.getUTF8String(t).getBytes)
+        md.digest(dig, 0, 16)
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        out(t) = (h % vocab).toInt
+      }
+      t += 1
+    }
+    out(n) = vocab
+    new GenericArrayData(out)
+  }
+
   /** md5-arithmetic MinHash signature of a unit array — the fused
     * kernel behind [[Md5MinhashSig]]: permutation i reads 32-bit slice
     * i%4 of md5(unit || ':' || i/4) (one digest drives four
@@ -609,6 +641,26 @@ case class Md5SimHash32(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** md5_token_ids(array<string>, vocab) -> array<int>: the
+  * EOS-terminated md5-slice token-id stream of one document
+  * ([[HashKernels.md5TokenIds]] — the [[graft.io.TokenShards]] pack
+  * kernel). */
+case class Md5TokenIds(child: Expression, vocab: Int) extends UnaryExpression {
+  require(vocab > 0, s"vocab must be positive, got $vocab")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "md5_token_ids"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5TokenIds(v.asInstanceOf[ArrayData], vocab)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.md5TokenIds($c, $vocab)")
+
+  override protected def withNewChildInternal(c: Expression): Md5TokenIds =
+    copy(child = c)
+}
+
 /** md5_minhash_sig(array<string>, k) -> struct<n_u:bigint,
   * sig:array<bigint>>, null for unit-less input
   * ([[HashKernels.md5MinhashSig]]). */
@@ -707,6 +759,9 @@ object HashFunctions {
 
   def md5MinhashSig(units: Column, k: Int): Column =
     GraftBridge.column(Md5MinhashSig(GraftBridge.expression(units), k))
+
+  def md5TokenIds(tokens: Column, vocab: Int): Column =
+    GraftBridge.column(Md5TokenIds(GraftBridge.expression(tokens), vocab))
 
   def minhashSignature(tokens: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), k))

@@ -66,12 +66,14 @@ object TokenShards {
     // ids per doc: md5-slice token ids + one EOS (= vocab); an
     // empty-text doc is a lone EOS. Computed BEFORE the offsets join
     // so the window/join below move (doc_id, cost) pairs, not text.
+    // The fused md5_token_ids kernel replaces the declarative
+    // transform(toks, t => tokenId(t, vocab)) — ArrayTransform is
+    // CodegenFallback, so that form ran INTERPRETED with a hex render
+    // + re-parse per token (byte-identity spec-pinned, TokenShardsSpec)
     val withIds = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      concat(
-        transform(graft.text.Text.tokens(col(textCol)),
-          t => tokenId(t, vocab).cast("int")),
-        array(lit(vocab))).as("ids"))
+      graft.functions.HashFunctions.md5TokenIds(
+        graft.text.Text.tokens(col(textCol)), vocab).as("ids"))
     // cost pass: len(ids) ≡ tokenCount + 1 by construction, so the
     // offsets pass counts PLAIN tokens — it never pays the per-token
     // md5 (the dominant kernel), which runs once, in the pack pass
@@ -214,11 +216,13 @@ object TokenShards {
           .getFileSystem(bc.value.value)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
         var cur = Long.MinValue
         var stream: java.io.DataOutputStream = null
         var tmp: org.apache.hadoop.fs.Path = null
         var n = 0L
+        var sum = 0L
+        var poly = 0L
         val buf = new Array[Byte](4)
         def close(): Unit = if (stream != null) {
           stream.close()
@@ -232,8 +236,8 @@ object TokenShards {
             s"failed to delete stale shard $fin before republish")
           require(fs.rename(tmp, fin),
             s"failed to publish shard $tmp -> $fin (fs.rename returned false)")
-          out += ((cur, n, n * 4L))
-          stream = null; n = 0L
+          out += ((cur, n, n * 4L, sum, poly))
+          stream = null; n = 0L; sum = 0L; poly = 0L
         }
         it.foreach { case (shard, _, tid) =>
           if (shard != cur) {
@@ -245,43 +249,73 @@ object TokenShards {
           }
           buf(0) = tid.toByte; buf(1) = (tid >>> 8).toByte
           buf(2) = (tid >>> 16).toByte; buf(3) = (tid >>> 24).toByte
-          stream.write(buf); n += 1L
+          stream.write(buf)
+          // write-time value digest, folded into the same loop at zero
+          // cost: the EXACT [[graft.functions.ShardKernels]] arithmetic
+          // over the stream as written, so [[verifyManifest]] can gate
+          // token VALUES (not just counts) against the re-read bytes
+          sum += tid
+          poly = (poly + (n + 1L) * (tid.toLong + 1L)) %
+            graft.functions.ShardKernels.PolyMod
+          n += 1L
         }
         close()
         out.iterator
       }
       .collect()
-    manifest.toSeq.toDF("shard_id", "n_tokens", "n_bytes")
+    manifest.toSeq.toDF("shard_id", "n_tokens", "n_bytes",
+      "token_sum", "poly_mod")
   }
 
-  /** GATE a shard re-read against the writer's manifest: full-outer
-    * compare [[readStats]] to the manifest on shard_id and THROW on
-    * ANY divergence — a shard file missing on disk, an unmanifested
-    * extra file, a token-count mismatch, or a byte length that is not
-    * 4·n_tokens. This is what makes a bad write an ERROR instead of a
-    * silently different answer: a publish that lost bytes cannot
-    * produce a plausible-but-wrong stats row, it kills the query. The
-    * divergence collect is bounded by the shard count (file-listing
-    * order, same as the manifest itself). Returns `stats` unchanged
-    * for fluent use. */
+  /** GATE a shard re-read against the writer's manifest: compare
+    * [[readStats]] to the manifest on shard_id and THROW on ANY
+    * divergence — a shard file missing on disk, an unmanifested extra
+    * file, a token-count mismatch, a byte length that is not
+    * 4·n_tokens, or (since the manifest carries the writer's stream
+    * digests) a token-SUM or polynomial-checksum mismatch: bytes whose
+    * VALUES differ from the stream the writer saw are a loud error
+    * even when every count matches. This is what makes a bad write an
+    * ERROR instead of a silently different answer.
+    *
+    * The stats scan is evaluated exactly ONCE (one collect, bounded by
+    * the shard count — file-listing order, same as the manifest
+    * itself) and the gated rows return as a LOCAL DataFrame: the
+    * previous pass-through returned the lazy scan, so every downstream
+    * action re-read EVERY shard byte a second time — at a 100 TB
+    * export the re-read IS the corpus, so halving it is structural,
+    * not cosmetic. */
   def verifyManifest(stats: DataFrame, manifest: DataFrame): DataFrame = {
-    val m = manifest.select(col("shard_id"),
-      col("n_tokens").as("m_tokens"), col("n_bytes").as("m_bytes"))
-    val bad = stats
-      .join(broadcast(m), Seq("shard_id"), "full_outer")
-      .where(col("n_tokens").isNull || col("m_tokens").isNull ||
-        col("n_tokens") =!= col("m_tokens") ||
-        col("m_bytes") =!= col("n_tokens") * 4)
-      .select(col("shard_id"), col("n_tokens"), col("m_tokens"), col("m_bytes"))
+    val spark = stats.sparkSession
+    val read = stats.collect()
+    val m = manifest
+      .select(col("shard_id"), col("n_tokens"), col("n_bytes"),
+        col("token_sum"), col("poly_mod"))
       .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val readIds = read.map(_.getLong(0)).toSet
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    read.sortBy(_.getLong(0)).foreach { r =>
+      val (id, n, sum, poly) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      m.get(id) match {
+        case None =>
+          bad += s"shard_id=$id read_tokens=$n manifest_tokens=null (unmanifested file)"
+        case Some((mn, mb, ms, mp)) =>
+          if (n != mn || mb != n * 4)
+            bad += s"shard_id=$id read_tokens=$n manifest_tokens=$mn manifest_bytes=$mb"
+          else if (sum != ms || poly != mp)
+            bad += s"shard_id=$id read_sum=$sum manifest_sum=$ms " +
+              s"read_poly=$poly manifest_poly=$mp (token values diverge)"
+      }
+    }
+    m.keys.toSeq.sorted.filterNot(readIds.contains).foreach { id =>
+      bad += s"shard_id=$id read_tokens=null manifest_tokens=${m(id)._1} (missing file)"
+    }
     if (bad.nonEmpty) throw new IllegalStateException(
       s"token-shard manifest divergence on ${bad.length} shard(s): " +
-        bad.take(8).map { r =>
-          s"shard_id=${r.get(0)} read_tokens=${r.get(1)} " +
-            s"manifest_tokens=${r.get(2)} manifest_bytes=${r.get(3)}"
-        }.mkString("; ") +
-        (if (bad.length > 8) " ..." else ""))
-    stats
+        bad.take(8).mkString("; ") + (if (bad.length > 8) " ..." else ""))
+    spark.createDataFrame(java.util.Arrays.asList(read: _*), stats.schema)
   }
 
   /** Re-read written shards and reduce each to its layout-proving

@@ -57,27 +57,55 @@ object PretrainRelease {
   def cleanDocs(docs: DataFrame, bench: DataFrame, minTokens: Int,
                 ngram: Int = 3, idCol: String = "doc_id",
                 textCol: String = "text",
-                groupCol: String = "lang"): DataFrame = {
-    require(minTokens > 0, s"minTokens must be positive, got $minTokens")
-    val id = col(idCol).cast("long")
+                groupCol: String = "lang"): DataFrame =
+    dedupCanonical(docs, minTokens, idCol, textCol, groupCol)
+      .join(contamIds(docs, bench, minTokens, ngram, idCol, textCol),
+        Seq("doc_id"), "left_anti")
 
+  /** The floor + min-id-dedup stage of [[cleanDocs]] as
+    * `(doc_id, lang, fingerprint)` — factored out so [[releaseFunnel]]
+    * counts it WITHOUT re-running the fingerprint window a second time
+    * beside the clean set. */
+  private def dedupCanonical(docs: DataFrame, minTokens: Int,
+                             idCol: String, textCol: String,
+                             groupCol: String): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive, got $minTokens")
     // gates ride map-side-reduced columns — ids, flags, one digest
     val gated = docs.select(
-      id.as("doc_id"), col(groupCol).as("lang"),
+      col(idCol).cast("long").as("doc_id"), col(groupCol).as("lang"),
       Text.fingerprint(col(textCol)).as("fingerprint"),
       (Text.tokenCount(col(textCol)) >= minTokens).as("__q"))
-    val dedup = gated.where(col("__q"))
+    gated.where(col("__q"))
       .withColumn("__canon", min(col("doc_id")).over(Window.partitionBy("fingerprint")))
       .where(col("doc_id") === col("__canon"))
       .select(col("doc_id"), col("lang"), col("fingerprint"))
+  }
 
-    // per-doc independent: same flags whether evaluated on quality
-    // survivors or dedup survivors; ids-only output
-    val contamIds = Curate.contamination(
+  /** The decontamination ids of [[cleanDocs]] — per-doc independent:
+    * same flags whether evaluated on quality survivors or dedup
+    * survivors; ids-only output. */
+  private def contamIds(docs: DataFrame, bench: DataFrame, minTokens: Int,
+                        ngram: Int, idCol: String,
+                        textCol: String): DataFrame =
+    Curate.contamination(
         docs.where(Text.tokenCount(col(textCol)) >= minTokens),
         bench, ngram, idCol, textCol)
       .select(col(idCol).cast("long").as("doc_id"))
-    dedup.join(contamIds, Seq("doc_id"), "left_anti")
+
+  /** Run `body` over the PERSISTED clean set: the mixture's eager
+    * histogram and the copy-list materialization each plan the clean
+    * set, so an unpersisted chain evaluates the gate cascade
+    * (fingerprint window + shingle decontam) once PER consumer —
+    * measured as two full chain runs per release. Persisted state is
+    * (id, lang, digest) rows — ~24 bytes/doc, disk-spillable, never
+    * text. */
+  private def withClean[A](docs: DataFrame, bench: DataFrame,
+                           minTokens: Int, ngram: Int)
+                          (body: DataFrame => A): A = {
+    val clean = cleanDocs(docs, bench, minTokens, ngram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { clean.count(); body(clean) }
+    finally { clean.unpersist(false); () }
   }
 
   /** The admitted (doc_id, copy_no) list — the gates and the mixture,
@@ -175,11 +203,18 @@ object PretrainRelease {
                     minTokens: Int, alphaQuarters: Int, vocab: Int,
                     seqLen: Int, seqsPerShard: Int, ngram: Int = 3,
                     copyCap: Int = 16, nBuckets: Int = 32): DataFrame =
-    withPersisted(
-      admittedCopies(docs, bench, minTokens, alphaQuarters, ngram),
-      docs, copyCap) { rel =>
-      packWriteVerify(rel, path, vocab, seqLen, seqsPerShard, nBuckets,
-        shardOffset = 0L)._1
+    // the clean set persists across the mixture histogram and the
+    // copy-list materialization (the releaseDeltaShards discipline):
+    // unpersisted, the gate chain evaluated once per consumer
+    withClean(docs, bench, minTokens, ngram) { clean =>
+      val copies = Curate.temperatureCopies(
+          clean.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("copy_no"))
+      withPersisted(copies, docs, copyCap) { rel =>
+        packWriteVerify(rel, path, vocab, seqLen, seqsPerShard, nBuckets,
+          shardOffset = 0L)._1
+      }
     }
 
   /** RELEASE DATA CARD — the per-group accounting a release ships in
@@ -232,10 +267,7 @@ object PretrainRelease {
     // the corpus gate chain is needed by BOTH the initial release (its
     // mixture) and the delta (its released-fingerprint anti-join) —
     // persist the (id, lang, digest) rows so it evaluates once
-    val cleanA = cleanDocs(corpus, bench, minTokens, ngram)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      cleanA.count()
+    withClean(corpus, bench, minTokens, ngram) { cleanA =>
       val copiesA = Curate.temperatureCopies(
           cleanA.select(col("doc_id"), col("lang")),
           alphaQuarters, groupCol = "lang", idCol = "doc_id")
@@ -244,11 +276,12 @@ object PretrainRelease {
         rel => packWriteVerify(rel, pathA, vocab, seqLen, seqsPerShard,
           nBuckets, shardOffset = 0L)
       }
-      // offset from the LOCAL manifest — never re-lists shipped files
-      val offset = manifestA.agg(max(col("shard_id"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0) + 1L
-      }
+      // offset from the LOCAL manifest rows — never re-lists shipped
+      // files, and (the manifest being a LocalRelation) never launches
+      // a Spark job for one scalar either
+      val shardIds = manifestA.select(col("shard_id")).collect()
+      val offset = if (shardIds.isEmpty) 0L
+        else shardIds.map(_.getLong(0)).max + 1L
 
       // delta admission: the corpus side contributes 16-byte RELEASED
       // fingerprints, never text
@@ -277,7 +310,7 @@ object PretrainRelease {
         .unionByName(statsB.withColumn("drop_no", lit(1)))
         .select(col("drop_no"), col("shard_id"), col("n_tokens"),
           col("token_sum"), col("poly_mod"))
-    } finally { cleanA.unpersist(false); () }
+    }
   }
 
   /** RELEASE FUNNEL — the per-stage survivor counts of the gate chain
@@ -294,22 +327,27 @@ object PretrainRelease {
     val hdr = docs.agg(count(lit(1)).as("c"),
       count(when(qOk, lit(1))).as("q")).head()
     val (nCand, nQual) = (hdr.getLong(0), hdr.getLong(1))
-    val nDedup = docs.where(qOk)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        Text.fingerprint(col("text")).as("__fp"))
-      .withColumn("__canon",
-        min(col("doc_id")).over(Window.partitionBy("__fp")))
-      .where(col("doc_id") === col("__canon")).count()
-    val clean = cleanDocs(docs, bench, minTokens, ngram)
+    // the dedup-canonical stage persists so the dedup count and the
+    // clean set share ONE fingerprint-window evaluation (previously
+    // the funnel ran the window twice: once for n_dedup, once inside
+    // cleanDocs)
+    val dedup = dedupCanonical(docs, minTokens, "doc_id", "text", "lang")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nClean = clean.count()
-      val nCopies = Curate.temperatureCopies(
-        clean.select(col("doc_id"), col("lang")),
-        alphaQuarters, groupCol = "lang", idCol = "doc_id").count()
-      Seq((nCand, nQual, nDedup, nClean, nCopies))
-        .toDF("n_candidates", "n_quality", "n_dedup", "n_clean", "n_copies")
-    } finally { clean.unpersist(false); () }
+      val nDedup = dedup.count()
+      val clean = dedup
+        .join(contamIds(docs, bench, minTokens, ngram, "doc_id", "text"),
+          Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nClean = clean.count()
+        val nCopies = Curate.temperatureCopies(
+          clean.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id").count()
+        Seq((nCand, nQual, nDedup, nClean, nCopies))
+          .toDF("n_candidates", "n_quality", "n_dedup", "n_clean", "n_copies")
+      } finally { clean.unpersist(false); () }
+    } finally { dedup.unpersist(false); () }
   }
 
   /** TRAINING-ORDER MANIFEST — the per-epoch consumption order a
@@ -357,4 +395,30 @@ object PretrainRelease {
     graft.io.TokenShards.docSpans(rel, "release_id", "text",
       vocab, seqLen, nBuckets)
   }
+
+  /** [[releaseDocSpans]] MATERIALIZED under `path` (parquet) — the
+    * path-scoped form a release actually ships (the sidecar is an
+    * artifact next to the shards, like the q219 export itself). The
+    * eager write is the barrier the copy-list persist can scope
+    * against, so the gate chain evaluates ONCE across docSpans' two
+    * prefix-sum passes — the lazy form re-plans the whole chain per
+    * pass (its scaladoc's caveat; measured ~2× the gate cost at
+    * sf0.1). Returns the written sidecar read back: identical rows,
+    * gates-evaluated-once cost. */
+  def releaseDocSpansTo(docs: DataFrame, bench: DataFrame, path: String,
+                        minTokens: Int, alphaQuarters: Int, vocab: Int,
+                        seqLen: Int, ngram: Int = 3, copyCap: Int = 16,
+                        nBuckets: Int = 32): DataFrame =
+    withClean(docs, bench, minTokens, ngram) { clean =>
+      val copies = Curate.temperatureCopies(
+          clean.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("copy_no"))
+      withPersisted(copies, docs, copyCap) { rel =>
+        graft.io.TokenShards.docSpans(rel, "release_id", "text",
+            vocab, seqLen, nBuckets)
+          .write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      }
+    }
 }

@@ -73,7 +73,9 @@ object ScaleCurve {
     "q225_shard_doc_spans", "q228_fim_transform", "q231_preference_pairs",
     "q232_pretrain_release", "q233_release_doc_spans",
     "q234_release_data_card", "q235_release_delta",
-    "q236_release_epoch_order", "q237_release_funnel")
+    "q236_release_epoch_order", "q237_release_funnel",
+    // round-21: q219's byte-free twin (the r20-verdict bifurcation)
+    "q238_token_shards_stream")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else DefaultFamily

@@ -61,8 +61,9 @@ class TokenShardsSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("tokshard").toString
     val packed = TokenShards.pack(df, "doc_id", "text",
       vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
-    val manifest = TokenShards.write(packed, s"$dir/shards")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val manifestFull = TokenShards.write(packed, s"$dir/shards")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val manifest = manifestFull.map(m => (m._1, m._2, m._3))
     val want = refStream(docs, seqLen = 8)
     val nShards = (want.size / 8 + 1) / 2 // ceil(seqs / seqsPerShard)
     assert(manifest.map(_._1).toSeq === (0L until nShards.toLong))
@@ -90,6 +91,10 @@ class TokenShardsSpec extends SparkSuite {
       }.sum % ShardKernels.PolyMod
       assert(poly === refPoly)
     }
+    // the WRITE-TIME stream digests in the manifest equal the re-read
+    // kernel's (same arithmetic folded into the writer loop)
+    assert(manifestFull.map(m => (m._1, m._2, m._4, m._5)).toSeq ===
+      stats.toSeq)
   }
 
   test("polynomial checksum is order-sensitive; plain sum is not") {
@@ -183,6 +188,66 @@ class TokenShardsSpec extends SparkSuite {
     assert(extra.getMessage.contains("shard_id=99"))
   }
 
+  test("verifyManifest THROWS when token VALUES diverge though counts match (write-time digests)") {
+    val dir = java.nio.file.Files.createTempDirectory("tokshard4").toString
+    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+      vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+    val manifest = TokenShards.write(packed, s"$dir/shards")
+    val victim = java.nio.file.Paths.get(s"$dir/shards", "shard-00000.bin")
+    // drop the local-FS CRC sidecar with each tamper, else Hadoop's
+    // checksum layer fails the read before the gate can (the round-20
+    // gotcha); the GATE is what this test pins
+    val crc = java.nio.file.Paths.get(s"$dir/shards", ".shard-00000.bin.crc")
+    val orig = java.nio.file.Files.readAllBytes(victim)
+
+    // flip one token's value: count unchanged, sum diverges
+    val flipped = orig.clone(); flipped(0) = (flipped(0) + 1).toByte
+    java.nio.file.Files.write(victim, flipped)
+    java.nio.file.Files.deleteIfExists(crc)
+    val sumDiv = intercept[IllegalStateException] {
+      TokenShards.verifyManifest(
+        TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    }
+    assert(sumDiv.getMessage.contains("token values diverge"))
+    assert(sumDiv.getMessage.contains("shard_id=0"))
+
+    // swap two adjacent tokens: count AND sum unchanged, poly diverges
+    val swapped = orig.clone()
+    for (i <- 0 until 4) {
+      val t = swapped(i); swapped(i) = swapped(4 + i); swapped(4 + i) = t
+    }
+    assume(!java.util.Arrays.equals(swapped, orig))
+    java.nio.file.Files.write(victim, swapped)
+    java.nio.file.Files.deleteIfExists(crc)
+    val polyDiv = intercept[IllegalStateException] {
+      TokenShards.verifyManifest(
+        TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    }
+    assert(polyDiv.getMessage.contains("token values diverge"))
+
+    // restore: the gate passes again and returns the stats LOCALLY
+    // (one evaluation — the returned plan re-reads no bytes)
+    java.nio.file.Files.write(victim, orig)
+    java.nio.file.Files.deleteIfExists(crc)
+    val gated = TokenShards.verifyManifest(
+      TokenShards.readStats(spark, s"$dir/shards"), manifest)
+    assert(gated.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(gated.count() === manifest.count())
+  }
+
+  test("md5_token_ids kernel is byte-identical to the declarative transform form") {
+    val df = docs.toDF("doc_id", "text")
+    val toks = graft.text.Text.tokens(col("text"))
+    val declarative = df.select(col("doc_id"), concat(
+      transform(toks, t => TokenShards.tokenId(t, Vocab).cast("int")),
+      array(lit(Vocab))).as("ids"))
+    val fused = df.select(col("doc_id"),
+      graft.functions.HashFunctions.md5TokenIds(toks, Vocab).as("ids"))
+    assert(fused.orderBy("doc_id").as[(Long, Seq[Int])].collect().toSeq ===
+      declarative.orderBy("doc_id").as[(Long, Seq[Int])].collect().toSeq)
+  }
+
   test("write fails loudly when the export root cannot be created") {
     // a regular FILE where the parent dir should be: every FS call in
     // the publish path is checked, so this dies loudly instead of
@@ -204,7 +269,9 @@ class TokenShardsSpec extends SparkSuite {
     TokenShards.write(TokenShards.pack(big, "doc_id", "text",
       Vocab, 8, 2, 3), s"$dir/shards")
     val m2 = TokenShards.write(TokenShards.pack(small, "doc_id", "text",
-      Vocab, 8, 2, 3), s"$dir/shards").as[(Long, Long, Long)].collect()
+      Vocab, 8, 2, 3), s"$dir/shards")
+      .select("shard_id", "n_tokens", "n_bytes")
+      .as[(Long, Long, Long)].collect()
     // the second (smaller) export fully replaces the first: on-disk
     // shard set == second manifest, no stale shard files
     val files = new java.io.File(s"$dir/shards").listFiles()
