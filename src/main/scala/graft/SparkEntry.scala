@@ -6263,7 +6263,7 @@ object SparkEntry {
       |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
       |        FROM offs) t),
       |sh AS (
-      |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+      |  SELECT CAST((gpos // 64) // 16 AS BIGINT) AS shard_id, gpos, tid
       |  FROM toks WHERE gpos < (total // 64) * 64),
       |st AS (
       |  SELECT shard_id, tid,
@@ -10923,7 +10923,7 @@ object SparkEntry {
         |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
         |        FROM offs) t),
         |sh AS (
-        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+        |  SELECT CAST((gpos // 64) // 16 AS BIGINT) AS shard_id, gpos, tid
         |  FROM toks WHERE gpos < (total // 64) * 64),
         |st AS (
         |  SELECT shard_id, tid,
@@ -11012,7 +11012,7 @@ object SparkEntry {
         |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
         |        FROM a_offs) t),
         |a_sh AS (
-        |  SELECT (gpos // 64) // 16 AS shard_id, gpos, tid
+        |  SELECT CAST((gpos // 64) // 16 AS BIGINT) AS shard_id, gpos, tid
         |  FROM a_toks WHERE gpos < (total // 64) * 64),
         |a_st AS (
         |  SELECT shard_id, tid,
@@ -11072,7 +11072,7 @@ object SparkEntry {
         |  FROM (SELECT doc_off, ids, total, unnest(range(len(ids))) AS i
         |        FROM b_offs) t),
         |b_sh AS (
-        |  SELECT (gpos // 64) // 16 + a_off.shard_off AS shard_id, gpos, tid
+        |  SELECT CAST((gpos // 64) // 16 + a_off.shard_off AS BIGINT) AS shard_id, gpos, tid
         |  FROM b_toks, a_off WHERE gpos < (total // 64) * 64),
         |b_st AS (
         |  SELECT shard_id, tid,

@@ -178,6 +178,14 @@ case class PcmDftBin(child: Expression, window: Int, k: Int)
   * [[IoMediaStreamSpec]] pins the two row-identical. */
 object ImageKernels {
 
+  // ImageIO's default stream cache is FILE-backed (getUseCache()==true):
+  // every ImageIO.read/write over an in-memory byte array wrapped it in
+  // a temp FILE on local disk — one create+write+read+delete PER ROW in
+  // the codec hot loop. Every payload in this engine is an in-memory
+  // byte array, so the memory cache is strictly better; the decoded/
+  // encoded BYTES are identical (the cache only backs stream seeks).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode a constant-fill grayscale PNG — deterministic real-codec
     * payload generator (tests + oracle-backed decode queries). */
   def grayPng(width: Int, height: Int, value: Int): Array[Byte] = {
@@ -282,6 +290,11 @@ case class ImageMetaExpr(child: Expression) extends UnaryExpression
   * per-frame decode, frame stats, and raw-raster extraction feeding
   * [[graft.multimodal.Media.resizeRaster]]'s real-resample branch. */
 object GifKernels {
+
+  // see ImageKernels: byte-array payloads never need ImageIO's
+  // file-backed stream cache (idempotent global flag, set in both
+  // objects so either kernel family alone flips it)
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** The identity 256-gray sRGB palette: index i = color (i, i, i).
     * Frames are built TYPE_BYTE_INDEXED over this palette — NOT

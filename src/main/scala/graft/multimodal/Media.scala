@@ -28,6 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
+  // byte-array payloads never need ImageIO's file-backed stream cache
+  // (see graft.functions.ImageKernels — idempotent global flag, set
+  // here too so the mapPartitions batch path alone also flips it)
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(media_id: Long, kind: String, media: Array[Byte],
                       width: Int, height: Int, sample_rate: Int)
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,

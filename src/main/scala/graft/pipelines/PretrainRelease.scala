@@ -100,9 +100,13 @@ object PretrainRelease {
     * (id, lang, digest) rows — ~24 bytes/doc, disk-spillable, never
     * text. */
   private def withClean[A](docs: DataFrame, bench: DataFrame,
-                           minTokens: Int, ngram: Int)
+                           minTokens: Int, ngram: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           groupCol: String = "lang")
                           (body: DataFrame => A): A = {
-    val clean = cleanDocs(docs, bench, minTokens, ngram)
+    val clean = cleanDocs(docs, bench, minTokens, ngram, idCol, textCol,
+        groupCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try { clean.count(); body(clean) }
     finally { clean.unpersist(false); () }
@@ -228,23 +232,36 @@ object PretrainRelease {
   def releaseDataCard(docs: DataFrame, bench: DataFrame, minTokens: Int,
                       alphaQuarters: Int, ngram: Int = 3,
                       idCol: String = "doc_id", textCol: String = "text",
-                      groupCol: String = "lang"): DataFrame = {
-    val copies = admittedCopies(docs, bench, minTokens, alphaQuarters,
-      ngram, idCol, textCol, groupCol)
-    val costs = docs.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(groupCol).as("lang"),
-      (Text.tokenCount(col(textCol)) + 1).cast("long").as("__cost"))
-    val card = copies.join(costs, "doc_id")
-      .groupBy("lang")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_copies"),
-        sum(col("__cost")).as("n_tokens"))
-    card.select(col("lang"), col("n_docs"), col("n_copies"), col("n_tokens"),
-      floor(col("n_tokens").cast("double") * lit(1000000.0) /
-          sum(col("n_tokens")).over(Window.partitionBy()).cast("double")
-        + lit(0.5)).cast("long").as("token_share_ppm"))
-  }
+                      groupCol: String = "lang"): DataFrame =
+    // clean set persisted across the mixture histogram and the card
+    // aggregate (the releaseShards discipline — round 21): unpersisted,
+    // the gate cascade evaluated once per consumer. The card is
+    // returned as a LOCAL frame (bounded by the group count, the
+    // releaseFunnel convention) so the persist scope can close here.
+    withClean(docs, bench, minTokens, ngram, idCol, textCol, groupCol) {
+      clean =>
+      val copies = Curate.temperatureCopies(
+          clean.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("copy_no"))
+      val costs = docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        col(groupCol).as("lang"),
+        (Text.tokenCount(col(textCol)) + 1).cast("long").as("__cost"))
+      val card = copies.join(costs, "doc_id")
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          sum(col("__cost")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_copies"),
+          col("n_tokens"),
+          floor(col("n_tokens").cast("double") * lit(1000000.0) /
+              sum(col("n_tokens")).over(Window.partitionBy()).cast("double")
+            + lit(0.5)).cast("long").as("token_share_ppm"))
+      val local = card.collect()
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(local: _*), card.schema)
+    }
 
   /** INCREMENTAL RELEASE DROP — the production shape for "a new crawl
     * landed after the release shipped": the initial release writes
@@ -365,11 +382,21 @@ object PretrainRelease {
     require(seqLen > 0 && epochs > 0,
       s"seqLen/epochs must be positive, got $seqLen/$epochs")
     val spark = docs.sparkSession
-    val copies = admittedCopies(docs, bench, minTokens, alphaQuarters, ngram)
-    val costs = docs.select(col("doc_id").cast("long").as("doc_id"),
-      (Text.tokenCount(col("text")) + 1).cast("long").as("__cost"))
-    val total = copies.join(costs, "doc_id")
-      .agg(coalesce(sum(col("__cost")), lit(0L))).head().getLong(0)
+    // the gate chain feeds only the `total` scalar, but it is planned
+    // TWICE without a persist (the mixture's eager histogram + the
+    // cost-sum action) — persist the clean set across both (round 21,
+    // the releaseShards discipline). The returned manifest plan is a
+    // parallel range off the scalar, independent of the persist scope.
+    val total = withClean(docs, bench, minTokens, ngram) { clean =>
+      val copies = Curate.temperatureCopies(
+          clean.select(col("doc_id"), col("lang")),
+          alphaQuarters, groupCol = "lang", idCol = "doc_id")
+        .select(col("doc_id"), col("copy_no"))
+      val costs = docs.select(col("doc_id").cast("long").as("doc_id"),
+        (Text.tokenCount(col("text")) + 1).cast("long").as("__cost"))
+      copies.join(costs, "doc_id")
+        .agg(coalesce(sum(col("__cost")), lit(0L))).head().getLong(0)
+    }
     val seqs = spark.range(total / seqLen).select(col("id").as("seq_id"))
     (0 until epochs).map { e =>
       Curate.epochPositions(seqs, e.toLong, nPartitions, idCol = "seq_id")
