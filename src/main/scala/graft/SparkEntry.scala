@@ -3408,7 +3408,8 @@ object SparkEntry {
     // writer's self-report against the re-read bytes. Plan: one
     // documents scan; offsets move (doc_id, cost) pairs only; the text
     // shuffles once (offsets join), the token stream once (shard
-    // exchange); the read-back is a map-only binaryFile scan through
+    // exchange, at CHUNK grain since round 21 — ~seqLen tokens per
+    // shuffle record); the read-back is a map-only binaryFile scan through
     // the fused token_shard_stats kernel — shard contents never reach
     // a shuffle, only 3-field stat structs do. manifest_match is a
     // GATE, not a reported bit: verifyManifest THROWS on any
@@ -3418,7 +3419,7 @@ object SparkEntry {
     "q219_token_shards" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val path = tempResultDir("graft-q219") + "/shards"
-      val packed = graft.io.TokenShards.pack(d, "doc_id", "text",
+      val packed = graft.io.TokenShards.packChunks(d, "doc_id", "text",
         vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
       val manifest = graft.io.TokenShards.write(packed, path)
       diagSidecar("Q219", dir, graft.io.TokenShards

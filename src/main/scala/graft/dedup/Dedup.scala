@@ -818,7 +818,6 @@ object Dedup {
       s"k=$k must split into 32-bit md5 slices and bands=$bands")
     val r = k / bands
     val agreeMin = md5AgreeMin(k, tauMicros)
-    val tok = md5Units(docs, textCol, idCol, shingleSize)
     val sig = docs
       .select(col(idCol).as("id"),
         graft.functions.HashFunctions
@@ -846,9 +845,22 @@ object Dedup {
       // candidate edges are the near-dup sliver; checkpoint so the
       // verify joins below don't replay the signature pass
       .localCheckpoint(true)
+    // the exact-Jaccard verify needs units for CANDIDATE docs only —
+    // semi-join the corpus down to the dup sliver BEFORE tokenizing
+    // (the id filter lands below the unit explode), then checkpoint:
+    // the two intersect joins previously each re-tokenized the WHOLE
+    // corpus (two extra md5-per-unit passes; local mode reuses no
+    // cross-branch exchanges). Identical rows — an inner join on the
+    // candidate ids discards non-candidate units anyway.
+    val candIds = cand.select(col("id_a").as("__cid"))
+      .union(cand.select(col("id_b").as("__cid"))).distinct()
+    val candUnits = md5Units(
+      docs.join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi"),
+      textCol, idCol, shingleSize)
+      .localCheckpoint(true)
     val inter = cand.select("id_a", "id_b")
-      .join(tok.select(col("id").as("id_a"), col("u")), Seq("id_a"))
-      .join(tok.select(col("id").as("id_b"), col("u")), Seq("id_b", "u"))
+      .join(candUnits.select(col("id").as("id_a"), col("u")), Seq("id_a"))
+      .join(candUnits.select(col("id").as("id_b"), col("u")), Seq("id_b", "u"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val edges = cand.join(inter, Seq("id_a", "id_b"))
       .where(expr(s"inter * 1000000L div (n_a + n_b - inter) >= $tauMicros"))
@@ -960,6 +972,13 @@ object Dedup {
         explode(array_distinct(transform(
           graft.functions.HashFunctions.winnowPicksMd5(col(textCol), k, t),
           p => p.getField("h")))).as("fp"))
+      // (id, fp) pairs are consumed by FOUR plan branches (rare twice,
+      // the semi-join, the candidate join) — without a barrier each
+      // branch re-runs the md5-per-gram winnow kernel over the corpus
+      // (local mode reuses no cross-branch exchanges). Checkpointing
+      // the pick pairs (16 bytes/row, ~picks-per-doc rows) runs the
+      // kernel ONCE; measured 3.8s -> ~2.4s isolated at sf0.1.
+      .localCheckpoint(true)
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)

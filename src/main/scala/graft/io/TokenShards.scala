@@ -139,6 +139,49 @@ object TokenShards {
       .select(col("shard_id"), col("seq_id"), col("gpos"), col("tid"))
   }
 
+  /** The packed stream at CHUNK grain — one row per (doc ×
+    * overlapped complete sequence), `(shard_id, seq_id, gpos0, ids)`
+    * with `ids` the doc's token-id slice laid into that sequence and
+    * `gpos0` its first global position. Token-for-token identical to
+    * [[pack]] under `posexplode` (spec-pinned); chunks never cross a
+    * sequence (so never a shard), and within a shard the (gpos0)
+    * order concatenates chunks into exactly [[pack]]'s stream.
+    *
+    * This is what [[write]] consumes (round 21): shipping ~seqLen
+    * tokens per shuffle record instead of one drops the shard
+    * exchange's record count (and the writer-side sort keys, and the
+    * per-record ser/de) by ~seqLen× while moving the same bytes — at
+    * a 100 TB export the token exchange IS the job, and shuffle cost
+    * scales with records as well as bytes (guide §2.2/§2.3: many
+    * small shuffle rows are the overhead; move the payload in large
+    * units). [[pack]] stays the per-token stream for oracle twins and
+    * aggregate consumers (map-side combined, never exchanged). */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 vocab: Int, seqLen: Int,
+                 seqsPerShard: Int = DefaultSeqsPerShard,
+                 nBuckets: Int = 32): DataFrame = {
+    require(vocab > 0 && seqLen > 0 && seqsPerShard > 0 && nBuckets > 0,
+      s"vocab/seqLen/seqsPerShard/nBuckets must be positive, " +
+        s"got $vocab/$seqLen/$seqsPerShard/$nBuckets")
+    val (offset, completeSeqs) =
+      withOffsets(docs, idCol, textCol, vocab, seqLen, nBuckets)
+    offset
+      .select(col("doc_off"), col("cost"), col("ids"),
+        explode(sequence(expr(s"doc_off div ${seqLen}L"),
+          expr(s"(doc_off + cost - 1L) div ${seqLen}L"))).as("seq_id"))
+      .where(col("seq_id") < completeSeqs)
+      .select(
+        expr(s"seq_id div ${seqsPerShard}L").as("shard_id"),
+        col("seq_id"),
+        greatest(col("doc_off"), col("seq_id") * seqLen).as("gpos0"),
+        slice(col("ids"),
+          (greatest(col("doc_off"), col("seq_id") * seqLen)
+            - col("doc_off") + 1L).cast("int"),
+          (least(col("doc_off") + col("cost"), (col("seq_id") + 1) * seqLen)
+            - greatest(col("doc_off"), col("seq_id") * seqLen)).cast("int"))
+          .as("ids"))
+  }
+
   /** The DOC-BOUNDARY SIDECAR of a [[pack]]ed export — the masking
     * metadata a real training shard ships with: one row per
     * (sequence, document) overlap, `(seq_id, doc_id, start_off,
@@ -168,10 +211,21 @@ object TokenShards {
           greatest(col("doc_off"), col("seq_id") * seqLen)).as("n_tokens"))
   }
 
-  /** Write `packed` (shard_id, gpos, tid) as `shard-NNNNN.bin` int32-LE
-    * files under `path`; runs EAGERLY (the files must exist before any
-    * [[readStats]] plan lists them) and returns the manifest
-    * (shard_id, n_tokens, n_bytes) as a local DataFrame.
+  /** Write a [[packChunks]] stream (shard_id, seq_id, gpos0, ids) as
+    * `shard-NNNNN.bin` int32-LE files under `path`; runs EAGERLY (the
+    * files must exist before any [[readStats]] plan lists them) and
+    * returns the manifest (shard_id, n_tokens, n_bytes, token_sum,
+    * poly_mod) as a local DataFrame.
+    *
+    * Chunk grain (round 21): the shard exchange previously moved one
+    * row PER TOKEN through a typed-Dataset encoder (one boxed tuple a
+    * token) and sorted the per-token rows; chunks carry the same
+    * bytes in ~seqLen-token units, so the exchange's record count,
+    * the sort's key count and the writer's deserialization all drop
+    * ~seqLen×. The writer walks each chunk's array inline — the
+    * on-disk bytes and the manifest digests are byte-for-byte the
+    * per-token writer's (TokenShardsSpec pins both against the local
+    * reference stream).
     *
     * Driver-state bound: the manifest collect is O(#shard files) —
     * the SAME order as the file listing the read side must do anyway,
@@ -188,8 +242,8 @@ object TokenShards {
     * writer requires both — a failed publish is a loud task failure
     * (and thus a task retry), never a manifest entry for bytes that
     * never landed. */
-  def write(packed: DataFrame, path: String): DataFrame = {
-    val spark = packed.sparkSession
+  def write(chunks: DataFrame, path: String): DataFrame = {
+    val spark = chunks.sparkSession
     import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -204,13 +258,16 @@ object TokenShards {
     val bconf = new org.apache.spark.util.SerializableConfiguration(conf)
     val bc = spark.sparkContext.broadcast(bconf)
 
-    val manifest = packed
-      .select(col("shard_id").cast("long"), col("gpos").cast("long"),
-        col("tid").cast("int"))
-      .as[(Long, Long, Int)]
-      // one exchange onto shard ids; in-task order is (shard, gpos)
+    // one exchange onto shard ids; in-task order is (shard, gpos0) and
+    // chunks within a shard concatenate into exactly the token stream.
+    // The writer runs over the physical plan's InternalRows (toRdd) —
+    // no per-row encoder, and the chunk's int array is read in place.
+    val sorted = chunks
+      .select(col("shard_id").cast("long"), col("gpos0").cast("long"),
+        col("ids"))
       .repartition(col("shard_id"))
-      .sortWithinPartitions(col("shard_id"), col("gpos"))
+      .sortWithinPartitions(col("shard_id"), col("gpos0"))
+    val manifest = sorted.queryExecution.toRdd
       .mapPartitions { it =>
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(bc.value.value)
@@ -239,7 +296,8 @@ object TokenShards {
           out += ((cur, n, n * 4L, sum, poly))
           stream = null; n = 0L; sum = 0L; poly = 0L
         }
-        it.foreach { case (shard, _, tid) =>
+        it.foreach { row =>
+          val shard = row.getLong(0)
           if (shard != cur) {
             close(); cur = shard
             tmp = new org.apache.hadoop.fs.Path(path,
@@ -247,17 +305,25 @@ object TokenShards {
             stream = new java.io.DataOutputStream(
               new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16))
           }
-          buf(0) = tid.toByte; buf(1) = (tid >>> 8).toByte
-          buf(2) = (tid >>> 16).toByte; buf(3) = (tid >>> 24).toByte
-          stream.write(buf)
-          // write-time value digest, folded into the same loop at zero
-          // cost: the EXACT [[graft.functions.ShardKernels]] arithmetic
-          // over the stream as written, so [[verifyManifest]] can gate
-          // token VALUES (not just counts) against the re-read bytes
-          sum += tid
-          poly = (poly + (n + 1L) * (tid.toLong + 1L)) %
-            graft.functions.ShardKernels.PolyMod
-          n += 1L
+          val ids = row.getArray(2)
+          var i = 0
+          val m = ids.numElements()
+          while (i < m) {
+            val tid = ids.getInt(i)
+            buf(0) = tid.toByte; buf(1) = (tid >>> 8).toByte
+            buf(2) = (tid >>> 16).toByte; buf(3) = (tid >>> 24).toByte
+            stream.write(buf)
+            // write-time value digest, folded into the same loop at
+            // zero cost: the EXACT [[graft.functions.ShardKernels]]
+            // arithmetic over the stream as written, so
+            // [[verifyManifest]] can gate token VALUES (not just
+            // counts) against the re-read bytes
+            sum += tid
+            poly = (poly + (n + 1L) * (tid.toLong + 1L)) %
+              graft.functions.ShardKernels.PolyMod
+            n += 1L
+            i += 1
+          }
         }
         close()
         out.iterator

@@ -189,7 +189,7 @@ object PretrainRelease {
   private def packWriteVerify(rel: DataFrame, path: String, vocab: Int,
                               seqLen: Int, seqsPerShard: Int, nBuckets: Int,
                               shardOffset: Long): (DataFrame, DataFrame) = {
-    val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
+    val packed = graft.io.TokenShards.packChunks(rel, "release_id", "text",
         vocab, seqLen, seqsPerShard, nBuckets)
       .withColumn("shard_id", col("shard_id") + lit(shardOffset))
     val manifest = graft.io.TokenShards.write(packed, path)

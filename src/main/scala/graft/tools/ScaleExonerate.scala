@@ -90,7 +90,7 @@ object ScaleExonerate {
       // manifest collects and sbt/codegen constants)
       Case("q219_token_shards", "linear", docDirs, dir => {
         val out = s"$dir-q219-shards"
-        val packed = graft.io.TokenShards.pack(
+        val packed = graft.io.TokenShards.packChunks(
           spark.read.parquet(dir), "doc_id", "text",
           vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
         graft.io.TokenShards.write(packed, out)

@@ -76,7 +76,7 @@ class PretrainReleaseSpec extends SparkSuite {
         .join(docs.select(col("doc_id"), col("text").as("__text")), "doc_id")
         .select((col("doc_id") * 16 + col("copy_no") - 1).as("release_id"),
           col("__text").as("text"))
-      val packed = graft.io.TokenShards.pack(rel, "release_id", "text",
+      val packed = graft.io.TokenShards.packChunks(rel, "release_id", "text",
         vocab = 4096, seqLen = 64, seqsPerShard = 16, nBuckets = 8)
       val lp = packed.queryExecution.optimizedPlan
       val cacheRefs = lp.collect {

@@ -56,10 +56,30 @@ class TokenShardsSpec extends SparkSuite {
     }
   }
 
+  test("packChunks posexploded is token-for-token pack's stream") {
+    // the chunk grain is a pure re-batching: exploding each chunk's
+    // ids at its gpos0 must reproduce pack()'s (shard_id, seq_id,
+    // gpos, tid) rows exactly — the identity that lets write() ship
+    // ~seqLen tokens per shuffle record while emitting the same bytes
+    val df = docs.toDF("doc_id", "text")
+    val perToken = TokenShards.pack(df, "doc_id", "text",
+        vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+      .select("shard_id", "seq_id", "gpos", "tid")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._3)
+    val fromChunks = TokenShards.packChunks(df, "doc_id", "text",
+        vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
+      .select(col("shard_id"), col("seq_id"), col("gpos0"),
+        posexplode(col("ids")).as(Seq("pos", "tid")))
+      .select(col("shard_id"), col("seq_id"),
+        (col("gpos0") + col("pos")).as("gpos"), col("tid"))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._3)
+    assert(fromChunks.toSeq === perToken.toSeq)
+  }
+
   test("write emits int32-LE shard files the kernel and manifest agree on") {
     val df = docs.toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("tokshard").toString
-    val packed = TokenShards.pack(df, "doc_id", "text",
+    val packed = TokenShards.packChunks(df, "doc_id", "text",
       vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
     val manifestFull = TokenShards.write(packed, s"$dir/shards")
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
@@ -143,7 +163,7 @@ class TokenShardsSpec extends SparkSuite {
 
   test("verifyManifest passes a clean export and THROWS on missing or short shards (q219 gate)") {
     val dir = java.nio.file.Files.createTempDirectory("tokshard3").toString
-    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+    val packed = TokenShards.packChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
       vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
     val manifest = TokenShards.write(packed, s"$dir/shards")
     // clean export: the gate is a pass-through
@@ -190,7 +210,7 @@ class TokenShardsSpec extends SparkSuite {
 
   test("verifyManifest THROWS when token VALUES diverge though counts match (write-time digests)") {
     val dir = java.nio.file.Files.createTempDirectory("tokshard4").toString
-    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+    val packed = TokenShards.packChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
       vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
     val manifest = TokenShards.write(packed, s"$dir/shards")
     val victim = java.nio.file.Paths.get(s"$dir/shards", "shard-00000.bin")
@@ -255,7 +275,7 @@ class TokenShardsSpec extends SparkSuite {
     // as root, so permission fixtures don't bite — a file-as-parent
     // does)
     val f = java.nio.file.Files.createTempFile("tokshard-parent", "")
-    val packed = TokenShards.pack(docs.toDF("doc_id", "text"), "doc_id", "text",
+    val packed = TokenShards.packChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
       vocab = Vocab, seqLen = 8, seqsPerShard = 2, nBuckets = 3)
     intercept[Exception] {
       TokenShards.write(packed, s"$f/shards")
@@ -266,9 +286,9 @@ class TokenShardsSpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("tokshard2").toString
     val big = docs.toDF("doc_id", "text")
     val small = docs.take(2).toDF("doc_id", "text")
-    TokenShards.write(TokenShards.pack(big, "doc_id", "text",
+    TokenShards.write(TokenShards.packChunks(big, "doc_id", "text",
       Vocab, 8, 2, 3), s"$dir/shards")
-    val m2 = TokenShards.write(TokenShards.pack(small, "doc_id", "text",
+    val m2 = TokenShards.write(TokenShards.packChunks(small, "doc_id", "text",
       Vocab, 8, 2, 3), s"$dir/shards")
       .select("shard_id", "n_tokens", "n_bytes")
       .as[(Long, Long, Long)].collect()
