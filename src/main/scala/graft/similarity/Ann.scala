@@ -372,16 +372,22 @@ object Ann {
     val coded = pqAssigned(e, books, sub)
       .select(col("vec_id").as("neighbor_id") +:
         books.indices.map(s => col(s"best_$s.cid").as(s"code_$s")): _*)
-    val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
-    // per-subspace centroid dictionary as a map literal: codes are
-    // original cids (empty cells drop out), so element_at by code —
-    // never positional indexing
+    // per-query PRECOMPUTED ADC tables (round 21, the adcScored
+    // treatment): the m×k subspace distances materialize once per
+    // query — the broadcast rows carry m·k micros instead of the full
+    // dim-double vector, and each candidate pays m map lookups, not
+    // m sub-dim distance loops. Codes are original cids (empty cells
+    // drop out), so element_at by code — never positional indexing.
+    val q = queries.select(
+      col(idCol).as("query_id") +: books.indices.map { s =>
+        map(books(s).flatMap { case (cid, c) =>
+          Seq(lit(cid), VectorFunctions.squaredL2Micros(
+            slice(transform(col(vecCol), x => x.cast("double")),
+              s * sub + 1, sub), typedLit(c)))
+        }: _*).as(s"tab_$s")
+      }: _*)
     val adc = books.indices.map { s =>
-      val bookMap = typedLit(books(s).toMap)
-      VectorFunctions.squaredL2Micros(
-        slice(col("qv"), s * sub + 1, sub),
-        element_at(bookMap, col(s"code_$s")))
+      element_at(col(s"tab_$s"), col(s"code_$s"))
     }.reduce(_ + _)
     val scored = coded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -752,15 +758,31 @@ object Ann {
 
   /** ADC scoring of a coded corpus against broadcast probed queries:
     * the candidate set is the probed lists only, the corpus side never
-    * shuffles. */
+    * shuffles.
+    *
+    * Round 21 — PRECOMPUTED lookup tables (Jégou et al. 2011 §V's
+    * actual ADC recipe): each probe row materializes, ONCE, the m×k
+    * table ‖qr_s − c_{s,j}‖²-micros of its residual against every
+    * centroid; the per-candidate score is then m map lookups + a sum.
+    * The previous form recomputed the same subspace distance per
+    * CANDIDATE (sub-dim multiplies × m per pair) and carried the full
+    * dim-double residual through every joined row — table rows are
+    * both narrower and loop-free. Values identical: the same
+    * squaredL2Micros terms, summed in the same subspace order. */
   private def adcScored(coded: DataFrame, probes: DataFrame,
                         state: IvfPqState): DataFrame = {
+    val tabs = state.books.indices.map { s =>
+      map(state.books(s).flatMap { case (cid, c) =>
+        Seq(lit(cid), VectorFunctions.squaredL2Micros(
+          slice(col("qr"), s * state.sub + 1, state.sub), typedLit(c)))
+      }: _*).as(s"tab_$s")
+    }
+    val probeTabs = probes.select(
+      col("query_id") +: col("gcell") +: tabs: _*)
     val adc = state.books.indices.map { s =>
-      VectorFunctions.squaredL2Micros(
-        slice(col("qr"), s * state.sub + 1, state.sub),
-        element_at(typedLit(state.books(s).toMap), col(s"code_$s")))
+      element_at(col(s"tab_$s"), col(s"code_$s"))
     }.reduce(_ + _)
-    coded.join(broadcast(probes), Seq("gcell"))
+    coded.join(broadcast(probeTabs), Seq("gcell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_micros", adc)
       .select("query_id", "neighbor_id", "adc_micros")
