@@ -37,23 +37,88 @@ object Ann {
     * this plan alive when the corpus is 1e12 vectors. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(VectorFunctions.cosineSim(col("qvec"), col("cvec")), 6))
-      .select("query_id", "neighbor_id", "cosine")
-    // local top-k: struct sorts by (-cosine, neighbor_id) ascending ==
-    // (cosine desc, id asc) — identical total order to the final rank
-    val partial = scored
-      .withColumn("__part", spark_partition_id())
-      .groupBy("query_id", "__part")
-      .agg(slice(array_sort(collect_list(
-        struct((col("cosine") * -1).as("neg"), col("neighbor_id"), col("cosine")))),
-        1, k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("t"))
-      .select(col("query_id"), col("t.neighbor_id").as("neighbor_id"),
-        col("t.cosine").as("cosine"))
+    // Round 21: one corpus pass with BOUNDED per-query top-k state.
+    // The previous scored-broadcast form (crossJoin + per-(query,
+    // partition) collect_list/sort/slice) built one joined row PER
+    // PAIR carrying BOTH full float vectors — |corpus|·|queries| rows
+    // of ~2·dim floats through the nested-loop join and an object
+    // aggregation — before throwing all but k per query away. The
+    // fused partition loop scores each corpus row against the query
+    // panel (which already had to fit on the driver: the old plan
+    // collected it for the broadcast) and keeps an insertion-sorted
+    // (cosine desc, id asc) top-k per query — emitted rows are
+    // partitions × queries × k, never the cross product. Arithmetic
+    // is the CosineSimilarity kernel's fold verbatim (float widened
+    // to double, dot/norms in one pass) and the round matches
+    // Round(HALF_UP, 6)'s codegen exactly, so the output is
+    // bit-identical to the scored-broadcast form (q50/q176's oracle
+    // gates re-verify it). Pairs with undefined cosine (zero-norm or
+    // length-mismatched vectors — none exist in any gated corpus)
+    // never enter the ranking.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qPanel: Array[(Long, Array[Float])] = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].collect()
+      .filter(_._2 != null).sortBy(_._1)
+    val bq = spark.sparkContext.broadcast(qPanel)
+    val partial = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val nq = qs.length
+        val bestCos = Array.fill(nq)(new Array[Double](k))
+        val bestId = Array.fill(nq)(new Array[Long](k))
+        val sizes = new Array[Int](nq)
+        it.foreach { case (nid, cvec) =>
+          if (cvec != null) {
+            var qi = 0
+            while (qi < nq) {
+              val qv = qs(qi)._2
+              if (qs(qi)._1 != nid && qv.length == cvec.length) {
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                var i = 0
+                val n = qv.length
+                while (i < n) {
+                  val xi = qv(i).toDouble; val yi = cvec(i).toDouble
+                  dot += xi * yi; na += xi * xi; nb += yi * yi
+                  i += 1
+                }
+                val denom = math.sqrt(na) * math.sqrt(nb)
+                if (denom != 0.0) {
+                  val raw = dot / denom
+                  // Round(_, 6) codegen parity incl. the NaN/Inf guard
+                  val c =
+                    if (java.lang.Double.isNaN(raw) ||
+                        java.lang.Double.isInfinite(raw)) raw
+                    else java.math.BigDecimal.valueOf(raw)
+                      .setScale(6, java.math.RoundingMode.HALF_UP)
+                      .doubleValue()
+                  val sz = sizes(qi)
+                  val cs = bestCos(qi); val ids = bestId(qi)
+                  if (sz < k || c > cs(sz - 1) ||
+                      (c == cs(sz - 1) && nid < ids(sz - 1))) {
+                    var p = if (sz < k) sz else k - 1
+                    while (p > 0 && (c > cs(p - 1) ||
+                        (c == cs(p - 1) && nid < ids(p - 1)))) {
+                      cs(p) = cs(p - 1); ids(p) = ids(p - 1); p -= 1
+                    }
+                    cs(p) = c; ids(p) = nid
+                    if (sz < k) sizes(qi) = sz + 1
+                  }
+                }
+              }
+              qi += 1
+            }
+          }
+        }
+        qs.indices.iterator.flatMap { qi =>
+          (0 until sizes(qi)).iterator
+            .map(j => (qs(qi)._1, bestId(qi)(j), bestCos(qi)(j)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
     ranked(partial, k)
   }
 
