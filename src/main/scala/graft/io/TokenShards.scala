@@ -76,9 +76,16 @@ object TokenShards {
         graft.text.Text.tokens(col(textCol)), vocab).as("ids"))
     // cost pass: len(ids) ≡ tokenCount + 1 by construction, so the
     // offsets pass counts PLAIN tokens — it never pays the per-token
-    // md5 (the dominant kernel), which runs once, in the pack pass
+    // md5 (the dominant kernel), which runs once, in the pack pass.
+    // The (doc_id, cost) pairs are localCheckpointed (16 bytes/doc —
+    // bounded like the per-bucket collect): the maxId aggregate, the
+    // per-bucket totals and the docOff window each consume `costs`,
+    // and local mode reuses no cross-branch exchanges, so the lazy
+    // form re-ran the corpus scan + tokenize THREE times per pack
+    // (guide §2.4: remove whole passes before tuning inside them).
     val costs = docs.select(col(idCol).cast("long").as("doc_id"),
-      (graft.text.Text.tokenCount(col(textCol)) + 1).cast("long").as("cost"))
+        (graft.text.Text.tokenCount(col(textCol)) + 1).cast("long").as("cost"))
+      .localCheckpoint(true)
 
     // doc-id range buckets: pid is monotone in doc_id, so bucket-local
     // cumsums + per-bucket offsets reproduce the global doc-id-ordered
@@ -269,8 +276,18 @@ object TokenShards {
       .sortWithinPartitions(col("shard_id"), col("gpos0"))
     val manifest = sorted.queryExecution.toRdd
       .mapPartitions { it =>
+        // Unwrap a client-side ChecksumFileSystem (local FS): its
+        // hidden per-shard .crc sidecar DOUBLES every create/rename/
+        // delete — measured as the write job's dominant cost at test
+        // shard sizes — and the manifest's token_sum/poly_mod gate in
+        // [[verifyManifest]] already end-to-end-checks the re-read
+        // BYTES, strictly stronger than the sidecar. HDFS/object-store
+        // filesystems are not ChecksumFileSystems and are unaffected.
         val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(bc.value.value)
+          .getFileSystem(bc.value.value) match {
+            case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+            case f => f
+          }
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()

@@ -60,10 +60,15 @@ class PretrainReleaseSpec extends SparkSuite {
 
   test("the persisted release pack plans the gates ONCE and the corpus text twice") {
     // replicate releaseShards' persisted scope up to (not including)
-    // the write: the packed plan must reference the cached copy list
-    // from BOTH prefix-sum passes (2 cache refs) while the only
-    // uncached relations are the per-pass text scans (2) — i.e. the
-    // q219 two-pass shape with the gate chain evaluated once
+    // the write. Since the offsets stage localCheckpoints its
+    // (doc_id, cost) pass (round 21), the costs leg is MATERIALIZED at
+    // construction — one eager text scan through the cached copy list —
+    // and the packed plan keeps exactly one cache ref + one text scan
+    // (the ids pass) plus the checkpointed costs as a LogicalRDD:
+    // still gates-once / text-twice, with the costs text scan paid
+    // once eagerly instead of once per downstream costs consumer
+    // (the lazy form re-ran it for maxId, the bucket totals AND the
+    // offsets window)
     val d = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val docs = d.where(col("doc_id") % 97 =!= 0)
     val bench = d.where(col("doc_id") % 97 === 0).select("doc_id", "text")
@@ -85,10 +90,15 @@ class PretrainReleaseSpec extends SparkSuite {
       val uncachedScans = lp.collect {
         case r if r.getClass.getSimpleName == "LogicalRelation" => r
       }.size
-      assert(cacheRefs === 2,
-        s"expected the copy list cached and referenced by both passes, got $cacheRefs")
-      assert(uncachedScans === 2,
-        s"expected only the two per-pass text scans uncached, got $uncachedScans")
+      val checkpointed = lp.collect {
+        case r if r.getClass.getSimpleName == "LogicalRDD" => r
+      }.size
+      assert(cacheRefs === 1,
+        s"expected the copy list cached and referenced by the ids pass, got $cacheRefs")
+      assert(uncachedScans === 1,
+        s"expected only the ids pass's text scan uncached, got $uncachedScans")
+      assert(checkpointed === 1,
+        s"expected the offsets costs pass checkpointed as one LogicalRDD, got $checkpointed")
     } finally { copies.unpersist(false); () }
   }
 
