@@ -696,9 +696,18 @@ object Curate {
       .localCheckpoint(true)
     val evalSh = sh.where(col("is_eval"))
       .select(col("id").as("eval_id"), col("shingle"))
-    val trainSh = sh.where(!col("is_eval"))
-      .select(col("id").as("train_id"), col("shingle"))
-      .join(broadcast(cand.select("train_id").distinct()), "train_id")
+    // pass-2 prune BELOW the shingle explode (round 21): Catalyst
+    // cannot push a join through a Generate, so joining the exploded
+    // stream to the candidate ids still shingled the WHOLE training
+    // corpus a second time — the id join commutes with the per-doc
+    // explode, so join docs to the candidate sliver first and only
+    // re-derive the candidates' shingles (the q45 move). Candidate
+    // train ids are non-eval by construction (cand filters !is_eval).
+    val trainSh = docs
+      .join(broadcast(cand.select(col("train_id").as(idCol)).distinct()),
+        Seq(idCol))
+      .select(col(idCol).as("train_id"),
+        explode(array_distinct(unitExpr)).as("shingle"))
     val inter = trainSh
       .join(broadcast(evalSh), "shingle")
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("inter"))

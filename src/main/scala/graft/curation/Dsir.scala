@@ -41,17 +41,18 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** Per-bigram bucket in [0, k): first 8 md5 hex digits mod k
-    * (shared idiom with QualityProbe/hashSplit — oracle-reproducible). */
-  private def bucket(g: Column, k: Int): Column =
-    (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % k).cast("int")
-
   private def round6(c: Column): Column =
     floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Hashed-bigram bucket list per document, in bigram position order. */
+  /** Hashed-bigram bucket list per document, in bigram position order.
+    * The fused [[graft.functions.HashKernels.md5BigramBuckets]] kernel
+    * replaces the declarative `transform(bigrams, g => bucket(g, k))`:
+    * zip_with AND transform are CodegenFallback, so that form built a
+    * bigram String and ran an interpreted md5 + hex render + re-parse
+    * per pair — measured as the fit scan's dominant cost (the
+    * q161/q172 trap, same move as md5_token_ids). Value-identical. */
   private def bucketMap(textCol: Column, k: Int): Column =
-    transform(Text.bigrams(Text.tokens(textCol)), g => bucket(g, k))
+    graft.functions.HashFunctions.md5BigramBuckets(Text.tokens(textCol), k)
 
   /** Score every document with the DSIR log importance weight and keep
     * the deterministic top `n` by (logw DESC, `idCol` ASC).
@@ -69,15 +70,22 @@ object Dsir {
     val feat = docs.select(col(idCol), col(targetCol).as("is_t"),
       bucketMap(col(textCol), k).as("bmap"))
 
-    // Model fit: one corpus scan -> per-bucket target/raw counts.
-    // Right-join a k-row bucket spine so never-hit buckets keep their
-    // smoothed probability (count 0 -> +1 smoothing below).
+    // Model fit: one corpus scan -> per-bucket target/raw counts. The
+    // per-doc histogram (the native IntCounts kernel) is reduced
+    // first, so the aggregation explodes k rows per DOCUMENT instead
+    // of one row per BIGRAM — the shuffle moves docs×k integer rows
+    // (map-side combined to k) rather than the corpus's bigram stream
+    // (guide §2.3: aggregate before you shuffle). Right-join a k-row
+    // bucket spine so never-hit buckets keep their smoothed
+    // probability (count 0 -> +1 smoothing below).
     val spine = spark.range(k).select(col("id").cast("int").as("b"))
     val cnts = feat
-      .select(col("is_t"), explode(col("bmap")).as("b"))
+      .select(col("is_t"),
+        posexplode(graft.functions.HashFunctions.intCounts(col("bmap"), k))
+          .as(Seq("b", "c")))
       .groupBy("b")
-      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-        sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      .agg(sum(when(col("is_t"), col("c").cast("long")).otherwise(0L)).as("ct"),
+        sum(when(col("is_t"), 0L).otherwise(col("c").cast("long"))).as("cr"))
       .join(spine, Seq("b"), "right")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))

@@ -982,12 +982,22 @@ object Dedup {
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)
-    val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
-      .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
+    // candidate pairs first (checkpointed: consumed by the id sliver
+    // below AND the edges join), so the exact-verify's collect_set
+    // only aggregates fingerprint sets for docs that actually appear
+    // in a candidate pair — the near-dup sliver — instead of the
+    // whole corpus (round 21, the q45/q202 move; fpSets is only ever
+    // joined on cand's ids, so the restriction is exact)
     val cand = fps.join(rare.select("fp", "rep"), Seq("fp"))
       .where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
+      .join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
     val edges = cand
       .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
       .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))

@@ -326,6 +326,39 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** md5-slice hash buckets of the ADJACENT-PAIR bigrams of a token
+    * array — the fused kernel behind [[Md5BigramBuckets]] (the
+    * DSIR/QualityProbe featurizer): per bigram "l r" the first 32 md5
+    * bits mod `k`. Value-identical to the declarative
+    * `transform(zip_with(slice, slice, concat(a,' ',b)),
+    * g -> conv(substring(md5(g),1,8),16,10) % k)` it replaces — BOTH
+    * higher-order functions are CodegenFallback, so that form built a
+    * bigram String and paid an interpreted md5 + hex render + re-parse
+    * per pair. A null token nulls its pairs (concat's propagation);
+    * Text.tokens never emits nulls. */
+  def md5BigramBuckets(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val md = md5Local.get()
+    val dig = new Array[Byte](16)
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i + 1).getBytes)
+        md.digest(dig, 0, 16)
+        val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        out(i) = (h % k).toInt
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** md5-arithmetic MinHash signature of a unit array — the fused
     * kernel behind [[Md5MinhashSig]]: permutation i reads 32-bit slice
     * i%4 of md5(unit || ':' || i/4) (one digest drives four
@@ -661,6 +694,25 @@ case class Md5TokenIds(child: Expression, vocab: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** md5_bigram_buckets(array<string>, k) -> array<int>: hashed-bigram
+  * buckets of one document's token array
+  * ([[HashKernels.md5BigramBuckets]] — the DSIR/probe featurizer). */
+case class Md5BigramBuckets(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 2, s"need at least 2 hash buckets, got $k")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "md5_bigram_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5BigramBuckets(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashKernels.md5BigramBuckets($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Md5BigramBuckets =
+    copy(child = c)
+}
+
 /** md5_minhash_sig(array<string>, k) -> struct<n_u:bigint,
   * sig:array<bigint>>, null for unit-less input
   * ([[HashKernels.md5MinhashSig]]). */
@@ -762,6 +814,9 @@ object HashFunctions {
 
   def md5TokenIds(tokens: Column, vocab: Int): Column =
     GraftBridge.column(Md5TokenIds(GraftBridge.expression(tokens), vocab))
+
+  def md5BigramBuckets(tokens: Column, k: Int): Column =
+    GraftBridge.column(Md5BigramBuckets(GraftBridge.expression(tokens), k))
 
   def minhashSignature(tokens: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(tokens), k))

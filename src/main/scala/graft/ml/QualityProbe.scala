@@ -30,10 +30,6 @@ import org.apache.spark.sql.functions._
   * collects + final scoring read it, never the text. */
 object QualityProbe {
 
-  /** Per-bigram bucket in [0, k): first 8 md5 hex digits mod k. */
-  private def bucket(g: Column, k: Int): Column =
-    (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % k).cast("int")
-
   /** Hashed-bigram featurize + train `iters` GD steps on
     * y = labelCol % 2 + score every document. Features are RELATIVE
     * bucket frequencies (count_b / n_bigrams — raw counts saturate the
@@ -52,10 +48,15 @@ object QualityProbe {
     // the md5 featurization once PER BUCKET per row (interpreted
     // lambdas + projection collapse — the q161 trap; q172 measured
     // 19s/run at sf0.1 before, sub-second after)
+    // the fused md5_bigram_buckets kernel replaces the declarative
+    // transform(bigrams, g => bucket(g, k)): zip_with and transform
+    // are CodegenFallback, so that form concatenated a bigram String
+    // and ran an interpreted md5 + hex render + re-parse per pair
+    // (value-identical; the same move as int_counts below)
     val feat = docs
       .select(col(idCol), col(labelCol),
-        transform(Text.bigrams(Text.tokens(col(textCol))),
-          g => bucket(g, k)).as("bmap"))
+        graft.functions.HashFunctions.md5BigramBuckets(
+          Text.tokens(col(textCol)), k).as("bmap"))
       .withColumn("fv", transform(
         graft.functions.HashFunctions.intCounts(col("bmap"), k),
         c => c.cast("double") / greatest(size(col("bmap")), lit(1)).cast("double")))

@@ -61,4 +61,26 @@ class DsirSpec extends SparkSuite {
     assert(scans === 1, s"q174 returned plan scans: $scans")
     assert(shuffles === 0, s"q174 returned plan shuffles: $shuffles")
   }
+
+  test("md5_bigram_buckets equals the declarative featurize it replaced") {
+    // the fused kernel (round 21) must be value-identical to the
+    // zip_with + transform + conv(substring(md5)) chain — including
+    // the <2-token empty array and the empty-string doc
+    val texts = Seq("alpha beta gamma alpha", "one", "", "x y",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+      "répé tition répé tition").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = graft.text.Text.tokens(col("text"))
+    val k = 8
+    val declarative = transform(graft.text.Text.bigrams(toks),
+      g => (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % k).cast("int"))
+    val rows = texts.select(col("id"),
+        graft.functions.HashFunctions.md5BigramBuckets(toks, k).as("fused"),
+        declarative.as("decl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"doc ${r.getLong(0)}: fused ${r.getSeq[Int](1)} != declarative ${r.getSeq[Int](2)}")
+    }
+  }
 }
