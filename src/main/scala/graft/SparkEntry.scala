@@ -3667,8 +3667,13 @@ object SparkEntry {
     // fingerprint (A if present there, else B). ----
     "q229_restart_recovery" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // the static-side fingerprint index is re-planned per micro-batch
+      // per stream RUN (two runs here) — checkpoint the 16-byte keys
+      // once so each batch's broadcast builds off the materialized
+      // index instead of re-hashing the base corpus (round 21)
       val baseFp = docs.where(col("doc_id") % 3 =!= 0)
         .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
+        .localCheckpoint(true)
       val streamed = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
       val base = tempResultDir("graft-q229")
@@ -3800,12 +3805,17 @@ object SparkEntry {
       val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
       val cutoff = new java.sql.Timestamp(maxTs.getTime - 24L * 3600 * 1000)
       val base = tempResultDir("graft-q223")
-      val d1 = ev.where(col("event_id") % 5 =!= 0)
-      val d2 = ev.where(col("event_id") % 5 === 0 && col("ts") >= lit(cutoff))
-      val d3 = ev.where(col("event_id") % 5 === 0 && col("ts") < lit(cutoff))
-      Seq(d1 -> "d=1", d2 -> "d=2", d3 -> "d=3").foreach { case (df, n) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$base/$n")
-      }
+      // ONE events pass fans the three deliveries out via partitionBy
+      // (round 21) — the previous three filtered writes each re-scanned
+      // the table (guide §2.4); same three files, same directory names,
+      // delivery order still set by the mtimes below
+      ev.withColumn("d",
+          when(col("event_id") % 5 =!= 0, 1)
+            .when(col("ts") >= lit(cutoff), 2)
+            .when(col("ts") < lit(cutoff), 3))
+        .where(col("d").isNotNull) // the old filters dropped null keys
+        .repartition(col("d"))
+        .write.mode("overwrite").partitionBy("d").parquet(base)
       Seq("d=1", "d=2", "d=3").zipWithIndex.foreach { case (n, i) =>
         new java.io.File(s"$base/$n").listFiles()
           .foreach(_.setLastModified(1700000000000L + i * 60000L))

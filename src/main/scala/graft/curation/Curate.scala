@@ -330,7 +330,12 @@ object Curate {
   def packBudget(df: DataFrame, costCol: String, budget: Long, seed: Long,
                  nPartitions: Int, idCol: String = "doc_id"): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val keyed = keyBucketed(df, seed, nPartitions, idCol)
+    // keyed feeds BOTH the eager bucket-totals collect and the offsets
+    // window below; without a barrier each evaluation re-runs the whole
+    // upstream chain (q168 feeds the full BPE segment pass in here —
+    // measured as the two dominant jobs). The checkpoint is bounded by
+    // the input's (id, cost) grain — rows per doc, never tokens.
+    val keyed = keyBucketed(df, seed, nPartitions, idCol).localCheckpoint(true)
     val offsetDf =
       bucketOffsets(keyed, sum(col(costCol)), nPartitions, "cost_before")
     val w = Window.partitionBy("pid").orderBy("shuffle_key")

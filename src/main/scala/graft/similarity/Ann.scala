@@ -271,7 +271,7 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
 
     var centroids: Seq[(Int, Seq[Double])] =
       e.orderBy(col("vec_id").asc).limit(k)
@@ -353,7 +353,7 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val e = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val probe = e.agg(count(lit(1)).as("c"), min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
     require(probe.getLong(0) > 0L, "pqTrain: empty input DataFrame")
@@ -447,7 +447,7 @@ object Ann {
       col(idCol).as("query_id") +: books.indices.map { s =>
         map(books(s).flatMap { case (cid, c) =>
           Seq(lit(cid), VectorFunctions.squaredL2Micros(
-            slice(transform(col(vecCol), x => x.cast("double")),
+            slice(col(vecCol).cast("array<double>"),
               s * sub + 1, sub), typedLit(c)))
         }: _*).as(s"tab_$s")
       }: _*)
@@ -617,9 +617,9 @@ object Ann {
     val sys = pqSearchTopK(queries, corpus, idCol, vecCol, m, k, iters, topK)
       .select(col("query_id"), col("neighbor_id"), col("rank").as("sys_rank"))
     val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val truth = rankTopK(
       c.crossJoin(broadcast(q))
         .where(col("query_id") =!= col("neighbor_id"))
@@ -657,7 +657,7 @@ object Ann {
     def bits(df: DataFrame, as: String, vas: String) = df.select(
       col(idCol).as(as),
       graft.functions.HashFunctions.signBits(
-        transform(col(vecCol), x => x.cast("double"))).as(vas))
+        col(vecCol).cast("array<double>")).as(vas))
     val q = bits(queries, "query_id", "qb")
     val c = bits(corpus, "neighbor_id", "cb")
     val words = Seq(1, 2) // 64 dims -> two 32-bit words
@@ -688,10 +688,10 @@ object Ann {
                       vecCol: String, labelCol: String): DataFrame = {
     val a = anchors.select(col(idCol).as("anchor_id"),
       col(labelCol).as("a_label"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("cand_id"),
       col(labelCol).as("c_label"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val best = c.crossJoin(broadcast(a))
       .where(col("anchor_id") =!= col("cand_id"))
       .select(col("anchor_id"), col("cand_id"),
@@ -731,7 +731,7 @@ object Ann {
     * 0 and reconstruct exactly. */
   def sq8Stats(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val mm = e.select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min("x").as("mn"), max("x").as("mx"))
       .collect() // dim rows — bounded driver state
@@ -807,7 +807,7 @@ object Ann {
                           state: IvfPqState, nprobe: Int)
       : (DataFrame, DataFrame) = {
     val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qv"))
+      col(vecCol).cast("array<double>").as("qv"))
     val centMap = typedLit(state.cents.toMap)
     val gdists = state.cents.map { case (cid, c) =>
       struct(VectorFunctions.squaredL2Micros(col("qv"), typedLit(c)).as("gdm"),
@@ -887,7 +887,7 @@ object Ann {
   def ivfPqCodeWithState(df: DataFrame, idCol: String, vecCol: String,
                          state: IvfPqState): DataFrame = {
     val e = df.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val centMap = typedLit(state.cents.toMap)
     val gdists = state.cents.map { case (cid, c) =>
       struct(VectorFunctions.squaredL2Micros(col("v"), typedLit(c)).as("dm"),
@@ -1060,7 +1060,7 @@ object Ann {
     // fresh normalized corpus for the exact-rerank join — a plain
     // (vec_id, v) scan without the coarse-assign argmin work
     val e = corpus.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     (scored, q, e)
   }
 }

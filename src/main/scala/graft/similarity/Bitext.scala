@@ -73,11 +73,21 @@ object Bitext {
                          kc: Int, m: Int, pqK: Int, iters: Int,
                          nprobe: Int, shortlist: Int): DataFrame = {
     require(k >= 1, s"need a positive neighborhood size, got $k")
-    marginFromTopK(
-      Ann.ivfPqCosineTopK(src, tgt, idCol, vecCol,
-        kc, m, pqK, iters, nprobe, shortlist, k),
-      Ann.ivfPqCosineTopK(tgt, src, idCol, vecCol,
-        kc, m, pqK, iters, nprobe, shortlist, k), k, minMargin)
+    // the two directions' quantizer TRAININGS (eager Lloyd collects at
+    // construction) are independent — build them on two threads so the
+    // per-iteration jobs overlap and back-fill each other's stragglers
+    // (guide §2.6); each direction's training is deterministic on its
+    // own corpus, so the returned plans are byte-identical to the
+    // sequential form's
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fwdF = Future(Ann.ivfPqCosineTopK(src, tgt, idCol, vecCol,
+      kc, m, pqK, iters, nprobe, shortlist, k))
+    val bwdF = Future(Ann.ivfPqCosineTopK(tgt, src, idCol, vecCol,
+      kc, m, pqK, iters, nprobe, shortlist, k))
+    marginFromTopK(Await.result(fwdF, Duration.Inf),
+      Await.result(bwdF, Duration.Inf), k, minMargin)
   }
 
   /** [[marginMiningApprox]] under FROZEN pre-trained per-direction
