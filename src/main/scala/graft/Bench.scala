@@ -10,13 +10,16 @@ import org.apache.spark.sql.SparkSession
   *
   *  - stdout: ONE compact JSON line (≤ ~500 chars, O(1) in the query
   *    count) — {"metric","value","unit","sf","runs","n","warmup_sec",
-  *    "worst10":{...},"full":"bench_full.json","total_sec"} where
-  *    `worst10` maps the 10 slowest qNNN prefixes to
+  *    "worst10":{...},"full":"bench_full_c<cpus>.json","total_sec"}
+  *    where `worst10` maps the 10 slowest qNNN prefixes to
   *    [interleaved_median, isolated_median].
-  *  - bench_full.json (cwd = repo root; override with
+  *  - bench_full_c<cpus>.json (cwd = repo root; override with
   *    SPARK_GRAFT_BENCH_FULL): the COMPLETE per-query artifact —
   *    every query's interleaved median plus the isolated worst-10
   *    re-run — committed with the round, immune to suite growth.
+  *    Run-scoped by core count since r22 so the driver's 32-core and
+  *    8-core passes leave distinct artifacts instead of clobbering
+  *    one file (the r21 PERF per-query gap).
   *
   * Timing includes plan + execution (count() action); a warmup pass
   * on three representative queries amortizes JVM/codegen startup.
@@ -124,10 +127,16 @@ object Bench {
     // a filtered dev run (--only / SPARK_GRAFT_BENCH_ONLY /
     // SPARK_GRAFT_BENCH_MAX) must not clobber the round's committed
     // full artifact with a partial one — default it under target/
-    // unless the caller names a path explicitly
+    // unless the caller names a path explicitly.
+    // r22 (verdict item 2): the default path is RUN-SCOPED by core
+    // count — the driver benches the same commit at 32 AND 8 cores,
+    // and with a single "bench_full.json" the second run overwrote the
+    // first, leaving the round's PERF per-query and scaling tables
+    // empty. bench_full_c32.json / bench_full_c8.json coexist.
     val filtered = onlyArg.isDefined || only.isDefined || maxQ.isDefined
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (filtered) "target/bench_full_partial.json" else "bench_full.json")
+      if (filtered) "target/bench_full_partial.json"
+      else s"bench_full_c$cpus.json")
     val sfLabel = new java.io.File(sfDir).getName
     val fullJson = {
       val qLines = results.map { case (n, v) => f"""    "$n": $v%.3f""" }

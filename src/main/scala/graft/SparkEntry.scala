@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.Materialize.StableOps
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.functions.{HashFunctions, VectorFunctions}
@@ -62,9 +63,15 @@ object SparkEntry {
     * against a committed green run and name the first diverging
     * shard/value. The stats frame is LOCAL post-verifyManifest, so the
     * dump costs one local collect (bounded by the shard count); any
-    * write failure is swallowed (the harness cwd may be read-only). */
+    * write failure is swallowed (the harness cwd may be read-only).
+    *
+    * OFF by default since r22 (the HUGEINT root cause is fixed and
+    * pinned by OracleConsistencySpec): the dump added a collect + repo
+    * write to three hot queries on every bench/verify invocation. Set
+    * SPARK_GRAFT_DIAG=1 to re-arm it. */
   private def diagSidecar(name: String, dir: String,
                           stats: DataFrame): DataFrame = {
+    if (!sys.env.get("SPARK_GRAFT_DIAG").contains("1")) return stats
     try {
       val s = stats.sparkSession
       def c(k: String) =
@@ -118,7 +125,7 @@ object SparkEntry {
     * (surfacing as a raw long under nanosAsLong) and as native micros. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = Tables.observedSchema(s, dir, "events")
     Tables.normalizeEventsTs(s, s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
@@ -524,7 +531,7 @@ object SparkEntry {
     // remains the codegen'd throughput path, batch-twin-pinned by
     // DedupStreamSpec. ----
     "q106_dedup_stream" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.observedSchema(s, dir, "documents")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val sink = "graft_q106_sink"
@@ -1392,31 +1399,44 @@ object SparkEntry {
       val props = new java.util.Properties
       def lc(tbl: String) = graft.core.LowercaseSource(
         graft.core.JdbcTableSource(url, tbl))
-      t(s, dir, "region").select(
-          col("r_regionkey").as("SURVEY_ID"),
-          concat(lit("HT"), col("r_regionkey")).as("NAME"))
-        .coalesce(1).write.mode("overwrite")
-        .option("createTableColumnTypes", "NAME VARCHAR(32)")
-        .jdbc(url, "inboveg_survey", props)
-      t(s, dir, "customer").select(
-          concat(lit("IV"), col("c_custkey")).as("RECORDING_GIVID"),
-          (col("c_custkey") % 5).cast("int").as("SURVEY_ID"),
-          col("c_name").as("USER_REFERENCE"))
-        .coalesce(1).write.mode("overwrite")
-        .option("createTableColumnTypes",
-          "RECORDING_GIVID VARCHAR(32), USER_REFERENCE VARCHAR(64)")
-        .jdbc(url, "inboveg_recording", props)
-      t(s, dir, "orders").select(
-          concat(lit("IV"), col("o_custkey")).as("RECORDING_GIVID"),
-          when(col("o_orderkey") % 3 === 0, "3260").otherwise("gh").as("CLASSIF"),
-          when(col("o_orderkey") % 2 === 0, "N2k").otherwise("BWK").as("ACTION_GROUP"),
-          col("o_orderpriority").as("LIST_NAME"),
-          (col("o_orderkey") % 100).cast("double").as("COVER"))
-        .coalesce(1).write.mode("overwrite")
-        .option("createTableColumnTypes",
-          "RECORDING_GIVID VARCHAR(32), CLASSIF VARCHAR(8), " +
-            "ACTION_GROUP VARCHAR(8), LIST_NAME VARCHAR(32)")
-        .jdbc(url, "inboveg_classification", props)
+      // the three fixture loads write to INDEPENDENT Derby tables —
+      // run them on driver threads so the single-task JDBC insert
+      // jobs overlap instead of serializing (guide §2.6, r22);
+      // batchsize 10k cuts the executeBatch round trips ~10× on the
+      // 60k-row classification table. Loaded tables are identical.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val loads = Seq(
+        Future(t(s, dir, "region").select(
+            col("r_regionkey").as("SURVEY_ID"),
+            concat(lit("HT"), col("r_regionkey")).as("NAME"))
+          .coalesce(1).write.mode("overwrite")
+          .option("createTableColumnTypes", "NAME VARCHAR(32)")
+          .option("batchsize", "10000")
+          .jdbc(url, "inboveg_survey", props)),
+        Future(t(s, dir, "customer").select(
+            concat(lit("IV"), col("c_custkey")).as("RECORDING_GIVID"),
+            (col("c_custkey") % 5).cast("int").as("SURVEY_ID"),
+            col("c_name").as("USER_REFERENCE"))
+          .coalesce(1).write.mode("overwrite")
+          .option("createTableColumnTypes",
+            "RECORDING_GIVID VARCHAR(32), USER_REFERENCE VARCHAR(64)")
+          .option("batchsize", "10000")
+          .jdbc(url, "inboveg_recording", props)),
+        Future(t(s, dir, "orders").select(
+            concat(lit("IV"), col("o_custkey")).as("RECORDING_GIVID"),
+            when(col("o_orderkey") % 3 === 0, "3260").otherwise("gh").as("CLASSIF"),
+            when(col("o_orderkey") % 2 === 0, "N2k").otherwise("BWK").as("ACTION_GROUP"),
+            col("o_orderpriority").as("LIST_NAME"),
+            (col("o_orderkey") % 100).cast("double").as("COVER"))
+          .coalesce(1).write.mode("overwrite")
+          .option("createTableColumnTypes",
+            "RECORDING_GIVID VARCHAR(32), CLASSIF VARCHAR(8), " +
+              "ACTION_GROUP VARCHAR(8), LIST_NAME VARCHAR(32)")
+          .option("batchsize", "10000")
+          .jdbc(url, "inboveg_classification", props)))
+      loads.foreach(Await.result(_, Duration.Inf))
       val reg = graft.core.SourceRegistry(Map(
         "inboveg_survey" -> lc("inboveg_survey"),
         "inboveg_recording" -> lc("inboveg_recording"),
@@ -1813,7 +1833,7 @@ object SparkEntry {
       // than the text): vocab and the grand total derive from it, so
       // the corpus scans a single time instead of thrice (q170 lesson)
       val tf = toks.groupBy("doc_id", "lang", "term")
-        .agg(count(lit(1)).as("tf")).localCheckpoint(true)
+        .agg(count(lit(1)).as("tf")).stable()
       val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
       val total = tf.agg(sum("tf").as("total"))
       val scored = tf
@@ -1920,12 +1940,17 @@ object SparkEntry {
     "q196_decontam_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.where(col("doc_id") % 89 === 0)
+      // static-side shingle set evaluated ONCE (the q229 fix, r22):
+      // without the checkpoint the scan+tokenize+explode+distinct chain
+      // re-runs for the bloom build AND inside every micro-batch's
+      // broadcast join
       val benchSh = bench
         .select(Text.tokens(col("text")).as("toks"))
         .select(explode(Text.shingles(col("toks"), 3)).as("shingle"))
         .distinct()
+        .stable()
       val words = graft.curation.Curate.bloomBits(benchSh, 1 << 16, 4)
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.observedSchema(s, dir, "documents")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .where(col("doc_id") % 89 =!= 0)
@@ -2037,7 +2062,7 @@ object SparkEntry {
     "q205_drift_stream" -> ((s, dir) => {
       val ref = t(s, dir, "events").where(col("event_id") % 2 === 0)
         .groupBy(col("event_type")).agg(count(lit(1)).as("c_ref"))
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val schema = Tables.observedSchema(s, dir, "events")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .where(col("event_id") % 2 =!= 0)
@@ -2448,7 +2473,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val baseFp = docs.where(col("doc_id") % 3 =!= 0)
         .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val schema = Tables.observedSchema(s, dir, "documents")
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .where(col("doc_id") % 3 === 0)
@@ -3673,7 +3698,7 @@ object SparkEntry {
       // index instead of re-hashing the base corpus (round 21)
       val baseFp = docs.where(col("doc_id") % 3 =!= 0)
         .select(Text.fingerprint(col("text")).as("fingerprint")).distinct()
-        .localCheckpoint(true)
+        .stable()
       val streamed = docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text"))
       val base = tempResultDir("graft-q229")

@@ -1,5 +1,6 @@
 package graft.curation
 
+import graft.core.Materialize.StableOps
 import graft.text.Text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -335,7 +336,7 @@ object Curate {
     // upstream chain (q168 feeds the full BPE segment pass in here —
     // measured as the two dominant jobs). The checkpoint is bounded by
     // the input's (id, cost) grain — rows per doc, never tokens.
-    val keyed = keyBucketed(df, seed, nPartitions, idCol).localCheckpoint(true)
+    val keyed = keyBucketed(df, seed, nPartitions, idCol).stable()
     val offsetDf =
       bucketOffsets(keyed, sum(col(costCol)), nPartitions, "cost_before")
     val w = Window.partitionBy("pid").orderBy("shuffle_key")
@@ -698,7 +699,7 @@ object Curate {
       .select("train_id", "n_tr", "eval_id", "n_ev").distinct()
       // candidate pairs are the near-dup sliver; checkpoint so the
       // three downstream uses don't each replay the signature pass
-      .localCheckpoint(true)
+      .stable()
     val evalSh = sh.where(col("is_eval"))
       .select(col("id").as("eval_id"), col("shingle"))
     // pass-2 prune BELOW the shingle explode (round 21): Catalyst

@@ -1,5 +1,6 @@
 package graft.curation
 
+import graft.core.Materialize.StableOps
 import graft.text.Text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
@@ -44,7 +45,7 @@ object Unimax {
     val counts = docs
       .groupBy(col(langCol))
       .agg(sum(Text.tokenCount(col(textCol)).cast("long")).as("n"))
-      .localCheckpoint(true)
+      .stable()
 
     val w = counts
       .crossJoin(broadcast(counts.agg(sum(col("n")).as("t"))))

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.core.Materialize.StableOps
 import graft.functions.{HashFunctions, JaccardFunctions, VectorFunctions}
 import graft.text.Text
 import org.apache.spark.sql.{Column, DataFrame}
@@ -576,7 +577,7 @@ object Dedup {
       .select(explode(Text.tokens(col(textCol))).as("word"))
       .where(length(col("word")) >= minLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint(true)
+      .stable()
     val dels = transform(sequence(lit(1), length(col("word"))), i =>
       concat(col("word").substr(lit(1), i - lit(1)),
         col("word").substr(i + lit(1), length(col("word")) - i)))
@@ -695,17 +696,25 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, textCol: String, idCol: String,
                      w: Int): DataFrame = {
     require(w >= 2, s"window must span at least 2 tokens, got $w")
+    // token arrays materialize once (r22): the span pass and the
+    // reassembly pass below both consume them — lazily, each re-ran
+    // the corpus scan + tokenize
     val toks = docs
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .stable()
     val spans = toks.select(col(idCol),
       posexplode(graft.functions.HashFunctions.wordSpans(col("__toks"), w))
         .as(Seq("pos0", "span")))
-    val dupSpans = spans.groupBy("span")
-      .agg(count(lit(1)).as("total"))
+    // corpus-wide span frequency as a WINDOW over the span partitioning
+    // (r22): the previous groupBy + join-back exchanged the span rows
+    // TWICE (aggregate + join) and evaluated the wordSpans explode per
+    // branch; the window count is the identical total off one exchange
+    // and one evaluation (guide §2.4)
+    val covered = spans
+      .withColumn("total",
+        count(lit(1)).over(Window.partitionBy("span")))
       .where(col("total") > 1)
-      .select("span")
-    val covered = spans.join(dupSpans, Seq("span"))
       .select(col(idCol),
         explode(sequence(col("pos0"), col("pos0") + lit(w - 1))).as("pos"))
       .distinct()
@@ -844,7 +853,7 @@ object Dedup {
       .distinct()
       // candidate edges are the near-dup sliver; checkpoint so the
       // verify joins below don't replay the signature pass
-      .localCheckpoint(true)
+      .stable()
     // the exact-Jaccard verify needs units for CANDIDATE docs only —
     // semi-join the corpus down to the dup sliver BEFORE tokenizing
     // (the id filter lands below the unit explode), then checkpoint:
@@ -857,7 +866,7 @@ object Dedup {
     val candUnits = md5Units(
       docs.join(broadcast(candIds), col(idCol) === col("__cid"), "left_semi"),
       textCol, idCol, shingleSize)
-      .localCheckpoint(true)
+      .stable()
     val inter = cand.select("id_a", "id_b")
       .join(candUnits.select(col("id").as("id_a"), col("u")), Seq("id_a"))
       .join(candUnits.select(col("id").as("id_b"), col("u")), Seq("id_b", "u"))
@@ -978,7 +987,7 @@ object Dedup {
       // (local mode reuses no cross-branch exchanges). Checkpointing
       // the pick pairs (16 bytes/row, ~picks-per-doc rows) runs the
       // kernel ONCE; measured 3.8s -> ~2.4s isolated at sf0.1.
-      .localCheckpoint(true)
+      .stable()
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)
@@ -992,7 +1001,7 @@ object Dedup {
       .where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
-      .localCheckpoint(true)
+      .stable()
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -68,7 +69,7 @@ object ConnectedComponents {
         struct(col("v").as("u"), col("v").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
-      .localCheckpoint(true) // eager: runs the upstream (possibly
+      .stable() // eager: runs the upstream (possibly
     // corpus-scale) edge pipeline NOW, at the session's configured
     // parallelism, before the loop below drops shuffle partitions
 

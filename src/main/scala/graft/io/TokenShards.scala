@@ -1,5 +1,6 @@
 package graft.io
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -85,7 +86,7 @@ object TokenShards {
     // (guide §2.4: remove whole passes before tuning inside them).
     val costs = docs.select(col(idCol).cast("long").as("doc_id"),
         (graft.text.Text.tokenCount(col(textCol)) + 1).cast("long").as("cost"))
-      .localCheckpoint(true)
+      .stable()
 
     // doc-id range buckets: pid is monotone in doc_id, so bucket-local
     // cumsums + per-bucket offsets reproduce the global doc-id-ordered

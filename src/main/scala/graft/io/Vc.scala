@@ -1,5 +1,6 @@
 package graft.io
 
+import graft.core.Materialize.StableOps
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import graft.core.FactorDomain
@@ -120,8 +121,18 @@ object Vc {
       f.assertValid(df, f.name)
     }
     val tmp = base + ".tmp"
-    df.orderBy(sortKeys.map(col): _*)
-      .coalesce(1)
+    // single-partition sort instead of orderBy+coalesce(1) (r22): a
+    // global orderBy plans a range exchange whose boundary SAMPLING job
+    // evaluates the whole upstream chain a second time before the real
+    // pass — for report chains (q139's LSVI cascade) that doubled the
+    // query. The single-file contract already collapses to one task,
+    // so sorting INSIDE that task yields the same total order (sort
+    // keys are each table's grain) with ONE upstream evaluation.
+    val one = df.coalesce(1)
+    val sorted1 =
+      if (sortKeys.nonEmpty) one.sortWithinPartitions(sortKeys.map(col): _*)
+      else one
+    sorted1
       .write.mode(SaveMode.Overwrite)
       .option("sep", "\t").option("header", "true").option("nullValue", naString)
       .csv(tmp)
@@ -422,7 +433,7 @@ object Vc {
       // affected partitions' remainder, small by assumption) before
       // the dynamic overwrite commits
       val kept = df.where(cellPred && !pred).select(cols.map(col): _*)
-        .localCheckpoint(true)
+        .stable()
       val sorted =
         if (sortKeys.nonEmpty) kept.sortWithinPartitions(sortKeys.map(col): _*)
         else kept
@@ -520,7 +531,7 @@ object Vc {
     // eager checkpoint: the rewrite reads the very files it replaces
     // (the delete-path contract)
     val kept = df.where(cellPred).select(cols.map(col): _*)
-      .localCheckpoint(true)
+      .stable()
     val sorted =
       if (sortKeys.nonEmpty)
         kept.repartition(partitionCols.map(col): _*)

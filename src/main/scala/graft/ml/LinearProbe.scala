@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -57,7 +58,7 @@ object LinearProbe {
       concat(transform(col(vecCol),
           x => floor(x.cast("double") * lit(1048576.0) + lit(0.5)) / lit(1048576.0)),
         array(lit(1.0))).as("xs"))
-      .localCheckpoint(true)
+      .stable()
     // dim+1 from a one-row probe aggregate (bounded, like the IVF
     // sample cap); the corpus itself is never collected. The probe
     // also guards the two inputs the iteration silently mis-handles:

@@ -290,8 +290,12 @@ object LsviReportJob {
         case None => Vc.write(df, target, keys)
       }
       if (continuousTables(name))
-        // plus the write_csv2 twin the reference publishes
-        Csv2.writeFile(df.orderBy(keys.map(col): _*), s"$outDir/$name.csv")
+        // plus the write_csv2 twin the reference publishes — sorted
+        // inside the single-file partition (the Vc.write r22 shape:
+        // a global orderBy would re-evaluate the chain for range
+        // sampling before Csv2's coalesce(1) collapses it anyway)
+        Csv2.writeFile(df.coalesce(1)
+          .sortWithinPartitions(keys.map(col): _*), s"$outDir/$name.csv")
     }
     labelled
   }

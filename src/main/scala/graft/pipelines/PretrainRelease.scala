@@ -281,6 +281,9 @@ object PretrainRelease {
                          minTokens: Int, alphaQuarters: Int, vocab: Int,
                          seqLen: Int, seqsPerShard: Int, ngram: Int = 3,
                          copyCap: Int = 16, nBuckets: Int = 32): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     // the corpus gate chain is needed by BOTH the initial release (its
     // mixture) and the delta (its released-fingerprint anti-join) —
     // persist the (id, lang, digest) rows so it evaluates once
@@ -289,19 +292,15 @@ object PretrainRelease {
           cleanA.select(col("doc_id"), col("lang")),
           alphaQuarters, groupCol = "lang", idCol = "doc_id")
         .select(col("doc_id"), col("copy_no"))
-      val (statsA, manifestA) = withPersisted(copiesA, corpus, copyCap) {
-        rel => packWriteVerify(rel, pathA, vocab, seqLen, seqsPerShard,
-          nBuckets, shardOffset = 0L)
-      }
-      // offset from the LOCAL manifest rows — never re-lists shipped
-      // files, and (the manifest being a LocalRelation) never launches
-      // a Spark job for one scalar either
-      val shardIds = manifestA.select(col("shard_id")).collect()
-      val offset = if (shardIds.isEmpty) 0L
-        else shardIds.map(_.getLong(0)).max + 1L
 
       // delta admission: the corpus side contributes 16-byte RELEASED
-      // fingerprints, never text
+      // fingerprints, never text. It depends only on the PERSISTED
+      // cleanA and the batch scans — not on drop A's pack/write — so
+      // it runs on a second driver thread and its jobs back-fill drop
+      // A's stage tails (guide §2.6, r22). The handoff is a
+      // materialized value (stable), so downstream plans are
+      // independent of thread timing; the admitted set itself is
+      // deterministic either way.
       val releasedFp = cleanA.select(col("fingerprint")).distinct()
       val gatedB = batch.select(
         col("doc_id").cast("long").as("doc_id"),
@@ -316,13 +315,35 @@ object PretrainRelease {
           batch.where(Text.tokenCount(col("text")) >= minTokens),
           bench, ngram)
         .select(col("doc_id").cast("long").as("doc_id"))
-      val cleanB = freshB.join(contamB, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(1).as("copy_no"))
+      val cleanBF = Future(graft.core.Materialize.stable(
+        freshB.join(contamB, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(1).as("copy_no"))))
 
+      // drop A: pack + write now; the byte-verify re-read gate needs
+      // only the written files + the LOCAL manifest, so it too runs on
+      // a thread, overlapped with drop B's admission/pack below. The
+      // gated stats are identical to the sequential form's.
+      val (manifestA, statsAF) = withPersisted(copiesA, corpus, copyCap) {
+        rel =>
+          val packed = graft.io.TokenShards.packChunks(rel, "release_id",
+            "text", vocab, seqLen, seqsPerShard, nBuckets)
+          val m = graft.io.TokenShards.write(packed, pathA)
+          (m, Future(graft.io.TokenShards.verifyManifest(
+            graft.io.TokenShards.readStats(corpus.sparkSession, pathA), m)))
+      }
+      // offset from the LOCAL manifest rows — never re-lists shipped
+      // files, and (the manifest being a LocalRelation) never launches
+      // a Spark job for one scalar either
+      val shardIds = manifestA.select(col("shard_id")).collect()
+      val offset = if (shardIds.isEmpty) 0L
+        else shardIds.map(_.getLong(0)).max + 1L
+
+      val cleanB = Await.result(cleanBF, Duration.Inf)
       val statsB = withPersisted(cleanB, batch, copyCap) { rel =>
         packWriteVerify(rel, pathB, vocab, seqLen, seqsPerShard, nBuckets,
           shardOffset = offset)._1
       }
+      val statsA = Await.result(statsAF, Duration.Inf)
       statsA.withColumn("drop_no", lit(0))
         .unionByName(statsB.withColumn("drop_no", lit(1)))
         .select(col("drop_no"), col("shard_id"), col("n_tokens"),

@@ -270,8 +270,15 @@ object Ann {
       : (DataFrame, Seq[(Int, Seq[Double])]) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val e = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // materialized ONCE (r22): the projected trainer input feeds the
+    // init collect, every Lloyd-update collect AND the final assigned
+    // plan its consumers evaluate — unmaterialized, each of those jobs
+    // re-ran the upstream scan/cast (and, inside IVFADC, whole
+    // quantizer chains). Values identical; blocks are
+    // (vec_id, dim-double) rows.
+    val e = graft.core.Materialize.stable(corpus.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v")))
 
     var centroids: Seq[(Int, Seq[Double])] =
       e.orderBy(col("vec_id").asc).limit(k)
@@ -349,11 +356,23 @@ object Ann {
     * combined exchange). See [[pqCodes]] for the determinism recipe. */
   private def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
                       m: Int, k: Int, iters: Int)
+      : (DataFrame, Seq[Seq[(Int, Seq[Double])]], Int) =
+    // materialized ONCE (r22, the lloydTrain treatment): the probe,
+    // the init collect, every update collect and the final assigned
+    // plan all consume this projection — unmaterialized, each job
+    // re-ran the upstream (for IVFADC's residual input, the whole
+    // coarse-assign + vecSub chain)
+    pqTrainOn(graft.core.Materialize.stable(corpus.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))), m, k, iters)
+
+  /** [[pqTrain]] over an ALREADY projected-and-materialized
+    * (vec_id, v) frame — the IVFADC trainer calls this directly so the
+    * residual frame materializes once for training AND coding. */
+  private def pqTrainOn(e: DataFrame, m: Int, k: Int, iters: Int)
       : (DataFrame, Seq[Seq[(Int, Seq[Double])]], Int) = {
-    val spark = corpus.sparkSession
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = corpus.select(col(idCol).as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
     val probe = e.agg(count(lit(1)).as("c"), min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
     require(probe.getLong(0) > 0L, "pqTrain: empty input DataFrame")
@@ -783,17 +802,24 @@ object Ann {
 
   /** Train both quantizer levels and return the coded corpus
     * (neighbor_id, gcell, code_0..code_{m-1}) with the trained state.
-    * The returned coded plan is ONE corpus scan, ZERO shuffles (coarse
-    * argmin + residual + PQ argmins all map-side off broadcast
-    * state). */
+    * The returned coded plan is ONE pass over the materialized
+    * residual frame, ZERO shuffles (the PQ argmins run map-side off
+    * broadcast state; coarse argmin + residual were computed once at
+    * materialization). */
   private def ivfPqTrainCoded(corpus: DataFrame, idCol: String, vecCol: String,
                               kc: Int, m: Int, k: Int, iters: Int)
       : (DataFrame, IvfPqState) = {
     val (assignedFull, cents) = lloydTrain(corpus, idCol, vecCol, kc, iters)
     val centMap = typedLit(cents.toMap)
-    val res = assignedFull.select(col("vec_id"), col("cluster").as("gcell"),
-      VectorFunctions.vecSub(col("v"), element_at(centMap, col("cluster"))).as("r"))
-    val (_, books, sub) = pqTrain(res, "vec_id", "r", m, k, iters)
+    // the residual frame materializes ONCE (r22) and feeds BOTH the PQ
+    // trainer's jobs (probe/init/updates) and the returned coded plan —
+    // unmaterialized, every one of those re-ran the coarse-assign +
+    // vecSub chain over the corpus
+    val res = graft.core.Materialize.stable(
+      assignedFull.select(col("vec_id"), col("cluster").as("gcell"),
+        VectorFunctions.vecSub(col("v"), element_at(centMap, col("cluster"))).as("r")))
+    val (_, books, sub) = pqTrainOn(
+      res.select(col("vec_id"), col("r").as("v")), m, k, iters)
     val coded = pqAssigned(res.select(col("vec_id"), col("gcell"),
         col("r").as("v")), books, sub)
       .select(col("vec_id").as("neighbor_id") +: col("gcell") +:

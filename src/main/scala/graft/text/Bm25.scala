@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object Bm25 {
       .select(col(idCol).as("doc_id"),
         explode(Text.tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .stable()
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val probe = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tot")).head()
@@ -63,7 +64,11 @@ object Bm25 {
 
     tf.join(broadcast(qterms), "term")
       .join(broadcast(df_.withColumn("idf", idf).select("term", "idf")), "term")
-      .join(dl, "doc_id")
+      // dl is one row per document (bounded like df_) — broadcast it
+      // so the query-term sliver never shuffles by doc_id (r22; the
+      // size estimate off the aggregate was too pessimistic for the
+      // planner to pick this up itself)
+      .join(broadcast(dl), "doc_id")
       .withColumn("contrib", contrib)
       .groupBy("query_id", "doc_id")
       .agg(aggregate(

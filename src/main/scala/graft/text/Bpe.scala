@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -67,7 +68,7 @@ object Bpe {
       while (r <= rounds && !exhausted) {
         if (r % checkpointEvery == 0) {
           val before = spark.sparkContext.getPersistentRDDs.keySet
-          syms = syms.localCheckpoint(true) // eager: materializes now
+          syms = syms.stable() // eager: materializes now
           val added = spark.sparkContext.getPersistentRDDs.keySet -- before
           liveCheckpoint.foreach(id =>
             spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false)))

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.core.Materialize.StableOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,11 +35,11 @@ object Colloc {
     val toks = docs
       .select(explode(Text.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .stable()
     val bigs = docs
       .select(explode(Text.bigrams(Text.tokens(col(textCol)))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
-      .localCheckpoint(true)
+      .stable()
     val n1 = toks.agg(sum("c")).head().getLong(0).toDouble
     val n2 = bigs.agg(sum("c_ab")).head().getLong(0).toDouble
 
