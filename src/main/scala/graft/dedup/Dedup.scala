@@ -319,13 +319,18 @@ object Dedup {
     // the fingerprint stream per pair)
     val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
+      .stable() // consumed by BOTH broadcast legs below (r22)
     val cand = fps.join(rare.select("fp", "rep"), Seq("fp"))
       .where(col("id") =!= col("rep"))
       .select(col("rep").as("id_a"), col("id").as("id_b"))
       .distinct()
+    // both legs BROADCAST (r22): a shuffle join here moves and sorts
+    // rows carrying the fpset arrays (~100+ longs each) — the
+    // candidate sliver is broadcast-sized by construction, so ship it
+    // once instead of pushing array payloads through two exchanges
     val edges = cand
-      .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
-      .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))
+      .join(broadcast(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a"))), Seq("id_a"))
+      .join(broadcast(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b"))), Seq("id_b"))
       .where(JaccardFunctions.longIntersectCount(col("set_a"), col("set_b"))
         >= minShared)
       .select("id_a", "id_b")
@@ -988,9 +993,14 @@ object Dedup {
       // the pick pairs (16 bytes/row, ~picks-per-doc rows) runs the
       // kernel ONCE; measured 3.8s -> ~2.4s isolated at sf0.1.
       .stable()
+    // rare feeds TWO consumers (the candidate join and the fpSets
+    // semi-join) — materialized (r22) so the fp-grain aggregation over
+    // the pick pairs runs once instead of once per consumer; rows are
+    // (16-byte fp, count, id), bounded by the distinct-fingerprint set
     val rare = fps.groupBy("fp")
       .agg(count(lit(1)).as("df"), min(col("id")).as("rep"))
       .where(col("df") <= maxDf)
+      .stable()
     // candidate pairs first (checkpointed: consumed by the id sliver
     // below AND the edges join), so the exact-verify's collect_set
     // only aggregates fingerprint sets for docs that actually appear
@@ -1004,12 +1014,20 @@ object Dedup {
       .stable()
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
+    // fpSets joins the edge pairs TWICE (id_a and id_b legs) —
+    // materialized (r22) so the semi-joins + collect_set over the
+    // candidate sliver run once, not once per leg
     val fpSets = fps.join(rare.select("fp"), Seq("fp"), "left_semi")
       .join(candIds, Seq("id"), "left_semi")
       .groupBy(col("id")).agg(collect_set(col("fp")).as("fpset"))
+      .stable()
+    // both legs BROADCAST (r22): a shuffle join here moves and sorts
+    // rows carrying the fpset arrays (~100+ longs each) — the
+    // candidate sliver is broadcast-sized by construction, so ship it
+    // once instead of pushing array payloads through two exchanges
     val edges = cand
-      .join(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a")), Seq("id_a"))
-      .join(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b")), Seq("id_b"))
+      .join(broadcast(fpSets.select(col("id").as("id_a"), col("fpset").as("set_a"))), Seq("id_a"))
+      .join(broadcast(fpSets.select(col("id").as("id_b"), col("fpset").as("set_b"))), Seq("id_b"))
       .where(JaccardFunctions.longIntersectCount(col("set_a"), col("set_b"))
         >= minShared)
       .select("id_a", "id_b")
