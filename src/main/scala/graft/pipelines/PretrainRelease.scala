@@ -103,12 +103,18 @@ object PretrainRelease {
                            minTokens: Int, ngram: Int,
                            idCol: String = "doc_id",
                            textCol: String = "text",
-                           groupCol: String = "lang")
+                           groupCol: String = "lang",
+                           eager: Boolean = false)
                           (body: DataFrame => A): A = {
     val clean = cleanDocs(docs, bench, minTokens, ngram, idCol, textCol,
         groupCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try { clean.count(); body(clean) }
+    // eager=false (r22): the persist fills under the FIRST consumer's
+    // job (the mixture's histogram collect), so the separate count()
+    // job is pure overhead on the sequential callers. The delta
+    // release passes eager=true — it forks a second driver thread off
+    // the clean set and must materialize before the fork.
+    try { if (eager) clean.count(); body(clean) }
     finally { clean.unpersist(false); () }
   }
 
@@ -174,7 +180,10 @@ object PretrainRelease {
     val copies = copies0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      copies.count() // materialize before the dual-pass consumer plans
+      // no eager count (r22): pack's first pass (the materialized
+      // costs frame) fills the persist; the second pass reuses it —
+      // the separate count() job was pure overhead on a sequential
+      // driver
       body(joinText(copies, docs, copyCap, "doc_id", "text"))
     } finally { copies.unpersist(false); () }
   }
@@ -286,8 +295,9 @@ object PretrainRelease {
     import scala.concurrent.ExecutionContext.Implicits.global
     // the corpus gate chain is needed by BOTH the initial release (its
     // mixture) and the delta (its released-fingerprint anti-join) —
-    // persist the (id, lang, digest) rows so it evaluates once
-    withClean(corpus, bench, minTokens, ngram) { cleanA =>
+    // persist the (id, lang, digest) rows so it evaluates once;
+    // eager: the delta admission forks a second driver thread off it
+    withClean(corpus, bench, minTokens, ngram, eager = true) { cleanA =>
       val copiesA = Curate.temperatureCopies(
           cleanA.select(col("doc_id"), col("lang")),
           alphaQuarters, groupCol = "lang", idCol = "doc_id")
